@@ -1,0 +1,73 @@
+"""polars_text_spark — a PySpark-native text-analytics engine.
+
+A brand-new, idiomatic-Spark implementation of the query and
+data-processing capabilities of
+``Australian-Text-Analytics-Platform/polars-text`` (the reference; see
+SURVEY.md). The reference is a Polars expression plugin; this engine
+re-expresses every operator Spark-first:
+
+- scalar text ops (clean/word/char/sentence) are pure built-in Column
+  expressions — zero UDFs, full Catalyst pushdown/codegen;
+- tokenize/concordance/embedding are Arrow-batched pandas UDFs with
+  executor-local model registries;
+- token frequency statistics are a distributed outer-join + column
+  arithmetic (the reference computes them on driver-side dicts);
+- topic modeling is a DataFrame -> DataFrame multi-stage job
+  (mirroring the reference's ``is_elementwise=False`` break from the
+  expression model);
+- beyond-reference: dedup (exact/MinHash-LSH/SimHash/ngram-Jaccard/
+  embedding-cosine), ANN similarity search, language-ID / quality
+  scoring, multimodal binary-column plumbing, and streaming-safe
+  variants — the LLM-training-data-pipeline operators the reference
+  lacks, designed for 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from polars_text_spark import models
+from polars_text_spark.functions import (
+    char_count,
+    clean_text,
+    concordance,
+    embedding,
+    sentence_count,
+    tokenize,
+    word_count,
+)
+from polars_text_spark.models import (
+    LINDERA_MODELS_BY_LANGUAGE,
+    PREDEFINED_MODEL_LABELS,
+    PREDEFINED_MODELS,
+    available_features,
+    list_loaded_models,
+    predefined_model_records,
+    prefetch_model,
+)
+from polars_text_spark.operators.token_frequencies import (
+    token_frequencies,
+    token_frequency_stats,
+)
+from polars_text_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LINDERA_MODELS_BY_LANGUAGE",
+    "PREDEFINED_MODELS",
+    "PREDEFINED_MODEL_LABELS",
+    "available_features",
+    "char_count",
+    "clean_text",
+    "concordance",
+    "embedding",
+    "get_spark",
+    "list_loaded_models",
+    "models",
+    "predefined_model_records",
+    "prefetch_model",
+    "sentence_count",
+    "token_frequencies",
+    "token_frequency_stats",
+    "tokenize",
+    "word_count",
+]

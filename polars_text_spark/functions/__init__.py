@@ -1,0 +1,41 @@
+"""Column-level text functions (the reference's expression surface).
+
+Usage mirrors idiomatic Spark::
+
+    from polars_text_spark import functions as T
+    df.select(T.clean_text("text"), T.tokenize("text", model="native:plain_words_en"))
+"""
+
+from __future__ import annotations
+
+from polars_text_spark.functions.analysis import (
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from polars_text_spark.functions.concordance import concordance
+from polars_text_spark.functions.embedding import embedding
+from polars_text_spark.functions.scalar import (
+    char_count,
+    clean_text,
+    sentence_count,
+    word_count,
+)
+from polars_text_spark.functions.tokenize import tokenize
+
+__all__ = [
+    "char_count",
+    "clean_text",
+    "concordance",
+    "detect_language",
+    "doc_fingerprint",
+    "embedding",
+    "quality_score",
+    "sentence_count",
+    "token_count_bpe",
+    "token_count_ws",
+    "tokenize",
+    "word_count",
+]

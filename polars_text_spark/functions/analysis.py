@@ -1,0 +1,144 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond-reference operators (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting — all
+pure built-in Column expressions so they run JVM-side inside
+whole-stage codegen and cost ~nothing at 100 TB beyond the scan.
+Every one of them has an exact DuckDB-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from polars_text_spark.functions.scalar import clean_text
+
+__all__ = [
+    "STOPWORDS",
+    "detect_language",
+    "doc_fingerprint",
+    "quality_score",
+    "token_count_bpe",
+    "token_count_ws",
+]
+
+# Small, high-frequency stopword inventories. Deliberately tiny: the
+# heuristic scores whitespace tokens against each list and picks the
+# argmax, which is robust at document length and cheap at scale.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "ich", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas", "que", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "una", "no", "que", "por", "como"),
+}
+
+_CJK_ANY = r"[一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯]"
+
+
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _ws_tokens(c: Column) -> Column:
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _stopword_hits(tokens: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def detect_language(col: Column | str) -> Column:
+    """Heuristic language ID over {en,de,fr,es,zh,unknown}.
+
+    CJK-character presence wins first (zh); otherwise the language with
+    the most stopword hits among the lowercased whitespace tokens;
+    ``unknown`` when nothing matches. Pure built-ins -> SQL-expressible
+    for the DuckDB oracle and free at scale.
+    """
+    c = F.lower(_col(col))
+    tokens = _ws_tokens(c)
+    hits = {lang: _stopword_hits(tokens, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.when(c.isNull(), F.lit("unknown")).when(
+        c.rlike(_CJK_ANY), F.lit("zh")
+    )
+    expr = expr.when(best <= 0, F.lit("unknown"))
+    # Deterministic tie-break: alphabetical language order.
+    for lang in sorted(STOPWORDS):
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unknown")).alias("lang_detected")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count; empty/null -> 0."""
+    c = _col(col)
+    return F.coalesce(F.size(_ws_tokens(c)), F.lit(0)).cast("long").alias(
+        "token_count_ws"
+    )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, and
+# non-space symbol runs each count as one token — the GPT-2 regex
+# family minus lookarounds (RE2, for the DuckDB oracle, has none).
+_BPE_ISH = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Approximate subword-count via the BPE-ish regex; ~upper-bounds
+    real BPE token counts within a small constant."""
+    c = _col(col)
+    return F.coalesce(F.regexp_count(c, F.lit(_BPE_ISH)), F.lit(0)).cast(
+        "long"
+    ).alias("token_count_bpe")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0,1].
+
+    Components (equal-weight mean):
+    - alpha ratio: letter chars / total chars;
+    - non-punct ratio: 1 - punctuation chars / total chars;
+    - stopword ratio hit: fraction of tokens that are EN stopwords,
+      clipped to [0, 0.4] and rescaled (natural prose sits ~0.2-0.4);
+    - length band: 1 when 20 <= char_count <= 10000, linear falloff
+      below/above.
+
+    All built-ins; identical math runs in the DuckDB oracle.
+    """
+    c = _col(col)
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^\p{L}]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^\p{P}]", "")).cast("double")
+    tokens = _ws_tokens(F.lower(c))
+    n_tokens = F.size(tokens).cast("double")
+    stop_hits = _stopword_hits(tokens, "en").cast("double")
+
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    non_punct_ratio = F.when(n > 0, F.lit(1.0) - punct / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    stop_component = F.least(stop_ratio, F.lit(0.4)) / F.lit(0.4)
+    length_component = (
+        F.when(n < 20, n / F.lit(20.0))
+        .when(n > 10000, F.greatest(F.lit(0.0), F.lit(2.0) - n / F.lit(10000.0)))
+        .otherwise(F.lit(1.0))
+    )
+    score = (alpha_ratio + non_punct_ratio + stop_component + length_component) / F.lit(
+        4.0
+    )
+    return (
+        F.when(c.isNull(), F.lit(0.0)).otherwise(F.coalesce(score, F.lit(0.0)))
+    ).alias("quality_score")
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: sha2-256 over the normalized
+    (:func:`clean_text`) document — the join key for exact/near-dup
+    bookkeeping and content-addressed caches (≙ the reference's
+    SHA-256 content hashes, src/cache.rs:23-27)."""
+    c = _col(col)
+    return F.sha2(clean_text(c), 256).alias("fingerprint")

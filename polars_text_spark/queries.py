@@ -1,0 +1,490 @@
+"""Query registry: every implemented operator exposed as a named query
+over the driver's parquet tables, with a DuckDB oracle where the
+semantics are SQL-expressible (SURVEY.md §5 "our additional layer").
+
+Each query callable takes ``(spark, sf_dir)`` and returns a DataFrame.
+Aliases are synchronized with the oracle SQL — the driver's compare
+sorts columns by name before hashing values.
+
+Floating-point columns are rounded (6 dp; 4 dp for large money sums)
+on BOTH sides so engine-level last-ulp differences (JVM vs C math,
+parallel summation order) don't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_text_spark.functions import (
+    char_count,
+    clean_text,
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    sentence_count,
+    token_count_bpe,
+    token_count_ws,
+    tokenize,
+    word_count,
+)
+from polars_text_spark.operators.token_frequencies import (
+    token_frequencies,
+    token_frequency_stats,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+NATIVE_MODEL = "native:plain_words_en"
+
+# DuckDB (RE2) fragments mirroring the Spark-side expressions. The data
+# is ASCII so RE2 \s == Java \p{IsWhite_Space} here.
+_SQL_CLEAN = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[!-/:-@\\[-`{-~0-9]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+_SQL_CJK = (
+    "'^[一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯\\x{20000}-\\x{2A6DF}]+$'"
+)
+_SQL_WORD_COUNT = f"""
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         WHEN regexp_matches(trim(text), '\\s') THEN len(regexp_split_to_array(trim(text), '\\s+'))
+         WHEN regexp_matches(trim(text), {_SQL_CJK}) THEN length(trim(text))
+         ELSE 1 END
+"""
+_SQL_SENTENCE_COUNT = """
+    CASE WHEN text IS NULL THEN 0 ELSE
+      len(list_filter(regexp_split_to_array(text, '[.!?。！？۔؟।॥]'),
+                      s -> regexp_matches(s, '[^\\s]')))
+    END
+"""
+# plain_words_en token list of a lowercased text (remove_punct=True):
+# maximal runs of non-space non-BERT-punct chars containing >=1 alnum.
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[\\s\\p{P}$+<=>^|~]+'),"
+    " x -> x <> '' AND regexp_matches(x, '[0-9A-Za-z]')"
+    " AND upper(x) NOT IN ('CLS','SEP','PAD','UNK','MASK'))"
+)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Scalar text ops (SURVEY §2.1 #1-#4) — pure built-ins, exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_text_stats",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                            AS n_docs,
+           CAST(sum({_SQL_WORD_COUNT}) AS BIGINT)              AS sum_words,
+           CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END) AS BIGINT) AS sum_chars,
+           CAST(sum({_SQL_SENTENCE_COUNT}) AS BIGINT)          AS sum_sentences,
+           CAST(sum(length({_SQL_CLEAN})) AS BIGINT)           AS sum_clean_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scalar_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "lang",
+            word_count("text"),
+            char_count("text"),
+            sentence_count("text"),
+            F.length(clean_text("text")).cast("long").alias("clean_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("word_count").alias("sum_words"),
+            F.sum("char_count").alias("sum_chars"),
+            F.sum("sentence_count").alias("sum_sentences"),
+            F.sum("clean_chars").alias("sum_clean_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenize (#5) + token_frequencies (#9) — UDF tokens vs regex-SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_frequencies",
+    f"""
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS count
+    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents WHERE text IS NOT NULL)
+    GROUP BY t
+    """,
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_frequencies(_docs(spark, sf_dir), "text", model=NATIVE_MODEL)
+
+
+@query(
+    "tokenize_offsets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/distinct counts through the full tokenize UDF
+    (token strings are SQL-checkable; offsets are covered by invariant
+    tests in tests/test_tokenize.py)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text", model=NATIVE_MODEL)).alias("t")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct(F.col("t.token")).alias("n_distinct"),
+    )
+
+
+_SQL_STATS_ORACLE = f"""
+    WITH f0 AS (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents
+            WHERE text IS NOT NULL AND lang = 'en')
+      GROUP BY t),
+    f1 AS (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents
+            WHERE text IS NOT NULL AND lang <> 'en')
+      GROUP BY t),
+    joined AS (
+      SELECT coalesce(f0.token, f1.token) AS token,
+             coalesce(f0.f, 0) AS fr0, coalesce(f1.f, 0) AS fr1
+      FROM f0 FULL OUTER JOIN f1 ON f0.token = f1.token),
+    tot AS (SELECT sum(fr0) AS c0, sum(fr1) AS c1 FROM joined),
+    base AS (
+      SELECT token, fr0, fr1, c0, c1,
+             (fr0 + fr1) * c0 / (c0 + c1) AS e0,
+             (fr0 + fr1) * c1 / (c0 + c1) AS e1
+      FROM joined, tot),
+    ll AS (
+      SELECT *,
+        2.0 * (CASE WHEN fr0 > 0 THEN fr0 * ln(fr0 / greatest(e0, 1e-10)) ELSE 0.0 END
+             + CASE WHEN fr1 > 0 THEN fr1 * ln(fr1 / greatest(e1, 1e-10)) ELSE 0.0 END)
+          AS llv
+      FROM base)
+    SELECT token,
+           fr0 AS freq_corpus_0,
+           fr1 AS freq_corpus_1,
+           round(e0, 6) AS expected_0,
+           round(e1, 6) AS expected_1,
+           CAST(c0 AS BIGINT) AS corpus_0_total,
+           CAST(c1 AS BIGINT) AS corpus_1_total,
+           round(llv, 6) AS log_likelihood_llv,
+           round(llv - ln(c0 + c1), 6) AS bayes_factor_bic,
+           round(CASE WHEN least(e0, e1) > 0
+                 THEN llv / ((c0 + c1) * ln(greatest(least(e0, e1), 1e-10)))
+                 ELSE 0.0 END, 6) AS effect_size_ell,
+           CASE WHEN llv >= 15.13 THEN '****' WHEN llv >= 10.83 THEN '***'
+                WHEN llv >= 6.63 THEN '**' WHEN llv >= 3.84 THEN '*'
+                ELSE '' END AS significance,
+           round(fr0 * 100.0 / c0, 6) AS percent_corpus_0,
+           round(fr1 * 100.0 / c1, 6) AS percent_corpus_1,
+           round(fr0 / c0 - fr1 / c1, 6) AS percent_diff,
+           round(CASE WHEN fr1 > 0 THEN (fr0 / c0) / (fr1 / c1) END, 6) AS relative_risk,
+           round(CASE WHEN fr0 > 0 AND fr1 > 0 THEN ln((fr0 / c0) / (fr1 / c1)) END, 6) AS log_ratio,
+           round(CASE WHEN fr0 > 0 AND fr1 > 0 AND c1 > fr1 AND c0 > fr0
+                 THEN (fr0 * (c1 - fr1)) / (fr1 * (c0 - fr0)) END, 6) AS odds_ratio
+    FROM ll
+"""
+
+
+@query("token_frequency_stats", _SQL_STATS_ORACLE)
+def q_token_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-corpus comparison (en vs rest) — SURVEY §2.1 #10, fully
+    distributed (outer join + broadcast totals)."""
+    docs = _docs(spark, sf_dir)
+    freq0 = token_frequencies(docs.filter(F.col("lang") == "en"), "text", model=NATIVE_MODEL)
+    freq1 = token_frequencies(docs.filter(F.col("lang") != "en"), "text", model=NATIVE_MODEL)
+    stats = token_frequency_stats(freq0, freq1)
+    rounded = [
+        "expected_0",
+        "expected_1",
+        "log_likelihood_llv",
+        "bayes_factor_bic",
+        "effect_size_ell",
+        "percent_corpus_0",
+        "percent_corpus_1",
+        "percent_diff",
+        "relative_risk",
+        "log_ratio",
+        "odds_ratio",
+    ]
+    return stats.select(
+        *[
+            F.round(F.col(c), 6).alias(c) if c in rounded else F.col(c)
+            for c in stats.columns
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis pipeline ops (beyond-reference) — exact SQL oracles.
+# ---------------------------------------------------------------------------
+
+_SQL_LANG_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_STOP = {
+    "en": "['the','a','of','and','to','in','is','it','that','was']",
+    "de": "['der','die','das','und','ist','ein','nicht','mit','ich','zu']",
+    "fr": "['le','la','les','et','est','une','pas','que','pour','dans']",
+    "es": "['el','la','los','y','es','una','no','que','por','como']",
+}
+_SQL_HITS = {
+    lang: f"len(list_filter({_SQL_LANG_TOKENS}, x -> list_contains({lst}, x)))"
+    for lang, lst in _STOP.items()
+}
+_SQL_BEST = f"greatest({_SQL_HITS['de']}, {_SQL_HITS['en']}, {_SQL_HITS['es']}, {_SQL_HITS['fr']})"
+_SQL_DETECT_LANG = f"""
+    CASE WHEN text IS NULL THEN 'unknown'
+         WHEN regexp_matches(lower(text), '[一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯]') THEN 'zh'
+         WHEN {_SQL_BEST} <= 0 THEN 'unknown'
+         WHEN {_SQL_HITS['de']} = {_SQL_BEST} THEN 'de'
+         WHEN {_SQL_HITS['en']} = {_SQL_BEST} THEN 'en'
+         WHEN {_SQL_HITS['es']} = {_SQL_BEST} THEN 'es'
+         WHEN {_SQL_HITS['fr']} = {_SQL_BEST} THEN 'fr'
+         ELSE 'unknown' END
+"""
+
+
+@query(
+    "language_id",
+    f"""
+    SELECT {_SQL_DETECT_LANG} AS lang_detected, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(detect_language("text"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_QUALITY = """
+    CASE WHEN text IS NULL THEN 0.0 ELSE (
+      (CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / length(text)
+            ELSE 0.0 END)
+    + (CASE WHEN length(text) > 0
+            THEN 1.0 - length(regexp_replace(text, '[^\\p{P}]', '', 'g')) * 1.0 / length(text)
+            ELSE 0.0 END)
+    + least(CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0 AND trim(text) <> ''
+                 THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                      x -> list_contains(['the','a','of','and','to','in','is','it','that','was'], x)))
+                      * 1.0 / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 ELSE 0.0 END, 0.4) / 0.4
+    + (CASE WHEN length(text) < 20 THEN length(text) / 20.0
+            WHEN length(text) > 10000 THEN greatest(0.0, 2.0 - length(text) / 10000.0)
+            ELSE 1.0 END)
+    ) / 4.0 END
+"""
+
+
+@query(
+    "quality_by_source",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg({_SQL_QUALITY}), 6) AS avg_quality,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens_ws,
+           CAST(sum(len(regexp_extract_all(text, '\\p{{L}}+|\\p{{N}}+|[^\\p{{L}}\\p{{N}}\\s]+'))) AS BIGINT) AS sum_tokens_bpe
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "source",
+            quality_score("text"),
+            token_count_ws("text"),
+            token_count_bpe("text"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum("token_count_ws").alias("sum_tokens_ws"),
+            F.sum("token_count_bpe").alias("sum_tokens_bpe"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+    SELECT sha256({_SQL_CLEAN}) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup bookkeeping by content fingerprint (keeper = min id)."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        docs.select("doc_id", doc_fingerprint("text"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational host-ops showcase (SURVEY §2.2): scan+filter+agg, join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_customer_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           round(sum(o.o_totalprice), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    """,
+)
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join showcase: customer is the small build side."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed aggregation
+    (polars_text_spark.streaming.windowed_event_counts)."""
+    from polars_text_spark.sources.catalog import load_events
+
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship (driver smoke): per-language document profile.
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(tokenize("text", model=NATIVE_MODEL)).alias("t")
+    )
+    token_stats = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct(F.col("t.token")).alias("n_distinct_tokens"),
+    )
+    profile = (
+        docs.select("lang", word_count("text"), char_count("text"), quality_score("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("word_count").alias("sum_words"),
+            F.sum("char_count").alias("sum_chars"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+    )
+    return profile.join(token_stats, "lang", "left").orderBy("lang")

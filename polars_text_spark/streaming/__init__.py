@@ -1,0 +1,17 @@
+"""Structured Streaming surfaces.
+
+The reference has no streaming operators (SURVEY.md §1.1: nothing in
+src/ is streaming). Everything elementwise in this engine — the scalar
+text ops, tokenize, concordance, embedding, language-ID, quality,
+fingerprints — is stateless and therefore streaming-safe for free: the
+same Column expressions apply unchanged to a ``readStream`` DataFrame.
+This package adds the event-stream aggregation patterns a pipeline
+needs on top (watermarked windows over the ``events`` table shape).
+"""
+
+from polars_text_spark.streaming.events import (
+    read_events_stream,
+    windowed_event_counts,
+)
+
+__all__ = ["read_events_stream", "windowed_event_counts"]

@@ -247,6 +247,62 @@ def q_token_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# concordance (#6) — match counts and KWIC neighbors are SQL-checkable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "concordance_matches",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), 'data')) AS BIGINT) AS n_matches
+    FROM documents
+    WHERE text IS NOT NULL AND len(regexp_extract_all(lower(text), 'data')) > 0
+    """,
+)
+def q_concordance_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive literal sweep through the full concordance UDF;
+    per-doc hit counts hash-checked against a regex oracle."""
+    from polars_text_spark.functions import concordance
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id", F.size(concordance("text", "data")).alias("n_matches")
+    ).filter(F.col("n_matches") > 0)
+
+
+@query(
+    "concordance_neighbors",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS idx
+      FROM documents WHERE text IS NOT NULL),
+    ctx AS (
+      SELECT doc_id, w,
+             coalesce(lag(w)  OVER (PARTITION BY doc_id ORDER BY idx), '') AS l1,
+             coalesce(lead(w) OVER (PARTITION BY doc_id ORDER BY idx), '') AS r1
+      FROM words)
+    SELECT l1, r1, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM ctx WHERE w = 'table' GROUP BY l1, r1
+    """,
+)
+def q_concordance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC nearest-neighbor (l1, r1) distribution for a term — the
+    reference's l1/r1 fields aggregated corpus-wide; oracle rebuilds
+    the same neighbors with window functions over word positions."""
+    from polars_text_spark.functions import concordance
+    from polars_text_spark.functions.concordance import explode_concordance
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    kwic = explode_concordance(
+        docs.select("doc_id", concordance("text", "table", num_left_tokens=1, num_right_tokens=1))
+    ).filter(F.col("matched_text").isNotNull())
+    return kwic.groupBy("l1", "r1").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
 # Text-analysis pipeline ops (beyond-reference) — exact SQL oracles.
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,301 @@
+"""Deduplication suite for training-data pipelines (beyond-reference,
+BASELINE.json north star). Five strategies, all shuffle-conscious:
+
+- :func:`exact_dedup` — sha2 fingerprint groupBy; one shuffle on the
+  hash, keeper = min id. The 100 TB workhorse.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash
+  over token shingles computed entirely with JVM built-ins
+  (``xxhash64(shingle, seed_k)`` + ``min`` aggregations — no Python in
+  the loop), banded into LSH buckets; candidate pairs are bucket
+  collisions, verified by exact shingle Jaccard.
+- :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash via
+  per-bit signed majority vote (explode -> 64 conditional sums);
+  near-dup pairs = small Hamming distance within 16-bit chunk blocks
+  (pigeonhole: distance <= 3 guarantees one of 4 chunks equal).
+- :func:`ngram_jaccard_pairs` — exact blocked pairwise Jaccard
+  (SQL-oracle-checkable; the verification path for the approximate
+  strategies).
+- embedding-cosine near-dup — see
+  :func:`polars_text_spark.operators.similarity.cosine_topk_lsh`;
+  :func:`embedding_dup_pairs` wraps it for a threshold.
+
+Design note for scale: every strategy maps to (narrow per-row exprs) +
+(one groupBy or one equi-join on a blocking key). Nothing cross-joins
+the full corpus; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_text_spark.functions.analysis import doc_fingerprint
+from polars_text_spark.operators.similarity import cosine
+
+__all__ = [
+    "exact_dedup",
+    "embedding_dup_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "token_shingles",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per distinct normalized content (keeper = min id)."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", doc_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def token_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column — built-ins only:
+    split -> sliding windows via transform(sequence(...)) -> distinct."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.trim(F.lower(c)), r"\s+")
+    count = F.size(tokens) - F.lit(n - 1)
+    shingles = F.when(count <= 0, F.array(F.concat_ws(" ", tokens))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+    return F.array_distinct(shingles)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(id, minhash: array<long>)`` — one min per seeded xxhash64.
+
+    explode(shingles) -> groupBy(id).agg(64 mins): map-side partial
+    aggregation keeps the shuffle tiny (64 longs per doc)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(token_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        for k in range(num_perm)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*mins)
+    return sigs.select(
+        id_col, F.array(*[f"h{k}" for k in range(num_perm)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash, verified with
+    exact shingle Jaccard. Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
+
+    Shuffle profile: one agg for signatures, one equi-join on
+    (band_idx, band_hash) — never a cross join.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bk"))
+    left = banded.select(F.col("id").alias("id_a"), "bk")
+    right = banded.select(F.col("id").alias("id_b"), "bk")
+    cand = (
+        left.join(right, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = df.select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, shingle_n).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / (
+                F.size("sh_a")
+                + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(text_col, *, bits: int = 64):
+    """64-bit SimHash of whitespace tokens as a single long — built-ins
+    only. Per bit: majority vote of the token-hash bits."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.trim(F.lower(c)), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # For each bit position, sum +1/-1 votes across tokens, then set
+    # the bit if the vote is positive.
+    def bit_vote(i: int):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits - 1):  # bit 63 (sign) left 0 to keep values positive
+        out = out + bit_vote(i)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit chunks;
+    any pair within distance 3 shares at least one exact chunk, so the
+    join is an equi-join on (chunk_idx, chunk_value)."""
+    hashed = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("sh"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = hashed.select("id", "sh", F.explode(chunks).alias("ck"))
+    left = blocked.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "ck")
+    right = blocked.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "ck")
+    pairs = (
+        left.join(right, "ck")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise token-shingle Jaccard within blocks.
+
+    ``block_cols`` bounds the quadratic term (pairs only form inside a
+    block — e.g. ``("source", "lang")``); empty means all-pairs, which
+    is only sane on small slices. This is the exact oracle the
+    approximate strategies are validated against."""
+    sh = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n).alias("sh"),
+    )
+    a = sh.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    on = [f"__b_{c}" for c in block_cols]
+    pairs = a.join(b, on) if on else a.crossJoin(b)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket candidates."""
+    from polars_text_spark.operators.similarity import lsh_band_keys
+
+    keys = lsh_band_keys(
+        F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands, seed=seed
+    )
+    banded = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(keys).alias("band_key"),
+    )
+    left = banded.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band_key")
+    right = banded.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band_key")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -421,6 +421,178 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup + similarity (beyond-reference pipeline operators).
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ')"
+    " for i in generate_series(1, len(toks)-2)])"
+)
+_SQL_SH_CTE = f"""
+  SELECT doc_id, source, lang, {_SQL_SHINGLES} AS s
+  FROM (SELECT doc_id, source, lang,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL)
+"""
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+               PARTITION BY sha256({_SQL_CLEAN}) ORDER BY doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_text_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return exact_dedup(docs).select("doc_id")
+
+
+@query(
+    "near_dedup_minhash",
+    f"""
+    WITH sh AS ({_SQL_SH_CTE})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    """,
+)
+def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact shingle Jaccard. At
+    j >= 0.9 with 16 bands of 4 rows, recall is 1 - 4e-8, so the
+    approximate pipeline's output hash-matches the full-pairwise
+    oracle — the LSH is doing candidate pruning, not lossy matching."""
+    from polars_text_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@query(
+    "near_dedup_blocked_jaccard",
+    f"""
+    WITH sh AS ({_SQL_SH_CTE})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    """,
+)
+def q_near_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard within (source, lang) blocks — the
+    bounded-quadratic exact path used to validate the approximations."""
+    from polars_text_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("source", "lang"), threshold=0.9
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs (rows-only: the bit mixing uses
+    Spark's xxhash64, which DuckDB cannot replicate; invariants are
+    pytest-covered in tests/test_dedup.py)."""
+    from polars_text_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+QUERIES["near_dedup_simhash"] = q_near_dedup_simhash
+
+
+@query(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS c
+      FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 10
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (broadcast queries, JVM-side
+    zip_with/aggregate arithmetic — no Python in the loop)."""
+    from polars_text_spark.operators.similarity import cosine_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN variant (rows-only: approximate by design;
+    recall vs the exact path is pytest-asserted)."""
+    from polars_text_spark.operators.similarity import cosine_topk_lsh
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(vecs, vecs.filter(F.col("vec_id") < 5), k=10, dim=64)
+
+
+QUERIES["similarity_topk_lsh"] = q_similarity_topk_lsh
+
+
+@query(
+    "embedding_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (exact,
+    SQL-checkable twin of the LSH-bucketed embedding_dup_pairs op)."""
+    from polars_text_spark.operators.similarity import cosine as cos_expr
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = vecs.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = vecs.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational host-ops showcase (SURVEY §2.2): scan+filter+agg, join.
 # ---------------------------------------------------------------------------
 

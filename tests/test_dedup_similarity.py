@@ -1,0 +1,112 @@
+"""Invariant tests for the dedup suite and similarity search."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from polars_text_spark.operators.similarity import cosine, cosine_topk, cosine_topk_lsh
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Same doc!"), (1, "same DOC"), (2, "other"), (9, "  same,  doc ")],
+        ["doc_id", "text"],
+    )
+    # clean_text normalizes case/punct/whitespace -> all three collapse
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_identical_texts_full_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely here")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (1, 2) and p.jaccard == 1.0
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    s1 = minhash_signatures(df).collect()[0].minhash
+    s2 = minhash_signatures(df).collect()[0].minhash
+    assert len(s1) == 64 and s1 == s2
+
+
+def test_simhash_properties(spark):
+    words = [f"tok{i}" for i in range(30)]
+    base = " ".join(words + ["ending"])
+    perturbed = " ".join(words + ["different"])
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, perturbed)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", simhash("text").alias("sh")).collect()}
+    assert rows[1] == rows[2]  # identical text -> identical simhash
+    assert rows[1] >= 0  # sign bit kept clear
+    ham_13 = bin(rows[1] ^ rows[3]).count("1")
+    assert 0 < ham_13 <= 16  # one-token change -> small hamming distance
+    pairs = simhash_pairs(df, max_hamming=16).collect()
+    got = {(p.id_a, p.id_b): p.hamming for p in pairs}
+    assert got[(1, 2)] == 0
+    # The chunk-blocking capture guarantee is only for distance <= 3
+    # (pigeonhole over 4 chunks); beyond that capture is best-effort.
+    if ham_13 <= 3:
+        assert got[(1, 3)] == ham_13
+
+
+def test_ngram_jaccard_blocked_only_pairs_in_block(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x", "a b c d e"),
+            (2, "x", "a b c d e"),
+            (3, "y", "a b c d e"),  # same text, different block
+        ],
+        ["doc_id", "blk", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, block_cols=("blk",), threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_cosine_expression_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a, b = rng.standard_normal(16), rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in a], [float(x) for x in b])], ["id", "a", "b"]
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, want, rel_tol=1e-9)
+
+
+def test_cosine_topk_exact_and_lsh_recall(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((80, 16))
+    # plant a near-duplicate of vector 0
+    vecs[79] = vecs[0] + 0.01 * rng.standard_normal(16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") == 0)
+
+    exact = cosine_topk(df, queries, k=5).collect()
+    assert exact[0].neighbor_id == 79 and exact[0].cosine > 0.99
+    assert [r.rank for r in sorted(exact, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+
+    approx = cosine_topk_lsh(df, queries, k=5, dim=16, num_planes=16, bands=8)
+    got = approx.filter(F.col("rank") == 1).collect()[0]
+    # near-identical vectors share every band -> the planted dup is found
+    assert got.neighbor_id == 79

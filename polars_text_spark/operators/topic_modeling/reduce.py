@@ -1,0 +1,70 @@
+"""Driver-side dimensionality reduction for chunk embeddings.
+
+The reference reduces with PaCMAP (seeded, PCA-initialized —
+/root/reference/src/topic_modeling/reduce.rs:69-83) and enforces a
+hard minimum of 12 points (reduce.rs:44,52-56). PaCMAP/UMAP are not
+installed in this environment, so the always-available reducer is a
+seeded PCA (numpy SVD with deterministic sign convention) — a
+documented deviation. PaCMAP itself is only seeded-approximately
+reproducible (reduce.rs:122-135), and the reference keeps exact
+reduction output out of CI (mod.rs:21-24), so downstream checks are
+structural either way. When the ``pacmap`` package is importable it
+is used instead.
+
+Scale note: reduction sees an (n_chunks x dim) float32 matrix on the
+driver — at 384-dim MiniLM, 1M chunks ≈ 1.5 GB, the same practical
+ceiling the reference has in one process. Beyond that, sample chunks
+for the fit (flagged in pipeline docs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["MIN_POINTS_FOR_REDUCTION", "reduce_embeddings"]
+
+MIN_POINTS_FOR_REDUCTION = 12  # reduce.rs:44
+
+
+def _pca(matrix: np.ndarray, dims: int, seed: int) -> np.ndarray:
+    centered = matrix - matrix.mean(axis=0, keepdims=True)
+    # Deterministic full SVD; seed is unused by exact PCA but kept in
+    # the signature for the PaCMAP path.
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    components = vt[:dims]
+    # Sign convention: make the largest-|loading| coordinate of each
+    # component positive so output is unique.
+    for i in range(components.shape[0]):
+        j = int(np.argmax(np.abs(components[i])))
+        if components[i, j] < 0:
+            components[i] = -components[i]
+    return (centered @ components.T).astype(np.float32)
+
+
+def reduce_embeddings(
+    matrix: np.ndarray, dims: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Reduce (n, d) -> (n, dims). Raises below the 12-point minimum —
+    callers branch to the trivial-topic guard first (mod.rs:263-267)."""
+    n, d = matrix.shape
+    if n < MIN_POINTS_FOR_REDUCTION:
+        raise ValueError(
+            f"reduction needs >= {MIN_POINTS_FOR_REDUCTION} points, got {n}"
+        )
+    dims = max(1, min(dims, d, n - 1))
+    try:  # pragma: no cover - optional dep
+        import pacmap
+
+        reducer = pacmap.PaCMAP(
+            n_components=dims,
+            MN_ratio=0.5,
+            FP_ratio=2.0,
+            num_iters=(100, 100, 250),
+            random_state=seed,
+            apply_pca=True,
+        )
+        return np.asarray(
+            reducer.fit_transform(matrix.astype(np.float32)), dtype=np.float32
+        )
+    except ImportError:
+        return _pca(matrix.astype(np.float64), dims, seed)

@@ -691,6 +691,35 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topic_modeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-column topic modeling (SURVEY §2.1 #8) — rows-only: the
+    density clustering is not SQL-expressible; structural invariants
+    (distribution sums, label contiguity, metadata replication, guard
+    paths) are pytest-covered in tests/test_topic_modeling.py."""
+    from polars_text_spark.operators.topic_modeling import topic_modeling
+
+    docs = _docs(spark, sf_dir)
+    out = topic_modeling(docs, "text", min_cluster_size=10, seed=42, top_k=5)
+    return out.select(
+        "doc_id",
+        F.col("topics.dominant_topic").alias("dominant_topic"),
+        F.size("topics.topic_distribution").alias("n_dist_entries"),
+        F.round(
+            F.aggregate(
+                "topics.topic_distribution",
+                F.lit(0.0),
+                lambda acc, tp: acc + tp["proportion"].cast("double"),
+            ),
+            4,
+        ).alias("proportion_sum"),
+        F.col("topics.n_topics").alias("n_topics"),
+        F.col("topics.n_chunks").alias("n_chunks"),
+    )
+
+
+QUERIES["topic_modeling"] = q_topic_modeling
+
+
 # ---------------------------------------------------------------------------
 # Flagship (driver smoke): per-language document profile.
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ from polars_text_spark.functions.tokenize import TOKEN_SCHEMA, tokenize
 __all__ = [
     "cache_table",
     "cached_compute",
+    "debug_cache_snapshot",
     "embedding_cached",
     "params_hash",
     "tokenize_cached",
@@ -137,6 +138,16 @@ def cached_compute(
             F.when(F.col(text_col).isNull(), null_value).otherwise(F.col(output_col)),
         )
         .drop(_HASH_COL)
+    )
+
+
+def debug_cache_snapshot(spark, cache_path: str) -> DataFrame:
+    """Dump every scope of a cache dir (schema + rows) — the debugging
+    aid ≙ the reference's ``debug_token_cache_snapshot``
+    (src/lib.rs:127-151). Partition columns (model, params) surface as
+    regular columns via partition discovery."""
+    return spark.read.option("basePath", cache_path).parquet(
+        f"{cache_path}/model=*/params=*"
     )
 
 

@@ -691,6 +691,37 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding op through the driver surface (SURVEY §2.1 #7) —
+    rows-only: the vector values are model output, not SQL-expressible;
+    dim/norm invariants are pytest-covered (tests/test_cache.py,
+    tests/test_dedup_similarity.py)."""
+    from polars_text_spark.functions.embedding import embedding
+
+    docs = _docs(spark, sf_dir)
+    emb = docs.select(
+        "doc_id",
+        embedding("text", embedder_model="native:feature-hash:64").alias("vec"),
+    )
+    return emb.select(
+        "doc_id",
+        F.size("vec").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("vec").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v * v,
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )
+
+
+QUERIES["embedding_docs"] = q_embedding_docs
+
+
 def q_topic_modeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-column topic modeling (SURVEY §2.1 #8) — rows-only: the
     density clustering is not SQL-expressible; structural invariants

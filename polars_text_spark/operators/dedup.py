@@ -143,17 +143,17 @@ def minhash_lsh_pairs(
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    # Materialize the intersection size once per pair — array_intersect
+    # is expensive and Catalyst won't re-inline a non-cheap alias used
+    # twice (CollapseProject isCheap guard).
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / (
-                F.size("sh_a")
-                + F.size("sh_b")
-                - F.size(F.array_intersect("sh_a", "sh_b"))
-            ).cast("double"),
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -163,25 +163,36 @@ def minhash_lsh_pairs(
 
 def simhash(text_col, *, bits: int = 64):
     """64-bit SimHash of whitespace tokens as a single long — built-ins
-    only. Per bit: majority vote of the token-hash bits."""
+    only. Per bit: majority vote of the token-hash bits.
+
+    Single pass over the token array: the accumulator is a 63-slot vote
+    vector updated via zip_with against a bit-mask literal array, so
+    the expression tree stays O(1) in depth instead of one full array
+    traversal per bit. Bit 63 (sign) is left clear so values stay
+    positive."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(F.lower(c)), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # For each bit position, sum +1/-1 votes across tokens, then set
-    # the bit if the vote is positive.
-    def bit_vote(i: int):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    out = F.lit(0).cast("long")
-    for i in range(bits - 1):  # bit 63 (sign) left 0 to keep values positive
-        out = out + bit_vote(i)
-    return out
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits - 1)])
+    zeros = F.array_repeat(F.lit(0), bits - 1)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_pairs(
@@ -257,11 +268,14 @@ def ngram_jaccard_pairs(
     )
     on = [f"__b_{c}" for c in block_cols]
     pairs = a.join(b, on) if on else a.crossJoin(b)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", inter / union.cast("double"))
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -105,14 +105,29 @@ def cluster(
     mcs = int(np.clip(min_cluster_size, 2, n))
     ms = int(np.clip(min_samples if min_samples is not None else mcs, 1, n))
 
-    diff = pts[:, None, :] - pts[None, :, :]
-    dist = np.sqrt((diff * diff).sum(axis=2))
+    # Pairwise Euclidean via the Gram matrix: |a-b|^2 = |a|^2 + |b|^2
+    # - 2ab. Everything in-place on ONE (n, n) float32 buffer — the
+    # n^2 matrix is reused as dist then as mutual reachability, which
+    # matters: at n=5k these are 100 MB buffers and the element-wise
+    # passes are memory-bandwidth-bound.
+    sq = (pts * pts).sum(axis=1)
+    buf = pts @ pts.T
+    buf *= -2.0
+    buf += sq[:, None]
+    buf += sq[None, :]
+    np.maximum(buf, 0.0, out=buf)
+    np.sqrt(buf, out=buf)
+    np.fill_diagonal(buf, 0.0)
     # Core distance: distance to the ms-th nearest neighbor (self is
-    # the 0th), clamped to the available neighbor count.
+    # the 0th), clamped to the available neighbor count. partition is
+    # O(n^2) vs sort's O(n^2 log n).
     k = min(ms, n - 1)
-    core = np.sort(dist, axis=1)[:, k]
-    mreach = np.maximum(dist, np.maximum(core[:, None], core[None, :]))
-    np.fill_diagonal(mreach, 0.0)
+    core = np.partition(buf, k, axis=1)[:, k]
+    # Mutual reachability, in place: max(dist, core_i, core_j).
+    np.maximum(buf, core[:, None], out=buf)
+    np.maximum(buf, core[None, :], out=buf)
+    np.fill_diagonal(buf, 0.0)
+    mreach = buf
 
     edges = sorted(_mst_edges(mreach))
     weights = np.array([e[0] for e in edges])

@@ -43,11 +43,21 @@ from polars_text_spark.models import (
     predefined_model_records,
     prefetch_model,
 )
+from polars_text_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from polars_text_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from polars_text_spark.operators.token_frequencies import (
     token_frequencies,
     token_frequency_stats,
 )
+from polars_text_spark.operators.topic_modeling import topic_modeling
 from polars_text_spark.session import get_spark
+from polars_text_spark.sql import register_sql_functions
 
 __version__ = "0.1.0"
 
@@ -59,15 +69,24 @@ __all__ = [
     "char_count",
     "clean_text",
     "concordance",
+    "cosine_topk",
+    "cosine_topk_lsh",
     "embedding",
+    "exact_dedup",
     "get_spark",
     "list_loaded_models",
+    "minhash_lsh_pairs",
     "models",
+    "ngram_jaccard_pairs",
     "predefined_model_records",
     "prefetch_model",
+    "register_sql_functions",
     "sentence_count",
+    "simhash",
+    "simhash_pairs",
     "token_frequencies",
     "token_frequency_stats",
     "tokenize",
+    "topic_modeling",
     "word_count",
 ]

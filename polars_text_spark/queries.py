@@ -691,6 +691,61 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_segment_rank",
+    """
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+           CAST(rank() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_rank
+    FROM customer
+    QUALIFY bal_rank <= 10
+    """,
+)
+def q_customer_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function showcase (SURVEY §2.2 host ops): top-10 account
+    balances per market segment with deterministic tie-break."""
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("bal_rank", F.rank().over(w).cast("int"))
+        .filter(F.col("bal_rank") <= 10)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "bal_rank",
+        )
+    )
+
+
+@query(
+    "corpus_pooling_union",
+    f"""
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS count
+    FROM (
+      SELECT unnest({_SQL_TOKENS}) AS t
+      FROM (SELECT text FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT text FROM documents WHERE lang = 'zh') pooled
+      WHERE text IS NOT NULL)
+    GROUP BY t
+    """,
+)
+def q_corpus_pooling_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pooling via unionByName before token counting — the
+    documented companion workflow (polars_text/functions.py:200-202,
+    SURVEY §2.2 'union/concat for corpus pooling')."""
+    docs = _docs(spark, sf_dir)
+    pooled = docs.filter(F.col("lang") == "en").unionByName(
+        docs.filter(F.col("lang") == "zh")
+    )
+    return token_frequencies(pooled, "text", model=NATIVE_MODEL)
+
+
 def q_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding op through the driver surface (SURVEY §2.1 #7) —
     rows-only: the vector values are model output, not SQL-expressible;

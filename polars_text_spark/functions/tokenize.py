@@ -65,8 +65,9 @@ TOKEN_SCHEMA = T.ArrayType(
 _SPECIAL_TOKENS = frozenset({"[CLS]", "[SEP]", "[PAD]", "[UNK]", "[MASK]"})
 
 # BERT punctuation = Unicode P* OR ASCII punctuation. The ASCII chars
-# not already in \p{P} are the symbol set $ + < = > ^ | ~ (category S).
-_BERT_PUNCT_CLASS = r"\p{P}$+<=>^|~"
+# not already in \p{P} are the symbol set $ + < = > ^ ` | ~
+# (categories Sc/Sm/Sk — the backtick is Sk, easy to miss).
+_BERT_PUNCT_CLASS = r"\p{P}$+<=>^`|~"
 # One scan: a "word" is a maximal run of non-space non-punct chars; a
 # punctuation char is its own single-char token.
 _TOKEN_RE = _regex.compile(rf"[^\s{_BERT_PUNCT_CLASS}]+|[{_BERT_PUNCT_CLASS}]")

@@ -62,7 +62,7 @@ _SQL_SENTENCE_COUNT = """
 # plain_words_en token list of a lowercased text (remove_punct=True):
 # maximal runs of non-space non-BERT-punct chars containing >=1 alnum.
 _SQL_TOKENS = (
-    "list_filter(regexp_split_to_array(lower(text), '[\\s\\p{P}$+<=>^|~]+'),"
+    "list_filter(regexp_split_to_array(lower(text), '[\\s\\p{P}$+<=>^`|~]+'),"
     " x -> x <> '' AND regexp_matches(x, '[0-9A-Za-z]')"
     " AND upper(x) NOT IN ('CLS','SEP','PAD','UNK','MASK'))"
 )

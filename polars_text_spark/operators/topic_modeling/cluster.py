@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["OUTLIER_LABEL", "cluster"]
+__all__ = ["OUTLIER_LABEL", "assign_to_clusters", "cluster"]
 
 OUTLIER_LABEL = -1
 
@@ -158,6 +158,46 @@ def cluster(
         if len(members) >= mcs:
             labels[members] = root  # temporary; relabeled below
     return _relabel(labels)
+
+
+def assign_to_clusters(
+    points: np.ndarray,
+    fit_idx: np.ndarray,
+    fit_labels: np.ndarray,
+    n_topics: int,
+    *,
+    radius_slack: float = 1.5,
+) -> np.ndarray:
+    """Extend a sampled-fit clustering to every point.
+
+    Non-fit points get the label of the nearest topic centroid when
+    they fall within ``radius_slack`` x that topic's fit radius (the
+    max fit-member distance to its centroid), else OUTLIER_LABEL —
+    keeping the fit's noise semantics instead of force-assigning
+    everything. Deterministic; O(n * n_topics)."""
+    pts = np.asarray(points, dtype=np.float32)
+    labels = np.full(len(pts), OUTLIER_LABEL, dtype=np.int32)
+    labels[fit_idx] = fit_labels
+    if n_topics == 0:
+        return labels
+    centroids = np.zeros((n_topics, pts.shape[1]), dtype=np.float32)
+    radii = np.zeros(n_topics, dtype=np.float32)
+    for t in range(n_topics):
+        members = pts[fit_idx][fit_labels == t]
+        centroids[t] = members.mean(axis=0)
+        radii[t] = float(
+            np.sqrt(((members - centroids[t]) ** 2).sum(axis=1)).max()
+        )
+    rest = np.setdiff1d(np.arange(len(pts)), fit_idx, assume_unique=False)
+    if len(rest) == 0:
+        return labels
+    diff = pts[rest, None, :] - centroids[None, :, :]
+    dist = np.sqrt((diff * diff).sum(axis=2))
+    nearest = dist.argmin(axis=1)
+    nearest_dist = dist[np.arange(len(rest)), nearest]
+    within = nearest_dist <= radii[nearest] * radius_slack
+    labels[rest[within]] = nearest[within].astype(np.int32)
+    return labels
 
 
 def _relabel(labels: np.ndarray) -> tuple[np.ndarray, int]:

@@ -42,6 +42,7 @@ from polars_text_spark.functions.embedding import FEATURE_HASH_MODEL, embedding
 from polars_text_spark.operators.topic_modeling.chunking import chunk_document
 from polars_text_spark.operators.topic_modeling.cluster import (
     OUTLIER_LABEL,
+    assign_to_clusters,
     cluster,
 )
 from polars_text_spark.operators.topic_modeling.coords import topic_coords_2d
@@ -49,6 +50,7 @@ from polars_text_spark.operators.topic_modeling.ctfidf import topic_words
 from polars_text_spark.operators.topic_modeling.reduce import (
     MIN_POINTS_FOR_REDUCTION,
     reduce_embeddings,
+    reduce_with_sampled_fit,
 )
 from polars_text_spark.operators.topic_modeling.rollup import rollup
 
@@ -135,6 +137,7 @@ def topic_modeling(
     vectorizer_model: str | None = None,
     lowercase: bool = True,
     stopwords: list[str] | None = None,
+    max_fit_points: int = 50_000,
     output_col: str = "topics",
 ) -> DataFrame:
     """Cluster a document column into topics; returns the input
@@ -197,7 +200,7 @@ def topic_modeling(
             timings.mark("hdbscan")
             timings.mark("reduce_coordinates")
             timings.mark("topic_coordinates")
-        else:
+        elif n_chunks <= max_fit_points:
             reduced = reduce_embeddings(matrix, dims=reduce_dims, seed=seed)
             timings.mark("reduce_clustering")
             labels, n_topics = cluster(
@@ -207,6 +210,29 @@ def topic_modeling(
             )
             timings.mark("hdbscan")
             points_2d = reduce_embeddings(matrix, dims=2, seed=seed)
+            timings.mark("reduce_coordinates")
+            coords = topic_coords_2d(points_2d, labels, n_topics)
+            timings.mark("topic_coordinates")
+        else:
+            # Sampled-fit scale path (SCALING.md): fit reduce+cluster on
+            # a seeded uniform sample, project everything, and extend
+            # labels by nearest-centroid with a noise radius.
+            rng = np.random.default_rng(seed)
+            fit_idx = np.sort(
+                rng.choice(n_chunks, max_fit_points, replace=False)
+            )
+            reduced = reduce_with_sampled_fit(
+                matrix, fit_idx, dims=reduce_dims, seed=seed
+            )
+            timings.mark("reduce_clustering")
+            fit_labels, n_topics = cluster(
+                reduced[fit_idx],
+                min_cluster_size=min_cluster_size,
+                min_samples=min_samples,
+            )
+            labels = assign_to_clusters(reduced, fit_idx, fit_labels, n_topics)
+            timings.mark("hdbscan")
+            points_2d = reduce_with_sampled_fit(matrix, fit_idx, dims=2, seed=seed)
             timings.mark("reduce_coordinates")
             coords = topic_coords_2d(points_2d, labels, n_topics)
             timings.mark("topic_coordinates")

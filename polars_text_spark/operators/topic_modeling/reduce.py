@@ -21,7 +21,11 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["MIN_POINTS_FOR_REDUCTION", "reduce_embeddings"]
+__all__ = [
+    "MIN_POINTS_FOR_REDUCTION",
+    "reduce_embeddings",
+    "reduce_with_sampled_fit",
+]
 
 MIN_POINTS_FOR_REDUCTION = 12  # reduce.rs:44
 
@@ -68,3 +72,48 @@ def reduce_embeddings(
         )
     except ImportError:
         return _pca(matrix.astype(np.float64), dims, seed)
+
+
+def reduce_with_sampled_fit(
+    matrix: np.ndarray, fit_idx: np.ndarray, dims: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Fit the reduction on ``matrix[fit_idx]`` only, then project ALL
+    rows — the sampled-fit scale path (SCALING.md, topic modeling):
+    above the driver's O(n^2) clustering capacity the fit runs on a
+    uniform sample and the projection is a matrix multiply over
+    everything. PCA projects exactly; pacmap (when installed) uses its
+    ``transform`` for out-of-sample points."""
+    n, d = matrix.shape
+    fit = matrix[fit_idx]
+    if len(fit) < MIN_POINTS_FOR_REDUCTION:
+        raise ValueError(
+            f"sampled fit needs >= {MIN_POINTS_FOR_REDUCTION} points"
+        )
+    dims = max(1, min(dims, d, len(fit) - 1))
+    try:  # pragma: no cover - optional dep
+        import pacmap
+
+        reducer = pacmap.PaCMAP(
+            n_components=dims,
+            MN_ratio=0.5,
+            FP_ratio=2.0,
+            num_iters=(100, 100, 250),
+            random_state=seed,
+            apply_pca=True,
+        )
+        reducer.fit(fit.astype(np.float32))
+        return np.asarray(
+            reducer.transform(matrix.astype(np.float32)), dtype=np.float32
+        )
+    except ImportError:
+        fit64 = fit.astype(np.float64)
+        mean = fit64.mean(axis=0, keepdims=True)
+        _, _, vt = np.linalg.svd(fit64 - mean, full_matrices=False)
+        components = vt[:dims]
+        for i in range(components.shape[0]):
+            j = int(np.argmax(np.abs(components[i])))
+            if components[i, j] < 0:
+                components[i] = -components[i]
+        return ((matrix.astype(np.float64) - mean) @ components.T).astype(
+            np.float32
+        )

@@ -232,6 +232,46 @@ def test_topic_modeling_structure(spark, topic_corpus):
     assert recovered == 2
 
 
+def test_topic_modeling_sampled_fit_path(spark, topic_corpus):
+    """max_fit_points below the corpus size forces the sampled-fit
+    scale path; the two themes must still separate and every chunk
+    still gets a label (fit or nearest-centroid assignment)."""
+    out = topic_modeling(
+        topic_corpus,
+        "text",
+        min_cluster_size=8,
+        seed=42,
+        top_k=5,
+        max_fit_points=30,  # < 41 chunks -> sampled fit
+    )
+    rows = {r.doc_id: r.topics for r in out.collect()}
+    assert len(rows) == 43
+    fruit = {rows[i].dominant_topic for i in range(20)}
+    engine = {rows[i].dominant_topic for i in range(20, 40)}
+    assert fruit != engine and len(fruit) == 1 and len(engine) == 1
+    assert fruit.pop() >= 0 and engine.pop() >= 0
+    for doc_id in range(40):
+        dist = rows[doc_id].topic_distribution
+        assert math.isclose(sum(p.proportion for p in dist), 1.0, rel_tol=1e-6)
+
+
+def test_assign_to_clusters_unit():
+    from polars_text_spark.operators.topic_modeling.cluster import (
+        assign_to_clusters,
+    )
+
+    rng = np.random.default_rng(3)
+    blob_a = rng.normal(0.0, 0.1, (30, 2))
+    blob_b = rng.normal(10.0, 0.1, (30, 2))
+    far = np.array([[100.0, 100.0]])
+    pts = np.vstack([blob_a, blob_b, far]).astype(np.float32)
+    fit_idx = np.arange(0, 60, 2)  # every other blob point; far point unfit
+    fit_labels = np.where(fit_idx < 30, 0, 1).astype(np.int32)
+    labels = assign_to_clusters(pts, fit_idx, fit_labels, 2)
+    assert (labels[:30] == 0).all() and (labels[30:60] == 1).all()
+    assert labels[60] == -1  # beyond every topic radius -> noise
+
+
 def test_topic_modeling_small_corpus_guard(spark):
     """< 12 chunks -> single trivial topic at the origin (mod.rs:263-267)."""
     df = spark.createDataFrame(

@@ -50,7 +50,11 @@ from polars_text_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from polars_text_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from polars_text_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from polars_text_spark.operators.token_frequencies import (
     token_frequencies,
     token_frequency_stats,
@@ -70,6 +74,7 @@ __all__ = [
     "clean_text",
     "concordance",
     "cosine_topk",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "embedding",
     "exact_dedup",

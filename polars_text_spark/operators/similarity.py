@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "cosine_topk_lsh"]
+__all__ = ["cosine", "cosine_topk", "cosine_topk_ivf", "cosine_topk_lsh"]
 
 
 def cosine(a, b):
@@ -74,6 +74,116 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _kmeans_fit(sample: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample (the IVF
+    codebook). Deterministic; empty clusters re-seeded from the
+    farthest points."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+            else:
+                centroids[c] = sample[d2.min(axis=1).argmax()]
+    return centroids.astype(np.float32)
+
+
+def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: vector -> its nprobe nearest centroid ids (one
+    batched numpy matmul per Arrow batch — no per-row Python)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cts = centroids  # captured; shipped once per task in the closure
+
+    def fn(batch_iter):
+        for series in batch_iter:
+            mat = np.array([np.asarray(v, dtype=np.float32) for v in series])
+            if len(mat) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            d2 = (
+                (mat**2).sum(axis=1, keepdims=True)
+                - 2.0 * (mat @ cts.T)
+                + (cts**2).sum(axis=1)[None, :]
+            )
+            idx = np.argsort(d2, axis=1)[:, :nprobe]
+            yield pd.Series([row.astype(int).tolist() for row in idx])
+
+    from typing import Iterator
+
+    fn.__annotations__ = {
+        "batch_iter": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return F.pandas_udf(fn, T.ArrayType(T.IntegerType(), containsNull=False))
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    nprobe: int = 3,
+    train_sample: int = 10_000,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-bucketed ANN: a driver-trained k-means codebook partitions
+    vectors into inverted lists; each query probes its ``nprobe``
+    nearest lists and exact-cosine re-ranks only those candidates.
+
+    The scan side shuffles once on list id; candidates per query are
+    ~``nprobe/n_lists`` of the corpus — the standard
+    recall/throughput dial. Codebook training collects only
+    ``train_sample`` vectors to the driver.
+    """
+    sample_rows = (
+        vectors.select(vec_col).limit(train_sample).collect()
+    )
+    sample = np.array([np.asarray(r[0], dtype=np.float32) for r in sample_rows])
+    if n_lists is None:
+        n_lists = max(1, int(np.sqrt(len(sample))))
+    n_lists = min(n_lists, len(sample))
+    nprobe = min(nprobe, n_lists)
+    centroids = _kmeans_fit(sample, n_lists, seed)
+
+    assign_one = _nearest_centroids_udf(centroids, 1)
+    probe_many = _nearest_centroids_udf(centroids, nprobe)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vvec"),
+        F.explode(assign_one(F.col(vec_col))).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe_many(F.col(vec_col))).alias("list_id"),
+    )
+    cands = v.join(q, "list_id").dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

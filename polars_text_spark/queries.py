@@ -561,6 +561,20 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["similarity_topk_lsh"] = q_similarity_topk_lsh
 
 
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN variant (rows-only: approximate by design;
+    recall vs exact is pytest-asserted)."""
+    from polars_text_spark.operators.similarity import cosine_topk_ivf
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(
+        vecs, vecs.filter(F.col("vec_id") < 5), k=10, nprobe=4, seed=42
+    )
+
+
+QUERIES["similarity_topk_ivf"] = q_similarity_topk_ivf
+
+
 @query(
     "embedding_dup_pairs",
     """

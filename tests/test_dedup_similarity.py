@@ -16,7 +16,12 @@ from polars_text_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from polars_text_spark.operators.similarity import cosine, cosine_topk, cosine_topk_lsh
+from polars_text_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 
 
 def test_exact_dedup_keeps_min_id(spark):
@@ -110,3 +115,20 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
     got = approx.filter(F.col("rank") == 1).collect()[0]
     # near-identical vectors share every band -> the planted dup is found
     assert got.neighbor_id == 79
+
+
+def test_cosine_topk_ivf_recall(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 16))
+    vecs[119] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") == 0)
+    out = cosine_topk_ivf(
+        df, queries, k=5, n_lists=8, nprobe=3, seed=42
+    ).collect()
+    top = [r for r in out if r.rank == 1][0]
+    # near-identical vectors land in the same inverted list
+    assert top.neighbor_id == 119 and top.cosine > 0.99
+    # candidates were pruned: probing 3 of 8 lists, not the full corpus
+    assert len(out) == 5

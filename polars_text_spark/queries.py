@@ -820,6 +820,32 @@ def q_topic_modeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["topic_modeling"] = q_topic_modeling
 
 
+@query(
+    "events_props_json",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props extraction (get_json_object stays
+    JVM-side) — the JSON-column pattern an event pipeline needs."""
+    from polars_text_spark.sources.catalog import load_events
+
+    events = load_events(spark, sf_dir).filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (driver smoke): per-language document profile.
 # ---------------------------------------------------------------------------

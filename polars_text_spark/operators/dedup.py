@@ -154,10 +154,17 @@ def minhash_lsh_pairs(
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     # Materialize the intersection size once per pair — array_intersect
     # is expensive and Catalyst won't re-inline a non-cheap alias used
-    # twice (CollapseProject isCheap guard).
+    # twice (CollapseProject isCheap guard). The size-ratio prefilter is
+    # the lossless PPJoin length bound: jaccard(a,b) >= t implies
+    # |a| >= t * |b| (and vice versa), so mismatched sizes skip the
+    # intersection entirely.
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= jaccard_threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -284,8 +291,13 @@ def ngram_jaccard_pairs(
     )
     on = [f"__b_{c}" for c in block_cols]
     pairs = a.join(b, on) if on else a.crossJoin(b)
+    # Lossless PPJoin length bound (see minhash_lsh_pairs).
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -309,14 +321,14 @@ def embedding_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket candidates."""
-    from polars_text_spark.operators.similarity import lsh_band_keys
+    from polars_text_spark.operators.similarity import dot, l2_normalize, lsh_band_keys
 
     keys = lsh_band_keys(
         F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands, seed=seed
     )
     banded = vectors.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+        l2_normalize(F.col(vec_col)).alias("vec"),
         F.explode(keys).alias("band_key"),
     )
     left = banded.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band_key")
@@ -325,7 +337,7 @@ def embedding_dup_pairs(
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine", dot(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

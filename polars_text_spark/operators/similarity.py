@@ -24,7 +24,30 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "cosine_topk_ivf", "cosine_topk_lsh"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "dot",
+    "l2_normalize",
+]
+
+
+def dot(a, b):
+    """Dot product of two array<double> columns (zip_with + aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_normalize(a):
+    """L2-normalize an array column (zero vectors stay zero). Applying
+    this per ROW before a pairwise join turns cosine into a plain dot —
+    norms are computed n times instead of n^2 times."""
+    a = a.cast("array<double>")
+    norm = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when(norm > 0, F.transform(a, lambda v: v / norm)).otherwise(a)
 
 
 def cosine(a, b):
@@ -32,12 +55,10 @@ def cosine(a, b):
     built-in expression (zip_with + aggregate)."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+    d = dot(a, b)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
 def cosine_topk(
@@ -54,11 +75,15 @@ def cosine_topk(
     Returns ``(query_id, neighbor_id, cosine, rank)``. Deterministic
     tie-break: higher cosine first, then smaller neighbor id.
     """
+    # Normalize each side ONCE before the join; cosine becomes a plain
+    # dot per pair (norms n times, not n^2 times).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias("__qvec"),
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec")
+        F.col(id_col).alias("neighbor_id"),
+        l2_normalize(F.col(vec_col)).alias("__vvec"),
     )
     pairs = v.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -66,7 +91,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -163,12 +188,12 @@ def cosine_topk_ivf(
 
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vvec"),
+        l2_normalize(F.col(vec_col)).alias("__vvec"),
         F.explode(assign_one(F.col(vec_col))).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        l2_normalize(F.col(vec_col)).alias("__qvec"),
         F.explode(probe_many(F.col(vec_col))).alias("list_id"),
     )
     cands = v.join(q, "list_id").dropDuplicates(["query_id", "neighbor_id"])
@@ -177,7 +202,7 @@ def cosine_topk_ivf(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -250,12 +275,12 @@ def cosine_topk_lsh(
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vvec"),
+        l2_normalize(F.col(vec_col)).alias("__vvec"),
         F.explode(keys).alias("band_key"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        l2_normalize(F.col(vec_col)).alias("__qvec"),
         F.explode(
             lsh_band_keys(
                 F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands, seed=seed
@@ -268,7 +293,7 @@ def cosine_topk_lsh(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -587,20 +587,26 @@ QUERIES["similarity_topk_ivf"] = q_similarity_topk_ivf
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (exact,
-    SQL-checkable twin of the LSH-bucketed embedding_dup_pairs op)."""
-    from polars_text_spark.operators.similarity import cosine as cos_expr
+    SQL-checkable twin of the LSH-bucketed embedding_dup_pairs op).
+    Vectors are L2-normalized per ROW before the join so the per-pair
+    work is a single dot product."""
+    from polars_text_spark.operators.similarity import dot, l2_normalize
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = vecs.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        "label",
+        F.col("vec_id").alias("id_a"),
+        l2_normalize(F.col("embedding")).alias("va"),
     )
     b = vecs.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        "label",
+        F.col("vec_id").alias("id_b"),
+        l2_normalize(F.col("embedding")).alias("vb"),
     )
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos_expr(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -1,0 +1,82 @@
+"""Golden tests for the text-analysis functions (language-ID, quality,
+token counts, fingerprint) — the oracle queries cover them in
+aggregate; these pin per-row behavior on crafted inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_text_spark.functions import (
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+ROWS = [
+    (1, "the cat sat on the mat and it was happy"),  # en
+    (2, "der Hund ist nicht mit der Katze"),  # de
+    (3, "le chat est dans la maison pour dormir"),  # fr
+    (4, "el perro es una mascota que vive por aqui"),  # es
+    (5, "你好世界"),  # zh (CJK presence wins)
+    (6, "xyzzy plugh frobnicate"),  # no stopwords -> unknown
+    (7, None),
+    (8, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def analyzed(spark):
+    df = spark.createDataFrame(ROWS, ["id", "text"])
+    return {
+        r.id: r
+        for r in df.select(
+            "id",
+            detect_language("text"),
+            quality_score("text"),
+            token_count_ws("text"),
+            token_count_bpe("text"),
+            doc_fingerprint("text"),
+        ).collect()
+    }
+
+
+def test_detect_language(analyzed):
+    expected = {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "unknown", 7: "unknown"}
+    for doc_id, lang in expected.items():
+        assert analyzed[doc_id].lang_detected == lang, doc_id
+
+
+def test_quality_score_bounds(analyzed):
+    for doc_id, r in analyzed.items():
+        assert 0.0 <= r.quality_score <= 1.0, doc_id
+    assert analyzed[7].quality_score == 0.0  # null
+    assert analyzed[8].quality_score == 0.0  # empty
+    # natural prose with stopwords scores higher than gibberish
+    assert analyzed[1].quality_score > analyzed[6].quality_score
+
+
+def test_token_counts(analyzed):
+    assert analyzed[1].token_count_ws == 10
+    assert analyzed[1].token_count_bpe == 10  # pure word runs
+    assert analyzed[7].token_count_ws == 0 and analyzed[8].token_count_ws == 0
+    assert analyzed[5].token_count_ws == 1  # unsegmented CJK run
+
+
+def test_token_count_bpe_runs(spark):
+    df = spark.createDataFrame([(1, "abc123!? x")], ["id", "text"])
+    got = df.select(token_count_bpe("text")).first()[0]
+    # letter run + digit run + symbol run + letter run
+    assert got == 4
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "  hello   world  "), (3, "different")],
+        ["id", "text"],
+    )
+    fps = {r.id: r.fingerprint for r in df.select("id", doc_fingerprint("text")).collect()}
+    assert fps[1] == fps[2] != fps[3]  # fingerprint is over clean_text
+    assert len(fps[1]) == 64  # sha2-256 hex

@@ -11,7 +11,9 @@ from __future__ import annotations
 from polars_text_spark.functions.analysis import (
     detect_language,
     doc_fingerprint,
+    normalize_text,
     quality_score,
+    remove_stopwords,
     token_count_bpe,
     token_count_ws,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "detect_language",
     "doc_fingerprint",
     "embedding",
+    "normalize_text",
+    "remove_stopwords",
     "quality_score",
     "sentence_count",
     "token_count_bpe",

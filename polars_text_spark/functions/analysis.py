@@ -9,6 +9,10 @@ Every one of them has an exact DuckDB-SQL oracle.
 
 from __future__ import annotations
 
+import unicodedata
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -18,7 +22,9 @@ __all__ = [
     "STOPWORDS",
     "detect_language",
     "doc_fingerprint",
+    "normalize_text",
     "quality_score",
+    "remove_stopwords",
     "token_count_bpe",
     "token_count_ws",
 ]
@@ -133,6 +139,44 @@ def quality_score(col: Column | str) -> Column:
     return (
         F.when(c.isNull(), F.lit(0.0)).otherwise(F.coalesce(score, F.lit(0.0)))
     ).alias("quality_score")
+
+
+def normalize_text(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC/NFD/NFKC/NFKD).
+
+    Spark has no built-in Unicode normalization, so this is an
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` —
+    elementwise and deterministic, so pushdown still applies. Null
+    passes through as null.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form '{form}'")
+
+    def fn(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            yield series.map(
+                lambda s: unicodedata.normalize(form, s) if s is not None else None
+            )
+
+    c = _col(col)
+    return F.pandas_udf(fn, "string")(c).alias("normalized")
+
+
+def remove_stopwords(
+    tokens_col: Column | str, stopwords=None, *, field: str | None = None
+) -> Column:
+    """Drop stopwords from a token array — pure built-in ``filter``
+    (JVM-side). ``stopwords`` is a list of words or a language key from
+    :data:`STOPWORDS` (default ``"en"``). For ``array<struct>`` token
+    columns (the tokenize output), pass ``field="token"`` to filter on
+    that struct field while keeping the offsets."""
+    if stopwords is None or isinstance(stopwords, str):
+        stopwords = STOPWORDS[stopwords or "en"]
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    words = list(stopwords)
+    if field is not None:
+        return F.filter(c, lambda x: ~x[field].isin(*words)).alias("tokens")
+    return F.filter(c, lambda x: ~x.isin(*words)).alias("tokens")
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -827,6 +827,38 @@ QUERIES["topic_modeling"] = q_topic_modeling
 
 
 @query(
+    "normalize_and_stopwords",
+    f"""
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS count
+    FROM (
+      SELECT unnest(list_filter({_SQL_TOKENS.replace("lower(text)", "lower(nfc_normalize(text))")},
+             x -> x NOT IN ('the','a','of','and','to','in','is','it','that','was'))) AS t
+      FROM documents WHERE text IS NOT NULL)
+    GROUP BY t
+    """,
+)
+def q_normalize_and_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization -> tokenize -> stopword removal -> counts:
+    the standard text-cleaning prefix of a training-data pipeline,
+    end to end with a DuckDB nfc_normalize oracle."""
+    from polars_text_spark.functions import normalize_text, remove_stopwords
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(
+            remove_stopwords(
+                tokenize(normalize_text("text"), model=NATIVE_MODEL),
+                "en",
+                field="token",
+            )
+        ).alias("t")
+    )
+    return toks.groupBy(F.col("t.token").alias("token")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+@query(
     "events_props_json",
     """
     SELECT event_type,

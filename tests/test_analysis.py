@@ -72,6 +72,36 @@ def test_token_count_bpe_runs(spark):
     assert got == 4
 
 
+def test_normalize_text_forms(spark):
+    from polars_text_spark.functions import normalize_text
+
+    composed = "café"  # é as one code point
+    decomposed = "café"  # e + combining acute
+    df = spark.createDataFrame([(1, decomposed), (2, None)], ["id", "text"])
+    got = {r.id: r.normalized for r in df.select("id", normalize_text("text")).collect()}
+    assert got[1] == composed
+    assert got[2] is None
+    with pytest.raises(ValueError):
+        normalize_text("text", form="NFX")
+
+
+def test_remove_stopwords_both_shapes(spark):
+    from polars_text_spark.functions import remove_stopwords, tokenize
+
+    df = spark.createDataFrame([(1, "the cat sat on a mat")], ["id", "text"])
+    plain = df.select(
+        remove_stopwords(F.split("text", " "), "en").alias("t")
+    ).first()
+    assert plain.t == ["cat", "sat", "on", "mat"]
+    structs = df.select(
+        remove_stopwords(
+            tokenize("text", model="native:plain_words_en"), "en", field="token"
+        ).alias("t")
+    ).first()
+    assert [x.token for x in structs.t] == ["cat", "sat", "on", "mat"]
+    assert structs.t[0].start == 4  # offsets preserved
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello, World!"), (2, "  hello   world  "), (3, "different")],

@@ -154,9 +154,9 @@ def topic_modeling(
 
     # Stable row ids: persist so every downstream branch sees the same
     # id assignment (monotonically_increasing_id depends on partition
-    # layout, so the frame must be pinned once).
+    # layout, so the frame must be pinned once — the embedding collect
+    # below is the materializing action for both caches).
     source = df.withColumn(_ROW_ID, F.monotonically_increasing_id()).persist()
-    source.count()
 
     chunks = (
         source.select(
@@ -166,8 +166,16 @@ def topic_modeling(
             ),
         )
     ).persist()
-    n_chunks = chunks.count()
     timings.mark("chunking")
+
+    # One action materializes source+chunks AND returns the matrix —
+    # no separate count() jobs.
+    embedded = chunks.select(
+        _ROW_ID,
+        "chunk_index",
+        embedding("chunk_text", embedder_model=model).alias("vec"),
+    ).collect()
+    n_chunks = len(embedded)
 
     if n_chunks == 0:
         labels = np.empty(0, dtype=np.int32)
@@ -180,11 +188,6 @@ def topic_modeling(
         timings.mark("reduce_coordinates")
         timings.mark("topic_coordinates")
     else:
-        embedded = chunks.select(
-            _ROW_ID,
-            "chunk_index",
-            embedding("chunk_text", embedder_model=model).alias("vec"),
-        ).collect()
         # Deterministic chunk order for the driver-side matrix.
         embedded.sort(key=lambda r: (r[_ROW_ID], r["chunk_index"]))
         matrix = np.array([r["vec"] for r in embedded], dtype=np.float32)

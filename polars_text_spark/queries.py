@@ -677,6 +677,69 @@ def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_by_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(o.o_totalprice), 4) AS revenue,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way star-schema join: the two dimension joins broadcast
+    (region/nation are tiny); only the customer<->orders join shuffles."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "supplier_part_coverage",
+    """
+    SELECT s.s_nationkey AS nationkey,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS supplied_value
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q_supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension join on the big lineitem side; supplier
+    broadcasts."""
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("supplied_value"),
+        )
+    )
+
+
+@query(
     "events_hourly",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -67,12 +67,21 @@ class _FeatureHashEmbedder:
 
     def __init__(self, dim: int = 64) -> None:
         self.dim = dim
+        # Natural-language token frequency is Zipfian — memoizing the
+        # per-token hash turns most lookups into dict hits.
+        self._bucket_cache: dict[str, tuple[int, float]] = {}
 
     def _token_bucket(self, token: str) -> tuple[int, float]:
+        cached = self._bucket_cache.get(token)
+        if cached is not None:
+            return cached
         digest = hashlib.md5(token.encode("utf-8")).digest()
         bucket = int.from_bytes(digest[:4], "little") % self.dim
         sign = 1.0 if digest[4] & 1 else -1.0
-        return bucket, sign
+        result = (bucket, sign)
+        if len(self._bucket_cache) < 1_000_000:
+            self._bucket_cache[token] = result
+        return result
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)

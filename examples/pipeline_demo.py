@@ -1,0 +1,82 @@
+"""End-to-end demo: the training-data pipeline this engine is built for.
+
+Runs at sf0.001 in ~1 min on a laptop-class machine:
+
+    python examples/pipeline_demo.py [sf_dir]
+
+Stages: profile -> clean/normalize -> quality filter -> exact dedup ->
+near-dedup (MinHash+LSH) -> tokenize -> corpus statistics -> topics.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import polars_text_spark as pts
+from polars_text_spark import functions as T
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = pts.get_spark("pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    print("== 1. profile ==")
+    docs.select(
+        T.detect_language("text"),
+        T.word_count("text"),
+        T.quality_score("text"),
+    ).groupBy("lang_detected").agg(
+        F.count("*").alias("docs"),
+        F.sum("word_count").alias("words"),
+        F.round(F.avg("quality_score"), 3).alias("avg_quality"),
+    ).show()
+
+    print("== 2. clean + quality filter ==")
+    cleaned = docs.select(
+        "doc_id", T.normalize_text("text").alias("text"), T.quality_score("text")
+    ).filter(F.col("quality_score") >= 0.5)
+    print(f"kept {cleaned.count()} / {docs.count()} docs")
+
+    print("== 3. exact dedup ==")
+    deduped = pts.exact_dedup(cleaned, "text", "doc_id")
+    print(f"after exact dedup: {deduped.count()} docs")
+
+    print("== 4. near-dedup (MinHash+LSH) ==")
+    pairs = pts.minhash_lsh_pairs(deduped, "text", "doc_id", jaccard_threshold=0.9)
+    drop = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
+    final = deduped.join(drop, "doc_id", "left_anti")
+    print(f"near-dup pairs: {pairs.count()}; final corpus: {final.count()} docs")
+
+    print("== 5. top tokens after stopword removal ==")
+    toks = final.select(
+        F.explode(
+            T.remove_stopwords(
+                T.tokenize("text", model="native:plain_words_en"),
+                "en",
+                field="token",
+            )
+        ).alias("t")
+    )
+    toks.groupBy(F.col("t.token").alias("token")).count().orderBy(
+        F.desc("count")
+    ).show(10)
+
+    print("== 6. topics ==")
+    topics = pts.topic_modeling(final, "text", min_cluster_size=10, top_k=5)
+    topics.filter(F.col("topics.dominant_topic") >= 0).groupBy(
+        "topics.dominant_topic"
+    ).agg(
+        F.count("*").alias("docs"),
+        F.first("topics.representative_words").alias("top_words"),
+    ).show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()

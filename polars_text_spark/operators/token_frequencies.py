@@ -134,13 +134,23 @@ def token_frequency_stats(corpus_0: DataFrame, corpus_1: DataFrame) -> DataFrame
     # dof = 1 (polars_text/token_frequencies.py:117-125)
     df = df.withColumn("bayes_factor_bic", ll - F.log(grand))
 
+    # ANSI note: Spark 4 runs with ansi.enabled=true, where double
+    # division by zero THROWS instead of yielding Polars' inf/NaN. The
+    # divisor here is 0 exactly when min_expected == 1 (ln(1) == 0) —
+    # a reachable edge (e.g. total_freq * c / grand == 1). try_divide
+    # + explicit inf/NaN fallback reproduces the reference's float
+    # semantics (polars_text/token_frequencies.py:127-141).
     min_expected = F.least(e0, e1)
+    ell_divisor = grand * F.log(F.greatest(min_expected, F.lit(1e-10)))
+    ell_value = F.coalesce(
+        F.try_divide(ll, ell_divisor),
+        F.when(ll > 0, F.lit(float("inf")))
+        .when(ll < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan"))),
+    )
     df = df.withColumn(
         "effect_size_ell",
-        F.when(
-            min_expected > 0,
-            ll / (grand * F.log(F.greatest(min_expected, F.lit(1e-10)))),
-        ).otherwise(0.0),
+        F.when(min_expected > 0, ell_value).otherwise(0.0),
     )
 
     # Significance stars at the chi-square critical values (:143-156).
@@ -153,8 +163,13 @@ def token_frequency_stats(corpus_0: DataFrame, corpus_1: DataFrame) -> DataFrame
         .otherwise(""),
     )
 
-    rate0 = fr0 / c0
-    rate1 = fr1 / c1
+    # try_divide everywhere a ratio's divisor can be 0 on some row:
+    # ANSI Spark may evaluate a shared subexpression outside its
+    # when() guard (subexpression elimination), so guards alone don't
+    # make `/` safe. The when() guards still define the reference's
+    # null semantics; try_divide only defuses the evaluation.
+    rate0 = F.try_divide(fr0, c0)
+    rate1 = F.try_divide(fr1, c1)
     df = df.withColumns(
         {
             "percent_corpus_0": (rate0 * 100).alias("percent_corpus_0"),
@@ -162,13 +177,15 @@ def token_frequency_stats(corpus_0: DataFrame, corpus_1: DataFrame) -> DataFrame
             # Raw proportion difference, NOT x100, despite the name —
             # reference quirk preserved (:182-185).
             "percent_diff": rate0 - rate1,
-            "relative_risk": F.when(fr1 > 0, rate0 / rate1).otherwise(F.lit(None)),
+            "relative_risk": F.when(
+                fr1 > 0, F.try_divide(rate0, rate1)
+            ).otherwise(F.lit(None)),
             "log_ratio": F.when(
-                (fr0 > 0) & (fr1 > 0), F.log(rate0 / rate1)
+                (fr0 > 0) & (fr1 > 0), F.log(F.try_divide(rate0, rate1))
             ).otherwise(F.lit(None)),
             "odds_ratio": F.when(
                 (fr0 > 0) & (fr1 > 0) & (c1 > fr1) & (c0 > fr0),
-                (fr0 * (c1 - fr1)) / (fr1 * (c0 - fr0)),
+                F.try_divide(fr0 * (c1 - fr1), fr1 * (c0 - fr0)),
             ).otherwise(F.lit(None)),
         }
     )

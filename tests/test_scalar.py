@@ -78,6 +78,22 @@ def test_sentence_count(spark):
     assert got[10] == 2  # mixed terminators
 
 
+def test_reference_goldens_exact(spark):
+    """The reference's own golden values, verbatim
+    (tests/test_polars_text_utils.py)."""
+    rows = [
+        (1, "今天 nice 天气"),  # mixed CJK + ws -> whitespace split
+        (2, "ご飯"),  # Hiragana -> per-char
+        (3, "你好"),
+        (4, "ご飯を食べました。映画を見ますか？"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    wc = {r.id: r.v for r in df.select("id", word_count("text").alias("v")).collect()}
+    assert wc[1] == 3 and wc[2] == 2 and wc[3] == 2
+    sc = {r.id: r.v for r in df.select("id", sentence_count("text").alias("v")).collect()}
+    assert sc[4] == 2
+
+
 def test_scalar_ops_are_codegen_friendly(spark, sf_dir):
     """No UDFs in the plan: these must stay JVM-side built-ins."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(

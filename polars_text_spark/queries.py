@@ -922,6 +922,45 @@ def q_normalize_and_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600 THEN 1
+                  ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands) — the exact twin of the
+    applyInPandasWithState streaming operator
+    (polars_text_spark.streaming.sessions)."""
+    from polars_text_spark.sources.catalog import load_events
+    from polars_text_spark.streaming.sessions import sessionize_batch
+
+    events = load_events(spark, sf_dir)
+    out = sessionize_batch(events, gap_seconds=3600)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@query(
     "events_props_json",
     """
     SELECT event_type,

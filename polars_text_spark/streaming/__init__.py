@@ -13,5 +13,14 @@ from polars_text_spark.streaming.events import (
     read_events_stream,
     windowed_event_counts,
 )
+from polars_text_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stream,
+)
 
-__all__ = ["read_events_stream", "windowed_event_counts"]
+__all__ = [
+    "read_events_stream",
+    "sessionize_batch",
+    "sessionize_stream",
+    "windowed_event_counts",
+]

@@ -1,0 +1,97 @@
+"""Sessionization tests: batch gaps-and-islands golden values, and the
+stateful streaming operator producing the same closed sessions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_text_spark.sources.catalog import load_events
+from polars_text_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2026, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def session_events(spark):
+    rows = [
+        # user 1: two sessions separated by a 40-min gap
+        (1, _ts(0), 1, "click", 1.0, None),
+        (2, _ts(5), 1, "view", 2.0, None),
+        (3, _ts(45), 1, "click", 3.0, None),
+        # user 2: one session
+        (4, _ts(1), 2, "click", 5.0, None),
+        (5, _ts(2), 2, "purchase", 7.0, None),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+    )
+
+
+def test_sessionize_batch_golden(spark, session_events):
+    out = sessionize_batch(session_events, gap_seconds=1800)
+    rows = sorted(
+        ((r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value) for r in out.collect())
+    )
+    assert rows == [
+        (1, _ts(0), _ts(5), 2, 3.0),
+        (1, _ts(45), _ts(45), 1, 3.0),
+        (2, _ts(1), _ts(2), 2, 12.0),
+    ]
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(
+    spark, session_events, tmp_path
+):
+    """Drive the stateful operator through a real stream; every session
+    the batch version closes (i.e. is followed by a gap) must come out
+    of the stream with identical aggregates."""
+    drop_dir = str(tmp_path / "sess_drops")
+    # Time-ordered delivery (the operator's ordering contract).
+    session_events.repartitionByRange(2, "ts").sortWithinPartitions(
+        "ts"
+    ).write.parquet(drop_dir)
+
+    stream = (
+        spark.readStream.schema(session_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # user 1's first session is closed by the 40-min gap inside the data;
+    # the open tail sessions remain in state (flushed by timeout in a
+    # long-running stream).
+    assert got[(1, _ts(0))] == (_ts(5), 2, 3.0)
+
+
+def test_sessionize_batch_on_real_events(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    out = sessionize_batch(events, gap_seconds=3600)
+    agg = out.agg(
+        F.sum("n_events").alias("total_events"),
+        F.count("*").alias("n_sessions"),
+    ).collect()[0]
+    # every event lands in exactly one session
+    assert agg.total_events == events.count()
+    assert 0 < agg.n_sessions <= agg.total_events
+    # session bounds are ordered
+    assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0

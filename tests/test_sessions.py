@@ -54,10 +54,17 @@ def test_sessionize_stream_matches_batch_closed_sessions(
     the batch version closes (i.e. is followed by a gap) must come out
     of the stream with identical aggregates."""
     drop_dir = str(tmp_path / "sess_drops")
-    # Time-ordered delivery (the operator's ordering contract).
-    session_events.repartitionByRange(2, "ts").sortWithinPartitions(
-        "ts"
-    ).write.parquet(drop_dir)
+    # Time-ordered delivery (the operator's ordering contract). The
+    # file source orders by MODIFICATION TIME, so a single multi-file
+    # write (identical mtimes) arrives in unspecified order — stage
+    # the drops with distinct mtimes like a real ingest.
+    import time
+
+    early = session_events.filter(F.col("ts") < _ts(30))
+    late = session_events.filter(F.col("ts") >= _ts(30))
+    early.coalesce(1).write.mode("append").parquet(drop_dir)
+    time.sleep(1.2)
+    late.coalesce(1).write.mode("append").parquet(drop_dir)
 
     stream = (
         spark.readStream.schema(session_events.schema)

@@ -927,8 +927,8 @@ def q_normalize_and_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600 THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > CAST(3600 AS BIGINT) * 1000000 THEN 1
                   ELSE 0 END AS ns
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -46,9 +46,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # Integer division: `/` would promote epoch-nanos (~1.7e18, double
+    # ulp = 256 there) to double and round across us boundaries.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:

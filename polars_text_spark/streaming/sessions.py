@@ -135,12 +135,15 @@ def sessionize_batch(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame
     new session when the gap to the previous event exceeds the
     threshold; one shuffle on user_id."""
     by_user = Window.partitionBy("user_id").orderBy("ts")
+    # Gap in MICROSECONDS — the stream twin compares ts_us diffs to
+    # gap_us, and event timestamps carry sub-second components; a
+    # whole-second cast would disagree on e.g. a 3600.5 s gap.
     gapped = events.withColumn(
         "__new_session",
         (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(by_user)
-            > gap_seconds
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+            > gap_seconds * 1_000_000
         )
         .cast("int")
         .alias("__new_session"),

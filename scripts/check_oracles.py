@@ -25,10 +25,13 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and fp noise below the comparison tolerance
-        return round(v, 9) + 0.0
+        # collapse -0.0; full value otherwise (queries round where needed,
+        # matching the driver's hash semantics)
+        return v + 0.0
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:19]
+        # full microsecond precision — second-truncation once masked a
+        # 1 us timestamp bug the driver's hash caught
+        return v.isoformat()
     return v
 
 

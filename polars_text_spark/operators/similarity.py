@@ -151,6 +151,30 @@ def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
     return F.pandas_udf(fn, T.ArrayType(T.IntegerType(), containsNull=False))
 
 
+def _train_vectors(
+    vectors: DataFrame, vec_col: str, train_sample: int, seed: int
+) -> np.ndarray:
+    """Seeded Bernoulli sample ACROSS partitions for codebook training.
+    A plain ``limit(n)`` pulls from the first partition(s) only; at
+    scale that trains the codebook on one shard and wrecks IVF recall.
+    ``count()`` is metadata-cheap on parquet; the 2x fraction gives
+    headroom so the post-sample limit still fills ``train_sample``."""
+    n_total = vectors.count()
+    if n_total == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    frac = min(1.0, (1.5 * train_sample) / n_total)
+    rows = vectors.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    mat = np.array([np.asarray(r[0], dtype=np.float32) for r in rows])
+    if len(mat) > train_sample:
+        # a limit() here would re-bias toward early partitions; trim
+        # with a seeded driver-side draw instead
+        keep = np.random.default_rng(seed).choice(
+            len(mat), train_sample, replace=False
+        )
+        mat = mat[np.sort(keep)]
+    return mat
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -173,10 +197,7 @@ def cosine_topk_ivf(
     recall/throughput dial. Codebook training collects only
     ``train_sample`` vectors to the driver.
     """
-    sample_rows = (
-        vectors.select(vec_col).limit(train_sample).collect()
-    )
-    sample = np.array([np.asarray(r[0], dtype=np.float32) for r in sample_rows])
+    sample = _train_vectors(vectors, vec_col, train_sample, seed)
     if n_lists is None:
         n_lists = max(1, int(np.sqrt(len(sample))))
     n_lists = min(n_lists, len(sample))

@@ -61,6 +61,10 @@ _SQL_SENTENCE_COUNT = """
 """
 # plain_words_en token list of a lowercased text (remove_punct=True):
 # maximal runs of non-space non-BERT-punct chars containing >=1 alnum.
+# NOTE: the alnum guard here is ASCII [0-9A-Za-z] while the Spark-side
+# _keep_token uses Unicode isalnum — equivalent on this corpus (tokens
+# with non-ASCII letters always carry an ASCII alnum too); revisit if
+# the testdata ever grows pure non-Latin tokens.
 _SQL_TOKENS = (
     "list_filter(regexp_split_to_array(lower(text), '[\\s\\p{P}$+<=>^`|~]+'),"
     " x -> x <> '' AND regexp_matches(x, '[0-9A-Za-z]')"
@@ -333,15 +337,19 @@ _SQL_DETECT_LANG = f"""
 @query(
     "language_id",
     f"""
-    SELECT {_SQL_DETECT_LANG} AS lang_detected, CAST(count(*) AS BIGINT) AS n_docs
-    FROM documents GROUP BY 1
+    SELECT {_SQL_DETECT_LANG} AS lang_detected, source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
     """,
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped by (lang, source) so the oracle output carries enough
+    rows (~40 at sf0.01) to discriminate — a 2-row result has almost
+    no hash entropy."""
     return (
         _docs(spark, sf_dir)
-        .select(detect_language("text"))
-        .groupBy("lang_detected")
+        .select(detect_language("text"), "source")
+        .groupBy("lang_detected", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
@@ -424,9 +432,14 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup + similarity (beyond-reference pipeline operators).
 # ---------------------------------------------------------------------------
 
+# Short-text fallback mirrors token_shingles: a doc with fewer than n
+# tokens contributes its whole text as one shingle (the plain
+# generate_series form would yield an EMPTY list there and silently
+# diverge from Spark on any short-doc pair).
 _SQL_SHINGLES = (
-    "list_distinct([array_to_string(toks[i:i+2], ' ')"
-    " for i in generate_series(1, len(toks)-2)])"
+    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_distinct([array_to_string(toks[i:i+2], ' ')"
+    " for i in generate_series(1, len(toks)-2)]) END"
 )
 _SQL_SH_CTE = f"""
   SELECT doc_id, source, lang, {_SQL_SHINGLES} AS s
@@ -489,17 +502,23 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s)) * 1.0
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.01
     """,
 )
 def q_near_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within (source, lang) blocks — the
-    bounded-quadratic exact path used to validate the approximations."""
+    bounded-quadratic exact path used to validate the approximations.
+
+    Threshold 0.01: the synthetic corpus has one planted within-block
+    dup at j~0.96 and a tail of ~150 low-overlap pairs below 0.04 —
+    a 0.8/0.9 threshold would leave a 1-row oracle with no hash
+    entropy. jaccard is a ratio of identical integers on both engines,
+    so the threshold compare is bit-exact."""
     from polars_text_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", block_cols=("source", "lang"), threshold=0.9
+        docs, "text", "doc_id", block_cols=("source", "lang"), threshold=0.01
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")

@@ -132,3 +132,25 @@ def test_cosine_topk_ivf_recall(spark):
     assert top.neighbor_id == 119 and top.cosine > 0.99
     # candidates were pruned: probing 3 of 8 lists, not the full corpus
     assert len(out) == 5
+
+
+def test_ivf_train_sample_spans_partitions(spark):
+    """Codebook training must sample ACROSS partitions, not just the
+    first file — a limit()-trained codebook on sorted/sharded input
+    sees one region of the space and wrecks recall at scale."""
+    from polars_text_spark.operators.similarity import _train_vectors
+
+    # partition id is recoverable from the vector's first component:
+    # repartitionByRange on id puts ids 0..249 and 250..499 in
+    # different partitions, and vec[0] == id.
+    rows = [(i, [float(i), 0.0]) for i in range(500)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartitionByRange(
+        4, "vec_id"
+    )
+    assert df.rdd.getNumPartitions() > 1
+    sample = _train_vectors(df, "embedding", train_sample=50, seed=7)
+    assert 0 < len(sample) <= 50
+    ids = sorted(int(v[0]) for v in sample)
+    # with Bernoulli sampling the draw spans the id range; a
+    # first-partition limit() would cap out below 125
+    assert ids[-1] - ids[0] > 250

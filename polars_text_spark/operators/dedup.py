@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "set_similarity_jaccard_pairs",
     "simhash",
     "simhash_pairs",
     "token_shingles",
@@ -252,6 +253,31 @@ def simhash_pairs(
     )
 
 
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification of candidate ``(id_a, id_b)`` pairs
+    against the per-doc shingle sets in ``sh(id, sh)``. The size-ratio
+    prefilter is the lossless PPJoin length bound: jaccard(a,b) >= t
+    implies |a| >= t * |b| (and vice versa)."""
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -260,20 +286,49 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = (),
     shingle_n: int = 3,
     threshold: float = 0.5,
+    strategy: str = "auto",
+    max_pairwise_block: int = 2_000,
 ) -> DataFrame:
-    """Exact pairwise token-shingle Jaccard within blocks.
+    """Exact token-shingle Jaccard pairs — two physical strategies with
+    identical output:
 
-    ``block_cols`` bounds the quadratic term (pairs only form inside a
-    block — e.g. ``("source", "lang")``); empty means all-pairs, which
-    is only sane on small slices. This is the exact oracle the
-    approximate strategies are validated against.
-
-    Scale note: for diverse real-text corpora an exploded shingle
-    equi-join (set-similarity join: groupBy intersection counts
-    instead of pairwise array_intersect) avoids shipping full shingle
-    arrays to every pair and is the 100 TB shape; on narrow-vocabulary
-    data the shingle-collision blowup makes it slower (measured), so
-    the blocked pairwise form stays the default here."""
+    - ``"pairwise"``: block-equi-join of whole shingle arrays, then
+      array_intersect per pair. O(block^2) pairs; right for many SMALL
+      blocks (the verification path for the approximate strategies).
+    - ``"setjoin"``: prefix-filtered set-similarity join
+      (:func:`set_similarity_jaccard_pairs`) — candidates come from an
+      equi-join on individual rare shingles, never from a block cross
+      join. The 100 TB shape for big/unblocked corpora.
+    - ``"auto"``: pairwise only when every block is small
+      (max block size <= ``max_pairwise_block``, one cheap count agg)
+      AND the threshold is high enough (>= 0.2) for the length bound
+      to prune; otherwise pairwise when blocks are bounded, setjoin
+      when unblocked. Low thresholds gut BOTH prefix and length
+      filters, so tiny blocks + low t still prefer pairwise.
+    """
+    if strategy not in ("auto", "pairwise", "setjoin"):
+        raise ValueError(f"unknown strategy '{strategy}'")
+    if strategy == "auto":
+        if not block_cols:
+            strategy = "setjoin"
+        else:
+            max_block = (
+                df.groupBy(*block_cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n"))
+                .first()[0]
+                or 0
+            )
+            strategy = "pairwise" if max_block <= max_pairwise_block else "setjoin"
+    if strategy == "setjoin":
+        return set_similarity_jaccard_pairs(
+            df,
+            text_col,
+            id_col,
+            block_cols=block_cols,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        )
     sh = df.select(
         *block_cols,
         F.col(id_col).alias("id"),
@@ -307,6 +362,79 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def set_similarity_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered set-similarity join: exact Jaccard >= t pairs
+    WITHOUT a block cross join (same output as the pairwise form).
+
+    PPJoin-style plan (Xiao et al., WWW'08), all JVM built-ins:
+
+    1. shingle sets per doc (hashed longs), |set| alongside;
+    2. one global shingle-frequency agg; each doc keeps only its
+       PREFIX — the ``|s| - ceil(t*|s|) + 1`` rarest shingles under
+       the global (freq asc, hash asc) total order. Any pair with
+       jaccard >= t must share >= 1 prefix shingle: j >= t implies
+       |inter| >= ceil(t * max(|a|,|b|)), and missing the whole prefix
+       of either side caps |inter| at ceil(t*|s|) - 1.
+    3. candidates = equi-join of prefix rows on the shingle value
+       (plus block cols if any) — shuffles (shingle -> id), never
+       whole arrays into a cross join;
+    4. exact verification per candidate pair (length bound +
+       array_intersect), identical to the pairwise path.
+
+    Rare-first ordering keeps hot shingles out of prefixes, so the
+    candidate blowup a frequency-oblivious explode-join suffers on
+    narrow-vocabulary corpora never happens.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh_full = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    # Consumed 3x (prefix generation + both verification sides):
+    # persist the hashed sets (longs, ~1% of the raw text) rather than
+    # re-scan + re-shingle. Spills to disk; LRU-evicted when dereferenced.
+    sh_full = sh_full.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sh_full.select(
+        *block_cols, "id", F.size("sh").alias("sz"), F.explode("sh").alias("tk")
+    )
+    freq = ex.groupBy("tk").agg(F.count(F.lit(1)).alias("tf"))
+    by_doc = Window.partitionBy("id").orderBy(F.col("tf").asc(), F.col("tk").asc())
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        ex.join(freq, "tk")
+        .withColumn("__rk", F.row_number().over(by_doc))
+        .filter(F.col("__rk") <= prefix_len)
+    )
+    on = [f"__b_{c}" for c in block_cols] + ["tk"]
+    a = prefix.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_a"),
+        "tk",
+    )
+    b = prefix.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_b"),
+        "tk",
+    )
+    cand = (
+        a.join(b, on)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(cand, sh_full.select("id", "sh"), threshold)
 
 
 def embedding_dup_pairs(

@@ -525,6 +525,32 @@ def q_near_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "near_dedup_setjoin",
+    f"""
+    WITH sh AS ({_SQL_SH_CTE})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    """,
+)
+def q_near_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBLOCKED exact Jaccard pairs via the prefix-filtered
+    set-similarity join — the 100 TB path when no blocking key exists.
+    The oracle is the full all-pairs SQL; candidates in Spark come
+    only from rare-shingle equi-join collisions, never a cross join."""
+    from polars_text_spark.operators.dedup import set_similarity_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = set_similarity_jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
 def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming near-dup pairs (rows-only: the bit mixing uses
     Spark's xxhash64, which DuckDB cannot replicate; invariants are

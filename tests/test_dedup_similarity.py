@@ -87,6 +87,93 @@ def test_ngram_jaccard_blocked_only_pairs_in_block(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def _jaccard_corpus(spark):
+    """Mix of near-dups, partial overlaps, disjoint docs, and a short
+    (<3-token) doc that exercises the whole-text shingle fallback."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog in the park",
+        2: "the quick brown fox jumps over the lazy dog in the yard",
+        3: "the quick brown fox jumps over the lazy dog in the park",
+        4: "entirely different content about spark catalyst planning",
+        5: "entirely different content about spark tungsten execution",
+        6: "short doc",
+        7: "short doc",
+        8: "unrelated totally disjoint vocabulary here now",
+    }
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.9])
+def test_set_similarity_join_matches_pairwise(spark, threshold):
+    """The prefix-filtered set-similarity join must produce EXACTLY the
+    pairwise all-pairs output at every threshold (it is a physical
+    strategy, not an approximation)."""
+    df = _jaccard_corpus(spark)
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            df, threshold=threshold, strategy="pairwise"
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            df, threshold=threshold, strategy="setjoin"
+        ).collect()
+    )
+    assert want and got == want
+
+
+def test_set_similarity_join_blocked_matches_pairwise(spark):
+    df = _jaccard_corpus(spark).withColumn(
+        "blk", (F.col("doc_id") % 2).cast("string")
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, block_cols=("blk",), threshold=0.5, strategy="pairwise"
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, block_cols=("blk",), threshold=0.5, strategy="setjoin"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ngram_jaccard_auto_strategy_selection(spark):
+    from polars_text_spark.operators import dedup as D
+
+    df = _jaccard_corpus(spark)
+    calls = []
+    orig = D.set_similarity_jaccard_pairs
+
+    def spy(*a, **kw):
+        calls.append(kw.get("threshold"))
+        return orig(*a, **kw)
+
+    D.set_similarity_jaccard_pairs = spy
+    try:
+        # unblocked auto -> setjoin (a cross join is never the answer)
+        D.ngram_jaccard_pairs(df, threshold=0.9)
+        assert calls == [0.9]
+        # small blocks -> pairwise
+        blocked = df.withColumn("blk", (F.col("doc_id") % 2).cast("string"))
+        D.ngram_jaccard_pairs(blocked, block_cols=("blk",), threshold=0.9)
+        assert calls == [0.9]
+        # oversized blocks -> setjoin
+        D.ngram_jaccard_pairs(
+            blocked, block_cols=("blk",), threshold=0.9, max_pairwise_block=2
+        )
+        assert calls == [0.9, 0.9]
+    finally:
+        D.set_similarity_jaccard_pairs = orig
+
+
 def test_cosine_expression_matches_numpy(spark):
     rng = np.random.default_rng(7)
     a, b = rng.standard_normal(16), rng.standard_normal(16)

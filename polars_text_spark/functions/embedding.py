@@ -47,7 +47,10 @@ __all__ = [
     "embed_column",
     "embed_texts",
     "embedding",
+    "embeddings_from_output",
     "list_loaded_embedders",
+    "mean_pool_normalize",
+    "normalize_rows",
     "prefetch_embedder",
 ]
 
@@ -98,27 +101,176 @@ class _FeatureHashEmbedder:
         return out
 
 
+def mean_pool_normalize(hidden: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Mean-pool ``(batch, seq, dim)`` hidden states over a
+    ``(batch, seq)`` attention mask, then L2-normalize each row.
+
+    Pure numpy twin of the reference's mean_pool_normalize
+    (src/topic_modeling/embedding.rs:189-250) — kept free of ONNX
+    Runtime so the golden tests (embedding.rs:445-465) run everywhere.
+    """
+    hidden = np.asarray(hidden, dtype=np.float32)
+    m = np.asarray(mask, dtype=np.float32)
+    if hidden.ndim != 3 or m.shape != hidden.shape[:2]:
+        raise ValueError(
+            f"expected hidden (batch, seq, dim) with mask (batch, seq); "
+            f"got {hidden.shape} and {m.shape}"
+        )
+    counts = np.maximum(m.sum(axis=1), 1e-9)[:, None]
+    pooled = (hidden * m[:, :, None]).sum(axis=1) / counts
+    return normalize_rows(pooled)
+
+
+def normalize_rows(rows: np.ndarray) -> np.ndarray:
+    """L2-normalize each row; zero rows stay zero (embedding.rs:238-250)."""
+    rows = np.asarray(rows, dtype=np.float32)
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)
+    return np.where(norms > 0.0, rows / np.maximum(norms, 1e-30), rows)
+
+
+def embeddings_from_output(
+    output: np.ndarray, batch: int, mask: np.ndarray
+) -> np.ndarray:
+    """Dispatch on the ONNX output shape exactly like the reference
+    (embedding.rs:168-187): ``[batch, dim]`` -> row-normalize,
+    ``[batch, seq, dim]`` -> mean-pool + normalize."""
+    out = np.asarray(output, dtype=np.float32)
+    if out.ndim == 2 and out.shape[0] == batch:
+        return normalize_rows(out)
+    if out.ndim == 3 and out.shape[:2] == tuple(np.asarray(mask).shape):
+        return mean_pool_normalize(out, mask)
+    raise ValueError(
+        f"unsupported ONNX embedding output shape {out.shape}; "
+        "expected [batch, dim] or [batch, seq, dim]"
+    )
+
+
+# ONNX artifact candidates, in the reference's probe order
+# (embedding.rs:329-341).
+_ONNX_CANDIDATES = (
+    "model.onnx",
+    "onnx/model.onnx",
+    "onnx/model_quantized.onnx",
+    "onnx/model_qint8_avx512.onnx",
+    "onnx/model_quantized_uint8.onnx",
+)
+
+
 class _OnnxEmbedder:
-    """Real ONNX MiniLM path — gated on optional deps
-    (onnxruntime + tokenizers + huggingface_hub)."""
+    """Real ONNX sentence-encoder path, live whenever the optional deps
+    (onnxruntime + tokenizers) import and the model artifacts resolve —
+    from a local directory, the standard Hugging Face cache, or a hub
+    download when huggingface_hub is importable. Mirrors the
+    reference's loader (src/topic_modeling/embedding.rs:284-326):
+    config.json hidden_size, tokenizer.json with truncation 512,
+    first-output session, mean-pool + L2."""
 
     def __init__(self, repo: str) -> None:
         try:
-            import onnxruntime  # noqa: F401
-            from tokenizers import Tokenizer  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - optional dep
+            import onnxruntime
+            from tokenizers import Tokenizer
+        except ImportError as exc:
             raise RuntimeError(
                 f"embedder '{repo}' requires onnxruntime + tokenizers; "
                 f"use '{FEATURE_HASH_MODEL}' for a dependency-free "
                 "deterministic embedder"
             ) from exc
+
+        config_path, tokenizer_path, onnx_path = self._resolve_artifacts(repo)
+        self.hidden_size = 0
+        try:
+            import json
+
+            with open(config_path, "r", encoding="utf-8") as fh:
+                self.hidden_size = int(json.load(fh).get("hidden_size", 0))
+        except (OSError, ValueError):  # infer from output at runtime
+            pass
+        self.tokenizer = Tokenizer.from_file(str(tokenizer_path))
+        self.tokenizer.enable_truncation(max_length=_TRUNCATE_TOKENS)
+        self.tokenizer.enable_padding()  # batch-longest (embedding.rs:213-217)
+        self.session = onnxruntime.InferenceSession(
+            str(onnx_path), providers=["CPUExecutionProvider"]
+        )
+        self.input_names = [i.name for i in self.session.get_inputs()]
+        self.output_name = self.session.get_outputs()[0].name
+        self.model_id = repo
+
+    @staticmethod
+    def _resolve_artifacts(repo: str):
+        """(config.json, tokenizer.json, model.onnx) paths for ``repo``:
+        a local directory, the HF cache (offline), or a hub download."""
+        import os
+
+        def from_dir(root: str):
+            cfg = os.path.join(root, "config.json")
+            tok = os.path.join(root, "tokenizer.json")
+            if not (os.path.isfile(cfg) and os.path.isfile(tok)):
+                return None
+            for cand in _ONNX_CANDIDATES:
+                onnx = os.path.join(root, cand)
+                if os.path.isfile(onnx):
+                    return cfg, tok, onnx
+            return None
+
+        if os.path.isdir(repo):
+            found = from_dir(repo)
+            if found:
+                return found
+            raise RuntimeError(
+                f"local model dir '{repo}' is missing config.json / "
+                f"tokenizer.json / one of {_ONNX_CANDIDATES}"
+            )
+        try:
+            from huggingface_hub import hf_hub_download
+            from huggingface_hub.errors import EntryNotFoundError
+
+            def fetch(filename: str, required: bool):
+                try:
+                    return hf_hub_download(repo, filename)
+                except Exception:
+                    if required:
+                        raise
+                    return None
+
+            cfg = fetch("config.json", True)
+            tok = fetch("tokenizer.json", True)
+            for cand in _ONNX_CANDIDATES:
+                onnx = fetch(cand, False)
+                if onnx is not None:
+                    # companion external-weights file, if any
+                    fetch(f"{cand}_data", False)
+                    return cfg, tok, onnx
+            raise EntryNotFoundError(
+                f"no ONNX artifact in {repo}; tried {_ONNX_CANDIDATES}"
+            )
+        except ImportError:
+            pass
+        except Exception as exc:
+            raise RuntimeError(
+                f"could not fetch ONNX artifacts for '{repo}': {exc}; "
+                f"pass a local model directory or use '{FEATURE_HASH_MODEL}'"
+            ) from exc
         raise RuntimeError(
-            "ONNX model download is not available in this environment; "
-            f"use '{FEATURE_HASH_MODEL}'"
+            f"model '{repo}' not found locally and huggingface_hub is not "
+            f"installed; pass a local model directory or use "
+            f"'{FEATURE_HASH_MODEL}'"
         )
 
-    def embed_batch(self, texts: list[str]) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.empty((0, self.hidden_size), dtype=np.float32)
+        encodings = self.tokenizer.encode_batch(texts)
+        ids = np.array([e.ids for e in encodings], dtype=np.int64)
+        mask = np.array([e.attention_mask for e in encodings], dtype=np.int64)
+        if ids.shape[1] == 0:
+            return np.zeros((len(texts), self.hidden_size), dtype=np.float32)
+        feeds = {"input_ids": ids, "attention_mask": mask}
+        if "token_type_ids" in self.input_names:
+            feeds["token_type_ids"] = np.array(
+                [e.type_ids for e in encodings], dtype=np.int64
+            )
+        outputs = self.session.run([self.output_name], feeds)
+        return embeddings_from_output(outputs[0], len(texts), mask)
 
 
 _EMBEDDERS: dict[str, object] = {}

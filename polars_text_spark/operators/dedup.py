@@ -33,6 +33,7 @@ from polars_text_spark.functions.analysis import doc_fingerprint
 from polars_text_spark.operators.similarity import cosine
 
 __all__ = [
+    "count_join_jaccard_pairs",
     "exact_dedup",
     "embedding_dup_pairs",
     "minhash_lsh_pairs",
@@ -297,19 +298,24 @@ def ngram_jaccard_pairs(
       blocks (the verification path for the approximate strategies).
     - ``"setjoin"``: prefix-filtered set-similarity join
       (:func:`set_similarity_jaccard_pairs`) — candidates come from an
-      equi-join on individual rare shingles, never from a block cross
-      join. The 100 TB shape for big/unblocked corpora.
-    - ``"auto"``: pairwise only when every block is small
-      (max block size <= ``max_pairwise_block``, one cheap count agg)
-      AND the threshold is high enough (>= 0.2) for the length bound
-      to prune; otherwise pairwise when blocks are bounded, setjoin
-      when unblocked. Low thresholds gut BOTH prefix and length
-      filters, so tiny blocks + low t still prefer pairwise.
+      equi-join on individual prefix shingles, never from a block
+      cross join. The 100 TB shape for big/unblocked corpora at
+      meaningful thresholds.
+    - ``"countjoin"``: exploded intersection counting
+      (:func:`count_join_jaccard_pairs`) — the low-threshold scale
+      shape, where prefix AND length filters approach no-ops and
+      shipping whole arrays into pairs dominates.
+    - ``"auto"``: countjoin when ``0 < t < 0.2`` (filters can't
+      prune); else pairwise when every block is small (max block size
+      <= ``max_pairwise_block``, one cheap count agg), setjoin for
+      unblocked/oversized-block inputs.
     """
-    if strategy not in ("auto", "pairwise", "setjoin"):
+    if strategy not in ("auto", "pairwise", "setjoin", "countjoin"):
         raise ValueError(f"unknown strategy '{strategy}'")
     if strategy == "auto":
-        if not block_cols:
+        if 0 < threshold < 0.2:
+            strategy = "countjoin"
+        elif not block_cols:
             strategy = "setjoin"
         else:
             max_block = (
@@ -320,6 +326,15 @@ def ngram_jaccard_pairs(
                 or 0
             )
             strategy = "pairwise" if max_block <= max_pairwise_block else "setjoin"
+    if strategy == "countjoin":
+        return count_join_jaccard_pairs(
+            df,
+            text_col,
+            id_col,
+            block_cols=block_cols,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        )
     if strategy == "setjoin":
         return set_similarity_jaccard_pairs(
             df,
@@ -378,22 +393,23 @@ def set_similarity_jaccard_pairs(
 
     PPJoin-style plan (Xiao et al., WWW'08), all JVM built-ins:
 
-    1. shingle sets per doc (hashed longs), |set| alongside;
-    2. one global shingle-frequency agg; each doc keeps only its
-       PREFIX — the ``|s| - ceil(t*|s|) + 1`` rarest shingles under
-       the global (freq asc, hash asc) total order. Any pair with
-       jaccard >= t must share >= 1 prefix shingle: j >= t implies
-       |inter| >= ceil(t * max(|a|,|b|)), and missing the whole prefix
-       of either side caps |inter| at ceil(t*|s|) - 1.
+    1. shingle sets per doc (hashed longs), persisted (consumed 3x);
+    2. each doc keeps only its PREFIX — the first
+       ``|s| - ceil(t*|s|) + 1`` shingles under the hash-value total
+       order, computed per row with array_sort + slice (no shuffle).
+       Any pair with jaccard >= t must share >= 1 prefix shingle:
+       j >= t implies |inter| >= ceil(t * max(|a|,|b|)), and missing
+       the whole prefix of either side caps |inter| at
+       ceil(t*|s|) - 1. The lemma holds for ANY consistent total
+       order; hash order is a uniform random sample of the set, and
+       skipping the classic frequency-ascending refinement saves a
+       global frequency agg + join + per-doc window (measured faster
+       here; revisit if a corpus has extreme shingle skew);
     3. candidates = equi-join of prefix rows on the shingle value
        (plus block cols if any) — shuffles (shingle -> id), never
        whole arrays into a cross join;
     4. exact verification per candidate pair (length bound +
        array_intersect), identical to the pairwise path.
-
-    Rare-first ordering keeps hot shingles out of prefixes, so the
-    candidate blowup a frequency-oblivious explode-join suffers on
-    narrow-vocabulary corpora never happens.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -406,16 +422,13 @@ def set_similarity_jaccard_pairs(
     # persist the hashed sets (longs, ~1% of the raw text) rather than
     # re-scan + re-shingle. Spills to disk; LRU-evicted when dereferenced.
     sh_full = sh_full.persist(StorageLevel.MEMORY_AND_DISK)
-    ex = sh_full.select(
-        *block_cols, "id", F.size("sh").alias("sz"), F.explode("sh").alias("tk")
-    )
-    freq = ex.groupBy("tk").agg(F.count(F.lit(1)).alias("tf"))
-    by_doc = Window.partitionBy("id").orderBy(F.col("tf").asc(), F.col("tk").asc())
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = (
-        ex.join(freq, "tk")
-        .withColumn("__rk", F.row_number().over(by_doc))
-        .filter(F.col("__rk") <= prefix_len)
+    prefix_len = (
+        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+    ).cast("int")
+    prefix = sh_full.select(
+        *block_cols,
+        "id",
+        F.explode(F.slice(F.array_sort("sh"), F.lit(1), prefix_len)).alias("tk"),
     )
     on = [f"__b_{c}" for c in block_cols] + ["tk"]
     a = prefix.select(
@@ -435,6 +448,73 @@ def set_similarity_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _verify_pairs(cand, sh_full.select("id", "sh"), threshold)
+
+
+def count_join_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= t pairs via intersection COUNTING — the scale
+    shape when the threshold is too low for prefix/length filters to
+    prune (they approach no-ops as t -> 0 and the pairwise path ships
+    full shingle arrays into every block pair).
+
+    Plan: explode shingles, self-equi-join on (block, shingle) — one
+    row per SHARED shingle per pair — then ``groupBy(pair).count()``
+    IS the intersection size; union follows from the per-doc sizes.
+    Shuffle volume is rows-per-shared-shingle (longs), never arrays.
+
+    Requires t > 0: zero-overlap pairs never materialize (correct,
+    since their jaccard is 0 < t)."""
+    if threshold <= 0:
+        raise ValueError("count_join_jaccard_pairs requires threshold > 0")
+    from pyspark.storagelevel import StorageLevel
+
+    sh = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    ex = sh.select(*block_cols, "id", F.explode("sh").alias("tk"))
+    on = [f"__b_{c}" for c in block_cols] + ["tk"]
+    a = ex.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_a"),
+        "tk",
+    )
+    b = ex.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_b"),
+        "tk",
+    )
+    inter = (
+        a.join(b, on)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def embedding_dup_pairs(

@@ -51,6 +51,90 @@ def test_jieba_backend_properties():  # pragma: no cover - gated
         assert "他来到了北京清华大学"[t["start"] : t["end"]] == t["token"]
 
 
+needs_onnx = pytest.mark.skipif(
+    importlib.util.find_spec("onnxruntime") is None
+    or importlib.util.find_spec("tokenizers") is None,
+    reason="requires onnxruntime + tokenizers",
+)
+
+
+def test_mean_pool_normalize_matches_hand_computation():
+    """Golden test ported from the reference
+    (src/topic_modeling/embedding.rs:445-456): batch=1, seq=2, dim=2,
+    second token masked out -> first token's vector, L2-normalized."""
+    import numpy as np
+
+    from polars_text_spark.functions.embedding import mean_pool_normalize
+
+    hidden = np.array([[[3.0, 4.0], [100.0, 100.0]]], dtype=np.float32)
+    mask = np.array([[1, 0]], dtype=np.int64)
+    row = mean_pool_normalize(hidden, mask)[0]
+    assert abs(row[0] - 0.6) < 1e-5 and abs(row[1] - 0.8) < 1e-5
+
+
+def test_embeddings_from_2d_output_normalizes_rows():
+    """embedding.rs:458-463: [batch, dim] output is row-normalized."""
+    import numpy as np
+
+    from polars_text_spark.functions.embedding import embeddings_from_output
+
+    out = embeddings_from_output(
+        np.array([[3.0, 4.0]], dtype=np.float32), 1, np.array([[1]])
+    )
+    assert abs(out[0][0] - 0.6) < 1e-5 and abs(out[0][1] - 0.8) < 1e-5
+
+
+def test_mean_pool_zero_mask_row_stays_zero():
+    """A fully-masked row pools to the zero vector and L2-normalize
+    leaves it zero (embedding.rs denom guard + norm>0 guard)."""
+    import numpy as np
+
+    from polars_text_spark.functions.embedding import mean_pool_normalize
+
+    hidden = np.ones((1, 3, 4), dtype=np.float32)
+    mask = np.zeros((1, 3), dtype=np.int64)
+    assert np.all(mean_pool_normalize(hidden, mask) == 0.0)
+
+
+def test_onnx_embedder_error_path_without_deps():
+    """Without onnxruntime the plan-time gate raises the documented
+    RuntimeError (not an ImportError traceback), and building the
+    executor-side embedder does too."""
+    if importlib.util.find_spec("onnxruntime") is not None:
+        pytest.skip("onnxruntime installed; error path not reachable")
+    from polars_text_spark.functions.embedding import (
+        _OnnxEmbedder,
+        embedding,
+    )
+
+    with pytest.raises(RuntimeError, match="onnxruntime"):
+        embedding("text")  # default = ONNX model id
+    with pytest.raises(RuntimeError, match="onnxruntime"):
+        _OnnxEmbedder("onnx-community/all-MiniLM-L6-v2-ONNX")
+
+
+@needs_onnx
+def test_onnx_embedder_real_inference():  # pragma: no cover - gated
+    """When the deps exist, the real path must produce unit-norm
+    vectors of the advertised dimensionality, deterministically."""
+    import numpy as np
+
+    from polars_text_spark.functions.embedding import (
+        DEFAULT_EMBEDDER_MODEL,
+        load_embedder,
+    )
+
+    try:
+        emb = load_embedder(DEFAULT_EMBEDDER_MODEL)
+    except RuntimeError as exc:
+        pytest.skip(f"model artifacts unavailable: {exc}")
+    a = emb.embed_batch(["hello world", "completely different text"])
+    b = emb.embed_batch(["hello world", "completely different text"])
+    assert a.shape[1] > 0 and np.allclose(a, b)
+    norms = np.linalg.norm(a, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-4)
+
+
 def test_gates_report_skip_reason_cleanly():
     """In this container both backends are absent: loading raises the
     documented RuntimeError rather than an ImportError traceback."""

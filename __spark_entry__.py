@@ -29,7 +29,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.QUERIES)
+    """Each callable first releases persisted frames registered by the
+    PREVIOUS query (dedup shingle sets, topic-modeling row-id caches) —
+    a 30-query driver session must not accumulate cached blocks."""
+    from polars_text_spark.persist import release_tracked
+
+    def with_release(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", "query")
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
+    return {name: with_release(fn) for name, fn in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -220,9 +220,19 @@ class _OnnxEmbedder:
                 f"local model dir '{repo}' is missing config.json / "
                 f"tokenizer.json / one of {_ONNX_CANDIDATES}"
             )
+        # Import ONLY hf_hub_download behind the not-installed gate:
+        # older huggingface_hub versions predate the ``errors`` module,
+        # and importing a sentinel class from it would trip the
+        # ImportError path below and mis-report "not installed".
         try:
             from huggingface_hub import hf_hub_download
-            from huggingface_hub.errors import EntryNotFoundError
+        except ImportError:
+            raise RuntimeError(
+                f"model '{repo}' not found locally and huggingface_hub is "
+                f"not installed; pass a local model directory or use "
+                f"'{FEATURE_HASH_MODEL}'"
+            ) from None
+        try:
 
             def fetch(filename: str, required: bool):
                 try:
@@ -240,21 +250,14 @@ class _OnnxEmbedder:
                     # companion external-weights file, if any
                     fetch(f"{cand}_data", False)
                     return cfg, tok, onnx
-            raise EntryNotFoundError(
+            raise FileNotFoundError(
                 f"no ONNX artifact in {repo}; tried {_ONNX_CANDIDATES}"
             )
-        except ImportError:
-            pass
         except Exception as exc:
             raise RuntimeError(
                 f"could not fetch ONNX artifacts for '{repo}': {exc}; "
                 f"pass a local model directory or use '{FEATURE_HASH_MODEL}'"
             ) from exc
-        raise RuntimeError(
-            f"model '{repo}' not found locally and huggingface_hub is not "
-            f"installed; pass a local model directory or use "
-            f"'{FEATURE_HASH_MODEL}'"
-        )
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
         if not texts:

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from polars_text_spark.functions.analysis import doc_fingerprint
 from polars_text_spark.operators.similarity import cosine
+from polars_text_spark.persist import track_persist
 
 __all__ = [
     "count_join_jaccard_pairs",
@@ -159,13 +160,16 @@ def minhash_lsh_pairs(
     # twice (CollapseProject isCheap guard). The size-ratio prefilter is
     # the lossless PPJoin length bound: jaccard(a,b) >= t implies
     # |a| >= t * |b| (and vice versa), so mismatched sizes skip the
-    # intersection entirely.
+    # intersection entirely. The 1e-9 slack keeps double rounding of
+    # t*|b| from excluding an exact-boundary pair (the filter only
+    # prunes; the exact jaccard test downstream decides).
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .filter(
             F.least(F.size("sh_a"), F.size("sh_b"))
             >= jaccard_threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+            - 1e-9
         )
         .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -258,7 +262,8 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame
     """Exact Jaccard verification of candidate ``(id_a, id_b)`` pairs
     against the per-doc shingle sets in ``sh(id, sh)``. The size-ratio
     prefilter is the lossless PPJoin length bound: jaccard(a,b) >= t
-    implies |a| >= t * |b| (and vice versa)."""
+    implies |a| >= t * |b| (and vice versa); the 1e-9 slack keeps
+    double rounding from excluding an exact-boundary pair."""
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -266,7 +271,7 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame
         .join(b, "id_b")
         .filter(
             F.least(F.size("sh_a"), F.size("sh_b"))
-            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b")) - 1e-9
         )
         .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -305,27 +310,25 @@ def ngram_jaccard_pairs(
       (:func:`count_join_jaccard_pairs`) — the low-threshold scale
       shape, where prefix AND length filters approach no-ops and
       shipping whole arrays into pairs dominates.
-    - ``"auto"``: countjoin when ``0 < t < 0.2`` (filters can't
-      prune); else pairwise when every block is small (max block size
-      <= ``max_pairwise_block``, one cheap count agg), setjoin for
-      unblocked/oversized-block inputs.
+    - ``"auto"``: countjoin when ``t < 0.2`` (prefix/length filters
+      can't prune); setjoin otherwise. Purely threshold-driven — no
+      data inspection, so plan construction stays LAZY (no Spark job
+      fires until the result is acted on). Setjoin's candidate join
+      includes the block columns, so blocked inputs are handled; pass
+      ``strategy="pairwise"`` explicitly when you KNOW every block is
+      tiny (<= ``max_pairwise_block`` or so) and want to skip the
+      prefix machinery.
+
+    Requires ``threshold > 0``: at t <= 0 every strategy except the
+    block cross join silently drops zero-overlap pairs, and "all pairs
+    of the corpus" is a cross join, not a dedup predicate.
     """
     if strategy not in ("auto", "pairwise", "setjoin", "countjoin"):
         raise ValueError(f"unknown strategy '{strategy}'")
+    if threshold <= 0:
+        raise ValueError("ngram_jaccard_pairs requires threshold > 0")
     if strategy == "auto":
-        if 0 < threshold < 0.2:
-            strategy = "countjoin"
-        elif not block_cols:
-            strategy = "setjoin"
-        else:
-            max_block = (
-                df.groupBy(*block_cols)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .agg(F.max("n"))
-                .first()[0]
-                or 0
-            )
-            strategy = "pairwise" if max_block <= max_pairwise_block else "setjoin"
+        strategy = "countjoin" if threshold < 0.2 else "setjoin"
     if strategy == "countjoin":
         return count_join_jaccard_pairs(
             df,
@@ -366,7 +369,7 @@ def ngram_jaccard_pairs(
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.least(F.size("sh_a"), F.size("sh_b"))
-            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b")) - 1e-9
         )
         .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -410,7 +413,13 @@ def set_similarity_jaccard_pairs(
        whole arrays into a cross join;
     4. exact verification per candidate pair (length bound +
        array_intersect), identical to the pairwise path.
+
+    Requires ``threshold > 0``: zero-overlap pairs never share a
+    prefix shingle, so t <= 0 (jaccard >= 0 matches EVERY pair) cannot
+    be answered by this plan.
     """
+    if threshold <= 0:
+        raise ValueError("set_similarity_jaccard_pairs requires threshold > 0")
     from pyspark.storagelevel import StorageLevel
 
     sh_full = df.select(
@@ -420,10 +429,16 @@ def set_similarity_jaccard_pairs(
     ).filter(F.size("sh") > 0)
     # Consumed 3x (prefix generation + both verification sides):
     # persist the hashed sets (longs, ~1% of the raw text) rather than
-    # re-scan + re-shingle. Spills to disk; LRU-evicted when dereferenced.
-    sh_full = sh_full.persist(StorageLevel.MEMORY_AND_DISK)
+    # re-scan + re-shingle. Spills to disk; registered with the persist
+    # tracker — callers release via release_tracked() after the final
+    # consuming action (persist.py module docs).
+    sh_full = track_persist(sh_full.persist(StorageLevel.MEMORY_AND_DISK))
+    # ceil over double arithmetic can land just ABOVE the exact
+    # integer product and shorten the prefix below the lossless bound;
+    # the 1e-9 subtraction only ever LENGTHENS the prefix (more
+    # candidates, never fewer).
     prefix_len = (
-        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh") - F.lit(1e-9)) + 1
     ).cast("int")
     prefix = sh_full.select(
         *block_cols,
@@ -480,7 +495,7 @@ def count_join_jaccard_pairs(
         F.col(id_col).alias("id"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
     ).filter(F.size("sh") > 0)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = track_persist(sh.persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.select("id", F.size("sh").alias("sz"))
     ex = sh.select(*block_cols, "id", F.explode("sh").alias("tk"))
     on = [f"__b_{c}" for c in block_cols] + ["tk"]

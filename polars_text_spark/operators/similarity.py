@@ -157,8 +157,10 @@ def _train_vectors(
     """Seeded Bernoulli sample ACROSS partitions for codebook training.
     A plain ``limit(n)`` pulls from the first partition(s) only; at
     scale that trains the codebook on one shard and wrecks IVF recall.
-    ``count()`` is metadata-cheap on parquet; the 2x fraction gives
-    headroom so the post-sample limit still fills ``train_sample``."""
+    ``count()`` is metadata-cheap on parquet; the 1.5x fraction gives
+    headroom so the seeded trim below usually still fills
+    ``train_sample`` — the Bernoulli draw is approximate and may
+    return slightly fewer rows (fine for codebook training)."""
     n_total = vectors.count()
     if n_total == 0:
         return np.empty((0, 0), dtype=np.float32)
@@ -198,6 +200,17 @@ def cosine_topk_ivf(
     ``train_sample`` vectors to the driver.
     """
     sample = _train_vectors(vectors, vec_col, train_sample, seed)
+    if len(sample) == 0:
+        # Empty vectors table: the brute-force plan degenerates to an
+        # empty result with the correct schema — no codebook to train.
+        return cosine_topk(
+            vectors,
+            queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            exclude_self=exclude_self,
+        )
     if n_lists is None:
         n_lists = max(1, int(np.sqrt(len(sample))))
     n_lists = min(n_lists, len(sample))

@@ -31,7 +31,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["OUTLIER_LABEL", "assign_to_clusters", "cluster"]
+__all__ = [
+    "OUTLIER_LABEL",
+    "assign_to_clusters",
+    "cluster",
+    "cluster_geometry",
+    "nearest_centroid_labels",
+]
 
 OUTLIER_LABEL = -1
 
@@ -160,6 +166,49 @@ def cluster(
     return _relabel(labels)
 
 
+def cluster_geometry(
+    fit_points: np.ndarray, fit_labels: np.ndarray, n_topics: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-topic (centroid, radius) of a fitted clustering, where the
+    radius is the max fit-member distance to its centroid. Small
+    (n_topics x dims) — broadcastable to executors for distributed
+    nearest-centroid assignment."""
+    pts = np.asarray(fit_points, dtype=np.float32)
+    centroids = np.zeros((n_topics, pts.shape[1]), dtype=np.float32)
+    radii = np.zeros(n_topics, dtype=np.float32)
+    for t in range(n_topics):
+        members = pts[fit_labels == t]
+        centroids[t] = members.mean(axis=0)
+        radii[t] = float(
+            np.sqrt(((members - centroids[t]) ** 2).sum(axis=1)).max()
+        )
+    return centroids, radii
+
+
+def nearest_centroid_labels(
+    points: np.ndarray,
+    centroids: np.ndarray,
+    radii: np.ndarray,
+    *,
+    radius_slack: float = 1.5,
+) -> np.ndarray:
+    """Label each point with its nearest centroid when it falls within
+    ``radius_slack`` x that topic's fit radius, else OUTLIER_LABEL —
+    keeping the fit's noise semantics instead of force-assigning
+    everything. Deterministic; O(n * n_topics) batched numpy."""
+    pts = np.asarray(points, dtype=np.float32)
+    labels = np.full(len(pts), OUTLIER_LABEL, dtype=np.int32)
+    if len(pts) == 0 or len(centroids) == 0:
+        return labels
+    diff = pts[:, None, :] - centroids[None, :, :]
+    dist = np.sqrt((diff * diff).sum(axis=2))
+    nearest = dist.argmin(axis=1)
+    nearest_dist = dist[np.arange(len(pts)), nearest]
+    within = nearest_dist <= radii[nearest] * radius_slack
+    labels[within] = nearest[within].astype(np.int32)
+    return labels
+
+
 def assign_to_clusters(
     points: np.ndarray,
     fit_idx: np.ndarray,
@@ -168,35 +217,24 @@ def assign_to_clusters(
     *,
     radius_slack: float = 1.5,
 ) -> np.ndarray:
-    """Extend a sampled-fit clustering to every point.
+    """Extend a sampled-fit clustering to every point (driver-side
+    form; the distributed pipeline uses :func:`cluster_geometry` +
+    :func:`nearest_centroid_labels` inside a pandas UDF instead).
 
-    Non-fit points get the label of the nearest topic centroid when
-    they fall within ``radius_slack`` x that topic's fit radius (the
-    max fit-member distance to its centroid), else OUTLIER_LABEL —
-    keeping the fit's noise semantics instead of force-assigning
-    everything. Deterministic; O(n * n_topics)."""
+    Fit points keep their fit labels; the rest get nearest-centroid
+    labels via :func:`nearest_centroid_labels`."""
     pts = np.asarray(points, dtype=np.float32)
     labels = np.full(len(pts), OUTLIER_LABEL, dtype=np.int32)
     labels[fit_idx] = fit_labels
     if n_topics == 0:
         return labels
-    centroids = np.zeros((n_topics, pts.shape[1]), dtype=np.float32)
-    radii = np.zeros(n_topics, dtype=np.float32)
-    for t in range(n_topics):
-        members = pts[fit_idx][fit_labels == t]
-        centroids[t] = members.mean(axis=0)
-        radii[t] = float(
-            np.sqrt(((members - centroids[t]) ** 2).sum(axis=1)).max()
-        )
+    centroids, radii = cluster_geometry(pts[fit_idx], fit_labels, n_topics)
     rest = np.setdiff1d(np.arange(len(pts)), fit_idx, assume_unique=False)
     if len(rest) == 0:
         return labels
-    diff = pts[rest, None, :] - centroids[None, :, :]
-    dist = np.sqrt((diff * diff).sum(axis=2))
-    nearest = dist.argmin(axis=1)
-    nearest_dist = dist[np.arange(len(rest)), nearest]
-    within = nearest_dist <= radii[nearest] * radius_slack
-    labels[rest[within]] = nearest[within].astype(np.int32)
+    labels[rest] = nearest_centroid_labels(
+        pts[rest], centroids, radii, radius_slack=radius_slack
+    )
     return labels
 
 

@@ -6,12 +6,17 @@ The Spark redesign of the reference's whole-column plugin
 1. stable ``__row_id`` (join key only, never an ordinal) — replaces
    the reference's positional alignment (plugin.rs:158-160);
 2. chunking + embedding run distributed (pandas UDFs over Arrow);
-3. the (n_chunks x dim) embedding matrix is collected to the driver
-   for reduction + density clustering — the documented scale ceiling,
-   equivalent to the reference's single-process ceiling (~1e6 chunks
-   at 384-dim; sample above that);
-4. chunk labels ship back as a DataFrame; c-TF-IDF, rollup and
-   coordinates are Spark aggregations;
+3. driver-side materialization is BOUNDED by ``max_fit_points``:
+   - ``n_chunks <= max_fit_points``: the (n x dim) matrix moves via
+     Arrow (``toPandas``), reduce + density-cluster exactly as the
+     reference does in one process;
+   - above that: only a seeded Bernoulli SAMPLE of ``max_fit_points``
+     vectors is collected; reduce + cluster fit on the sample, and the
+     fitted projection + topic centroids/radii ship to executors in a
+     pandas-UDF closure that assigns every chunk its label and 2D
+     coordinate DISTRIBUTED — the full matrix never lands driver-side;
+4. chunk labels live in a DataFrame; c-TF-IDF, rollup, and (on the
+   sampled path) topic coordinates are Spark aggregations;
 5. everything joins back on ``__row_id``, preserving input rows 1:1 —
    topic metadata is replicated per row so
    ``groupBy(topics.dominant_topic)`` recovers the topic table
@@ -20,6 +25,13 @@ The Spark redesign of the reference's whole-column plugin
 Guards replicated from mod.rs:263-267: ``n_chunks == 0`` -> zero
 topics, every row dominant -1; ``0 < n_chunks < 12`` -> skip
 reduce+cluster, single trivial topic, coord (0, 0).
+
+Sampled-path deviation note: the distributed out-of-sample projection
+is the seeded linear (PCA) projector fitted on the sample — PaCMAP
+(used below ``max_fit_points`` when installed) has no broadcastable
+parametric transform (its out-of-sample path needs the fitted neighbor
+index, which is not picklable). The reference has no equivalent path
+at all (single-process ceiling, reduce.rs:5-8).
 
 ``stage_timings_ms`` uses the reference's stage names
 (mod.rs:146-175). Spark stages are lazy; their timings measure driver
@@ -42,17 +54,20 @@ from polars_text_spark.functions.embedding import FEATURE_HASH_MODEL, embedding
 from polars_text_spark.operators.topic_modeling.chunking import chunk_document
 from polars_text_spark.operators.topic_modeling.cluster import (
     OUTLIER_LABEL,
-    assign_to_clusters,
     cluster,
+    cluster_geometry,
+    nearest_centroid_labels,
 )
 from polars_text_spark.operators.topic_modeling.coords import topic_coords_2d
 from polars_text_spark.operators.topic_modeling.ctfidf import topic_words
 from polars_text_spark.operators.topic_modeling.reduce import (
     MIN_POINTS_FOR_REDUCTION,
+    LinearProjector,
+    fit_linear_projector,
     reduce_embeddings,
-    reduce_with_sampled_fit,
 )
 from polars_text_spark.operators.topic_modeling.rollup import rollup
+from polars_text_spark.persist import track_persist
 
 __all__ = ["TOPIC_STRUCT_TYPE", "topic_modeling"]
 
@@ -93,6 +108,30 @@ TOPIC_STRUCT_TYPE = T.StructType(
     ]
 )
 
+_LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField(_ROW_ID, T.LongType(), False),
+        T.StructField("chunk_index", T.IntegerType(), False),
+        T.StructField("label", T.IntegerType(), False),
+    ]
+)
+
+_COORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.IntegerType(), False),
+        T.StructField("topic_x", T.FloatType(), False),
+        T.StructField("topic_y", T.FloatType(), False),
+    ]
+)
+
+_ASSIGN_TYPE = T.StructType(
+    [
+        T.StructField("label", T.IntegerType(), False),
+        T.StructField("x2", T.FloatType(), False),
+        T.StructField("y2", T.FloatType(), False),
+    ]
+)
+
 
 def _chunk_udf(max_tokens: int, overlap: int):
     def fn(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -104,6 +143,55 @@ def _chunk_udf(max_tokens: int, overlap: int):
             )
 
     return F.pandas_udf(fn, T.ArrayType(T.StringType(), containsNull=False))
+
+
+def _collect_vectors(df: DataFrame) -> pd.DataFrame:
+    """Arrow-batched driver collect of ``(__row_id, chunk_index, vec)``
+    in deterministic (row_id, chunk_index) order — the ONLY driver-side
+    materialization in the pipeline; every caller bounds its row count
+    by ``max_fit_points`` (plus sampling slack)."""
+    pdf = df.toPandas()
+    return pdf.sort_values([_ROW_ID, "chunk_index"], ignore_index=True)
+
+
+def _stack(vec_series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float32) for v in vec_series])
+
+
+def _assign_udf(
+    proj_k: LinearProjector,
+    proj_2: LinearProjector,
+    centroids: np.ndarray,
+    radii: np.ndarray,
+    radius_slack: float = 1.5,
+):
+    """pandas UDF: embedding vector -> (label, x2, y2), all batched
+    numpy. The closure ships only the fitted projector matrices
+    (dims x d) and topic geometry (n_topics x dims) — kilobytes, the
+    broadcast-instead-of-collect half of the sampled-fit design."""
+
+    def fn(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in batches:
+            if len(series) == 0:
+                yield pd.DataFrame(
+                    {
+                        "label": pd.Series([], dtype="int32"),
+                        "x2": pd.Series([], dtype="float32"),
+                        "y2": pd.Series([], dtype="float32"),
+                    }
+                )
+                continue
+            mat = _stack(series)
+            reduced = proj_k.transform(mat)
+            labels = nearest_centroid_labels(
+                reduced, centroids, radii, radius_slack=radius_slack
+            )
+            xy = proj_2.transform(mat)
+            yield pd.DataFrame(
+                {"label": labels, "x2": xy[:, 0], "y2": xy[:, 1]}
+            )
+
+    return F.pandas_udf(fn, _ASSIGN_TYPE)
 
 
 class _Timings:
@@ -142,7 +230,11 @@ def topic_modeling(
 ) -> DataFrame:
     """Cluster a document column into topics; returns the input
     DataFrame + one struct column (schema :data:`TOPIC_STRUCT_TYPE`),
-    rows 1:1 with the input."""
+    rows 1:1 with the input.
+
+    Persisted intermediates are registered with
+    :mod:`polars_text_spark.persist`; call ``release_tracked()`` after
+    the result's FINAL consuming action (row ids must not recompute)."""
     if max_tokens <= 0:
         raise ValueError("chunking max_tokens must be > 0")
     if overlap >= max_tokens:
@@ -154,107 +246,175 @@ def topic_modeling(
 
     # Stable row ids: persist so every downstream branch sees the same
     # id assignment (monotonically_increasing_id depends on partition
-    # layout, so the frame must be pinned once — the embedding collect
-    # below is the materializing action for both caches).
-    source = df.withColumn(_ROW_ID, F.monotonically_increasing_id()).persist()
+    # layout, so the frame must be pinned once — the count below is the
+    # materializing action for both caches).
+    source = track_persist(
+        df.withColumn(_ROW_ID, F.monotonically_increasing_id()).persist()
+    )
 
-    chunks = (
+    embedded = track_persist(
         source.select(
             _ROW_ID,
             F.posexplode(_chunk_udf(max_tokens, overlap)(F.col(text_col))).alias(
                 "chunk_index", "chunk_text"
             ),
         )
-    ).persist()
+        .withColumn("vec", embedding("chunk_text", embedder_model=model))
+        .persist()
+    )
     timings.mark("chunking")
 
-    # One action materializes source+chunks AND returns the matrix —
-    # no separate count() jobs.
-    embedded = chunks.select(
-        _ROW_ID,
-        "chunk_index",
-        embedding("chunk_text", embedder_model=model).alias("vec"),
-    ).collect()
-    n_chunks = len(embedded)
+    # One count materializes source+embedded; chunk texts and vectors
+    # stay cached EXECUTOR-side — nothing is collected here.
+    n_chunks = embedded.count()
+    timings.mark("embedding")
+
+    labeled: DataFrame | None = None
+    coords_df: DataFrame | None = None
+    coords: list[tuple[float, float]] = []
+    n_topics = 0
 
     if n_chunks == 0:
-        labels = np.empty(0, dtype=np.int32)
-        n_topics = 0
-        coords: list[tuple[float, float]] = []
-        labeled = None
-        timings.mark("embedding")
-        timings.mark("reduce_clustering")
-        timings.mark("hdbscan")
-        timings.mark("reduce_coordinates")
-        timings.mark("topic_coordinates")
-    else:
-        # Deterministic chunk order for the driver-side matrix.
-        embedded.sort(key=lambda r: (r[_ROW_ID], r["chunk_index"]))
-        matrix = np.array([r["vec"] for r in embedded], dtype=np.float32)
-        timings.mark("embedding")
-
-        if n_chunks < MIN_POINTS_FOR_REDUCTION:
-            # mod.rs:263-267: too few points to reduce/cluster — one
-            # trivial topic at the origin.
-            labels = np.zeros(n_chunks, dtype=np.int32)
-            n_topics = 1
-            coords = [(0.0, 0.0)]
-            timings.mark("reduce_clustering")
-            timings.mark("hdbscan")
-            timings.mark("reduce_coordinates")
-            timings.mark("topic_coordinates")
-        elif n_chunks <= max_fit_points:
-            reduced = reduce_embeddings(matrix, dims=reduce_dims, seed=seed)
-            timings.mark("reduce_clustering")
-            labels, n_topics = cluster(
-                reduced,
-                min_cluster_size=min_cluster_size,
-                min_samples=min_samples,
-            )
-            timings.mark("hdbscan")
-            points_2d = reduce_embeddings(matrix, dims=2, seed=seed)
-            timings.mark("reduce_coordinates")
-            coords = topic_coords_2d(points_2d, labels, n_topics)
-            timings.mark("topic_coordinates")
-        else:
-            # Sampled-fit scale path (SCALING.md): fit reduce+cluster on
-            # a seeded uniform sample, project everything, and extend
-            # labels by nearest-centroid with a noise radius.
-            rng = np.random.default_rng(seed)
-            fit_idx = np.sort(
-                rng.choice(n_chunks, max_fit_points, replace=False)
-            )
-            reduced = reduce_with_sampled_fit(
-                matrix, fit_idx, dims=reduce_dims, seed=seed
-            )
-            timings.mark("reduce_clustering")
-            fit_labels, n_topics = cluster(
-                reduced[fit_idx],
-                min_cluster_size=min_cluster_size,
-                min_samples=min_samples,
-            )
-            labels = assign_to_clusters(reduced, fit_idx, fit_labels, n_topics)
-            timings.mark("hdbscan")
-            points_2d = reduce_with_sampled_fit(matrix, fit_idx, dims=2, seed=seed)
-            timings.mark("reduce_coordinates")
-            coords = topic_coords_2d(points_2d, labels, n_topics)
-            timings.mark("topic_coordinates")
-
-        label_rows = [
-            (int(r[_ROW_ID]), int(r["chunk_index"]), int(label))
-            for r, label in zip(embedded, labels)
-        ]
-        label_df = spark.createDataFrame(
-            label_rows,
-            T.StructType(
-                [
-                    T.StructField(_ROW_ID, T.LongType(), False),
-                    T.StructField("chunk_index", T.IntegerType(), False),
-                    T.StructField("label", T.IntegerType(), False),
-                ]
-            ),
+        for stage in (
+            "reduce_clustering",
+            "hdbscan",
+            "reduce_coordinates",
+            "topic_coordinates",
+        ):
+            timings.mark(stage)
+    elif n_chunks < MIN_POINTS_FOR_REDUCTION:
+        # mod.rs:263-267: too few points to reduce/cluster — one
+        # trivial topic at the origin; no driver materialization at all.
+        labeled = embedded.select(
+            _ROW_ID, "chunk_index", "chunk_text", F.lit(0).cast("int").alias("label")
         )
-        labeled = chunks.join(F.broadcast(label_df), [_ROW_ID, "chunk_index"])
+        n_topics = 1
+        coords = [(0.0, 0.0)]
+        for stage in (
+            "reduce_clustering",
+            "hdbscan",
+            "reduce_coordinates",
+            "topic_coordinates",
+        ):
+            timings.mark(stage)
+    elif n_chunks <= max_fit_points:
+        # Exact path: the whole matrix fits the documented driver
+        # budget; move it ONCE via Arrow.
+        pdf = _collect_vectors(embedded.select(_ROW_ID, "chunk_index", "vec"))
+        matrix = _stack(pdf["vec"])
+        reduced = reduce_embeddings(matrix, dims=reduce_dims, seed=seed)
+        timings.mark("reduce_clustering")
+        labels, n_topics = cluster(
+            reduced,
+            min_cluster_size=min_cluster_size,
+            min_samples=min_samples,
+        )
+        timings.mark("hdbscan")
+        points_2d = reduce_embeddings(matrix, dims=2, seed=seed)
+        timings.mark("reduce_coordinates")
+        coords = topic_coords_2d(points_2d, labels, n_topics)
+        timings.mark("topic_coordinates")
+        label_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    _ROW_ID: pdf[_ROW_ID].astype("int64"),
+                    "chunk_index": pdf["chunk_index"].astype("int32"),
+                    "label": labels.astype("int32"),
+                }
+            ),
+            _LABEL_SCHEMA,
+        )
+        labeled = embedded.join(
+            F.broadcast(label_df), [_ROW_ID, "chunk_index"]
+        ).select(_ROW_ID, "chunk_index", "chunk_text", "label")
+    else:
+        # Sampled-fit scale path (SCALING.md): fit reduce+cluster on a
+        # seeded cross-partition Bernoulli sample; broadcast the fitted
+        # projection + topic geometry and assign every chunk its label
+        # and 2D coordinate in a pandas UDF — the full matrix never
+        # lands driver-side.
+        frac = min(1.0, (1.3 * max_fit_points) / n_chunks)
+        fit_pdf = _collect_vectors(
+            embedded.select(_ROW_ID, "chunk_index", "vec").sample(
+                fraction=frac, seed=seed
+            )
+        )
+        if len(fit_pdf) > max_fit_points:
+            # limit() would re-bias toward early partitions; trim with
+            # a seeded driver-side draw instead (order preserved).
+            rng = np.random.default_rng(seed)
+            keep = np.sort(
+                rng.choice(len(fit_pdf), max_fit_points, replace=False)
+            )
+            fit_pdf = fit_pdf.iloc[keep].reset_index(drop=True)
+        fit_matrix = _stack(fit_pdf["vec"])
+        dims = max(1, min(reduce_dims, fit_matrix.shape[1], len(fit_matrix) - 1))
+        proj_k = fit_linear_projector(fit_matrix, dims)
+        reduced_fit = proj_k.transform(fit_matrix)
+        timings.mark("reduce_clustering")
+        fit_labels, n_topics = cluster(
+            reduced_fit,
+            min_cluster_size=min_cluster_size,
+            min_samples=min_samples,
+        )
+        if n_topics > 0:
+            centroids, radii = cluster_geometry(
+                reduced_fit, fit_labels, n_topics
+            )
+        else:
+            centroids = np.zeros((0, reduced_fit.shape[1]), dtype=np.float32)
+            radii = np.zeros(0, dtype=np.float32)
+        timings.mark("hdbscan")
+        proj_2 = fit_linear_projector(fit_matrix, 2)
+        timings.mark("reduce_coordinates")
+
+        # Fit chunks keep their exact fit labels (broadcast join on the
+        # <=max_fit_points sample); everything else gets
+        # nearest-centroid-with-radius from the UDF.
+        fit_label_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    _ROW_ID: fit_pdf[_ROW_ID].astype("int64"),
+                    "chunk_index": fit_pdf["chunk_index"].astype("int32"),
+                    "label": fit_labels.astype("int32"),
+                }
+            ),
+            _LABEL_SCHEMA,
+        ).withColumnRenamed("label", "__fit_label")
+        assigned = embedded.withColumn(
+            "__as", _assign_udf(proj_k, proj_2, centroids, radii)(F.col("vec"))
+        )
+        labeled = assigned.join(
+            F.broadcast(fit_label_df), [_ROW_ID, "chunk_index"], "left"
+        ).select(
+            _ROW_ID,
+            "chunk_index",
+            "chunk_text",
+            F.coalesce("__fit_label", F.col("__as.label"))
+            .cast("int")
+            .alias("label"),
+            F.col("__as.x2").alias("__x2"),
+            F.col("__as.y2").alias("__y2"),
+        )
+        if n_topics > 0:
+            # Topic coords = centroid of member chunks' 2D coords
+            # (coords.rs:31-59) — a Spark aggregation here, since the
+            # 2D points stay distributed; memberless topics at origin.
+            agg = (
+                labeled.filter(F.col("label") != OUTLIER_LABEL)
+                .groupBy("label")
+                .agg(F.avg("__x2").alias("cx"), F.avg("__y2").alias("cy"))
+            )
+            base = spark.createDataFrame(
+                [(t,) for t in range(n_topics)],
+                T.StructType([T.StructField("label", T.IntegerType(), False)]),
+            )
+            coords_df = base.join(F.broadcast(agg), "label", "left").select(
+                "label",
+                F.coalesce("cx", F.lit(0.0)).cast("float").alias("topic_x"),
+                F.coalesce("cy", F.lit(0.0)).cast("float").alias("topic_y"),
+            )
+        timings.mark("topic_coordinates")
 
     # Topic table: representative words + 2D coords per topic id.
     if labeled is not None and n_topics > 0:
@@ -266,16 +426,11 @@ def topic_modeling(
             top_k=top_k,
         )
         timings.mark("ctfidf_count_terms")
-        coords_df = spark.createDataFrame(
-            [(t, float(x), float(y)) for t, (x, y) in enumerate(coords)],
-            T.StructType(
-                [
-                    T.StructField("label", T.IntegerType(), False),
-                    T.StructField("topic_x", T.FloatType(), False),
-                    T.StructField("topic_y", T.FloatType(), False),
-                ]
-            ),
-        )
+        if coords_df is None:
+            coords_df = spark.createDataFrame(
+                [(t, float(x), float(y)) for t, (x, y) in enumerate(coords)],
+                _COORDS_SCHEMA,
+            )
         topic_table = coords_df.join(words_df, "label", "left").select(
             F.col("label").alias("dominant_topic"),
             F.coalesce(

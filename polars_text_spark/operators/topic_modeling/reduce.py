@@ -23,6 +23,8 @@ import numpy as np
 
 __all__ = [
     "MIN_POINTS_FOR_REDUCTION",
+    "LinearProjector",
+    "fit_linear_projector",
     "reduce_embeddings",
     "reduce_with_sampled_fit",
 ]
@@ -30,19 +32,42 @@ __all__ = [
 MIN_POINTS_FOR_REDUCTION = 12  # reduce.rs:44
 
 
-def _pca(matrix: np.ndarray, dims: int, seed: int) -> np.ndarray:
-    centered = matrix - matrix.mean(axis=0, keepdims=True)
-    # Deterministic full SVD; seed is unused by exact PCA but kept in
-    # the signature for the PaCMAP path.
-    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+class LinearProjector:
+    """Picklable fitted linear reduction: ``x -> (x - mean) @ W.T``.
+
+    Small enough (dims x d float64) to ship in a pandas-UDF closure, so
+    out-of-sample projection runs ON EXECUTORS — the distributed
+    sampled-fit path never materializes the full matrix driver-side."""
+
+    def __init__(self, mean: np.ndarray, components: np.ndarray) -> None:
+        self.mean = np.asarray(mean, dtype=np.float64)
+        self.components = np.asarray(components, dtype=np.float64)
+
+    def transform(self, matrix: np.ndarray) -> np.ndarray:
+        return (
+            (np.asarray(matrix, dtype=np.float64) - self.mean)
+            @ self.components.T
+        ).astype(np.float32)
+
+
+def fit_linear_projector(fit: np.ndarray, dims: int) -> LinearProjector:
+    """Fit the deterministic PCA on ``fit`` rows only (numpy SVD with a
+    sign convention making the largest-|loading| coordinate of each
+    component positive, so output is unique)."""
+    fit64 = np.asarray(fit, dtype=np.float64)
+    mean = fit64.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(fit64 - mean, full_matrices=False)
     components = vt[:dims]
-    # Sign convention: make the largest-|loading| coordinate of each
-    # component positive so output is unique.
     for i in range(components.shape[0]):
         j = int(np.argmax(np.abs(components[i])))
         if components[i, j] < 0:
             components[i] = -components[i]
-    return (centered @ components.T).astype(np.float32)
+    return LinearProjector(mean, components)
+
+
+def _pca(matrix: np.ndarray, dims: int, seed: int) -> np.ndarray:
+    # seed is unused by exact PCA but kept for the PaCMAP path.
+    return fit_linear_projector(matrix, dims).transform(matrix)
 
 
 def reduce_embeddings(
@@ -106,14 +131,4 @@ def reduce_with_sampled_fit(
             reducer.transform(matrix.astype(np.float32)), dtype=np.float32
         )
     except ImportError:
-        fit64 = fit.astype(np.float64)
-        mean = fit64.mean(axis=0, keepdims=True)
-        _, _, vt = np.linalg.svd(fit64 - mean, full_matrices=False)
-        components = vt[:dims]
-        for i in range(components.shape[0]):
-            j = int(np.argmax(np.abs(components[i])))
-            if components[i, j] < 0:
-                components[i] = -components[i]
-        return ((matrix.astype(np.float64) - mean) @ components.T).astype(
-            np.float32
-        )
+        return fit_linear_projector(fit, dims).transform(matrix)

@@ -878,13 +878,21 @@ def q_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding op through the driver surface (SURVEY §2.1 #7) —
     rows-only: the vector values are model output, not SQL-expressible;
     dim/norm invariants are pytest-covered (tests/test_cache.py,
-    tests/test_dedup_similarity.py)."""
+    tests/test_dedup_similarity.py).
+
+    ``comp_sum``/``pos_buckets`` are value-bearing deterministic
+    projections of the embedder output (per-doc component sum and
+    positive-bucket count): dim and l2_norm alone are near-constant, so
+    without them a regression in the feature-hasher's bucketing or sign
+    logic would slip through a rows-only check unchanged."""
     from polars_text_spark.functions.embedding import embedding
 
     docs = _docs(spark, sf_dir)
     emb = docs.select(
         "doc_id",
-        embedding("text", embedder_model="native:feature-hash:64").alias("vec"),
+        embedding("text", embedder_model="native:feature-hash:64")
+        .cast("array<double>")
+        .alias("vec"),
     )
     return emb.select(
         "doc_id",
@@ -892,13 +900,15 @@ def q_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(
                 F.aggregate(
-                    F.col("vec").cast("array<double>"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v * v,
+                    F.col("vec"), F.lit(0.0), lambda acc, v: acc + v * v
                 )
             ),
             4,
         ).alias("l2_norm"),
+        F.round(
+            F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, v: acc + v), 4
+        ).alias("comp_sum"),
+        F.size(F.filter(F.col("vec"), lambda v: v > 0)).alias("pos_buckets"),
     )
 
 

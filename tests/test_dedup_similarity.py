@@ -146,32 +146,43 @@ def test_set_similarity_join_blocked_matches_pairwise(spark):
 
 
 def test_ngram_jaccard_auto_strategy_selection(spark):
+    """Auto-selection is threshold-driven ONLY (no data inspection):
+    t < 0.2 -> countjoin, else setjoin — blocked or not. Plan
+    construction must stay lazy (no Spark job fires until the result
+    is acted on) and t <= 0 is rejected."""
     from polars_text_spark.operators import dedup as D
 
     df = _jaccard_corpus(spark)
-    calls = []
-    orig = D.set_similarity_jaccard_pairs
+    blocked = df.withColumn("blk", (F.col("doc_id") % 2).cast("string"))
+    routed = []
+    orig_set, orig_count = D.set_similarity_jaccard_pairs, D.count_join_jaccard_pairs
 
-    def spy(*a, **kw):
-        calls.append(kw.get("threshold"))
-        return orig(*a, **kw)
+    def spy_set(*a, **kw):
+        routed.append("setjoin")
+        return orig_set(*a, **kw)
 
-    D.set_similarity_jaccard_pairs = spy
+    def spy_count(*a, **kw):
+        routed.append("countjoin")
+        return orig_count(*a, **kw)
+
+    D.set_similarity_jaccard_pairs = spy_set
+    D.count_join_jaccard_pairs = spy_count
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
     try:
-        # unblocked auto -> setjoin (a cross join is never the answer)
         D.ngram_jaccard_pairs(df, threshold=0.9)
-        assert calls == [0.9]
-        # small blocks -> pairwise
-        blocked = df.withColumn("blk", (F.col("doc_id") % 2).cast("string"))
         D.ngram_jaccard_pairs(blocked, block_cols=("blk",), threshold=0.9)
-        assert calls == [0.9]
-        # oversized blocks -> setjoin
-        D.ngram_jaccard_pairs(
-            blocked, block_cols=("blk",), threshold=0.9, max_pairwise_block=2
-        )
-        assert calls == [0.9, 0.9]
+        D.ngram_jaccard_pairs(blocked, block_cols=("blk",), threshold=0.1)
+        assert routed == ["setjoin", "setjoin", "countjoin"]
+        # building all three plans fired zero Spark jobs
+        assert len(tracker.getJobIdsForGroup(None)) == jobs_before
+        with pytest.raises(ValueError, match="threshold > 0"):
+            D.ngram_jaccard_pairs(df, threshold=0.0)
+        with pytest.raises(ValueError, match="threshold > 0"):
+            D.set_similarity_jaccard_pairs(df, threshold=-0.5)
     finally:
-        D.set_similarity_jaccard_pairs = orig
+        D.set_similarity_jaccard_pairs = orig_set
+        D.count_join_jaccard_pairs = orig_count
 
 
 def test_cosine_expression_matches_numpy(spark):

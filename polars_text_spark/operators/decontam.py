@@ -1,0 +1,67 @@
+"""Benchmark decontamination: flag training docs sharing word n-grams
+with a held-out benchmark/test set (the GPT-3/PaLM 13-gram collision
+method, scaled down to the synthetic corpus).
+
+Beyond-reference LLM-pipeline operator. Scale shape: the benchmark
+side is small by construction (a test set, not a corpus), so its
+exploded shingle set is broadcast; the 100 TB training side streams
+through one scan + a broadcast semi-join — no shuffle of the big side
+at all until the final per-doc aggregate on ``id_col``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["token_ngrams", "ngram_contamination"]
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of lower(trim(text)), whitespace
+    tokenized. Docs with fewer than ``n`` tokens contribute their
+    whole (normalized) text as a single shingle, mirroring the dedup
+    shingle convention (operators/dedup.py token_shingles) so short
+    docs are never silently invisible."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(F.array_distinct(grams))
+
+
+def ngram_contamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 4,
+) -> DataFrame:
+    """Per candidate doc: how many distinct n-gram shingles collide
+    with the benchmark set and how many distinct benchmark docs are
+    hit. Returns only contaminated docs (>=1 shared shingle):
+    ``(id_col, n_shared_shingles, n_bench_docs)``.
+
+    The benchmark (shingle, bench_id) pairs are broadcast — a test
+    set is orders of magnitude smaller than the training corpus, so
+    the big side never shuffles for the join."""
+    cand = candidates.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("_sh")
+    )
+    bench = (
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_bench_id"),
+            F.explode(token_ngrams(F.col(text_col), n)).alias("_sh"),
+        )
+        .distinct()
+    )
+    hits = cand.join(F.broadcast(bench), "_sh")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("_sh").alias("n_shared_shingles"),
+        F.countDistinct("_bench_id").alias("n_bench_docs"),
+    )

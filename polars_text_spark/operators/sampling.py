@@ -1,0 +1,81 @@
+"""Deterministic, engine-portable sampling for corpus curation.
+
+``df.sample()`` is seed-dependent per partition split, so it can't be
+reproduced by another engine or even by the same job after a
+repartition. Training-data pipelines need *content-keyed* sampling:
+whether a row is kept depends only on its key, so reruns, backfills,
+and a DuckDB audit all agree row-for-row.
+
+Mechanism: keep a row iff the first 8 hex chars of
+``sha256(key || salt)`` are lexicographically below a threshold
+encoding the rate. Lowercase-hex string compare == numeric compare,
+and both Spark ``sha2`` and DuckDB ``sha256`` emit lowercase hex, so
+the predicate is bit-identical across engines. Pure Catalyst
+expressions — at 100 TB this is a filter fused into the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sample_predicate", "deterministic_sample", "stratified_sample"]
+
+_HEX_SPAN = 16 ** 8  # first 8 hex chars -> uniform over [0, 2^32)
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Hex threshold string for a keep-rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * _HEX_SPAN), _HEX_SPAN - 1), "08x")
+
+
+def sample_predicate(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean keep-predicate: uniform ``rate`` fraction of keys."""
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    h = F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256)
+    return F.substring(h, 1, 8) < F.lit(rate_threshold_hex(rate))
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, keyed by
+    ``key_col``. Identical keys always land on the same side, so the
+    sample is stable under reruns and co-sampled across tables
+    sharing the key (the salt decorrelates independent samples)."""
+    return df.filter(sample_predicate(F.col(key_col), rate, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str,
+    key_col: str,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    downsample dominant languages, keep the tail whole). ``rates``
+    maps stratum values to keep-rates; unlisted strata use
+    ``default_rate``. Single scan, no shuffle — the stratum rate is a
+    CASE expression over the broadcastable rate table."""
+    h = F.sha2(F.concat(F.col(key_col).cast("string"), F.lit(salt)), 256)
+    bucket = F.substring(h, 1, 8)
+    pred = None
+    for value, rate in rates.items():
+        cond = (F.col(stratum_col) == value) & (
+            sample_predicate(F.col(key_col), rate, salt)
+        )
+        pred = cond if pred is None else pred | cond
+    others = ~F.col(stratum_col).isin(*rates.keys())
+    if default_rate > 0.0:
+        pred = pred | (others & (bucket < F.lit(rate_threshold_hex(default_rate))))
+    return df.filter(pred)

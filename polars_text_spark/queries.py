@@ -1042,6 +1042,246 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 pipeline operators: as-of join, repetition signals,
+# decontamination, deterministic sampling, BM25 retrieval.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_clicks",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts,
+           date_diff('microsecond', r.ts, l.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase matched to the user's
+    most recent prior-or-simultaneous click. The Spark plan is the
+    union+running-window form (one shuffle on user_id, no range
+    join); DuckDB's native ASOF LEFT JOIN is the oracle. Only the
+    tie-invariant matched timestamp is projected — ASOF leaves the
+    choice among equal-ts right rows unspecified."""
+    from polars_text_spark.operators.asof import asof_join
+    from polars_text_spark.sources.catalog import load_events
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_cols=["ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
+    )
+
+
+@query(
+    "repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+             END AS toks
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                   END, 6) AS dup_word_frac
+      FROM t),
+    bi AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in generate_series(1, len(toks)-1)]) AS g
+      FROM t WHERE len(toks) >= 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_bigram_count
+      FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM bi GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT s.doc_id, s.n_words, s.dup_word_frac,
+           coalesce(top.top_bigram_count, 0) AS top_bigram_count
+    FROM s LEFT JOIN top USING (doc_id)
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-word fraction (pure Catalyst expression) and the count
+    of the most frequent word bigram (explode + two-level agg —
+    shuffles on (doc_id, gram) then doc_id, no UDF, no driver
+    state)."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.when(F.trim(F.col("text")) == "", F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("_t"),
+    )
+    scalars = base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_words"),
+        F.round(
+            F.when(F.size("_t") <= 0, F.lit(0.0)).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_t")).cast("double")
+                / F.size("_t").cast("double")
+            ),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 2),
+        lambda i: F.concat_ws(" ", F.slice("_t", i + 1, 2)),
+    )
+    top = (
+        base.filter(F.size("_t") >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return scalars.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias(
+            "top_bigram_count"
+        ),
+    )
+
+
+@query(
+    "decontaminate_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+3], ' ')
+                         for i in generate_series(1, len(t)-3)])
+                    END) AS s
+      FROM toks),
+    bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id % 10 = 0)
+    SELECT a.doc_id,
+           CAST(count(DISTINCT a.s) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM sh a JOIN bench b ON a.s = b.s
+    WHERE a.doc_id % 10 <> 0
+    GROUP BY a.doc_id
+    """,
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 4-word
+    shingle with the held-out split (doc_id % 10 == 0 stands in for a
+    benchmark set). The bench shingles are broadcast, so the training
+    side never shuffles for the join — the 100 TB shape."""
+    from polars_text_spark.operators.decontam import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(cand, bench, "text", "doc_id", n=4)
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.3, "zh": 1.0}
+_SAMPLE_DEFAULT = 0.2
+
+
+def _sample_oracle_sql() -> str:
+    from polars_text_spark.operators.sampling import rate_threshold_hex
+
+    clauses = []
+    for lang, rate in _SAMPLE_RATES.items():
+        if rate >= 1.0:
+            clauses.append(f"(lang = '{lang}')")
+        else:
+            clauses.append(
+                f"(lang = '{lang}' AND substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)"
+                f" < '{rate_threshold_hex(rate)}')"
+            )
+    listed = ", ".join(f"'{lang}'" for lang in _SAMPLE_RATES)
+    clauses.append(
+        f"(lang NOT IN ({listed}) AND substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{rate_threshold_hex(_SAMPLE_DEFAULT)}')"
+    )
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + " OR ".join(clauses)
+    )
+
+
+@query("stratified_sample", _sample_oracle_sql())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (corpus rebalancing):
+    keep-decision = sha256(doc_id) hex-prefix threshold, so the
+    sample is content-keyed — reproducible across reruns, engines
+    and partitionings, unlike df.sample(). Pure filter fused into
+    the scan; zero shuffle."""
+    from polars_text_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, _SAMPLE_RATES, "lang", "doc_id", default_rate=_SAMPLE_DEFAULT
+    )
+    return out.select("doc_id", "lang")
+
+
+_BM25_TERMS = ("hash", "join", "vector", "window")
+
+
+@query(
+    "bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+             END AS toks
+      FROM documents WHERE text IS NOT NULL),
+    b2 AS (SELECT doc_id, toks, len(toks) * 1.0 AS dl FROM base),
+    stats AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM b2),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) * 1.0 AS tf
+      FROM (SELECT doc_id, dl,
+                   unnest(list_filter(toks, x -> x IN
+                     ({", ".join(repr(t) for t in _BM25_TERMS)}))) AS term
+            FROM b2)
+      GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, count(DISTINCT doc_id) * 1.0 AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+             AS score
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed keyword query — all
+    scored docs (the top-k cut is pytest-covered; an unbounded result
+    set keeps the oracle free of rank-boundary float ties). Explode
+    is restricted to query terms before it materializes; corpus
+    stats and per-term df are broadcast."""
+    from polars_text_spark.operators.search import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    scores = bm25_scores(docs, _BM25_TERMS, "text", "doc_id", k1=1.2, b=0.75)
+    return scores.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship (driver smoke): per-language document profile.
 # ---------------------------------------------------------------------------
 

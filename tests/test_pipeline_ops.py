@@ -221,3 +221,38 @@ def test_dup_word_frac(spark):
     assert got[2] == 0.0
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Scale-shape plan assertions (the 100 TB contracts, not just results)
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_broadcasts_bench_side(spark, sf_dir):
+    from polars_text_spark.plans import explain_str, has_broadcast_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    out = ngram_contamination(cand, bench, n=4)
+    assert has_broadcast_join(out)
+    # the big (candidate) side must not sort-merge for the join
+    assert "SortMergeJoin" not in explain_str(out, "simple")
+
+
+def test_bm25_joins_are_broadcast(spark, sf_dir):
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_scores(docs, ["hash", "join"])
+    plan = explain_str(out, "simple")
+    assert "SortMergeJoin" not in plan  # df + stats joins stay broadcast
+
+
+def test_sampling_is_scan_level_filter(spark, sf_dir):
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = deterministic_sample(docs, 0.25, "doc_id")
+    plan = explain_str(out, "simple")
+    assert "Exchange" not in plan  # zero shuffle: filter fused into scan

@@ -1281,6 +1281,34 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("doc_id", F.round("score", 6).alias("score"))
 
 
+@query(
+    "length_quantiles",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    both the (n-1)*p linear-interpolation convention). At 100 TB the
+    same query swaps in ``percentile_approx`` (t-digest sketch, one
+    pass, mergeable across partitions) — the exact form here is the
+    calibration oracle for that swap."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (driver smoke): per-language document profile.
 # ---------------------------------------------------------------------------

@@ -54,6 +54,20 @@ def main() -> None:
     final = deduped.join(drop, "doc_id", "left_anti")
     print(f"near-dup pairs: {pairs.count()}; final corpus: {final.count()} docs")
 
+    print("== 4b. benchmark decontamination ==")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    contaminated = pts.ngram_contamination(final, bench, "text", "doc_id", n=4)
+    drop_ids = contaminated.select("doc_id")
+    final = final.join(drop_ids, "doc_id", "left_anti")
+    print(f"dropped {drop_ids.count()} contaminated docs; {final.count()} remain")
+
+    print("== 4c. deterministic language rebalancing ==")
+    final = final.join(docs.select("doc_id", "lang"), "doc_id")
+    final = pts.stratified_sample(
+        final, {"en": 0.8}, "lang", "doc_id", default_rate=1.0
+    )
+    final.groupBy("lang").count().orderBy("lang").show()
+
     print("== 5. top tokens after stopword removal ==")
     toks = final.select(
         F.explode(

@@ -43,13 +43,21 @@ from polars_text_spark.models import (
     predefined_model_records,
     prefetch_model,
 )
+from polars_text_spark.operators.asof import asof_join
+from polars_text_spark.operators.decontam import ngram_contamination
 from polars_text_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    set_similarity_jaccard_pairs,
     simhash,
     simhash_pairs,
 )
+from polars_text_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+from polars_text_spark.operators.search import bm25_scores, bm25_topk
 from polars_text_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
@@ -69,26 +77,33 @@ __all__ = [
     "LINDERA_MODELS_BY_LANGUAGE",
     "PREDEFINED_MODELS",
     "PREDEFINED_MODEL_LABELS",
+    "asof_join",
     "available_features",
+    "bm25_scores",
+    "bm25_topk",
     "char_count",
     "clean_text",
     "concordance",
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "deterministic_sample",
     "embedding",
     "exact_dedup",
     "get_spark",
     "list_loaded_models",
     "minhash_lsh_pairs",
     "models",
+    "ngram_contamination",
     "ngram_jaccard_pairs",
     "predefined_model_records",
     "prefetch_model",
     "register_sql_functions",
     "sentence_count",
+    "set_similarity_jaccard_pairs",
     "simhash",
     "simhash_pairs",
+    "stratified_sample",
     "token_frequencies",
     "token_frequency_stats",
     "tokenize",

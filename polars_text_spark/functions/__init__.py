@@ -11,6 +11,7 @@ from __future__ import annotations
 from polars_text_spark.functions.analysis import (
     detect_language,
     doc_fingerprint,
+    dup_word_frac,
     normalize_text,
     quality_score,
     remove_stopwords,
@@ -33,6 +34,7 @@ __all__ = [
     "concordance",
     "detect_language",
     "doc_fingerprint",
+    "dup_word_frac",
     "embedding",
     "normalize_text",
     "remove_stopwords",

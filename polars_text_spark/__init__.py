@@ -44,6 +44,10 @@ from polars_text_spark.models import (
     prefetch_model,
 )
 from polars_text_spark.operators.asof import asof_join
+from polars_text_spark.operators.components import (
+    connected_components,
+    duplicate_clusters,
+)
 from polars_text_spark.operators.decontam import ngram_contamination
 from polars_text_spark.operators.dedup import (
     exact_dedup,
@@ -84,10 +88,12 @@ __all__ = [
     "char_count",
     "clean_text",
     "concordance",
+    "connected_components",
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "deterministic_sample",
+    "duplicate_clusters",
     "embedding",
     "exact_dedup",
     "get_spark",

@@ -551,6 +551,61 @@ def q_near_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    sh AS ({_SQL_SH_CTE}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.01
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT u AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+    sized AS (
+      SELECT c.doc_id, c.component, s.n AS cluster_size
+      FROM comp c
+      JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) s
+        USING (component)
+    )
+    SELECT d.doc_id,
+           coalesce(z.component, d.doc_id)          AS component,
+           CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size,
+           coalesce(z.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN sized z USING (doc_id)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate FAMILIES, not just pairs: exact Jaccard pairs within
+    (source, lang) blocks feed hash-min connected components, giving
+    every document a component id (min member), family size, and the
+    is_canonical keep flag — ``filter(is_canonical)`` IS the deduped
+    corpus. The oracle computes the same closure with a DuckDB
+    recursive CTE, so component assignment is hash-checked end-to-end
+    (beyond-reference: the reference has no graph ops)."""
+    from polars_text_spark.operators.components import duplicate_clusters
+    from polars_text_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("source", "lang"), threshold=0.01
+    )
+    return duplicate_clusters(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+
+
 def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming near-dup pairs (rows-only: the bit mixing uses
     Spark's xxhash64, which DuckDB cannot replicate; invariants are

@@ -1216,6 +1216,42 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-log2(f.cnt / tot.total)), 6) AS avg_surprisal
+    FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality: mean token surprisal (bits) under the
+    corpus's own unigram distribution — the zero-dependency stand-in
+    for a KenLM perplexity filter. Pure Catalyst (explode + two aggs +
+    one token-key join); the corpus total rides in as a broadcast
+    1-row cross join, and the vocabulary join deliberately shuffles on
+    token (web-scale vocab is not broadcastable)."""
+    from polars_text_spark.operators.quality import unigram_surprisal
+
+    docs = _docs(spark, sf_dir)
+    out = unigram_surprisal(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_surprisal", 6).alias("avg_surprisal"),
+    )
+
+
+@query(
     "decontaminate_ngrams",
     """
     WITH toks AS (
@@ -1248,6 +1284,53 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     cand = docs.filter(F.col("doc_id") % 10 != 0)
     return ngram_contamination(cand, bench, "text", "doc_id", n=4)
+
+
+@query(
+    "pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL),
+    w AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM toks)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(s AS BIGINT)        AS stream_start,
+           CAST(s // 512 AS BIGINT) AS first_seq,
+           CAST(CASE WHEN n_tokens <= 0 THEN s // 512
+                ELSE (s + n_tokens - 1) // 512 END AS BIGINT) AS last_seq,
+           CAST(CASE WHEN n_tokens <= 0 THEN 0
+                ELSE (s + n_tokens - 1) // 512 - s // 512 + 1
+                END AS BIGINT)      AS n_seqs,
+           CAST(s % 512 AS BIGINT)  AS seq_offset
+    FROM w
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chop over a 512-token
+    budget), sharded by lang so each stream's ordered window runs
+    independently after one shuffle — the packing layout a training
+    job needs to chop the corpus into fixed-length sequences without
+    ever materializing the token stream."""
+    from polars_text_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    counted = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        counted, "n_tokens", 512, order_col="doc_id", shard_col="lang"
+    )
 
 
 _SAMPLE_RATES = {"en": 0.5, "de": 0.3, "zh": 1.0}

@@ -51,11 +51,17 @@ from polars_text_spark.operators.components import (
 from polars_text_spark.operators.decontam import ngram_contamination
 from polars_text_spark.operators.dedup import (
     exact_dedup,
+    minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     set_similarity_jaccard_pairs,
     simhash,
     simhash_pairs,
+)
+from polars_text_spark.operators.packing import pack_sequences
+from polars_text_spark.operators.quality import (
+    unigram_frequencies,
+    unigram_surprisal,
 )
 from polars_text_spark.operators.sampling import (
     deterministic_sample,
@@ -98,10 +104,12 @@ __all__ = [
     "exact_dedup",
     "get_spark",
     "list_loaded_models",
+    "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
     "models",
     "ngram_contamination",
     "ngram_jaccard_pairs",
+    "pack_sequences",
     "predefined_model_records",
     "prefetch_model",
     "register_sql_functions",
@@ -113,6 +121,8 @@ __all__ = [
     "token_frequencies",
     "token_frequency_stats",
     "tokenize",
+    "unigram_frequencies",
+    "unigram_surprisal",
     "topic_modeling",
     "word_count",
 ]

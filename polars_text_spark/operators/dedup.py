@@ -37,6 +37,7 @@ __all__ = [
     "count_join_jaccard_pairs",
     "exact_dedup",
     "embedding_dup_pairs",
+    "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
@@ -109,6 +110,72 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_id: str,
+    *,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """``(out_id, bk: struct<band, bucket>)`` — one row per LSH band."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias(out_id), F.explode(band_structs).alias("bk")
+    )
+
+
+def _verify_jaccard(
+    cand: DataFrame,
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``(id_a, id_b)`` pairs
+    against hashed shingle sets ``a=(id_a, sh_a)`` / ``b=(id_b, sh_b)``.
+
+    Materialize the intersection size once per pair — array_intersect
+    is expensive and Catalyst won't re-inline a non-cheap alias used
+    twice (CollapseProject isCheap guard). The size-ratio prefilter is
+    the lossless PPJoin length bound: jaccard(a,b) >= t implies
+    |a| >= t * |b| (and vice versa), so mismatched sizes skip the
+    intersection entirely. The 1e-9 slack keeps double rounding of
+    t*|b| from excluding an exact-boundary pair (the filter only
+    prunes; the exact jaccard test downstream decides)."""
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b")) - 1e-9
+        )
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -125,22 +192,10 @@ def minhash_lsh_pairs(
     Shuffle profile: one agg for signatures, one equi-join on
     (band_idx, band_hash) — never a cross join.
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
+    banded = _banded_signatures(
+        df, text_col, id_col, "id",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bk"))
     left = banded.select(F.col("id").alias("id_a"), "bk")
     right = banded.select(F.col("id").alias("id_b"), "bk")
     cand = (
@@ -155,32 +210,54 @@ def minhash_lsh_pairs(
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    # Materialize the intersection size once per pair — array_intersect
-    # is expensive and Catalyst won't re-inline a non-cheap alias used
-    # twice (CollapseProject isCheap guard). The size-ratio prefilter is
-    # the lossless PPJoin length bound: jaccard(a,b) >= t implies
-    # |a| >= t * |b| (and vice versa), so mismatched sizes skip the
-    # intersection entirely. The 1e-9 slack keeps double rounding of
-    # t*|b| from excluding an exact-boundary pair (the filter only
-    # prunes; the exact jaccard test downstream decides).
-    verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(
-            F.least(F.size("sh_a"), F.size("sh_b"))
-            >= jaccard_threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
-            - 1e-9
-        )
-        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("__inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(cand, a, b, jaccard_threshold)
+
+
+def minhash_lsh_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-CORPUS near-dup pairs: every ``left`` doc within
+    ``jaccard_threshold`` of some ``right`` doc — the incremental-
+    ingest shape (dedupe a new crawl shard against the standing
+    corpus) and the fuzzy big brother of benchmark decontamination.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a`` from ``left`` and
+    ``id_b`` from ``right`` (the id spaces may overlap; no ordering
+    constraint is imposed between them). Same shuffle profile as
+    :func:`minhash_lsh_pairs` — signatures are one agg per side and
+    candidates come from the band equi-join, so the standing corpus is
+    never re-paired against itself (that join's left side is only the
+    new shard's bands). At j >= 0.9 with 16x4 banding, recall is
+    1 - 4e-8: the output is effectively the exact cross-pair set.
+    """
+    bl = _banded_signatures(
+        left, text_col, id_col, "id_a",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
-    return verified
+    br = _banded_signatures(
+        right, text_col, id_col, "id_b",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+    )
+    cand = bl.join(br, "bk").select("id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    a = left.select(
+        F.col(id_col).alias("id_a"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh_b"),
+    )
+    return _verify_jaccard(cand, a, b, jaccard_threshold)
 
 
 def simhash(text_col, *, bits: int = 64):

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from polars_text_spark.operators.dedup import (
     exact_dedup,
+    minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -44,6 +45,26 @@ def test_minhash_identical_texts_full_jaccard(spark):
     assert len(pairs) == 1
     p = pairs[0]
     assert (p.id_a, p.id_b) == (1, 2) and p.jaccard == 1.0
+
+
+def test_minhash_cross_pairs_only_cross_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # dup WITHIN left (1,2) must NOT surface; only left-right dups do.
+    left = spark.createDataFrame(
+        [(1, base), (2, base), (3, "unrelated words entirely here now")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(10, base), (11, "other standing corpus content")],
+        ["doc_id", "text"],
+    )
+    pairs = sorted(
+        (p.id_a, p.id_b, p.jaccard)
+        for p in minhash_lsh_cross_pairs(
+            left, right, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert pairs == [(1, 10, 1.0), (2, 10, 1.0)]
 
 
 def test_minhash_signature_shape_and_determinism(spark):

@@ -28,8 +28,9 @@ def test_basic_components(spark):
 
 
 def test_chain_longer_than_one_round(spark):
-    # A 12-node path needs ~11 hash-min rounds: exercises the loop +
-    # checkpointed label carry, not just a single propagation step.
+    # A 12-node path needs several propagation rounds even with path
+    # halving: exercises the loop + checkpointed label carry, not just
+    # a single propagation step.
     pairs = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
     got = _comp_map(connected_components(pairs))
     assert got == {i: 1 for i in range(1, 13)}
@@ -43,9 +44,11 @@ def test_chain_reversed_ids_still_min_root(spark):
 
 
 def test_max_iterations_guard(spark):
-    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 30)])
+    # Path halving reaches ~3^k hops in k rounds; a 60-edge chain is
+    # well beyond 2 rounds.
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 61)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=3)
+        connected_components(pairs, max_iterations=2)
 
 
 def test_two_meshed_cliques(spark):

@@ -72,6 +72,8 @@ from polars_text_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_quantized,
+    quantize_vec,
 )
 from polars_text_spark.operators.token_frequencies import (
     token_frequencies,
@@ -98,6 +100,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "cosine_topk_quantized",
     "deterministic_sample",
     "duplicate_clusters",
     "embedding",
@@ -112,6 +115,7 @@ __all__ = [
     "pack_sequences",
     "predefined_model_records",
     "prefetch_model",
+    "quantize_vec",
     "register_sql_functions",
     "sentence_count",
     "set_similarity_jaccard_pairs",

@@ -682,6 +682,60 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_topk_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x*x),
+                                  (a, b) -> a + b)) AS nrm
+          FROM e),
+    u AS (SELECT vec_id,
+                 CASE WHEN nrm > 0 THEN list_transform(v, x -> x/nrm)
+                      ELSE v END AS u
+          FROM n),
+    m AS (SELECT vec_id, u,
+                 list_max(list_transform(u, x -> abs(x))) AS mx FROM u),
+    z AS (SELECT vec_id, mx/127.0 AS scale,
+                 CASE WHEN mx > 0
+                      THEN list_transform(u,
+                        x -> CAST(floor(x/(mx/127.0) + 0.5) AS BIGINT))
+                      ELSE list_transform(u, x -> CAST(0 AS BIGINT))
+                 END AS q
+          FROM m),
+    qs AS (SELECT vec_id AS query_id, scale AS qscale, q AS qq
+           FROM z WHERE vec_id < 5),
+    pairs AS (
+      SELECT qs.query_id, z.vec_id AS neighbor_id,
+             list_dot_product(qs.qq, z.q) * qs.qscale * z.scale AS s
+      FROM qs, z WHERE z.vec_id <> qs.query_id)
+    SELECT query_id, neighbor_id, round(s, 6) AS score,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 10
+    """,
+)
+def q_similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute-force top-k — the memory-bound scale path
+    (4x smaller vector payloads, integer dot in the hot loop). The
+    quantization itself is deterministic (round-half-up via
+    floor(x+0.5)) so the DuckDB oracle replicates it bit-for-bit:
+    integer dots hash-match exactly and only the two float scale
+    factors need the round(6)."""
+    from polars_text_spark.operators.similarity import cosine_topk_quantized
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_quantized(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN variant (rows-only: approximate by design;
     recall vs the exact path is pytest-asserted)."""

@@ -236,6 +236,49 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
     assert got.neighbor_id == 79
 
 
+def test_quantize_vec_semantics(spark):
+    from polars_text_spark.operators.similarity import quantize_vec
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])], ["id", "v"]
+    )
+    rows = {r.id: r.z for r in df.select(
+        "id", quantize_vec(F.col("v")).alias("z")
+    ).collect()}
+    # scale = max|v|/127; components round half-up.
+    assert math.isclose(rows[1].scale, 1.0 / 127)
+    assert rows[1].q == [127, -63, 32]  # -0.5/scale = -63.5 -> floor(-63) = -63
+    assert rows[2].scale == 0.0 and rows[2].q == [0, 0, 0]
+
+
+def test_cosine_topk_quantized_matches_exact_topk(spark):
+    from polars_text_spark.operators.similarity import cosine_topk_quantized
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 16))
+    vecs[99] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3)
+
+    exact = cosine_topk(df, queries, k=5).collect()
+    quant = cosine_topk_quantized(df, queries, k=5).collect()
+    # int8 quantization error is ~1/127 per component: the top-1
+    # neighbor survives and top-5 overlap stays high.
+    top1_exact = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    top1_quant = {r.query_id: r.neighbor_id for r in quant if r.rank == 1}
+    assert top1_quant[0] == top1_exact[0] == 99
+    for qid in top1_exact:
+        e = {r.neighbor_id for r in exact if r.query_id == qid}
+        q = {r.neighbor_id for r in quant if r.query_id == qid}
+        assert len(e & q) >= 4
+    # scores approximate cosine within the quantization step
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in quant:
+        if (r.query_id, r.neighbor_id) in ex:
+            assert abs(r.score - ex[(r.query_id, r.neighbor_id)]) < 0.02
+
+
 def test_cosine_topk_ivf_recall(spark):
     rng = np.random.default_rng(11)
     vecs = rng.standard_normal((120, 16))

@@ -45,7 +45,7 @@ fewer shuffles per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "duplicate_clusters"]
@@ -140,6 +140,7 @@ def duplicate_clusters(
     dst: str = "id_b",
     *,
     max_iterations: int = 25,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Attach duplicate-cluster metadata to a corpus.
 
@@ -148,11 +149,20 @@ def duplicate_clusters(
     - ``component``   — min doc id of the doc's duplicate family
       (docs in no pair form their own singleton family);
     - ``cluster_size``— family member count (1 for non-duplicated);
-    - ``is_canonical``— true for the single keeper per family
-      (the min id). ``filter(is_canonical)`` IS the deduped corpus.
+    - ``is_canonical``— true for the single keeper per family.
+      ``filter(is_canonical)`` IS the deduped corpus.
 
-    The components frame is tiny relative to the corpus (only docs
-    that matched a pair), so the join back is broadcast-hinted.
+    The keeper is the min-id member by default; pass ``prefer_col``
+    (a column of ``docs``, higher = better — e.g. a quality score or
+    text length) to keep the BEST member instead, ties broken by min
+    id — the policy real pipelines want when duplicate families mix
+    truncated and full versions of a page.
+
+    The components frame holds only docs that matched a pair. Whether
+    the join back is a broadcast is left to AQE: with a light dup
+    rate it converts to broadcast at runtime, while a heavy dup rate
+    (billions of matched docs at 100 TB) needs the shuffle join a
+    forced hint would have broken.
     """
     comp = connected_components(
         pairs, src, dst, max_iterations=max_iterations
@@ -161,13 +171,20 @@ def duplicate_clusters(
     comp = comp.join(sizes, "component").select(
         F.col("vertex").alias(id_col), "component", "cluster_size"
     )
-    out = docs.join(F.broadcast(comp), id_col, "left").select(
+    out = docs.join(comp, id_col, "left").select(
         *docs.columns,
         F.coalesce("component", F.col(id_col)).alias("component"),
         F.coalesce("cluster_size", F.lit(1)).cast("long").alias(
             "cluster_size"
         ),
     )
+    if prefer_col is None:
+        return out.withColumn(
+            "is_canonical", (F.col(id_col) == F.col("component"))
+        )
+    w = Window.partitionBy("component").orderBy(
+        F.col(prefer_col).desc(), F.col(id_col).asc()
+    )
     return out.withColumn(
-        "is_canonical", (F.col(id_col) == F.col("component"))
+        "is_canonical", F.row_number().over(w) == 1
     )

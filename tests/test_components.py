@@ -78,6 +78,23 @@ def test_duplicate_clusters_keep_list(spark):
     assert kept.select(F.countDistinct("component")).first()[0] == 4
 
 
+def test_duplicate_clusters_prefer_col_keeps_best(spark):
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (4, 7.0)],
+        "doc_id long, quality double",
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    out = {r.doc_id: r for r in duplicate_clusters(
+        docs, pairs, prefer_col="quality"
+    ).collect()}
+    # family {1,2,3}: keeper is the highest-quality member (2), not
+    # the min id; singleton 4 keeps itself.
+    assert [out[i].is_canonical for i in (1, 2, 3, 4)] == [
+        False, True, False, True,
+    ]
+    assert out[2].component == 1  # component id stays the min id
+
+
 def test_empty_pairs(spark):
     pairs = _pairs(spark, []).filter("id_a is not null")
     assert connected_components(pairs).count() == 0

@@ -58,7 +58,10 @@ from polars_text_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from polars_text_spark.operators.packing import pack_sequences
+from polars_text_spark.operators.packing import (
+    pack_sequences,
+    sequence_manifest,
+)
 from polars_text_spark.operators.quality import (
     unigram_frequencies,
     unigram_surprisal,
@@ -118,6 +121,7 @@ __all__ = [
     "quantize_vec",
     "register_sql_functions",
     "sentence_count",
+    "sequence_manifest",
     "set_similarity_jaccard_pairs",
     "simhash",
     "simhash_pairs",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "sequence_manifest"]
 
 
 def pack_sequences(
@@ -68,4 +68,47 @@ def pack_sequences(
         .otherwise(last_seq - first_seq + 1)
         .alias("n_seqs"),
         (start % budget).alias("seq_offset"),
+    )
+
+
+def sequence_manifest(
+    packed: DataFrame,
+    token_count_col: str,
+    budget: int,
+    *,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Explode :func:`pack_sequences` output into the per-sequence
+    slice list a training job consumes: one row per (sequence, doc
+    slice), so ``groupBy(seq_id)`` yields exactly the docs (and token
+    ranges) to concatenate for that sequence.
+
+    Columns: ``id_cols`` + ``seq_id`` + ``seq_pos`` (where the slice
+    starts inside the sequence), ``doc_tok_start`` (where it starts
+    inside the doc), ``slice_len``. Zero-token docs emit no rows.
+
+    The explode fan-out is ``n_seqs`` per doc — bounded by
+    ``tok/budget + 1``, so the manifest is ~``corpus_tokens/budget``
+    rows regardless of doc-length skew: a book spanning 10k sequences
+    becomes 10k cheap integer rows, not a hot key.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be a positive token count")
+    tok = F.col(token_count_col).cast("long")
+    seq = F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+        "seq_id"
+    )
+    rows = packed.filter(tok > 0).select(*id_cols, "stream_start", tok.alias("__tok"), seq)
+    s = F.col("seq_id")
+    seq_lo = s * budget
+    slice_start_stream = F.greatest(F.col("stream_start"), seq_lo)
+    slice_end_stream = F.least(
+        F.col("stream_start") + F.col("__tok"), seq_lo + budget
+    )
+    return rows.select(
+        *id_cols,
+        "seq_id",
+        (slice_start_stream - seq_lo).alias("seq_pos"),
+        (slice_start_stream - F.col("stream_start")).alias("doc_tok_start"),
+        (slice_end_stream - slice_start_stream).alias("slice_len"),
     )

@@ -1420,6 +1420,61 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sequence_manifest",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    w AS (
+      SELECT doc_id, lang, tok,
+             coalesce(sum(tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM toks WHERE tok > 0),
+    exploded AS (
+      SELECT doc_id, lang, tok, s, unnest(generate_series(
+               CAST(s // 512 AS BIGINT),
+               CAST((s + tok - 1) // 512 AS BIGINT))) AS seq_id
+      FROM w)
+    SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS seq_pos,
+           CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_tok_start,
+           CAST(least(s + tok, seq_id * 512 + 512)
+                - greatest(s, seq_id * 512) AS BIGINT) AS slice_len
+    FROM exploded
+    """,
+)
+def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-corpus manifest a training job consumes: one row per
+    (sequence, doc slice) with in-sequence and in-doc offsets —
+    groupBy(lang, seq_id) recovers exactly the slices to concatenate
+    for each 512-token training sequence. Integer-only math, so the
+    SQL window+generate_series oracle hash-matches exactly."""
+    from polars_text_spark.operators.packing import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    counted = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("tok")
+    )
+    packed = pack_sequences(
+        counted, "tok", 512, order_col="doc_id", shard_col="lang"
+    )
+    return sequence_manifest(
+        packed, "tok", 512, id_cols=("doc_id", "lang")
+    )
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.3, "zh": 1.0}
 _SAMPLE_DEFAULT = 0.2
 

@@ -8,7 +8,10 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from polars_text_spark.operators.packing import pack_sequences
+from polars_text_spark.operators.packing import (
+    pack_sequences,
+    sequence_manifest,
+)
 from polars_text_spark.operators.quality import (
     unigram_frequencies,
     unigram_surprisal,
@@ -70,6 +73,32 @@ def test_pack_budget_validation(spark):
     docs = spark.createDataFrame([(1, 4)], "doc_id long, tok long")
     with pytest.raises(ValueError):
         pack_sequences(docs, "tok", 0, order_col="doc_id")
+
+
+def test_sequence_manifest_slices(spark):
+    docs = spark.createDataFrame(
+        [(1, 4), (2, 5), (3, 3), (4, 10), (5, 0)], "doc_id long, tok long"
+    )
+    packed = pack_sequences(docs, "tok", 8, order_col="doc_id")
+    man = sequence_manifest(packed, "tok", 8).collect()
+    got = sorted((r.doc_id, r.seq_id, r.seq_pos, r.doc_tok_start, r.slice_len)
+                 for r in man)
+    assert got == [
+        (1, 0, 0, 0, 4),
+        (2, 0, 4, 0, 4), (2, 1, 0, 4, 1),
+        (3, 1, 1, 0, 3),
+        (4, 1, 4, 0, 4), (4, 2, 0, 4, 6),
+    ]  # doc5 (0 tokens) emits nothing
+    # invariants: slices cover each doc exactly; no sequence overflows
+    by_doc = {}
+    by_seq = {}
+    for d, s, _, _, ln in got:
+        by_doc[d] = by_doc.get(d, 0) + ln
+        by_seq[s] = by_seq.get(s, 0) + ln
+    assert by_doc == {1: 4, 2: 5, 3: 3, 4: 10}
+    assert all(v <= 8 for v in by_seq.values())
+    # every fully-interior sequence is exactly full
+    assert by_seq[0] == 8 and by_seq[1] == 8
 
 
 def test_unigram_surprisal_self(spark):

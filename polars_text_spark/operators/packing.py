@@ -54,14 +54,23 @@ def pack_sequences(
         Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
     ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     tok = F.col(token_count_col).cast("long")
-    start = F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("long")
+    # Materialize the running sum ONCE (a second select keeps the
+    # Window node to a single expression instead of one copy per
+    # derived column), then derive placement with integer math.
+    with_start = df.select(
+        *df.columns,
+        F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+        .cast("long")
+        .alias("stream_start"),
+    )
+    start = F.col("stream_start")
     first_seq = F.floor(start / budget)
     # Last stream position occupied is start + tok - 1 (empty docs
     # span nothing — guarded below).
     last_seq = F.floor((start + tok - F.lit(1)) / budget)
-    return df.select(
+    return with_start.select(
         *df.columns,
-        start.alias("stream_start"),
+        "stream_start",
         first_seq.alias("first_seq"),
         F.when(tok <= 0, first_seq).otherwise(last_seq).alias("last_seq"),
         F.when(tok <= 0, F.lit(0).cast("long"))

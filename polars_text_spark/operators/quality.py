@@ -68,7 +68,17 @@ def unigram_surprisal(
     toks = df.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(_ws_tokens(text_col)).alias("token")
     )
-    freq = freq_df if freq_df is not None else unigram_frequencies(df, text_col)
+    if freq_df is not None:
+        freq = freq_df
+    else:
+        # Self-scoring builds the vocab once and persists it (released
+        # via polars_text_spark.persist): without the pin, the total's
+        # aggregate re-derives the freq subtree and the corpus gets a
+        # THIRD full scan. The vocab frame is ~|vocab| rows — small
+        # relative to the corpus at any scale.
+        from polars_text_spark.persist import track_persist
+
+        freq = track_persist(unigram_frequencies(df, text_col).persist())
     total = freq.agg(F.sum("cnt").cast("double").alias("__total"))
     scored = (
         toks.join(freq, "token", "left")

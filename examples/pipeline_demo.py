@@ -48,10 +48,15 @@ def main() -> None:
     deduped = pts.exact_dedup(cleaned, "text", "doc_id")
     print(f"after exact dedup: {deduped.count()} docs")
 
-    print("== 4. near-dedup (MinHash+LSH) ==")
+    print("== 4. near-dedup: pairs -> families -> canonical keep ==")
     pairs = pts.minhash_lsh_pairs(deduped, "text", "doc_id", jaccard_threshold=0.9)
-    drop = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
-    final = deduped.join(drop, "doc_id", "left_anti")
+    clustered = pts.duplicate_clusters(
+        deduped, pairs.select("id_a", "id_b"), "doc_id",
+        prefer_col="quality_score",
+    )
+    final = clustered.filter("is_canonical").drop(
+        "component", "cluster_size", "is_canonical"
+    )
     print(f"near-dup pairs: {pairs.count()}; final corpus: {final.count()} docs")
 
     print("== 4b. benchmark decontamination ==")
@@ -67,6 +72,32 @@ def main() -> None:
         final, {"en": 0.8}, "lang", "doc_id", default_rate=1.0
     )
     final.groupBy("lang").count().orderBy("lang").show()
+
+    print("== 4d. corpus-relative quality (unigram surprisal) ==")
+    scored = pts.unigram_surprisal(final, "text", "doc_id")
+    final = final.join(scored, "doc_id", "left")
+    lo, hi = final.approxQuantile("avg_surprisal", [0.02, 0.98], 0.01)
+    final = final.filter(F.col("avg_surprisal").between(lo, hi)).drop(
+        "n_tokens", "avg_surprisal"
+    )
+    print(f"kept docs inside the [{lo:.2f}, {hi:.2f}]-bit surprisal band:"
+          f" {final.count()}")
+
+    print("== 4e. pack into 512-token training sequences ==")
+    counted = final.withColumn(
+        "n_tok",
+        F.size(F.filter(F.split(F.trim(F.lower("text")), r"\s+"),
+                        lambda t: t != "")),
+    )
+    packed = pts.pack_sequences(
+        counted, "n_tok", 512, order_col="doc_id", shard_col="lang"
+    )
+    manifest = pts.sequence_manifest(packed, "n_tok", 512,
+                                     id_cols=("doc_id", "lang"))
+    manifest.groupBy("lang").agg(
+        F.countDistinct("seq_id").alias("sequences"),
+        F.sum("slice_len").alias("tokens"),
+    ).orderBy("lang").show()
 
     print("== 5. top tokens after stopword removal ==")
     toks = final.select(

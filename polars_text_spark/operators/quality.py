@@ -23,10 +23,17 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["unigram_frequencies", "unigram_surprisal"]
+__all__ = [
+    "oov_rate",
+    "source_kl_divergence",
+    "unigram_frequencies",
+    "unigram_surprisal",
+    "vocab_topk",
+    "zipf_slope_by",
+]
 
 
 def _ws_tokens(text_col: str):
@@ -93,4 +100,149 @@ def unigram_surprisal(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.avg("__bits").alias("avg_surprisal"),
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 10000) -> DataFrame:
+    """Top-``k`` whitespace tokens by corpus count (count desc, token
+    asc tie-break — the deterministic ordering a tokenizer-vocab build
+    needs). Returns ``(token, cnt, rank)``.
+
+    Scale: the ranking window is a single global sort over the
+    *vocabulary* frame (|vocab| rows, not corpus rows) — even a
+    web-scale corpus has a vocab orders of magnitude below its token
+    count, so the unpartitioned window is fine; the corpus itself is
+    touched once by the explode+groupBy in
+    :func:`unigram_frequencies`."""
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        unigram_frequencies(df, text_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10000,
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a top-``k`` corpus
+    vocabulary (or an explicit ``vocab_df`` with a ``token`` column —
+    e.g. a real tokenizer's vocab read from parquet). The canonical
+    "will my tokenizer shred this document into bytes?" signal.
+
+    Returns ``(id_col, n_tokens, n_oov, oov_rate)``; token-less docs
+    are absent. The vocab side is broadcast: k rows by construction,
+    never corpus-sized."""
+    vocab = (vocab_df or vocab_topk(df, text_col, k)).select("token")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.explode(_ws_tokens(text_col)).alias("token")
+    )
+    joined = toks.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "token", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.avg(F.when(F.col("__in_vocab").isNull(), 1.0).otherwise(0.0)).alias(
+            "oov_rate"
+        ),
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group KL divergence (bits) between the group's unigram
+    distribution P_g and the whole-corpus distribution Q:
+    ``KL(P_g || Q) = Σ_t P_g(t) · log2(P_g(t) / Q(t))`` — the
+    data-mixture diagnostic that flags a source whose token
+    distribution has drifted from the corpus (spam injection, wrong
+    language, template flood). Every group token is in the corpus by
+    construction, so no smoothing is needed and the sum is finite.
+
+    Returns ``(group_col, n_tokens, kl_bits)``.
+
+    Scale: one explode + one groupBy(group, token) shuffle over the
+    corpus; the three totals (per-group, per-token, global) are
+    window sums over the aggregated |groups|×|vocab| frame, which is
+    tiny relative to the corpus — no second corpus scan, no driver
+    collect."""
+    gt = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(group_col, F.explode(_ws_tokens(text_col)).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count("*").alias("cnt_gt"))
+    )
+    w_g = Window.partitionBy(group_col)
+    w_t = Window.partitionBy("token")
+    w_all = Window.partitionBy()
+    scored = gt.select(
+        group_col,
+        F.col("cnt_gt"),
+        F.sum("cnt_gt").over(w_g).alias("total_g"),
+        F.sum("cnt_gt").over(w_t).alias("cnt_t"),
+        F.sum("cnt_gt").over(w_all).alias("total"),
+    ).select(
+        group_col,
+        "cnt_gt",
+        "total_g",
+        (
+            (F.col("cnt_gt") / F.col("total_g"))
+            * F.log2(
+                (F.col("cnt_gt") / F.col("total_g"))
+                / (F.col("cnt_t") / F.col("total"))
+            )
+        ).alias("__term"),
+    )
+    return scored.groupBy(group_col).agg(
+        F.sum("cnt_gt").alias("n_tokens"),
+        F.sum("__term").alias("kl_bits"),
+    )
+
+
+def zipf_slope_by(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    *,
+    top_n: int = 10000,
+) -> DataFrame:
+    """Zipf fit per group: OLS slope/intercept of ``log2(cnt)`` on
+    ``log2(rank)`` over the group's ``top_n`` tokens (rank by cnt
+    desc, token asc). Natural text sits near slope −1; token soup and
+    template floods flatten or cliff the curve, so the slope is a
+    cheap corpus-health scalar.
+
+    Returns ``(group_col?, n_types, zipf_slope, zipf_intercept)``.
+    Built-in ``regr_slope``/``regr_intercept`` aggregates — no UDF;
+    the window ranks the |groups|×|vocab| frequency frame, not the
+    corpus."""
+    keys = [group_col] if group_col else []
+    freq = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*keys, F.explode(_ws_tokens(text_col)).alias("token"))
+        .groupBy(*keys, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    lx = F.log2(F.col("rank").cast("double"))
+    ly = F.log2(F.col("cnt").cast("double"))
+    return ranked.groupBy(*keys).agg(
+        F.count("*").alias("n_types"),
+        F.regr_slope(ly, lx).alias("zipf_slope"),
+        F.regr_intercept(ly, lx).alias("zipf_intercept"),
     )

@@ -21,7 +21,13 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_predicate", "deterministic_sample", "stratified_sample"]
+__all__ = [
+    "mixture_rates",
+    "mixture_rebalance",
+    "sample_predicate",
+    "deterministic_sample",
+    "stratified_sample",
+]
 
 _HEX_SPAN = 16 ** 8  # first 8 hex chars -> uniform over [0, 2^32)
 
@@ -79,3 +85,57 @@ def stratified_sample(
     if default_rate > 0.0:
         pred = pred | (others & (bucket < F.lit(rate_threshold_hex(default_rate))))
     return df.filter(pred)
+
+
+def mixture_rates(
+    counts: Mapping[str, int], weights: Mapping[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep-rates that hit a target mixture exactly while
+    keeping as much data as possible: with ``C = min_s(n_s / w_s)``
+    over target strata, stratum ``s`` keeps ``C·w_s`` rows in
+    expectation, so the kept corpus's composition equals ``weights``
+    and at least one stratum is kept whole (rate 1.0). Strata absent
+    from ``weights`` (or with weight 0) get rate 0.
+
+    Pure arithmetic on the (tiny) per-stratum count dict — the same
+    formula is expressible in the SQL oracle, so the rebalance stays
+    engine-auditable end to end."""
+    pos = {s: w for s, w in weights.items() if w > 0}
+    if not pos:
+        raise ValueError("weights must contain at least one positive entry")
+    missing = [s for s in pos if counts.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"no rows for target strata: {missing}")
+    scale = min(counts[s] / w for s, w in pos.items())
+    return {s: min(1.0, scale * w / counts[s]) for s, w in pos.items()}
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    stratum_col: str,
+    key_col: str,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample ``df`` so the surviving rows'
+    ``stratum_col`` composition matches ``weights`` (e.g. rebalance a
+    crawl to a target language mixture before training). Keeps the
+    maximum number of rows consistent with the target: the most
+    under-represented target stratum is kept whole and every other
+    stratum is hash-sampled down to proportion.
+
+    One tiny groupBy-count action fixes the rates (|strata| rows to
+    the driver — fine at any corpus scale; the rates must be literals
+    for the content-keyed predicate to be reproducible elsewhere),
+    then a single scan with the stratified hash predicate does the
+    rebalance — no shuffle of the data itself."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+        if r[0] is not None
+    }
+    rates = mixture_rates(counts, weights)
+    return stratified_sample(
+        df, rates, stratum_col, key_col, default_rate=0.0, salt=salt
+    )

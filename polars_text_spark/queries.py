@@ -1590,6 +1590,172 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-mixture curation: vocabulary coverage, distribution drift,
+# Zipf health, target-mixture rebalancing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_oov",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    vocab AS (SELECT token FROM freq ORDER BY cnt DESC, token ASC LIMIT 10)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(avg(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-10 token
+    vocabulary (k=10 of a 31-token synthetic vocab keeps the rates
+    value-bearing). The vocab build ranks the |vocab|-row frequency
+    frame, never the corpus; the membership join broadcasts the k-row
+    vocab — at 100 TB this is one explode-shuffle plus a map-side
+    join."""
+    from polars_text_spark.operators.quality import oov_rate
+
+    docs = _docs(spark, sf_dir)
+    out = oov_rate(docs, "text", "doc_id", k=10)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("oov_rate", 6).alias("oov_rate"),
+    )
+
+
+@query(
+    "source_divergence",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    gt AS (SELECT source, token, count(*) AS cnt_gt
+           FROM toks GROUP BY source, token),
+    x AS (SELECT source, cnt_gt,
+                 sum(cnt_gt) OVER (PARTITION BY source) AS total_g,
+                 sum(cnt_gt) OVER (PARTITION BY token) AS cnt_t,
+                 sum(cnt_gt) OVER () AS total
+          FROM gt)
+    SELECT source,
+           CAST(sum(cnt_gt) AS BIGINT) AS n_tokens,
+           round(sum((cnt_gt / CAST(total_g AS DOUBLE))
+                     * log2((cnt_gt / CAST(total_g AS DOUBLE))
+                            / (cnt_t / CAST(total AS DOUBLE)))), 6) AS kl_bits
+    FROM x GROUP BY source
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture drift diagnostic: KL(source unigram distribution
+    || corpus distribution) per source — flags a source whose token
+    mix has drifted (spam flood, wrong language). One corpus
+    explode+groupBy; the three normalizing totals are window sums over
+    the |sources|x|vocab| aggregate, so the corpus is scanned once."""
+    from polars_text_spark.operators.quality import source_kl_divergence
+
+    docs = _docs(spark, sf_dir)
+    out = source_kl_divergence(docs, "text", "source")
+    return out.select(
+        "source", "n_tokens", F.round("kl_bits", 6).alias("kl_bits")
+    )
+
+
+@query(
+    "zipf_by_lang",
+    """
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    freq AS (SELECT lang, token, count(*) AS cnt
+             FROM toks GROUP BY lang, token),
+    ranked AS (SELECT lang, cnt,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, token ASC) AS r
+               FROM freq)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(log2(CAST(cnt AS DOUBLE)),
+                            log2(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_intercept(log2(CAST(cnt AS DOUBLE)),
+                                log2(CAST(r AS DOUBLE))), 6) AS zipf_intercept
+    FROM ranked GROUP BY lang
+    """,
+)
+def q_zipf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health scalar per language: OLS slope of log2(count) on
+    log2(rank) over the language's token-frequency curve (natural text
+    ~ -1). Built-in regr_slope/regr_intercept aggregates — the window
+    ranks the frequency frame, not the corpus."""
+    from polars_text_spark.operators.quality import zipf_slope_by
+
+    out = zipf_slope_by(_docs(spark, sf_dir), "text", "lang")
+    return out.select(
+        "lang",
+        "n_types",
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+        F.round("zipf_intercept", 6).alias("zipf_intercept"),
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def _mixture_oracle_sql() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    return f"""
+    WITH w(lang, wt) AS (VALUES {values}),
+    cnts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    sc AS (SELECT min(CAST(n AS DOUBLE) / CAST(wt AS DOUBLE)) AS scale
+           FROM cnts JOIN w USING (lang)),
+    rates AS (SELECT lang,
+                     least(1.0, sc.scale * CAST(wt AS DOUBLE)
+                                / CAST(n AS DOUBLE)) AS rate
+              FROM cnts JOIN w USING (lang) CROSS JOIN sc)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE r.rate >= 1.0
+       OR substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x',
+                   least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
+                         4294967295))
+    """
+
+
+@query("mixture_rebalance", _mixture_oracle_sql())
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target language mixture
+    (en/de/fr/es/zh = 40/20/20/10/10): keep-rates derived from the
+    per-language counts so the binding language is kept whole and the
+    rest are hash-downsampled to proportion. The rate computation is
+    one tiny groupBy-count; the rebalance itself is a content-keyed
+    filter fused into the scan — deterministic across engines, so the
+    oracle recomputes the same rates in SQL and must select the exact
+    same rows."""
+    from polars_text_spark.operators.sampling import mixture_rebalance
+
+    docs = _docs(spark, sf_dir)
+    out = mixture_rebalance(docs, _MIX_WEIGHTS, "lang", "doc_id")
+    return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Flagship (driver smoke): per-language document profile.
 # ---------------------------------------------------------------------------
 

@@ -132,3 +132,143 @@ def test_unigram_frequencies_counts(spark):
     )
     got = {r.token: r.cnt for r in unigram_frequencies(docs).collect()}
     assert got == {"foo": 2, "bar": 1}
+
+
+# ---- vocab coverage / OOV ------------------------------------------------
+
+
+def test_vocab_topk_order_and_cutoff(spark):
+    from polars_text_spark.operators.quality import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b a d")], "doc_id long, text string"
+    )
+    rows = vocab_topk(docs, "text", k=3).orderBy("rank").collect()
+    # counts: a=4, b=3, c=1, d=1 -> tie c/d broken alphabetically
+    assert [(r.token, r.cnt, r.rank) for r in rows] == [
+        ("a", 4, 1),
+        ("b", 3, 2),
+        ("c", 1, 3),
+    ]
+
+
+def test_oov_rate_hand_computed(spark):
+    from polars_text_spark.operators.quality import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a b x"), (2, "x y"), (3, None)],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=2, x=2, b=1, y=1 -> vocab k=2 = {a, x}
+    # (a beats x alphabetically at cnt 2)
+    out = {r.doc_id: r for r in oov_rate(docs, "text", "doc_id", k=2).collect()}
+    assert set(out) == {1, 2}  # null-text doc absent
+    assert (out[1].n_tokens, out[1].n_oov) == (4, 1)  # b is OOV
+    assert out[1].oov_rate == pytest.approx(0.25)
+    assert (out[2].n_tokens, out[2].n_oov) == (2, 1)  # y is OOV
+    assert out[2].oov_rate == pytest.approx(0.5)
+
+
+def test_oov_rate_external_vocab(spark):
+    from polars_text_spark.operators.quality import oov_rate
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("z",)], "token string")
+    (row,) = oov_rate(docs, "text", "doc_id", vocab_df=vocab).collect()
+    assert (row.n_tokens, row.n_oov) == (3, 2)
+
+
+# ---- source KL divergence ------------------------------------------------
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    from polars_text_spark.operators.quality import source_kl_divergence
+
+    docs = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a a b")], "source string, text string"
+    )
+    rows = source_kl_divergence(docs, "text", "source").collect()
+    for r in rows:
+        assert r.kl_bits == pytest.approx(0.0, abs=1e-12)
+
+
+def test_source_kl_hand_computed(spark):
+    from polars_text_spark.operators.quality import source_kl_divergence
+
+    # s1: {a:2} P=(1,0); s2: {a:1, b:1} P=(.5,.5)
+    # corpus Q: a=3/4, b=1/4
+    docs = spark.createDataFrame(
+        [("s1", "a a"), ("s2", "a b")], "source string, text string"
+    )
+    out = {
+        r.source: r
+        for r in source_kl_divergence(docs, "text", "source").collect()
+    }
+    kl1 = 1.0 * math.log2(1.0 / 0.75)
+    kl2 = 0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25)
+    assert out["s1"].kl_bits == pytest.approx(kl1)
+    assert out["s2"].kl_bits == pytest.approx(kl2)
+    assert out["s1"].n_tokens == 2 and out["s2"].n_tokens == 2
+
+
+# ---- Zipf slope ----------------------------------------------------------
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from polars_text_spark.operators.quality import zipf_slope_by
+
+    # counts 12,6,4,3 at ranks 1..4: log2(cnt) = log2(12) - log2(rank)
+    # exactly (cnt = 12 / rank), so OLS recovers slope -1.
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (row,) = zipf_slope_by(docs, "text").collect()
+    assert row.n_types == 4
+    assert row.zipf_slope == pytest.approx(-1.0, abs=1e-9)
+    assert row.zipf_intercept == pytest.approx(math.log2(12.0), abs=1e-9)
+
+
+def test_zipf_slope_grouped_and_topn(spark):
+    from polars_text_spark.operators.quality import zipf_slope_by
+
+    docs = spark.createDataFrame(
+        [("en", "a a b"), ("de", "x x x x y y z w")],
+        "lang string, text string",
+    )
+    out = {
+        r.lang: r
+        for r in zipf_slope_by(docs, "text", "lang", top_n=2).collect()
+    }
+    assert out["en"].n_types == 2 and out["de"].n_types == 2
+
+
+# ---- mixture rebalance ---------------------------------------------------
+
+
+def test_mixture_rates_formula():
+    from polars_text_spark.operators.sampling import mixture_rates
+
+    # en most under-represented vs its weight -> kept whole.
+    rates = mixture_rates({"en": 100, "de": 300}, {"en": 0.5, "de": 0.5})
+    assert rates["en"] == 1.0
+    assert rates["de"] == pytest.approx(100 / 300)
+    with pytest.raises(ValueError):
+        mixture_rates({"en": 10}, {"en": 0.0})
+    with pytest.raises(ValueError):
+        mixture_rates({"en": 10}, {"fr": 1.0})
+
+
+def test_mixture_rebalance_composition_and_determinism(spark):
+    from polars_text_spark.operators.sampling import mixture_rebalance
+
+    rows = [(i, "major" if i % 4 else "minor") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = mixture_rebalance(df, {"major": 0.5, "minor": 0.5}, "stratum", "doc_id")
+    counts = {r[0]: r[1] for r in out.groupBy("stratum").count().collect()}
+    # minor (100 rows) binds -> kept whole; major sampled ~100 of 300.
+    assert counts["minor"] == 100
+    assert 70 <= counts["major"] <= 130
+    # Deterministic: identical selection on rerun.
+    ids1 = sorted(r.doc_id for r in out.collect())
+    out2 = mixture_rebalance(df, {"major": 0.5, "minor": 0.5}, "stratum", "doc_id")
+    ids2 = sorted(r.doc_id for r in out2.collect())
+    assert ids1 == ids2

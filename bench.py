@@ -43,17 +43,28 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
+        # Fault isolation: one broken query must never abort the whole
+        # bench (round 4 shipped zero numbers because it did).
         best = float("inf")
         for _ in range(reps):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-            release_tracked()
-        timings[name] = round(best, 3)
+            try:
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            except Exception as exc:  # noqa: BLE001 — record and move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            finally:
+                release_tracked()
+        if name in errors:
+            timings[name] = {"err": errors[name]}
+        else:
+            timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {
@@ -61,6 +72,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": len(errors),
                 "sf": sf,
             }
         )

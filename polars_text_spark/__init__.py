@@ -70,6 +70,8 @@ from polars_text_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
 )
+from polars_text_spark.operators.interval import interval_join
+from polars_text_spark.operators.pii import pii_counts, redact_pii
 from polars_text_spark.operators.search import bm25_scores, bm25_topk
 from polars_text_spark.operators.similarity import (
     cosine_topk,
@@ -77,6 +79,8 @@ from polars_text_spark.operators.similarity import (
     cosine_topk_lsh,
     cosine_topk_quantized,
     quantize_vec,
+    with_l2_normalized,
+    with_quantized,
 )
 from polars_text_spark.operators.token_frequencies import (
     token_frequencies,
@@ -118,7 +122,12 @@ __all__ = [
     "pack_sequences",
     "predefined_model_records",
     "prefetch_model",
+    "interval_join",
+    "pii_counts",
     "quantize_vec",
+    "redact_pii",
+    "with_l2_normalized",
+    "with_quantized",
     "register_sql_functions",
     "sentence_count",
     "sequence_manifest",

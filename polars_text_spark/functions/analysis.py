@@ -23,6 +23,7 @@ __all__ = [
     "detect_language",
     "doc_fingerprint",
     "dup_word_frac",
+    "line_stats",
     "normalize_text",
     "quality_score",
     "remove_stopwords",
@@ -191,6 +192,54 @@ def dup_word_frac(col: Column | str) -> Column:
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
     )
     return F.when(c.isNull(), F.lit(0.0)).otherwise(frac).alias("dup_word_frac")
+
+
+def line_stats(col: Column | str) -> Column:
+    """Line-level quality signals (Gopher-style heuristics, which are
+    defined over LINES, unlike the doc-level ratios above): ``struct(
+    n_lines, blank_ratio, bullet_ratio, ellipsis_ratio,
+    mean_line_len)``.
+
+    - ``bullet_ratio``: fraction of non-blank lines starting with a
+      bullet marker (``-``, ``*``, ``•`` + space) — Gopher drops docs
+      with >90% bullet lines;
+    - ``ellipsis_ratio``: fraction of non-blank lines ending in
+      ``...`` or ``…`` — Gopher drops >30%;
+    - ``blank_ratio``: blank lines / all lines;
+    - ``mean_line_len``: mean raw character length over all lines.
+
+    Split + higher-order ``filter``/``aggregate`` built-ins — one
+    projection, no explode, no shuffle. NULL text -> NULL struct.
+    """
+    c = _col(col)
+    lines = F.split(c, "\n")
+    n = F.size(lines).cast("double")
+    trimmed = F.transform(lines, F.trim)
+    nonblank = F.filter(trimmed, lambda x: x != F.lit(""))
+    n_nb = F.size(nonblank).cast("double")
+    bullets = F.size(
+        F.filter(
+            nonblank,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("• "),
+        )
+    ).cast("double")
+    ellipsis = F.size(
+        F.filter(nonblank, lambda x: x.endswith("...") | x.endswith("…"))
+    ).cast("double")
+    total_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    ratio = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    stats = F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        ratio(n - n_nb, n).alias("blank_ratio"),
+        ratio(bullets, n_nb).alias("bullet_ratio"),
+        ratio(ellipsis, n_nb).alias("ellipsis_ratio"),
+        ratio(total_len, n).alias("mean_line_len"),
+    )
+    # without the guard the struct itself is non-null for NULL text
+    # (each field independently nulls/zeroes out)
+    return F.when(c.isNotNull(), stats)
 
 
 def doc_fingerprint(col: Column | str) -> Column:

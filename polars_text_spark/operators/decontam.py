@@ -19,18 +19,28 @@ __all__ = ["token_ngrams", "ngram_contamination"]
 
 def token_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-gram shingles of lower(trim(text)), whitespace
-    tokenized. Docs with fewer than ``n`` tokens contribute their
-    whole (normalized) text as a single shingle, mirroring the dedup
-    shingle convention (operators/dedup.py token_shingles) so short
-    docs are never silently invisible."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    tokenized. Docs with fewer than ``n`` tokens (but at least one)
+    contribute their whole (normalized) text as a single shingle,
+    mirroring the dedup shingle convention (operators/dedup.py
+    token_shingles) so short docs are never silently invisible.
+
+    Empty tokens are filtered FIRST: ``split('')`` is ``['']``, so
+    without the filter every blank/whitespace-only doc used to emit a
+    single ``''`` shingle — and one blank benchmark doc then marked
+    every blank candidate contaminated. Token-less docs now emit an
+    empty shingle array (no rows after explode)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
+    )
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(F.array_distinct(grams))
+    return (
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array_distinct(grams))
+    )
 
 
 def ngram_contamination(

@@ -621,14 +621,20 @@ def embedding_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket candidates."""
-    from polars_text_spark.operators.similarity import dot, l2_normalize, lsh_band_keys
+    from polars_text_spark.operators.similarity import (
+        dot,
+        lsh_band_keys,
+        with_l2_normalized,
+    )
 
     keys = lsh_band_keys(
         F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands, seed=seed
     )
-    banded = vectors.select(
-        F.col(id_col).alias("id"),
-        l2_normalize(F.col(vec_col)).alias("vec"),
+    banded = with_l2_normalized(
+        vectors.select(F.col(id_col).alias("id"), vec_col), vec_col, "vec"
+    ).select(
+        "id",
+        "vec",
         F.explode(keys).alias("band_key"),
     )
     left = banded.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band_key")

@@ -1,0 +1,92 @@
+"""Binned interval (range) join — a custom operator Spark lacks.
+
+``point.ts BETWEEN interval.start AND interval.end`` has no equi-join
+key, so open-source Catalyst plans it as a broadcast-nested-loop (or a
+cartesian) — O(points x intervals) comparisons, the classic 100 TB
+cliff. The standard fix is BUCKETING the time axis:
+
+- every interval explodes into the fixed-width buckets it overlaps
+  (fan-out = interval_length/bucket + 1, bounded and known);
+- every point lands in exactly ONE bucket;
+- the join becomes a plain equi-join on (keys..., bucket) — one hash
+  shuffle — followed by the exact containment filter.
+
+A (point, interval) pair can meet in at most one bucket (the point's),
+so no post-join dedup is needed. Pick ``bucket_seconds`` near the
+typical interval length: too small inflates the interval fan-out, too
+large inflates candidate pairs per bucket.
+
+The reference has no temporal joins at all (SURVEY.md §2.2); DuckDB's
+plain ``JOIN ... ON ts BETWEEN lo AND hi`` is the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["interval_join"]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    on: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= ts <= end`` (inclusive both ends — DuckDB ``BETWEEN``)
+    and matching ``on`` keys.
+
+    Returns all point columns plus all interval columns; column names
+    (outside ``on``) must be disjoint. ``how='left'`` keeps unmatched
+    points with NULL interval columns (implemented as a second
+    anti-join pass so the hot path stays a pure equi-join).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    on = list(on)
+    dup = (set(points.columns) - set(on)) & (set(intervals.columns) - set(on))
+    if dup:
+        raise ValueError(f"column collision outside join keys: {sorted(dup)}")
+
+    b_us = int(bucket_seconds) * 1_000_000
+    p = points.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(b_us))
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(b_us)),
+                F.floor(F.unix_micros(F.col(end_col)) / F.lit(b_us)),
+            )
+        ),
+    )
+    joined = (
+        p.join(iv, on + ["__bucket"], "inner")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+    if how == "inner":
+        return joined
+    if how == "left":
+        matched_keys = joined.select(*points.columns)
+        unmatched = p.drop("__bucket").exceptAll(matched_keys)
+        for c in intervals.columns:
+            if c not in on:
+                unmatched = unmatched.withColumn(
+                    c, F.lit(None).cast(dict(intervals.dtypes)[c])
+                )
+        return joined.unionByName(unmatched.select(*joined.columns))
+    raise ValueError(f"how must be 'inner' or 'left', got {how!r}")

@@ -86,15 +86,22 @@ def sequence_manifest(
     budget: int,
     *,
     id_cols: tuple[str, ...] = ("doc_id",),
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Explode :func:`pack_sequences` output into the per-sequence
     slice list a training job consumes: one row per (sequence, doc
-    slice), so ``groupBy(seq_id)`` yields exactly the docs (and token
-    ranges) to concatenate for that sequence.
+    slice). ``seq_id`` is SHARD-LOCAL (pack_sequences numbers each
+    shard's stream independently), so the manifest's grouping key is
+    ``(shard_col, seq_id)`` when the packing was sharded — pass the
+    same ``shard_col`` you packed with and ``groupBy(shard_col,
+    "seq_id")`` yields exactly the docs (and token ranges) to
+    concatenate for each sequence. Without a shard the key is plain
+    ``seq_id``.
 
-    Columns: ``id_cols`` + ``seq_id`` + ``seq_pos`` (where the slice
-    starts inside the sequence), ``doc_tok_start`` (where it starts
-    inside the doc), ``slice_len``. Zero-token docs emit no rows.
+    Columns: ``shard_col`` (if any) + ``id_cols`` + ``seq_id`` +
+    ``seq_pos`` (where the slice starts inside the sequence),
+    ``doc_tok_start`` (where it starts inside the doc), ``slice_len``.
+    Zero-token docs emit no rows.
 
     The explode fan-out is ``n_seqs`` per doc — bounded by
     ``tok/budget + 1``, so the manifest is ~``corpus_tokens/budget``
@@ -103,11 +110,14 @@ def sequence_manifest(
     """
     if budget <= 0:
         raise ValueError("budget must be a positive token count")
+    out_cols = tuple(id_cols)
+    if shard_col is not None and shard_col not in out_cols:
+        out_cols = (shard_col, *out_cols)
     tok = F.col(token_count_col).cast("long")
     seq = F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
         "seq_id"
     )
-    rows = packed.filter(tok > 0).select(*id_cols, "stream_start", tok.alias("__tok"), seq)
+    rows = packed.filter(tok > 0).select(*out_cols, "stream_start", tok.alias("__tok"), seq)
     s = F.col("seq_id")
     seq_lo = s * budget
     slice_start_stream = F.greatest(F.col("stream_start"), seq_lo)
@@ -115,7 +125,7 @@ def sequence_manifest(
         F.col("stream_start") + F.col("__tok"), seq_lo + budget
     )
     return rows.select(
-        *id_cols,
+        *out_cols,
         "seq_id",
         (slice_start_stream - seq_lo).alias("seq_pos"),
         (slice_start_stream - F.col("stream_start")).alias("doc_tok_start"),

@@ -70,20 +70,32 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. language rebalancing:
     downsample dominant languages, keep the tail whole). ``rates``
-    maps stratum values to keep-rates; unlisted strata use
-    ``default_rate``. Single scan, no shuffle — the stratum rate is a
-    CASE expression over the broadcastable rate table."""
-    h = F.sha2(F.concat(F.col(key_col).cast("string"), F.lit(salt)), 256)
-    bucket = F.substring(h, 1, 8)
-    pred = None
-    for value, rate in rates.items():
-        cond = (F.col(stratum_col) == value) & (
-            sample_predicate(F.col(key_col), rate, salt)
+    maps stratum values to keep-rates; unlisted strata — including
+    rows whose stratum is NULL, which never equals any listed value —
+    use ``default_rate``. Single scan, no shuffle — the stratum rate
+    is a CASE expression over the broadcastable rate table."""
+    if any(value is None for value in rates):
+        raise ValueError(
+            "NULL strata cannot be listed in rates; they follow default_rate"
         )
-        pred = cond if pred is None else pred | cond
-    others = ~F.col(stratum_col).isin(*rates.keys())
+    if not rates and default_rate <= 0.0:
+        raise ValueError(
+            "stratified_sample with empty rates and default_rate=0 would keep "
+            "nothing; pass per-stratum rates or a positive default_rate"
+        )
+    pred = F.lit(False)
+    for value, rate in rates.items():
+        pred = pred | (
+            (F.col(stratum_col) == value)
+            & sample_predicate(F.col(key_col), rate, salt)
+        )
     if default_rate > 0.0:
-        pred = pred | (others & (bucket < F.lit(rate_threshold_hex(default_rate))))
+        # NULL-aware "unlisted" test: `~isin(...)` is NULL (not true)
+        # for NULL strata, which used to silently drop them even at
+        # default_rate=1.0 — OR with an explicit isNull arm.
+        listed = F.col(stratum_col).isin(*rates.keys()) if rates else F.lit(False)
+        others = F.col(stratum_col).isNull() | ~listed
+        pred = pred | (others & sample_predicate(F.col(key_col), default_rate, salt))
     return df.filter(pred)
 
 

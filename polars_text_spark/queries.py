@@ -777,18 +777,19 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-checkable twin of the LSH-bucketed embedding_dup_pairs op).
     Vectors are L2-normalized per ROW before the join so the per-pair
     work is a single dot product."""
-    from polars_text_spark.operators.similarity import dot, l2_normalize
+    from polars_text_spark.operators.similarity import dot, with_l2_normalized
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = vecs.select(
+    unit = with_l2_normalized(vecs, "embedding", "__unit")
+    a = unit.select(
         "label",
         F.col("vec_id").alias("id_a"),
-        l2_normalize(F.col("embedding")).alias("va"),
+        F.col("__unit").alias("va"),
     )
-    b = vecs.select(
+    b = unit.select(
         "label",
         F.col("vec_id").alias("id_b"),
-        l2_normalize(F.col("embedding")).alias("vb"),
+        F.col("__unit").alias("vb"),
     )
     return (
         a.join(b, "label")
@@ -1342,7 +1343,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_ngrams",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '') AS t
       FROM documents WHERE text IS NOT NULL),
     sh AS (
       SELECT doc_id,
@@ -1350,7 +1353,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE list_distinct([array_to_string(t[i:i+3], ' ')
                          for i in generate_series(1, len(t)-3)])
                     END) AS s
-      FROM toks),
+      FROM toks WHERE len(t) > 0),
     bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id % 10 = 0)
     SELECT a.doc_id,
            CAST(count(DISTINCT a.s) AS BIGINT) AS n_shared_shingles,
@@ -1471,7 +1474,7 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, "tok", 512, order_col="doc_id", shard_col="lang"
     )
     return sequence_manifest(
-        packed, "tok", 512, id_cols=("doc_id", "lang")
+        packed, "tok", 512, id_cols=("doc_id",), shard_col="lang"
     )
 
 
@@ -1753,6 +1756,182 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = mixture_rebalance(docs, _MIX_WEIGHTS, "lang", "doc_id")
     return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Round 5 additions: PII redaction, line-level Gopher heuristics,
+# interval (range) join. The synthetic docs carry no PII or newlines,
+# so the first two queries SYNTHESIZE the structure deterministically
+# from doc fields — with the identical expression in the oracle — so
+# the regex/line machinery is genuinely exercised, not vacuously zero.
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle_sql() -> str:
+    from polars_text_spark.operators.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    enrich = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via +1 (415) 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.77'"
+    )
+    red = "t"
+    for pat, tok in (
+        (EMAIL_PATTERN, "[EMAIL]"),
+        (IPV4_PATTERN, "[IP]"),
+        (PHONE_PATTERN, "[PHONE]"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return (
+        "WITH enriched AS (SELECT doc_id, " + enrich + " AS t"
+        " FROM documents WHERE text IS NOT NULL)"
+        " SELECT doc_id,"
+        f" CAST(len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,"
+        f" CAST(len(regexp_extract_all(t, '{IPV4_PATTERN}')) AS BIGINT) AS n_ipv4,"
+        f" CAST(len(regexp_extract_all(t, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,"
+        f" CAST(length({red}) AS BIGINT) AS redacted_len"
+        " FROM enriched"
+    )
+
+
+@query("pii_scan", _pii_oracle_sql())
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-doc email/IPv4/phone match counts plus the
+    redacted length. Pure regexp built-ins fused into the scan — the
+    100 TB shape is a map-only projection, no shuffle. The identical
+    pattern strings run in the DuckDB oracle (common Java-regex/RE2
+    subset, exported from operators/pii.py)."""
+    from polars_text_spark.operators.pii import pii_counts, redact_pii
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via +1 (415) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77"),
+        ).alias("t"),
+    )
+    return enriched.select(
+        "doc_id",
+        pii_counts("t").alias("p"),
+        F.length(redact_pii("t")).cast("long").alias("redacted_len"),
+    ).select(
+        "doc_id",
+        F.col("p.n_emails").alias("n_emails"),
+        F.col("p.n_ipv4").alias("n_ipv4"),
+        F.col("p.n_phones").alias("n_phones"),
+        "redacted_len",
+    )
+
+
+@query(
+    "gopher_line_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               ' the ', chr(10) || '- ', 'g'),
+               ' data ', '...' || chr(10), 'g') AS tx
+      FROM documents WHERE text IS NOT NULL),
+    lines AS (
+      SELECT doc_id, unnest(string_split(tx, chr(10))) AS line FROM t),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_lines,
+             count(*) FILTER (trim(line) = '') AS n_blank,
+             count(*) FILTER (trim(line) <> '') AS n_nb,
+             count(*) FILTER (trim(line) <> '' AND
+               (trim(line) LIKE '- %' OR trim(line) LIKE '* %'
+                OR trim(line) LIKE '• %')) AS n_bullet,
+             count(*) FILTER (trim(line) <> '' AND
+               (trim(line) LIKE '%...' OR trim(line) LIKE '%…')) AS n_ellipsis,
+             sum(length(line)) AS total_len
+      FROM lines GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           round(CASE WHEN n_lines > 0 THEN n_blank * 1.0 / n_lines
+                 ELSE 0 END, 6) AS blank_ratio,
+           round(CASE WHEN n_nb > 0 THEN n_bullet * 1.0 / n_nb
+                 ELSE 0 END, 6) AS bullet_ratio,
+           round(CASE WHEN n_nb > 0 THEN n_ellipsis * 1.0 / n_nb
+                 ELSE 0 END, 6) AS ellipsis_ratio,
+           round(CASE WHEN n_lines > 0 THEN total_len * 1.0 / n_lines
+                 ELSE 0 END, 6) AS mean_line_len
+    FROM agg
+    """,
+)
+def q_gopher_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level Gopher quality heuristics (bullet-line ratio,
+    ellipsis-line ratio, blank ratio, mean line length). The corpus is
+    single-line, so lines are synthesized deterministically (' the '
+    -> newline + bullet, ' data ' -> ellipsis + newline) identically
+    in both engines. One projection of higher-order array built-ins —
+    no explode on the Spark side, so the 100 TB plan stays map-only
+    while the oracle uses unnest + group-by."""
+    from polars_text_spark.functions.analysis import line_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tx = F.regexp_replace(
+        F.regexp_replace(F.col("text"), " the ", "\n- "), " data ", "...\n"
+    )
+    s = docs.select("doc_id", line_stats(tx).alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.n_lines").alias("n_lines"),
+        F.round("s.blank_ratio", 6).alias("blank_ratio"),
+        F.round("s.bullet_ratio", 6).alias("bullet_ratio"),
+        F.round("s.ellipsis_ratio", 6).alias("ellipsis_ratio"),
+        F.round("s.mean_line_len", 6).alias("mean_line_len"),
+    )
+
+
+@query(
+    "events_first_hour",
+    """
+    WITH f AS (SELECT user_id, min(ts) AS s FROM events GROUP BY user_id)
+    SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_first_hour
+    FROM events e JOIN f ON e.user_id = f.user_id
+     AND e.ts BETWEEN f.s AND f.s + INTERVAL 1 HOUR
+    GROUP BY e.user_id
+    """,
+)
+def q_events_first_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: count each user's events inside their
+    first active hour. Catalyst would plan the raw BETWEEN condition
+    as a broadcast-nested-loop; interval_join buckets the time axis so
+    it becomes ONE equi-join shuffle on (user_id, bucket) + an exact
+    containment filter — the shape that survives 100 TB of events."""
+    from polars_text_spark.operators.interval import interval_join
+    from polars_text_spark.sources.catalog import load_events
+
+    events = load_events(spark, sf_dir)
+    intervals = events.groupBy("user_id").agg(F.min("ts").alias("start_ts"))
+    intervals = intervals.withColumn(
+        "end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    joined = interval_join(
+        events.select("user_id", "event_id", "ts"),
+        intervals,
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        on=["user_id"],
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_first_hour")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -38,17 +38,42 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default. Read nanos as long and convert to a
-    microsecond timestamp (floor division — matches DuckDB's own
-    ns -> us truncation, so oracles agree)."""
-    from pyspark.sql import functions as F
+    """Schema-adaptive events reader: normalize ``ts`` to a session-TZ
+    ``timestamp`` column whatever the on-disk parquet encoding is.
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer division: `/` would promote epoch-nanos (~1.7e18, double
-    # ulp = 256 there) to double and round across us boundaries.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    Real event-log deployments accumulate partition vintages with
+    different physical timestamp encodings, so the reader branches on
+    what the scan actually reports instead of hardcoding one:
+
+    - ``TimestampType`` — pass through.
+    - ``TimestampNTZType`` (plain ``timestamp[us]`` parquet, no UTC
+      adjustment flag) — cast to ``timestamp``; the session time zone
+      is pinned to UTC in :mod:`polars_text_spark.session`, so the
+      wall-clock values are preserved and match DuckDB's naive read.
+    - ``LongType`` / read failure — TIMESTAMP(NANOS) vintage, which
+      Spark's reader rejects unless surfaced as raw longs via
+      ``spark.sql.legacy.parquet.nanosAsLong``. Convert with integer
+      division: ``/`` would promote epoch-nanos (~1.7e18, double
+      ulp = 256 there) to double and round across us boundaries;
+      ``div`` floors, matching DuckDB's own ns -> us truncation.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        raw = spark.read.parquet(path)
+        ts_type = raw.schema["ts"].dataType
+    except Exception:
+        # Unreadable without the legacy conf => nanos vintage.
+        ts_type = None
+    if ts_type is None or isinstance(ts_type, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:

@@ -32,15 +32,27 @@ def write_partitioned(
     *,
     files_per_partition: int = 1,
     mode: str = "overwrite",
+    salt_col: str | None = None,
 ) -> None:
     """Write a corpus as a hive-partitioned parquet tree.
 
     ``files_per_partition`` bounds output files per partition dir via
     a salted repartition (files ≈ partitions × files_per_partition),
-    so a 1000-task upstream job doesn't emit 1000 slivers per dir."""
-    salt = (F.crc32(F.concat_ws("\x1f", *df.columns)) % files_per_partition).alias(
-        "__salt"
-    )
+    so a 1000-task upstream job doesn't emit 1000 slivers per dir.
+
+    The salt must be CHEAP and total: pass ``salt_col`` (an id-like
+    scalar column) to salt from ``crc32`` of that one value, else a
+    row-number salt is used. The old scheme — crc32 over a concat of
+    EVERY column — hashed full document text per row and threw an
+    AnalysisException outright on array/struct/map columns (concat_ws
+    only takes strings), e.g. any frame carrying an embedding."""
+    if salt_col is not None:
+        salt = F.crc32(F.col(salt_col).cast("string")) % files_per_partition
+    else:
+        # Row-number salt: even spread over the bucket count with no
+        # content hashing at all (file bounding needs no determinism).
+        salt = F.monotonically_increasing_id() % files_per_partition
+    salt = salt.alias("__salt")
     (
         df.withColumn("__salt", salt)
         .repartition(*[F.col(c) for c in partition_cols], F.col("__salt"))

@@ -44,9 +44,23 @@ def main() -> None:
     ).filter(F.col("quality_score") >= 0.5)
     print(f"kept {cleaned.count()} / {docs.count()} docs")
 
+    print("== 2b. PII redaction ==")
+    cleaned = cleaned.withColumn("text", pts.redact_pii("text"))
+    n_pii = cleaned.filter(F.col("text").contains("[EMAIL]")).count()
+    print(f"docs with redacted emails: {n_pii}")
+
     print("== 3. exact dedup ==")
     deduped = pts.exact_dedup(cleaned, "text", "doc_id")
     print(f"after exact dedup: {deduped.count()} docs")
+
+    print("== 3b. boilerplate signal (paragraph-level dedup) ==")
+    para = pts.chunk_dup_stats(deduped, "text", "doc_id", sep="\n\n")
+    deduped = deduped.join(
+        para.select("doc_id", "dup_chunk_frac"), "doc_id", "left"
+    ).filter(
+        F.coalesce(F.col("dup_chunk_frac"), F.lit(0.0)) <= 0.9
+    ).drop("dup_chunk_frac")
+    print(f"after dropping >90%-boilerplate docs: {deduped.count()} docs")
 
     print("== 4. near-dedup: pairs -> families -> canonical keep ==")
     pairs = pts.minhash_lsh_pairs(deduped, "text", "doc_id", jaccard_threshold=0.9)
@@ -93,7 +107,7 @@ def main() -> None:
         counted, "n_tok", 512, order_col="doc_id", shard_col="lang"
     )
     manifest = pts.sequence_manifest(packed, "n_tok", 512,
-                                     id_cols=("doc_id", "lang"))
+                                     shard_col="lang")
     manifest.groupBy("lang").agg(
         F.countDistinct("seq_id").alias("sequences"),
         F.sum("slice_len").alias("tokens"),

@@ -70,9 +70,11 @@ from polars_text_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
 )
+from polars_text_spark.operators.chunks import chunk_dup_stats, explode_chunks
 from polars_text_spark.operators.interval import interval_join
 from polars_text_spark.operators.pii import pii_counts, redact_pii
 from polars_text_spark.operators.search import bm25_scores, bm25_topk
+from polars_text_spark.operators.skew import salted_join
 from polars_text_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
@@ -122,10 +124,13 @@ __all__ = [
     "pack_sequences",
     "predefined_model_records",
     "prefetch_model",
+    "chunk_dup_stats",
+    "explode_chunks",
     "interval_join",
     "pii_counts",
     "quantize_vec",
     "redact_pii",
+    "salted_join",
     "with_l2_normalized",
     "with_quantized",
     "register_sql_functions",

@@ -214,7 +214,10 @@ def line_stats(col: Column | str) -> Column:
     c = _col(col)
     lines = F.split(c, "\n")
     n = F.size(lines).cast("double")
-    trimmed = F.transform(lines, F.trim)
+    # lambda, NOT a bare F.trim reference: trim() has an optional
+    # second param (the charset), so transform() would bind the
+    # element INDEX to it and silently not trim
+    trimmed = F.transform(lines, lambda x: F.trim(x))
     nonblank = F.filter(trimmed, lambda x: x != F.lit(""))
     n_nb = F.size(nonblank).cast("double")
     bullets = F.size(

@@ -1,0 +1,78 @@
+"""Sub-document (paragraph/chunk) deduplication statistics
+(beyond-reference, RefinedWeb/FineWeb-style curation).
+
+Whole-document dedup misses the dominant duplication mode in web
+corpora: boilerplate PARAGRAPHS (nav bars, license blocks, cookie
+banners) repeated across otherwise-distinct pages. This operator
+splits each document into chunks, fingerprints every chunk, and
+reports per-document how much of it is corpus-wide repeated material
+— the standard signal for "strip the boilerplate / drop the doc".
+
+Scale shape: chunks shuffle as (sha256, count) pairs — the text
+itself never leaves the initial scan projection; the corpus-wide
+chunk-frequency table is ONE hash aggregate on the 64-hex fingerprint,
+joined back by fingerprint (both sides pre-hashed, equi-join). At
+100 TB this is two shuffles of fixed-width keys, no array payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["explode_chunks", "chunk_dup_stats"]
+
+
+def explode_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """One row per non-blank chunk: ``(id_col, chunk_idx, chunk)``.
+    Chunks are trimmed; ``chunk_idx`` is the 0-based position among
+    the KEPT (non-blank) chunks, so downstream slice bookkeeping is
+    dense. NULL text yields no rows."""
+    # lambda, NOT a bare F.trim reference: trim() has an optional
+    # second param (the charset), so transform() would bind the
+    # element INDEX to it and silently not trim
+    trimmed = F.transform(
+        F.split(F.col(text_col), F.lit(sep)), lambda x: F.trim(x)
+    )
+    kept = F.filter(trimmed, lambda x: x != F.lit(""))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.posexplode(kept).alias("chunk_idx", "chunk")
+    )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Per-document chunk-duplication profile: ``(id_col, n_chunks,
+    n_dup_chunks, dup_chunk_frac)`` where a chunk counts as duplicated
+    when its exact (trimmed) text occurs more than once corpus-wide —
+    including repeats inside the same document. Docs with no
+    non-blank chunks are absent (no chunks, no signal)."""
+    chunks = explode_chunks(df, text_col, id_col, sep=sep).select(
+        id_col, F.sha2(F.col("chunk"), 256).alias("__fp")
+    )
+    freq = chunks.groupBy("__fp").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        chunks.join(freq, "__fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_frac",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )

@@ -1934,6 +1934,78 @@ def q_events_first_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "paragraph_dedup_stats",
+    """
+    WITH chunks AS (
+      SELECT doc_id, trim(c) AS chunk
+      FROM (SELECT doc_id, unnest(string_split(
+              regexp_replace(text, ' table ', chr(10) || chr(10), 'g'),
+              chr(10) || chr(10))) AS c
+            FROM documents WHERE text IS NOT NULL)
+      WHERE trim(c) <> ''),
+    freq AS (
+      SELECT sha256(chunk) AS fp, count(*) AS n
+      FROM chunks GROUP BY sha256(chunk))
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (f.n > 1) AS BIGINT) AS n_dup_chunks,
+           round(count(*) FILTER (f.n > 1) * 1.0 / count(*), 6)
+             AS dup_chunk_frac
+    FROM chunks c JOIN freq f ON sha256(c.chunk) = f.fp
+    GROUP BY c.doc_id
+    """,
+)
+def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup profile: fraction of each doc's paragraphs
+    that are corpus-wide repeats (the RefinedWeb boilerplate signal).
+    The single-line corpus gets paragraph breaks synthesized
+    deterministically (' table ' -> blank line) identically in both
+    engines. Chunks shuffle as sha256 fingerprints only — text never
+    enters a shuffle."""
+    from polars_text_spark.operators.chunks import chunk_dup_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    synth = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " table ", "\n\n").alias("text"),
+    )
+    return chunk_dup_stats(synth, "text", "doc_id", sep="\n\n")
+
+
+@query(
+    "salted_order_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through a SALTED lineitem⋈orders
+    join: the hot-key mitigation for shuffle joins where one key would
+    otherwise pin a straggler task. Salting is row-equivalent to the
+    plain join (the oracle IS the plain join) — it only spreads each
+    key over `salt` reducers, which is the point at 100 TB."""
+    from polars_text_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["orderkey"], salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (driver smoke): per-language document profile.
 # ---------------------------------------------------------------------------

@@ -76,6 +76,19 @@ def test_line_stats_hand_computed(spark):
     )
 
 
+def test_line_stats_space_padded_lines(spark):
+    """Padded lines must be trimmed before the blank/bullet/ellipsis
+    tests (regression: a bare F.trim reference inside transform()
+    bound the element index to trim's charset param and did nothing)."""
+    text = "   \n  - padded bullet  \n  ends with...  "
+    df = spark.createDataFrame([(text,)], "text string")
+    s = df.select(line_stats("text").alias("s")).collect()[0]["s"]
+    assert s["n_lines"] == 3
+    assert s["blank_ratio"] == pytest.approx(1 / 3)
+    assert s["bullet_ratio"] == pytest.approx(1 / 2)
+    assert s["ellipsis_ratio"] == pytest.approx(1 / 2)
+
+
 def test_line_stats_single_line_and_null(spark):
     df = spark.createDataFrame([(1, "no newlines"), (2, None)], "id long, text string")
     out = {r["id"]: r["s"] for r in df.select("id", line_stats("text").alias("s")).collect()}

@@ -1,0 +1,109 @@
+"""Salted-join semantics + physical-plan assertions for the round-5
+operators (interval join, PII scan, salted join): pin the plan we'd
+want at 100 TB, not just a plan that passes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.interval import interval_join
+from polars_text_spark.operators.pii import pii_counts, redact_pii
+from polars_text_spark.operators.skew import salted_join
+from polars_text_spark.plans import explain_str
+
+
+def _skewed_frames(spark):
+    # one hot key carrying 80% of the big side
+    big = spark.createDataFrame(
+        [(("hot" if i % 5 != 0 else f"k{i}"), i) for i in range(500)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k5", 3), ("absent", 4)], "k string, w long"
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_inner(spark):
+    big, small = _skewed_frames(spark)
+    for salt in (1, 4, 16):
+        got = salted_join(big, small, ["k"], salt=salt)
+        plain = big.join(small, ["k"])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), salt
+
+
+def test_salted_join_matches_plain_left(spark):
+    big, small = _skewed_frames(spark)
+    got = salted_join(big, small, ["k"], salt=4, how="left")
+    plain = big.join(small, ["k"], "left")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_validations(spark):
+    big, small = _skewed_frames(spark)
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(big, small, ["k"], salt=0)
+    with pytest.raises(ValueError, match="how"):
+        salted_join(big, small, ["k"], how="right")
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """With broadcast disabled, the shuffle key must include the salt
+    — that's the whole mechanism (a hot key spreads over `salt`
+    reducers)."""
+    big, small = _skewed_frames(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(salted_join(big, small, ["k"], salt=8))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "__salt" in plan
+    assert "hashpartitioning(k" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The binned range join must never degrade to the
+    nested-loop/cartesian plan Catalyst gives raw BETWEEN conditions."""
+    import datetime
+
+    points = spark.createDataFrame(
+        [(1, "u", datetime.datetime(2024, 1, 1, 9))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("u", datetime.datetime(2024, 1, 1, 8), datetime.datetime(2024, 1, 1, 10))],
+        "user_id string, start_ts timestamp, end_ts timestamp",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(
+            interval_join(points, intervals, on=["user_id"], bucket_seconds=3600)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on (user_id, bucket): the bucket reaches the join key
+    assert "__bucket" in plan
+
+
+def test_pii_scan_is_map_only(spark, sf_dir):
+    """PII counting/redaction is a projection fused into the scan: no
+    Exchange (shuffle) anywhere in the plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select(
+        "doc_id",
+        pii_counts("text").alias("p"),
+        F.length(redact_pii("text")).alias("rl"),
+    )
+    plan = explain_str(q)
+    assert "Exchange" not in plan
+    # column pruning: the scan must not read lang/source
+    assert "lang" not in plan.split("ReadSchema")[-1][:200]

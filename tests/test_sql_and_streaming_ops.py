@@ -89,11 +89,16 @@ def test_elementwise_ops_are_stream_safe(spark, sf_dir, tmp_path):
     stream = (
         spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(drop_dir)
     )
+    from polars_text_spark.functions.analysis import line_stats
+    from polars_text_spark.operators.pii import redact_pii
+
     transformed = stream.select(
         "doc_id",
         clean_text("text"),
         word_count("text"),
         tokenize("text", model="native:plain_words_en"),
+        redact_pii("text").alias("red"),
+        line_stats("text").alias("ls"),
     )
     q = (
         transformed.writeStream.format("memory")
@@ -106,9 +111,12 @@ def test_elementwise_ops_are_stream_safe(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM docs_ops").collect()
     assert len(got) == 50
     batch = {r.doc_id: r for r in docs.select(
-        "doc_id", clean_text("text"), word_count("text")
+        "doc_id", clean_text("text"), word_count("text"),
+        redact_pii("text").alias("red"), line_stats("text").alias("ls"),
     ).collect()}
     for r in got:
         assert r.clean_text == batch[r.doc_id].clean_text
         assert r.word_count == batch[r.doc_id].word_count
         assert len(r.tokens) == r.word_count  # all-word corpus
+        assert r.red == batch[r.doc_id].red
+        assert r.ls == batch[r.doc_id].ls

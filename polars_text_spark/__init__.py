@@ -16,10 +16,14 @@ re-expresses every operator Spark-first:
   (mirroring the reference's ``is_elementwise=False`` break from the
   expression model);
 - beyond-reference: dedup (exact/MinHash-LSH/SimHash/ngram-Jaccard/
-  embedding-cosine), ANN similarity search, language-ID / quality
-  scoring, multimodal binary-column plumbing, and streaming-safe
-  variants — the LLM-training-data-pipeline operators the reference
-  lacks, designed for 100 TB scale.
+  embedding-cosine, plus paragraph-level stats and boilerplate
+  strip/rebuild), ANN similarity search (exact/LSH/IVF/int8),
+  language-ID / quality scoring / line-level Gopher heuristics, PII
+  scan + redaction, as-of / bucketed-interval / salted skew joins,
+  deterministic sampling + mixture rebalancing, sequence packing,
+  multimodal binary-column plumbing, and streaming-safe variants —
+  the LLM-training-data-pipeline operators the reference lacks,
+  designed for 100 TB scale.
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ from polars_text_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     set_similarity_jaccard_pairs,
+    sha_token_hash,
     simhash,
     simhash_pairs,
 )
@@ -70,7 +75,11 @@ from polars_text_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
 )
-from polars_text_spark.operators.chunks import chunk_dup_stats, explode_chunks
+from polars_text_spark.operators.chunks import (
+    chunk_dup_stats,
+    explode_chunks,
+    strip_duplicate_chunks,
+)
 from polars_text_spark.operators.interval import interval_join
 from polars_text_spark.operators.pii import pii_counts, redact_pii
 from polars_text_spark.operators.search import bm25_scores, bm25_topk
@@ -131,12 +140,14 @@ __all__ = [
     "quantize_vec",
     "redact_pii",
     "salted_join",
+    "strip_duplicate_chunks",
     "with_l2_normalized",
     "with_quantized",
     "register_sql_functions",
     "sentence_count",
     "sequence_manifest",
     "set_similarity_jaccard_pairs",
+    "sha_token_hash",
     "simhash",
     "simhash_pairs",
     "stratified_sample",

@@ -17,10 +17,10 @@ joined back by fingerprint (both sides pre-hashed, equi-join). At
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["explode_chunks", "chunk_dup_stats"]
+__all__ = ["explode_chunks", "chunk_dup_stats", "strip_duplicate_chunks"]
 
 
 def explode_chunks(
@@ -75,4 +75,64 @@ def chunk_dup_stats(
             "dup_chunk_frac",
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
         )
+    )
+
+
+def strip_duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n\n",
+    max_occurrences: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Rebuild each document with corpus-wide repeated chunks REMOVED
+    (the RefinedWeb boilerplate-strip step): a chunk survives if its
+    exact (trimmed) text occurs at most ``max_occurrences`` times
+    corpus-wide, or — with ``keep_first`` — if this occurrence is the
+    globally first one (ordered by ``(id_col, chunk_idx)``), so one
+    copy of every boilerplate block remains in the corpus.
+
+    Returns ``(id_col, text)`` for every doc that had at least one
+    non-blank chunk; a doc stripped to nothing keeps an empty string.
+    Deterministic: survivors rejoin in original chunk order.
+
+    Scale shape: the duplicate decision shuffles per-chunk rows ONCE
+    on the fingerprint (two window functions over that partitioning);
+    the rebuild groupBy shuffles surviving chunk text once on the doc
+    id — the unavoidable cost of reconstructing documents.
+    """
+    if max_occurrences < 1:
+        raise ValueError("max_occurrences must be >= 1")
+    chunks = explode_chunks(df, text_col, id_col, sep=sep).withColumn(
+        "__fp", F.sha2(F.col("chunk"), 256)
+    )
+    w = Window.partitionBy("__fp")
+    wo = w.orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    flagged = chunks.select(
+        id_col,
+        "chunk_idx",
+        "chunk",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.row_number().over(wo).alias("__rn"),
+    )
+    keep = F.col("__n") <= max_occurrences
+    if keep_first:
+        keep = keep | (F.col("__rn") == 1)
+    survivors = flagged.filter(keep)
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    all_docs = chunks.select(id_col).distinct()
+    return all_docs.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )

@@ -260,9 +260,16 @@ def minhash_lsh_cross_pairs(
     return _verify_jaccard(cand, a, b, jaccard_threshold)
 
 
-def simhash(text_col, *, bits: int = 64):
+def simhash(text_col, *, bits: int = 64, token_hash=None):
     """64-bit SimHash of whitespace tokens as a single long — built-ins
     only. Per bit: majority vote of the token-hash bits.
+
+    ``token_hash`` (Column -> long Column) defaults to ``xxhash64`` —
+    the fast JVM path. Pass :func:`sha_token_hash` for an
+    engine-portable hash (sha256 hex prefix) that a SQL oracle can
+    reproduce bit-for-bit; its 60-bit range leaves vote slots 60-62
+    permanently negative (bits clear) on both engines, which is
+    harmless for Hamming distances.
 
     Single pass over the token array: the accumulator is a 63-slot vote
     vector updated via zip_with against a bit-mask literal array, so
@@ -271,7 +278,8 @@ def simhash(text_col, *, bits: int = 64):
     positive."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(F.lower(c)), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hasher = token_hash if token_hash is not None else F.xxhash64
+    hashes = F.transform(tokens, lambda t: hasher(t))
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits - 1)])
     zeros = F.array_repeat(F.lit(0), bits - 1)
     votes = F.aggregate(
@@ -294,19 +302,32 @@ def simhash(text_col, *, bits: int = 64):
     )
 
 
+def sha_token_hash(t):
+    """Engine-portable 60-bit token hash: the first 15 hex chars of
+    sha256, as a long. DuckDB computes the identical value via
+    ``('0x' || substr(sha256(t), 1, 15))::BIGINT``, which makes
+    SimHash (and its pigeonhole blocking) oracle-checkable end to
+    end. Slower than xxhash64 — use for auditing, not the hot path."""
+    return F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit chunks;
     any pair within distance 3 shares at least one exact chunk, so the
     join is an equi-join on (chunk_idx, chunk_value)."""
-    hashed = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        simhash(text_col, token_hash=token_hash).alias("sh"),
+    )
     chunks = F.array(
         *[
             F.struct(

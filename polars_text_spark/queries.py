@@ -653,6 +653,48 @@ QUERIES["near_dedup_simhash"] = q_near_dedup_simhash
 
 
 @query(
+    "near_dedup_simhash_sha",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL),
+    th AS (
+      SELECT doc_id, ('0x' || substr(sha256(t), 1, 15))::BIGINT AS h
+      FROM toks),
+    votes AS (
+      SELECT doc_id, b.i AS bit,
+             sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, 62)) AS i) b
+      GROUP BY doc_id, b.i),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS s
+      FROM votes GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.s, b.s)) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def q_near_dedup_simhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the engine-portable sha256-prefix
+    token hash: DuckDB re-derives every signature bit-for-bit and
+    checks ALL pairs, so this oracle validates both the signature math
+    and the pigeonhole blocking (the Spark side only compares pairs
+    sharing a 16-bit chunk — exact for Hamming <= 3 by pigeonhole).
+    The xxhash64 twin (`near_dedup_simhash`) remains the fast path."""
+    from polars_text_spark.operators.dedup import sha_token_hash, simhash_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, token_hash=sha_token_hash
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@query(
     "similarity_topk",
     """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
@@ -1971,6 +2013,52 @@ def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("text"), " table ", "\n\n").alias("text"),
     )
     return chunk_dup_stats(synth, "text", "doc_id", sep="\n\n")
+
+
+@query(
+    "strip_duplicate_paragraphs",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(list_transform(string_split(
+               regexp_replace(text, ' table ', chr(10) || chr(10), 'g'),
+               chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS l
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l
+      FROM t WHERE len(l) > 0),
+    c2 AS (SELECT doc_id, i - 1 AS idx, l[i] AS chunk FROM pos),
+    flagged AS (
+      SELECT doc_id, idx, chunk,
+             count(*) OVER (PARTITION BY chunk) AS n,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, idx) AS rn
+      FROM c2),
+    kept AS (SELECT * FROM flagged WHERE n <= 1 OR rn = 1)
+    SELECT d.doc_id,
+           coalesce(string_agg(k.chunk, chr(10) || chr(10) ORDER BY k.idx),
+                    '') AS text
+    FROM (SELECT DISTINCT doc_id FROM c2) d
+    LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def q_strip_duplicate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb boilerplate-STRIP step: rebuild every doc with
+    corpus-wide repeated paragraphs removed (globally-first occurrence
+    kept). Same synthesized paragraph breaks as paragraph_dedup_stats;
+    the oracle re-derives the keep set with window functions and
+    string_agg. Duplicate decisions shuffle fingerprints; only
+    surviving chunk text shuffles for the rebuild."""
+    from polars_text_spark.operators.chunks import strip_duplicate_chunks
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    synth = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " table ", "\n\n").alias("text"),
+    )
+    return strip_duplicate_chunks(
+        synth, "text", "doc_id", sep="\n\n", max_occurrences=1, keep_first=True
+    )
 
 
 @query(

@@ -1,8 +1,15 @@
-"""Unit tests for sub-document chunk deduplication stats."""
+"""Unit tests for sub-document chunk deduplication stats and the
+boilerplate-strip rebuild."""
 
 from __future__ import annotations
 
-from polars_text_spark.operators.chunks import chunk_dup_stats, explode_chunks
+import pytest
+
+from polars_text_spark.operators.chunks import (
+    chunk_dup_stats,
+    explode_chunks,
+    strip_duplicate_chunks,
+)
 
 
 def _df(spark):
@@ -39,3 +46,42 @@ def test_chunk_dup_stats(spark):
     assert got[3] == (2, 2, 1.0)  # within-doc repeats count too
     assert got[4] == (1, 0, 0.0)
     assert 5 not in got and 6 not in got
+
+
+def test_strip_duplicate_chunks_keep_first(spark):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_chunks(_df(spark)).collect()
+    }
+    # doc 1 holds the globally-first "boiler"; later copies vanish
+    assert got[1] == "boiler\n\nunique one"
+    assert got[2] == "unique two"
+    assert got[3] == ""  # both chunks were later copies -> empty doc
+    assert got[4] == "all original here"
+    assert 5 not in got and 6 not in got  # no chunks, no row
+
+
+def test_strip_duplicate_chunks_no_keep_first(spark):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_chunks(
+            _df(spark), keep_first=False
+        ).collect()
+    }
+    # every repeated chunk disappears everywhere
+    assert got[1] == "unique one"
+    assert got[2] == "unique two"
+    assert got[3] == ""
+
+
+def test_strip_duplicate_chunks_max_occurrences(spark):
+    # "boiler" occurs 4x corpus-wide; allowing up to 4 keeps everything
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_chunks(
+            _df(spark), max_occurrences=4
+        ).collect()
+    }
+    assert got[3] == "boiler\n\nboiler"
+    with pytest.raises(ValueError, match="max_occurrences"):
+        strip_duplicate_chunks(_df(spark), max_occurrences=0)

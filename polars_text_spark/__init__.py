@@ -98,6 +98,10 @@ from polars_text_spark.operators.token_frequencies import (
     token_frequency_stats,
 )
 from polars_text_spark.operators.topic_modeling import topic_modeling
+from polars_text_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
 from polars_text_spark.session import get_spark
 from polars_text_spark.sql import register_sql_functions
 
@@ -157,5 +161,7 @@ __all__ = [
     "unigram_frequencies",
     "unigram_surprisal",
     "topic_modeling",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "word_count",
 ]

@@ -41,8 +41,15 @@ def explode_chunks(
         F.split(F.col(text_col), F.lit(sep)), lambda x: F.trim(x)
     )
     kept = F.filter(trimmed, lambda x: x != F.lit(""))
-    return df.filter(F.col(text_col).isNotNull()).select(
-        id_col, F.posexplode(kept).alias("chunk_idx", "chunk")
+    # posexplode_OUTER + null filter: a non-outer generate makes the
+    # optimizer infer `size(kept) > 0` and pushdown re-inlines the
+    # whole split/transform/filter chain into that filter (the
+    # InferFiltersFromGenerate trap — see operators/winnow.py, where
+    # the nested variant of this was a >50x slowdown).
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.posexplode_outer(kept).alias("chunk_idx", "chunk"))
+        .filter(F.col("chunk").isNotNull())
     )
 
 

@@ -59,15 +59,25 @@ def ngram_contamination(
     The benchmark (shingle, bench_id) pairs are broadcast — a test
     set is orders of magnitude smaller than the training corpus, so
     the big side never shuffles for the join."""
-    cand = candidates.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("_sh")
+    # explode_OUTER + null filter: non-outer explode makes the
+    # optimizer infer `size(...) > 0` and pushdown inlines the whole
+    # shingle expression into that filter, paying it twice per row
+    # (see operators/winnow.py for the pathological nested case).
+    cand = (
+        candidates.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
     )
     bench = (
         benchmark.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("_bench_id"),
-            F.explode(token_ngrams(F.col(text_col), n)).alias("_sh"),
+            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
         )
+        .filter(F.col("_sh").isNotNull())
         .distinct()
     )
     hits = cand.join(F.broadcast(bench), "_sh")

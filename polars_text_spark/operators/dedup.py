@@ -96,10 +96,14 @@ def minhash_signatures(
 
     explode(shingles) -> groupBy(id).agg(64 mins): map-side partial
     aggregation keeps the shuffle tiny (64 longs per doc)."""
+    # explode_outer + null filter: plain explode makes the optimizer
+    # infer `size(token_shingles(..)) > 0` and pushdown inlines the
+    # whole shingle expression into the filter, computing it twice
+    # per row (InferFiltersFromGenerate trap — SCALING.md).
     exploded = df.select(
         F.col(id_col),
-        F.explode(token_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+        F.explode_outer(token_shingles(text_col, shingle_n)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
         for k in range(num_perm)
@@ -538,11 +542,15 @@ def set_similarity_jaccard_pairs(
     prefix_len = (
         F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh") - F.lit(1e-9)) + 1
     ).cast("int")
+    # explode_outer: avoid the inferred size()>0 filter re-running
+    # array_sort per row (InferFiltersFromGenerate trap — SCALING.md)
     prefix = sh_full.select(
         *block_cols,
         "id",
-        F.explode(F.slice(F.array_sort("sh"), F.lit(1), prefix_len)).alias("tk"),
-    )
+        F.explode_outer(
+            F.slice(F.array_sort("sh"), F.lit(1), prefix_len)
+        ).alias("tk"),
+    ).filter(F.col("tk").isNotNull())
     on = [f"__b_{c}" for c in block_cols] + ["tk"]
     a = prefix.select(
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],

@@ -2016,6 +2016,56 @@ def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnow_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) = 0 THEN CAST([] AS BIGINT[])
+             WHEN len(tk) < 5 THEN
+               [('0x' || substr(sha256(array_to_string(tk, ' ')), 1, 15))::BIGINT]
+             ELSE [('0x' || substr(sha256(array_to_string(tk[i:i+4], ' ')),
+                                   1, 15))::BIGINT
+                   for i in generate_series(1, len(tk) - 4)]
+        END AS grams
+      FROM t),
+    fp AS (
+      SELECT doc_id,
+        CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+             WHEN len(grams) < 4 THEN [list_min(grams)]
+             ELSE list_distinct([list_min(grams[j:j+3])
+                                 for j in generate_series(1, len(grams) - 3)])
+        END AS fps
+      FROM g),
+    e AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint passage overlap (MOSS, SIGMOD'03): pairs
+    of docs sharing >= 2 window-min k-gram fingerprints — catches
+    shared PASSAGES where whole-doc MinHash needs global similarity.
+    Uses the engine-portable sha256-prefix gram hash so DuckDB
+    re-derives every fingerprint exactly."""
+    from polars_text_spark.operators.dedup import sha_token_hash
+    from polars_text_spark.operators.winnow import winnow_overlap_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return winnow_overlap_pairs(
+        docs, "text", "doc_id", k=5, w=4, min_shared=2,
+        gram_hash=sha_token_hash,
+    )
+
+
+@query(
     "strip_duplicate_paragraphs",
     """
     WITH t AS (

@@ -51,6 +51,20 @@ def test_load_table_routes_events(spark, sf_dir):
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
 
 
+def test_register_views_all_tables_queryable(spark, sf_dir):
+    """`spark.sql` over every registered view works — including
+    events, which routes through the adaptive loader."""
+    from polars_text_spark.sources.catalog import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    for name in TABLES:
+        assert spark.sql(f"SELECT * FROM {name} LIMIT 1").count() >= 0, name
+    row = spark.sql(
+        "SELECT typeof(ts) AS t FROM events LIMIT 1"
+    ).collect()
+    assert row[0]["t"] == "timestamp"
+
+
 @pytest.mark.parametrize("unit", ["us", "ms", "ns"])
 def test_all_timestamp_vintages_normalize(spark, tmp_path, unit):
     """us (current testdata), ms, and ns (round 2-4 testdata) parquet

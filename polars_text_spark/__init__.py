@@ -101,6 +101,7 @@ from polars_text_spark.operators.topic_modeling import topic_modeling
 from polars_text_spark.operators.winnow import (
     winnow_fingerprints,
     winnow_overlap_pairs,
+    with_winnow_fingerprints,
 )
 from polars_text_spark.session import get_spark
 from polars_text_spark.sql import register_sql_functions
@@ -147,6 +148,7 @@ __all__ = [
     "strip_duplicate_chunks",
     "with_l2_normalized",
     "with_quantized",
+    "with_winnow_fingerprints",
     "register_sql_functions",
     "sentence_count",
     "sequence_manifest",

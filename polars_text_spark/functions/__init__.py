@@ -12,6 +12,7 @@ from polars_text_spark.functions.analysis import (
     detect_language,
     doc_fingerprint,
     dup_word_frac,
+    line_stats,
     normalize_text,
     quality_score,
     remove_stopwords,
@@ -35,6 +36,7 @@ __all__ = [
     "detect_language",
     "doc_fingerprint",
     "dup_word_frac",
+    "line_stats",
     "embedding",
     "normalize_text",
     "remove_stopwords",

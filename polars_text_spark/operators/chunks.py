@@ -17,7 +17,9 @@ joined back by fingerprint (both sides pre-hashed, equi-join). At
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["explode_chunks", "chunk_dup_stats", "strip_duplicate_chunks"]
@@ -33,12 +35,17 @@ def explode_chunks(
     """One row per non-blank chunk: ``(id_col, chunk_idx, chunk)``.
     Chunks are trimmed; ``chunk_idx`` is the 0-based position among
     the KEPT (non-blank) chunks, so downstream slice bookkeeping is
-    dense. NULL text yields no rows."""
+    dense. NULL text yields no rows.
+
+    ``sep`` is a LITERAL separator (it is regex-escaped before the
+    split, since :func:`strip_duplicate_chunks` rejoins with it
+    literally — an unescaped ``'|'`` would otherwise explode the text
+    into single characters)."""
     # lambda, NOT a bare F.trim reference: trim() has an optional
     # second param (the charset), so transform() would bind the
     # element INDEX to it and silently not trim
     trimmed = F.transform(
-        F.split(F.col(text_col), F.lit(sep)), lambda x: F.trim(x)
+        F.split(F.col(text_col), F.lit(re.escape(sep))), lambda x: F.trim(x)
     )
     kept = F.filter(trimmed, lambda x: x != F.lit(""))
     # posexplode_OUTER + null filter: a non-outer generate makes the
@@ -105,9 +112,13 @@ def strip_duplicate_chunks(
     non-blank chunk; a doc stripped to nothing keeps an empty string.
     Deterministic: survivors rejoin in original chunk order.
 
-    Scale shape: the duplicate decision shuffles per-chunk rows ONCE
-    on the fingerprint (two window functions over that partitioning);
-    the rebuild groupBy shuffles surviving chunk text once on the doc
+    Scale shape: the duplicate decision is a per-fingerprint hash
+    AGGREGATE (count + lexicographic-min occurrence) joined back on
+    the fingerprint — partial aggregation combines map-side, so a
+    viral boilerplate chunk in 10^6 docs never lands on one straggler
+    task (a ``Window.partitionBy(fingerprint)`` would put every
+    occurrence of the hot fingerprint in a single window partition).
+    The rebuild groupBy shuffles surviving chunk text once on the doc
     id — the unavoidable cost of reconstructing documents.
     """
     if max_occurrences < 1:
@@ -115,18 +126,16 @@ def strip_duplicate_chunks(
     chunks = explode_chunks(df, text_col, id_col, sep=sep).withColumn(
         "__fp", F.sha2(F.col("chunk"), 256)
     )
-    w = Window.partitionBy("__fp")
-    wo = w.orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
-    flagged = chunks.select(
-        id_col,
-        "chunk_idx",
-        "chunk",
-        F.count(F.lit(1)).over(w).alias("__n"),
-        F.row_number().over(wo).alias("__rn"),
+    freq = chunks.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__first"),
     )
+    flagged = chunks.join(freq, "__fp")
     keep = F.col("__n") <= max_occurrences
     if keep_first:
-        keep = keep | (F.col("__rn") == 1)
+        keep = keep | (
+            F.struct(F.col(id_col), F.col("chunk_idx")) == F.col("__first")
+        )
     survivors = flagged.filter(keep)
     rebuilt = survivors.groupBy(id_col).agg(
         F.array_join(

@@ -40,6 +40,7 @@ def interval_join(
     on: Sequence[str] = (),
     bucket_seconds: int = 3600,
     how: str = "inner",
+    point_id_col: str | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= ts <= end`` (inclusive both ends — DuckDB ``BETWEEN``)
@@ -47,11 +48,20 @@ def interval_join(
 
     Returns all point columns plus all interval columns; column names
     (outside ``on``) must be disjoint. ``how='left'`` keeps unmatched
-    points with NULL interval columns (implemented as a second
-    anti-join pass so the hot path stays a pure equi-join).
+    points with NULL interval columns and requires ``point_id_col``
+    (a unique point id): unmatched points are recovered with a
+    LEFT ANTI join on that id — narrow, MapType-safe, and
+    deterministic, where a full-row ``exceptAll`` would ship every
+    point column through a set-op shuffle (and reject map columns
+    outright).
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
+    if how == "left" and point_id_col is None:
+        raise ValueError(
+            "interval_join(how='left') needs point_id_col — a unique "
+            "point id to anti-join unmatched points on"
+        )
     on = list(on)
     dup = (set(points.columns) - set(on)) & (set(intervals.columns) - set(on))
     if dup:
@@ -81,8 +91,8 @@ def interval_join(
     if how == "inner":
         return joined
     if how == "left":
-        matched_keys = joined.select(*points.columns)
-        unmatched = p.drop("__bucket").exceptAll(matched_keys)
+        matched_ids = joined.select(point_id_col).distinct()
+        unmatched = points.join(matched_ids, point_id_col, "left_anti")
         for c in intervals.columns:
             if c not in on:
                 unmatched = unmatched.withColumn(

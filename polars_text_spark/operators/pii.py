@@ -29,9 +29,12 @@ __all__ = [
 # Ordered so redaction can run email -> ipv4 -> phone without one
 # pattern's replacement feeding another (phone requires a leading '+',
 # which neither placeholder nor the other patterns produce).
+# The phone class allows spaces/tabs but NOT \s (which includes
+# newlines): '+1 415 555\n2024 report' must not swallow the unrelated
+# digit run on the next line.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PHONE_PATTERN = r"\+\d[\d\s().-]{6,}\d"
+PHONE_PATTERN = r"\+\d[\d\t ().-]{6,}\d"
 
 
 def _col(col: Column | str) -> Column:
@@ -40,7 +43,14 @@ def _col(col: Column | str) -> Column:
 
 def pii_counts(col: Column | str) -> Column:
     """``struct(n_emails, n_ipv4, n_phones)`` match counts per doc
-    (NULL text counts as zero everywhere)."""
+    (NULL text counts as zero everywhere).
+
+    Each pattern is counted INDEPENDENTLY over the raw text, so a
+    span can contribute to two counters (a ``+digits`` run inside an
+    email's local part counts as a phone too) even though
+    :func:`redact_pii` masks it only once, under the first pattern in
+    redaction order. Counts answer "how much of each shape appears",
+    not "how many redactions will happen"."""
     c = _col(col)
 
     def n(pattern: str) -> Column:

@@ -35,6 +35,7 @@ def salted_join(
     *,
     salt: int = 8,
     how: str = "inner",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Equi-join ``big`` to ``small`` on ``on`` with an added
     ``salt``-way salt key. ``how`` is ``inner`` or ``left`` (left =
@@ -42,18 +43,28 @@ def salted_join(
     row-equivalent to the plain join. Non-key column names must be
     disjoint, like a plain ``join``.
 
-    The big side's salt is ``monotonically_increasing_id() % salt``:
-    row-order derived, zero hashing cost, and spreads ANY key's rows
-    evenly — correctness never depends on which salt a row gets.
+    The salt must be DETERMINISTIC per row: a shuffle-join key derived
+    from row order (``monotonically_increasing_id``) changes when a
+    failed map task recomputes, so a partial stage retry could send a
+    row to a different reducer than one that already consumed it —
+    duplicating or dropping rows. Default: ``xxhash64`` over the big
+    side's non-key columns (content-derived, stable under recompute;
+    fully-identical rows co-locate, which is harmless). Pass
+    ``salt_col`` (an id-like scalar) to hash one column instead —
+    cheaper, and required when a non-key column is a MapType
+    (``xxhash64`` rejects maps).
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on)
-    b = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
-    )
+    if salt_col is not None:
+        salt_src = F.xxhash64(F.col(salt_col))
+    else:
+        non_key = [c for c in big.columns if c not in on] or on
+        salt_src = F.xxhash64(*[F.col(c) for c in non_key])
+    b = big.withColumn("__salt", F.pmod(salt_src, F.lit(salt)).cast("int"))
     s = small.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")),

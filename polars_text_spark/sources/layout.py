@@ -40,18 +40,21 @@ def write_partitioned(
     a salted repartition (files ≈ partitions × files_per_partition),
     so a 1000-task upstream job doesn't emit 1000 slivers per dir.
 
-    The salt must be CHEAP and total: pass ``salt_col`` (an id-like
-    scalar column) to salt from ``crc32`` of that one value, else a
-    row-number salt is used. The old scheme — crc32 over a concat of
-    EVERY column — hashed full document text per row and threw an
-    AnalysisException outright on array/struct/map columns (concat_ws
-    only takes strings), e.g. any frame carrying an embedding."""
+    The salt must be CHEAP, total, and DETERMINISTIC: pass
+    ``salt_col`` (an id-like scalar column) to salt from ``crc32`` of
+    that one value, else ``xxhash64`` over all columns is used —
+    unlike the old crc32-of-concat_ws scheme it accepts array/struct
+    columns (embeddings), though not MapType (pass ``salt_col`` then).
+    A row-order salt (``monotonically_increasing_id``) is NOT safe
+    here: it changes when a failed task recomputes, so a stage retry
+    during the repartition could write duplicate or missing rows
+    (the SPARK-23207 round-robin class of bug)."""
     if salt_col is not None:
         salt = F.crc32(F.col(salt_col).cast("string")) % files_per_partition
     else:
-        # Row-number salt: even spread over the bucket count with no
-        # content hashing at all (file bounding needs no determinism).
-        salt = F.monotonically_increasing_id() % files_per_partition
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), files_per_partition
+        )
     salt = salt.alias("__salt")
     (
         df.withColumn("__salt", salt)

@@ -74,6 +74,26 @@ def test_strip_duplicate_chunks_no_keep_first(spark):
     assert got[3] == ""
 
 
+def test_regex_metachar_separator_is_literal(spark):
+    """sep is a literal string, not a regex: '|' must split on pipes,
+    not on every character, and the strip round-trip must rebuild
+    with the same literal separator."""
+    df = spark.createDataFrame(
+        [(1, "alpha|beta"), (2, "gamma|beta")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["chunk"]
+        for r in explode_chunks(df, sep="|").filter("chunk_idx = 0").collect()
+    }
+    assert got == {1: "alpha", 2: "gamma"}
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_chunks(df, sep="|").collect()
+    }
+    # "beta" repeats corpus-wide; doc 1 keeps the first copy
+    assert stripped == {1: "alpha|beta", 2: "gamma"}
+
+
 def test_strip_duplicate_chunks_max_occurrences(spark):
     # "boiler" occurs 4x corpus-wide; allowing up to 4 keeps everything
     got = {

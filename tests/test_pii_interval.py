@@ -52,6 +52,16 @@ def test_redact_pii(spark):
     assert out[6] is None
 
 
+def test_phone_does_not_cross_newlines(spark):
+    """The phone class allows spaces/tabs but not newlines — a digit
+    run on the next line is unrelated content, not the phone."""
+    df = spark.createDataFrame(
+        [("Call +1 415 555 0042\n2024 annual report",)], "text string"
+    )
+    got = df.select(redact_pii("text").alias("r")).collect()[0]["r"]
+    assert got == "Call [PHONE]\n2024 annual report"
+
+
 def test_redact_email_keeps_surroundings(spark):
     df = spark.createDataFrame([("a@b.io.",)], "text string")
     got = df.select(redact_pii("text").alias("r")).collect()[0]["r"]
@@ -156,7 +166,12 @@ def test_interval_join_no_duplicate_pairs(spark):
 def test_interval_join_left_keeps_unmatched(spark):
     points, intervals = _interval_frames(spark)
     got = interval_join(
-        points, intervals, on=["user_id"], bucket_seconds=1800, how="left"
+        points,
+        intervals,
+        on=["user_id"],
+        bucket_seconds=1800,
+        how="left",
+        point_id_col="event_id",
     )
     rows = {(r["event_id"], r["label"]) for r in got.collect()}
     assert rows == {
@@ -168,6 +183,25 @@ def test_interval_join_left_keeps_unmatched(spark):
     }
 
 
+def test_interval_join_left_with_map_column(spark):
+    """The anti-join left path must accept MapType point columns
+    (the old exceptAll implementation threw AnalysisException)."""
+    points, intervals = _interval_frames(spark)
+    points = points.withColumn(
+        "props", F.create_map(F.lit("k"), F.col("user_id"))
+    )
+    got = interval_join(
+        points,
+        intervals,
+        on=["user_id"],
+        bucket_seconds=1800,
+        how="left",
+        point_id_col="event_id",
+    )
+    rows = {(r["event_id"], r["label"]) for r in got.collect()}
+    assert (3, None) in rows and (1, "morning") in rows
+
+
 def test_interval_join_validations(spark):
     points, intervals = _interval_frames(spark)
     with pytest.raises(ValueError, match="bucket_seconds"):
@@ -177,4 +211,8 @@ def test_interval_join_validations(spark):
             points.withColumn("label", F.lit("x")), intervals, on=["user_id"]
         )
     with pytest.raises(ValueError, match="how"):
-        interval_join(points, intervals, on=["user_id"], how="full")
+        interval_join(
+            points, intervals, on=["user_id"], how="full", point_id_col="event_id"
+        )
+    with pytest.raises(ValueError, match="point_id_col"):
+        interval_join(points, intervals, on=["user_id"], how="left")

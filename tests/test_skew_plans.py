@@ -42,6 +42,20 @@ def test_salted_join_matches_plain_left(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_salt_col_path(spark):
+    """salt_col (single-column content hash, the cheap deterministic
+    salt) joins identically to the plain join."""
+    big, small = _skewed_frames(spark)
+    got = salted_join(big, small, ["k"], salt=4, salt_col="v")
+    plain = big.join(small, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    got_left = salted_join(big, small, ["k"], salt=4, salt_col="v", how="left")
+    plain_left = big.join(small, ["k"], "left")
+    assert sorted(map(tuple, got_left.collect())) == sorted(
+        map(tuple, plain_left.collect())
+    )
+
+
 def test_salted_join_validations(spark):
     big, small = _skewed_frames(spark)
     with pytest.raises(ValueError, match="salt"):

@@ -66,10 +66,24 @@ NESTED_VECTOR_TYPE = T.ArrayType(VECTOR_TYPE, containsNull=False)
 class _FeatureHashEmbedder:
     """Deterministic hashing embedder: each token hashes to a bucket and
     a sign; the text vector is the L2-normalized signed bag-of-buckets.
-    Stable across processes (md5, not Python's salted hash)."""
+    Stable across processes (md5/sha256, not Python's salted hash).
 
-    def __init__(self, dim: int = 64) -> None:
+    ``token_hash="sha"`` is the engine-portable audit variant (model id
+    ``native:feature-hash-sha[:dim]``): bucket and sign come from the
+    60-bit sha256 hex prefix (the same portable hash as
+    ``operators.dedup.sha_token_hash``), and normalization runs in
+    float64 before the float32 cast — so a DuckDB oracle recomputing
+    ``('0x' || substr(sha256(t),1,15))::BIGINT`` per token and
+    ``v / sqrt(sum(v*v))`` per doc reproduces every output value
+    bit-for-bit (both engines do the identical IEEE-double division on
+    exact integer inputs, then the identical double->float32 rounding).
+    """
+
+    def __init__(self, dim: int = 64, token_hash: str = "md5") -> None:
+        if token_hash not in ("md5", "sha"):
+            raise ValueError(f"token_hash must be 'md5' or 'sha', got {token_hash!r}")
         self.dim = dim
+        self.token_hash = token_hash
         # Natural-language token frequency is Zipfian — memoizing the
         # per-token hash turns most lookups into dict hits.
         self._bucket_cache: dict[str, tuple[int, float]] = {}
@@ -78,27 +92,36 @@ class _FeatureHashEmbedder:
         cached = self._bucket_cache.get(token)
         if cached is not None:
             return cached
-        digest = hashlib.md5(token.encode("utf-8")).digest()
-        bucket = int.from_bytes(digest[:4], "little") % self.dim
-        sign = 1.0 if digest[4] & 1 else -1.0
+        if self.token_hash == "sha":
+            h = int(hashlib.sha256(token.encode("utf-8")).hexdigest()[:15], 16)
+            bucket = h % self.dim
+            sign = 1.0 if (h >> 59) & 1 else -1.0
+        else:
+            digest = hashlib.md5(token.encode("utf-8")).digest()
+            bucket = int.from_bytes(digest[:4], "little") % self.dim
+            sign = 1.0 if digest[4] & 1 else -1.0
         result = (bucket, sign)
         if len(self._bucket_cache) < 1_000_000:
             self._bucket_cache[token] = result
         return result
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        # Accumulate in float64: the signed counts are integer-exact,
+        # and doing the norm + division in doubles makes the sha
+        # variant's output the deterministic double->float32 rounding
+        # of a value any SQL engine can recompute (see class docs).
+        acc = np.zeros((len(texts), self.dim), dtype=np.float64)
         for i, text in enumerate(texts):
             tokens = [
                 t for t, _, _ in plain_word_records(text.lower(), True)
             ][:_TRUNCATE_TOKENS]
             for token in tokens:
                 bucket, sign = self._token_bucket(token)
-                out[i, bucket] += sign
-            norm = float(np.linalg.norm(out[i]))
+                acc[i, bucket] += sign
+            norm = float(np.linalg.norm(acc[i]))
             if norm > 0.0:
-                out[i] /= norm
-        return out
+                acc[i] /= norm
+        return acc.astype(np.float32)
 
 
 def mean_pool_normalize(hidden: np.ndarray, mask: np.ndarray) -> np.ndarray:
@@ -283,8 +306,20 @@ _EMBEDDERS_LOCK = threading.Lock()
 def _build_embedder(model_id: str):
     if model_id.startswith(FEATURE_HASH_MODEL):
         suffix = model_id[len(FEATURE_HASH_MODEL) :]
-        dim = int(suffix[1:]) if suffix.startswith(":") else 64
-        return _FeatureHashEmbedder(dim)
+        token_hash = "md5"
+        if suffix.startswith("-sha"):
+            token_hash = "sha"
+            suffix = suffix[len("-sha") :]
+        if suffix == "":
+            dim = 64
+        elif suffix.startswith(":"):
+            dim = int(suffix[1:])
+        else:
+            raise ValueError(
+                f"unknown feature-hash model id '{model_id}'; expected "
+                f"'{FEATURE_HASH_MODEL}[-sha][:dim]'"
+            )
+        return _FeatureHashEmbedder(dim, token_hash=token_hash)
     return _OnnxEmbedder(model_id)
 
 

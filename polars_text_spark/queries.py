@@ -1100,6 +1100,61 @@ def q_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_docs"] = q_embedding_docs
 
 
+@query(
+    "embedding_docs_sha",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(({_SQL_TOKENS})[1:512]) AS t
+      FROM documents WHERE text IS NOT NULL),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substr(sha256(t), 1, 15))::BIGINT AS h
+      FROM toks),
+    acc AS (
+      SELECT doc_id, h % 64 AS bucket,
+             sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+      FROM th GROUP BY doc_id, h % 64),
+    dense AS (
+      SELECT d.doc_id, g.i AS dim, COALESCE(a.v, 0.0) AS v
+      FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+      LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.bucket = g.i),
+    nrm AS (
+      SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY doc_id)
+    SELECT dense.doc_id, CAST(dim AS INT) AS dim,
+           round(CAST(CAST(CASE WHEN n > 0 THEN v / n ELSE v END AS REAL)
+                      AS DOUBLE), 6) AS value
+    FROM dense JOIN nrm USING (doc_id)
+    """,
+)
+def q_embedding_docs_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding op with the engine-portable sha256-prefix token
+    hash (``native:feature-hash-sha``): DuckDB re-derives EVERY vector
+    component — token hash, signed bucket accumulation, L2 normalize,
+    float32 rounding — so the embedder's bag-of-buckets + normalize
+    math (the stand-in for mean-pool + L2, src/topic_modeling/
+    embedding.rs:189-250) gets a full value-level hash match. The md5
+    twin (``embedding_docs``) remains the fast path; this runs the
+    identical pandas-UDF plumbing (schema, Arrow batching, registry)."""
+    from polars_text_spark.functions.embedding import embedding
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    emb = docs.select(
+        "doc_id",
+        embedding("text", embedder_model="native:feature-hash-sha:64").alias(
+            "vec"
+        ),
+    )
+    exploded = emb.select(
+        "doc_id", F.posexplode(F.col("vec").cast("array<double>"))
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("dim"),
+        F.round(F.col("col"), 6).alias("value"),
+    )
+
+
 def q_topic_modeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-column topic modeling (SURVEY §2.1 #8) — rows-only: the
     density clustering is not SQL-expressible; structural invariants

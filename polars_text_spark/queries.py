@@ -1184,6 +1184,138 @@ def q_topic_modeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["topic_modeling"] = q_topic_modeling
 
 
+# Engine-portable 60-bit sha prefix of an id/text expression — the same
+# recipe as operators.dedup.sha_token_hash, inlined for SQL fragments.
+_SQL_SHA60 = "('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+@query(
+    "topic_ctfidf",
+    f"""
+    WITH labeled AS (
+      SELECT {_SQL_SHA60.format(expr="CAST(doc_id AS VARCHAR)")} % 8 AS label,
+             text
+      FROM documents WHERE text IS NOT NULL),
+    toks AS (
+      SELECT label, unnest({_SQL_TOKENS}) AS token FROM labeled),
+    counts AS (
+      SELECT label, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY label, token),
+    tot AS (SELECT label, sum(cnt) AS topic_total FROM counts GROUP BY label),
+    cf AS (SELECT token, sum(cnt) AS corpus_freq FROM counts GROUP BY token),
+    avg_w AS (
+      SELECT sum(cnt) / count(DISTINCT label) AS avg_words FROM counts),
+    scored AS (
+      SELECT c.label, c.token,
+             (c.cnt / t.topic_total)
+               * ln(1 + a.avg_words / f.corpus_freq) AS score
+      FROM counts c
+      JOIN tot t USING (label)
+      JOIN cf f USING (token)
+      CROSS JOIN avg_w a),
+    ranked AS (
+      SELECT label, token,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score DESC, token ASC) AS rn
+      FROM scored)
+    SELECT label, CAST(rn AS INT) AS rank, token
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_topic_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The c-TF-IDF stage of topic modeling in isolation, made
+    hash-checkable by fixing topic labels deterministically
+    (sha(doc_id) mod 8) instead of density clustering: DuckDB
+    re-derives tf = cnt/topic_total, idf = ln(1 + avg_words/
+    corpus_freq) and the (score desc, token asc) ranking — the exact
+    formula block of /root/reference/src/topic_modeling/
+    ctfidf.rs:10-17,55-105. The full pipeline stays rows-only (seeded
+    clustering, mod.rs:21-24); this pins its hardest pure-math stage."""
+    from polars_text_spark.operators.dedup import sha_token_hash
+    from polars_text_spark.operators.topic_modeling.ctfidf import topic_words
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    labeled = docs.select(
+        (sha_token_hash(F.col("doc_id").cast("string")) % 8).alias("label"),
+        F.col("text").alias("chunk_text"),
+    )
+    words = topic_words(labeled, top_k=5, vectorizer_model=NATIVE_MODEL)
+    return words.select(
+        "label", F.posexplode("representative_words")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("col").alias("token"),
+    )
+
+
+@query(
+    "topic_rollup",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, s
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS s
+            FROM documents WHERE text IS NOT NULL)
+      WHERE s <> ''),
+    labeled AS (
+      SELECT doc_id, {_SQL_SHA60.format(expr="s")} % 6 - 1 AS label
+      FROM chunks),
+    counts AS (
+      SELECT doc_id, label, CAST(count(*) AS BIGINT) AS cnt
+      FROM labeled GROUP BY doc_id, label),
+    props AS (
+      SELECT doc_id, label, cnt,
+             cnt / sum(cnt) OVER (PARTITION BY doc_id) AS prop
+      FROM counts),
+    dom AS (
+      SELECT doc_id, label AS dominant FROM (
+        SELECT doc_id, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM counts WHERE label <> -1) WHERE rn = 1)
+    SELECT p.doc_id, CAST(p.label AS INT) AS topic_id,
+           round(CAST(CAST(p.prop AS REAL) AS DOUBLE), 6) AS proportion,
+           CAST(COALESCE(d.dominant, -1) AS INT) AS dominant_topic
+    FROM props p LEFT JOIN dom d USING (doc_id)
+    """,
+)
+def q_topic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document rollup stage of topic modeling in isolation
+    (proportions over ALL chunks incl. outlier mass, distribution in
+    ascending topic order, dominant = most frequent non-outlier with
+    ties to the smaller id, all-outlier docs -> -1 — /root/reference/
+    src/topic_modeling/rollup.rs:52-99), made hash-checkable with
+    deterministic whitespace-token chunks (many per doc, so real
+    multi-entry distributions and cnt-tie dominants occur) and
+    hash-assigned labels in [-1, 4] so outlier paths are exercised.
+    DuckDB re-derives the distribution row set and the dominant choice
+    exactly; the float32 proportion cast is replicated on both sides."""
+    from polars_text_spark.operators.dedup import sha_token_hash
+    from polars_text_spark.operators.topic_modeling.rollup import rollup
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("s"),
+    ).filter(F.col("s") != "")
+    labeled = chunks.select(
+        "doc_id", (sha_token_hash(F.col("s")) % 6 - 1).alias("label")
+    )
+    rolled = rollup(labeled, row_id_col="doc_id", label_col="label")
+    return rolled.select(
+        "doc_id",
+        F.col("dominant_topic").cast("int").alias("dominant_topic"),
+        F.explode("topic_distribution").alias("tp"),
+    ).select(
+        "doc_id",
+        F.col("tp.topic_id").cast("int").alias("topic_id"),
+        F.round(F.col("tp.proportion").cast("double"), 6).alias("proportion"),
+        "dominant_topic",
+    )
+
+
 @query(
     "normalize_and_stopwords",
     f"""

@@ -396,6 +396,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     strategy: str = "auto",
     max_pairwise_block: int = 2_000,
+    allow_unblocked_pairwise: bool = False,
 ) -> DataFrame:
     """Exact token-shingle Jaccard pairs — two physical strategies with
     identical output:
@@ -424,11 +425,31 @@ def ngram_jaccard_pairs(
     Requires ``threshold > 0``: at t <= 0 every strategy except the
     block cross join silently drops zero-overlap pairs, and "all pairs
     of the corpus" is a cross join, not a dedup predicate.
+
+    ``strategy="pairwise"`` with EMPTY ``block_cols`` is a whole-corpus
+    ``crossJoin`` — O(n^2) pairs, the classic scale cliff. It raises
+    unless ``allow_unblocked_pairwise=True`` (legitimate only for tiny
+    calibration corpora); the scale-safe unblocked shapes are
+    ``"setjoin"`` / ``"countjoin"`` (and ``"auto"``, which picks
+    between them).
     """
     if strategy not in ("auto", "pairwise", "setjoin", "countjoin"):
         raise ValueError(f"unknown strategy '{strategy}'")
     if threshold <= 0:
         raise ValueError("ngram_jaccard_pairs requires threshold > 0")
+    if (
+        strategy == "pairwise"
+        and not block_cols
+        and not allow_unblocked_pairwise
+    ):
+        raise ValueError(
+            "ngram_jaccard_pairs(strategy='pairwise') with no block_cols "
+            "is an all-pairs crossJoin of the corpus — O(n^2) at scale. "
+            "Use strategy='setjoin' (prefix-filtered, the unblocked-safe "
+            "shape: set_similarity_jaccard_pairs), strategy='countjoin', "
+            "or pass allow_unblocked_pairwise=True for a tiny calibration "
+            "corpus."
+        )
     if strategy == "auto":
         strategy = "countjoin" if threshold < 0.2 else "setjoin"
     if strategy == "countjoin":

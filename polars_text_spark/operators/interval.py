@@ -27,6 +27,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_text_spark.operators._cols import require_free_columns
+
 __all__ = ["interval_join"]
 
 
@@ -41,6 +43,7 @@ def interval_join(
     bucket_seconds: int = 3600,
     how: str = "inner",
     point_id_col: str | None = None,
+    max_span_buckets: int = 10_000,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= ts <= end`` (inclusive both ends — DuckDB ``BETWEEN``)
@@ -54,9 +57,21 @@ def interval_join(
     deterministic, where a full-row ``exceptAll`` would ship every
     point column through a set-op shuffle (and reject map columns
     outright).
+
+    ``max_span_buckets`` bounds the per-interval bucket fan-out: one
+    dirty sentinel end timestamp (year 9999) with bucket_seconds=3600
+    would otherwise make ``F.sequence`` emit ~70M elements for that row
+    and fail the whole job on Spark's array-length limit. An interval
+    spanning more buckets raises a targeted error naming the limit —
+    clean the data or raise ``bucket_seconds``/``max_span_buckets``.
+    Inverted intervals (``end < start``) match no points by definition
+    and are dropped before the explode instead of fanning out a
+    descending ``sequence``.
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
+    if max_span_buckets < 1:
+        raise ValueError("max_span_buckets must be >= 1")
     if how == "left" and point_id_col is None:
         raise ValueError(
             "interval_join(how='left') needs point_id_col — a unique "
@@ -66,19 +81,33 @@ def interval_join(
     dup = (set(points.columns) - set(on)) & (set(intervals.columns) - set(on))
     if dup:
         raise ValueError(f"column collision outside join keys: {sorted(dup)}")
+    require_free_columns(points, ("__bucket",), "interval_join (points)")
+    require_free_columns(intervals, ("__bucket",), "interval_join (intervals)")
 
     b_us = int(bucket_seconds) * 1_000_000
     p = points.withColumn(
         "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(b_us))
     )
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / F.lit(b_us)),
-                F.floor(F.unix_micros(F.col(end_col)) / F.lit(b_us)),
+    start_b = F.floor(F.unix_micros(F.col(start_col)) / F.lit(b_us))
+    end_b = F.floor(F.unix_micros(F.col(end_col)) / F.lit(b_us))
+    n_buckets = end_b - start_b + F.lit(1)
+    buckets = F.when(
+        n_buckets <= F.lit(int(max_span_buckets)), F.sequence(start_b, end_b)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interval_join: interval spans "),
+                n_buckets.cast("string"),
+                F.lit(
+                    f" buckets (> max_span_buckets={max_span_buckets}) at "
+                    f"bucket_seconds={bucket_seconds}; clean dirty/sentinel "
+                    "timestamps or raise bucket_seconds/max_span_buckets"
+                ),
             )
-        ),
+        ).cast("array<bigint>")
+    )
+    iv = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+        "__bucket", F.explode(buckets)
     )
     joined = (
         p.join(iv, on + ["__bucket"], "inner")

@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_text_spark.operators._cols import require_free_columns
+
 __all__ = [
     "cosine",
     "cosine_topk",
@@ -50,15 +52,24 @@ def l2_normalize(a):
     this per ROW before a pairwise join turns cosine into a plain dot —
     norms are computed n times instead of n^2 times.
 
-    NOTE: as a single Column expression the ``norm`` subtree is inlined
-    into the per-element lambda, so each element re-pays the O(d)
-    aggregate -> O(d^2) per row. Fine for composing small expressions;
-    hot paths must use :func:`with_l2_normalized`, which materializes
-    the norm once per row via a chained projection (measured 27x on the
-    int8 brute-force path)."""
-    a = a.cast("array<double>")
-    norm = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    return F.when(norm > 0, F.transform(a, lambda v: v / norm)).otherwise(a)
+    The vector and its norm are bound through
+    :func:`~polars_text_spark.plans.exprs.let`, so the O(d) norm
+    aggregate evaluates ONCE per row even inside the per-element
+    division lambda (unbound, the norm subtree inlines per element —
+    O(d^2) per row, the r3 int8-path scale-killer).
+    :func:`with_l2_normalized` remains the projection-staged equivalent
+    for pipelines that want a named intermediate column."""
+    from polars_text_spark.plans.exprs import let
+
+    return let(
+        a.cast("array<double>"),
+        lambda v: let(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)),
+            lambda norm: F.when(
+                norm > 0, F.transform(v, lambda x: x / norm)
+            ).otherwise(v),
+        ),
+    )
 
 
 def with_l2_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
@@ -70,6 +81,7 @@ def with_l2_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     alias is referenced more than once, Catalyst's CollapseProject
     leaves the projection boundary in place instead of re-inlining the
     O(d) aggregate per element."""
+    require_free_columns(df, ("__ptx_a", "__ptx_norm"), "with_l2_normalized")
     d = df.withColumn("__ptx_a", F.col(vec_col).cast("array<double>"))
     d = d.withColumn(
         "__ptx_norm",
@@ -93,6 +105,7 @@ def with_quantized(
     ``mx`` is evaluated once per row — the single-expression form
     re-evaluates the O(d) ``array_max`` per element (O(d^2)+ per row,
     the round-3 scale-killer: 41 s vs 1.4 s at sf0.1)."""
+    require_free_columns(df, ("__ptx_u", "__ptx_mx"), "with_quantized")
     d = df.withColumn("__ptx_u", F.col(vec_col).cast("array<double>"))
     d = d.withColumn("__ptx_mx", F.array_max(F.transform("__ptx_u", F.abs)))
     scale = F.col("__ptx_mx") / F.lit(float(levels))
@@ -166,15 +179,29 @@ def quantize_vec(a, *, levels: int = 127):
     the quantized integers must be bit-reproducible for the exact
     integer-dot scoring downstream. Zero vectors quantize to zeros
     with scale 0.
+
+    ``let``-bound like :func:`l2_normalize`: the O(d) ``array_max``
+    evaluates once per row, not once per element.
     """
-    a = a.cast("array<double>")
-    mx = F.array_max(F.transform(a, lambda v: F.abs(v)))
-    scale = mx / F.lit(float(levels))
-    q = F.when(
-        mx > 0,
-        F.transform(a, lambda v: F.floor(v / scale + F.lit(0.5)).cast("int")),
-    ).otherwise(F.transform(a, lambda v: F.lit(0)))
-    return F.struct(scale.alias("scale"), q.alias("q"))
+    from polars_text_spark.plans.exprs import let
+
+    def with_mx(v, mx):
+        scale = mx / F.lit(float(levels))
+        q = F.when(
+            mx > 0,
+            F.transform(
+                v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0)))
+        return F.struct(scale.alias("scale"), q.alias("q"))
+
+    return let(
+        a.cast("array<double>"),
+        lambda v: let(
+            F.array_max(F.transform(v, lambda x: F.abs(x))),
+            lambda mx: with_mx(v, mx),
+        ),
+    )
 
 
 def cosine_topk_quantized(

@@ -25,6 +25,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_text_spark.operators._cols import require_free_columns
+
 __all__ = ["salted_join"]
 
 
@@ -48,16 +50,29 @@ def salted_join(
     failed map task recomputes, so a partial stage retry could send a
     row to a different reducer than one that already consumed it —
     duplicating or dropping rows. Default: ``xxhash64`` over the big
-    side's non-key columns (content-derived, stable under recompute;
-    fully-identical rows co-locate, which is harmless). Pass
-    ``salt_col`` (an id-like scalar) to hash one column instead —
+    side's non-key columns (content-derived, stable under recompute).
+    Pass ``salt_col`` (an id-like scalar) to hash one column instead —
     cheaper, and required when a non-key column is a MapType
     (``xxhash64`` rejects maps).
+
+    LIMITATION of the content-derived default: fully-IDENTICAL big-side
+    rows hash to the same salt and still co-locate. That is harmless
+    for organic skew (hot key, varied payloads) but defeats the
+    operator when the skew IS duplication — a hot key whose rows are
+    byte-identical (the empty document, a placeholder id row repeated
+    millions of times). If your data can contain duplicate rows under a
+    hot key, pass ``salt_col`` pointing at a UNIQUE row id (add one
+    upstream if needed — a stored id, not
+    ``monotonically_increasing_id``, which is retry-unsafe here). A
+    per-partition positional component can't be mixed in safely for the
+    same retry reason.
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    require_free_columns(big, ("__salt",), "salted_join (big side)")
+    require_free_columns(small, ("__salt",), "salted_join (small side)")
     on = list(on)
     if salt_col is not None:
         salt_src = F.xxhash64(F.col(salt_col))

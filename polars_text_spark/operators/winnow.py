@@ -54,36 +54,50 @@ def winnow_fingerprints(
     sha_token_hash` for the engine-portable variant a DuckDB oracle
     reproduces exactly.
 
-    WARNING — single-expression form: the ``grams`` subtree is inlined
-    into the window-min lambda, so every window re-hashes EVERY gram —
-    O(G^2) hashing per row (the same Catalyst per-element inlining
-    pathology as ``l2_normalize``; it timed out at sf0.1). Fine for
-    tests and short texts; pipelines must use
-    :func:`with_winnow_fingerprints`, which stages tokens and grams as
-    projection columns evaluated once per row.
+    Tokens and gram hashes are bound through :func:`~polars_text_spark.
+    plans.exprs.let` (lambda-variable let-binding), so each is
+    evaluated ONCE per row even in this single-Column form — without
+    the binding the ``grams`` subtree inlines into every window-min
+    lambda and every window re-hashes EVERY gram, O(G^2) per row (the
+    r5 form timed out at sf0.1 on exactly that;
+    :func:`with_winnow_fingerprints` stays as the projection-staged
+    equivalent for pipelines that want named intermediate columns).
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    from polars_text_spark.plans.exprs import let
+
     hasher = gram_hash if gram_hash is not None else _xxhash_gram
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(
-        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
-    )
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    )
-    ng = F.size(grams)
-    window_mins = F.transform(
-        F.sequence(F.lit(0), ng - w),
-        lambda j: F.array_min(F.slice(grams, j + 1, w)),
-    )
-    return (
-        F.when(n == 0, F.array().cast("array<long>"))
-        .when(n < k, F.array(hasher(F.concat_ws(" ", toks))))
-        .when(ng < w, F.array(F.array_min(grams)))
-        .otherwise(F.array_distinct(window_mins))
+
+    def with_toks(toks):
+        n = F.size(toks)
+        grams_val = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            ),
+        )
+
+        def with_grams(grams):
+            ng = F.size(grams)
+            window_mins = F.transform(
+                F.sequence(F.lit(0), ng - w),
+                lambda j: F.array_min(F.slice(grams, j + 1, w)),
+            )
+            return (
+                F.when(n == 0, F.array().cast("array<long>"))
+                .when(n < k, F.array(hasher(F.concat_ws(" ", toks))))
+                .when(ng < w, F.array(F.array_min(grams)))
+                .otherwise(F.array_distinct(window_mins))
+            )
+
+        return let(grams_val, with_grams)
+
+    return let(
+        F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")),
+        with_toks,
     )
 
 
@@ -105,6 +119,11 @@ def with_winnow_fingerprints(
     (which is O(G^2) per row and timed out at sf0.1)."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    from polars_text_spark.operators._cols import require_free_columns
+
+    require_free_columns(
+        df, ("__wn_toks", "__wn_grams"), "with_winnow_fingerprints"
+    )
     hasher = gram_hash if gram_hash is not None else _xxhash_gram
     d = df.withColumn(
         "__wn_toks",

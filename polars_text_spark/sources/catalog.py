@@ -68,8 +68,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Unreadable without the legacy conf => nanos vintage.
         ts_type = None
     if ts_type is None or isinstance(ts_type, T.LongType):
+        # Scope the legacy conf to this read: the parquet->catalyst
+        # schema conversion happens EAGERLY inside spark.read.parquet,
+        # so the returned (lazy) frame stays valid after the restore —
+        # verified empirically against a TIMESTAMP(NANOS) file; without
+        # the restore every later parquet read in the session would
+        # surface nanos columns as raw longs.
+        try:
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prev = None
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
+        try:
+            raw = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(ts_type, T.TimestampNTZType):
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))

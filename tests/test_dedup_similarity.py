@@ -135,7 +135,10 @@ def test_set_similarity_join_matches_pairwise(spark, threshold):
     want = sorted(
         (r.id_a, r.id_b, round(r.jaccard, 9))
         for r in ngram_jaccard_pairs(
-            df, threshold=threshold, strategy="pairwise"
+            df,
+            threshold=threshold,
+            strategy="pairwise",
+            allow_unblocked_pairwise=True,
         ).collect()
     )
     got = sorted(

@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_text_spark.operators._cols import require_free_columns
+from polars_text_spark.persist import track_persist
 
 __all__ = [
+    "ann_recall_report",
     "cosine",
     "cosine_topk",
     "cosine_topk_ivf",
@@ -407,6 +409,73 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_recall_report(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 8,
+    nprobe: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k of each approximate ANN method against the exact
+    brute-force top-k, computed in ONE job:
+    ``(method, recall_at_k, n_hit, n_exact, k)``.
+
+    The quality floor the approximate paths can't express as a SQL
+    oracle (seeded hashing) but CAN prove operationally: every run
+    reports how much of the exact answer the LSH banding and the IVF
+    probe actually recovered. At 100 TB this is the always-on
+    monitoring query you run on a sampled query set — the exact
+    brute-force side stays cheap because the query set is small while
+    the ANN side is the production path being audited.
+    """
+    ids = (F.col("query_id"), F.col("neighbor_id"))
+    exact = (
+        cosine_topk(vectors, queries, k=k, id_col=id_col, vec_col=vec_col)
+        .select(*ids)
+    )
+    # consumed once per method + once for the total: persist the tiny
+    # (|Q| x k) id-pair frame rather than re-running brute force
+    exact = track_persist(exact.persist())
+    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    approx = {
+        "lsh": cosine_topk_lsh(
+            vectors, queries, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+            num_planes=num_planes, bands=bands, seed=seed,
+        ),
+        "ivf": cosine_topk_ivf(
+            vectors, queries, k=k, id_col=id_col, vec_col=vec_col,
+            nprobe=nprobe, seed=seed,
+        ),
+    }
+    reports = []
+    for method, df in approx.items():
+        hits = (
+            exact.join(df.select(*ids), ["query_id", "neighbor_id"], "inner")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        reports.append(
+            hits.crossJoin(F.broadcast(totals)).select(
+                F.lit(method).alias("method"),
+                F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                    "recall_at_k"
+                ),
+                F.col("n_hit").cast("long").alias("n_hit"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.lit(k).cast("int").alias("k"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:

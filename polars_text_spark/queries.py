@@ -804,6 +804,32 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["similarity_topk_ivf"] = q_similarity_topk_ivf
 
 
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH and IVF ANN paths vs the exact top-k, one
+    row per method (rows-only: the approximate membership is seeded-
+    hash-dependent, but the recall FLOOR is pytest-asserted >= 0.8 —
+    the operational quality gate a 100 TB deployment would run on a
+    sampled query set). Knobs are at the measured 0.8-recall operating
+    point for this corpus: 8 bands x 2 hyperplanes (OR-construction
+    wide enough for near-random vectors), nprobe=12 of ~22 IVF lists."""
+    from polars_text_spark.operators.similarity import ann_recall_report
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall_report(
+        vecs,
+        vecs.filter(F.col("vec_id") < 5),
+        k=10,
+        dim=64,
+        num_planes=16,
+        bands=8,
+        nprobe=12,
+        seed=42,
+    )
+
+
+QUERIES["similarity_ann_recall"] = q_similarity_ann_recall
+
+
 @query(
     "embedding_dup_pairs",
     """
@@ -2328,6 +2354,93 @@ def q_salted_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "salted_customer_order_counts",
+    """
+    SELECT c.c_custkey AS custkey, c.c_mktsegment,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q_salted_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join(how='left'): per-customer order counts keeping
+    customers with NO orders — the left path is row-equivalent to a
+    plain LEFT JOIN (the oracle) because every big-side row carries
+    exactly one salt value, so an unmatched row surfaces exactly once
+    with NULL small-side columns."""
+    from polars_text_spark.operators.skew import salted_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    left = salted_join(
+        cust, orders, ["custkey"], salt=4, how="left", salt_col="custkey"
+    )
+    return left.groupBy("custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+            "total_spend"
+        ),
+    )
+
+
+@query(
+    "events_purchase_windows_left",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_event
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, CAST(count(p.p_event) AS BIGINT) AS n_windows
+    FROM clicks c LEFT JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.ts >= p.p_ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.p_ts
+    GROUP BY c.event_id
+    """,
+)
+def q_events_purchase_windows_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval_join(how='left'): for every click, how many purchase
+    lead-windows (the 30 min before each purchase) it falls into —
+    keeping zero-window clicks. Left semantics come from the anti-join
+    recovery path (narrow, on the point id), not an exceptAll; the
+    oracle is the plain LEFT JOIN ... BETWEEN."""
+    from polars_text_spark.operators.interval import interval_join
+    from polars_text_spark.sources.catalog import load_events
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+        F.col("event_id").alias("p_event"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        on=["user_id"],
+        bucket_seconds=1800,
+        how="left",
+        point_id_col="event_id",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("p_event").alias("n_windows")
     )
 
 

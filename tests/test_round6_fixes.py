@@ -269,6 +269,28 @@ def test_unblocked_pairwise_requires_opt_in(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r5 #6: ANN recall report — driver-visible quality floor
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_report_floor(spark):
+    """Both approximate methods recover >= 0.8 of the exact top-10 on
+    the real embeddings table at the query's operating point."""
+    from polars_text_spark.queries import QUERIES
+
+    rows = {
+        r["method"]: r
+        for r in QUERIES["similarity_ann_recall"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {"lsh", "ivf"}
+    for method, r in rows.items():
+        assert r["recall_at_k"] >= 0.8, (method, r)
+        assert r["n_exact"] == 50 and r["k"] == 10
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r5: load_events no longer leaks nanosAsLong into the session
 # ---------------------------------------------------------------------------
 

@@ -81,6 +81,11 @@ from polars_text_spark.operators.chunks import (
     strip_duplicate_chunks,
 )
 from polars_text_spark.operators.interval import interval_join
+from polars_text_spark.operators.dedup_store import (
+    incremental_pairs_from_store,
+    pairs_from_store,
+    write_minhash_store,
+)
 from polars_text_spark.operators.pii import pii_counts, redact_pii
 from polars_text_spark.operators.search import bm25_scores, bm25_topk
 from polars_text_spark.operators.skew import salted_join
@@ -136,10 +141,12 @@ __all__ = [
     "ngram_contamination",
     "ngram_jaccard_pairs",
     "pack_sequences",
+    "pairs_from_store",
     "predefined_model_records",
     "prefetch_model",
     "chunk_dup_stats",
     "explode_chunks",
+    "incremental_pairs_from_store",
     "interval_join",
     "pii_counts",
     "quantize_vec",
@@ -165,5 +172,6 @@ __all__ = [
     "topic_modeling",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "write_minhash_store",
     "word_count",
 ]

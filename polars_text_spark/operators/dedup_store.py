@@ -1,0 +1,160 @@
+"""Bucketed MinHash fingerprint store: dedup without re-shuffling the
+standing corpus.
+
+At 100 TB the dominant cost of every near-dup run is re-computing and
+re-shuffling the corpus's signatures. Both are write-once state: the
+banded MinHash signatures and the hashed shingle sets only change when
+the corpus does. This module persists them ONCE as bucketed tables
+(sources/bucketing.py), after which
+
+- **repeated dedup over the same corpus** (tuning ``jaccard_threshold``,
+  re-running after a pipeline change) self-joins the band table on its
+  own bucketing — NO Exchange on either side of the candidate join
+  (plan-asserted in tests/test_dedup_store.py);
+- **incremental ingest** (``minhash_lsh_cross_pairs`` shape: a new
+  crawl shard vs the standing corpus) joins the shard's bands against
+  the bucketed store — only the SHARD shuffles; the standing corpus
+  side reads co-located buckets;
+- exact-Jaccard verification joins candidates against the shingle
+  table bucketed by doc id — again shuffle-free on the corpus side.
+
+Store layout (two catalog tables):
+``<name>_bands(id, band int, bucket long)`` bucketed+sorted by
+``(band, bucket)``; ``<name>_shingles(id, sh array<long>)``
+bucketed+sorted by ``id``. Signature parameters are embedded at write
+time; pass the same ones when pairing a new shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.dedup import (
+    _banded_signatures,
+    _verify_jaccard,
+    token_shingles,
+)
+from polars_text_spark.sources.bucketing import read_bucketed, write_bucketed
+
+__all__ = [
+    "incremental_pairs_from_store",
+    "pairs_from_store",
+    "write_minhash_store",
+]
+
+
+def write_minhash_store(
+    df: DataFrame,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    buckets: int = 8,
+) -> None:
+    """Materialize ``<name>_bands`` and ``<name>_shingles`` bucketed
+    tables for ``df`` (one pass over the text each)."""
+    banded = _banded_signatures(
+        df, text_col, id_col, "id",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+    ).select(
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    write_bucketed(
+        banded,
+        f"{name}_bands",
+        bucket_by=["band", "bucket"],
+        buckets=buckets,
+        sort_by=["band", "bucket"],
+    )
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    )
+    write_bucketed(
+        shingles,
+        f"{name}_shingles",
+        bucket_by="id",
+        buckets=buckets,
+        sort_by="id",
+    )
+
+
+def candidate_self_join(spark: SparkSession, name: str) -> DataFrame:
+    """The raw band-collision self-join over the bucketed store —
+    exposed separately so tests can assert its plan has NO Exchange
+    (both sides read the same bucketing)."""
+    banded = read_bucketed(spark, f"{name}_bands")
+    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return left.join(right, ["band", "bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+
+def pairs_from_store(
+    spark: SparkSession,
+    name: str,
+    *,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs over the stored corpus — same output as
+    :func:`~polars_text_spark.operators.dedup.minhash_lsh_pairs` on the
+    original frame (same signature parameters), but the candidate join
+    re-shuffles NOTHING: both sides are the bucketed band table."""
+    cand = (
+        candidate_self_join(spark, name)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = read_bucketed(spark, f"{name}_shingles")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return _verify_jaccard(cand, a, b, jaccard_threshold)
+
+
+def incremental_pairs_from_store(
+    spark: SparkSession,
+    name: str,
+    new_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Dedup a NEW shard against the standing store (the incremental-
+    ingest shape): ``(id_a, id_b, jaccard)`` with ``id_a`` from the
+    shard, ``id_b`` from the store. Only the shard's (small) band and
+    shingle frames shuffle; the store side reads its buckets in place.
+    Signature parameters must match the ones used at write time."""
+    new_bands = _banded_signatures(
+        new_df, text_col, id_col, "id_a",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+    ).select(
+        "id_a",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    standing = read_bucketed(spark, f"{name}_bands").select(
+        F.col("id").alias("id_b"), "band", "bucket"
+    )
+    cand = (
+        new_bands.join(standing, ["band", "bucket"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = new_df.select(
+        F.col(id_col).alias("id_a"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
+    )
+    sh = read_bucketed(spark, f"{name}_shingles")
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return _verify_jaccard(cand, a, b, jaccard_threshold)

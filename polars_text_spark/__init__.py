@@ -54,6 +54,8 @@ from polars_text_spark.operators.components import (
 )
 from polars_text_spark.operators.decontam import ngram_contamination
 from polars_text_spark.operators.dedup import (
+    bottomk_sketch,
+    bottomk_sketch_pairs,
     exact_dedup,
     minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
@@ -120,6 +122,8 @@ __all__ = [
     "asof_join",
     "available_features",
     "bm25_scores",
+    "bottomk_sketch",
+    "bottomk_sketch_pairs",
     "bm25_topk",
     "char_count",
     "clean_text",

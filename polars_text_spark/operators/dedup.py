@@ -37,6 +37,8 @@ __all__ = [
     "count_join_jaccard_pairs",
     "exact_dedup",
     "embedding_dup_pairs",
+    "bottomk_sketch",
+    "bottomk_sketch_pairs",
     "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
     "minhash_signatures",
@@ -82,6 +84,108 @@ def token_shingles(text_col, n: int = 3, *, hashed: bool = False):
     if hashed:
         shingles = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array_distinct(shingles)
+
+
+def bottomk_sketch(text_col, *, k: int = 32, shingle_n: int = 3, gram_hash=None):
+    """Bottom-k (KMV) sketch of a text's shingle set: the ``k``
+    SMALLEST distinct hashed shingles, as a sorted ``array<long>``.
+
+    Unlike the permutation-MinHash signature (one min per seeded
+    xxhash64 — a hash family no other engine reproduces), the KMV
+    sketch uses a SINGLE hash function, so with ``gram_hash=
+    sha_token_hash`` an external SQL engine re-derives every sketch —
+    and every Jaccard ESTIMATE — bit-for-bit. Sketch size is k longs
+    per doc regardless of document length: the payload that shuffles
+    at 100 TB is ``k * 8`` bytes/doc, not the shingle set.
+
+    Jaccard estimator (Bar-Yossef et al., "Counting distinct elements
+    in a data stream", RANDOM 2002 / the classic KMV union trick):
+    with ``U = bottom_k(sketch_a ∪ sketch_b)``,
+    ``Ĵ = |U ∩ sketch_a ∩ sketch_b| / |U|`` — exact when both sets
+    have < k shingles, unbiased with std ~ sqrt(J(1-J)/k) otherwise.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # wrap: variadic builtins (*cols) are rejected as HOF lambdas
+    hasher = gram_hash if gram_hash is not None else (lambda s: F.xxhash64(s))
+    sh = token_shingles(text_col, shingle_n)
+    hashed = F.array_distinct(F.transform(sh, hasher))
+    return F.slice(F.array_sort(hashed), 1, k)
+
+
+def bottomk_sketch_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    gram_hash=None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by KMV-sketch Jaccard ESTIMATE:
+    ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
+    ``est_jaccard >= threshold``.
+
+    Plan shape: one projection for the sketches; candidates from an
+    equi-join on exploded sketch elements (docs sharing >= 1 bottom-k
+    element — any pair with true J >= t shares one with probability
+    ``1-(1-J)^k``, > 0.9999 for J >= 0.25 at k=32); the estimate joins
+    the two k-long sketches back per candidate. Only sketch longs ever
+    shuffle. ``max_df`` drops sketch elements present in more than that
+    many docs before pairing (the viral-shingle hot-key guard, same
+    dial as winnowing's). The estimate is the OUTPUT — feed survivors
+    to :func:`set_similarity_jaccard_pairs`/``_verify_pairs`` when the
+    exact value matters.
+    """
+    if threshold <= 0:
+        raise ValueError("bottomk_sketch_pairs requires threshold > 0")
+    from pyspark.storagelevel import StorageLevel
+
+    from polars_text_spark.plans.exprs import let
+
+    sk = df.select(
+        F.col(id_col).alias("id"),
+        bottomk_sketch(
+            text_col, k=k, shingle_n=shingle_n, gram_hash=gram_hash
+        ).alias("sk"),
+    ).filter(F.size("sk") > 0)
+    # consumed 3x (element explode + both estimate sides)
+    sk = track_persist(sk.persist(StorageLevel.MEMORY_AND_DISK))
+    el = sk.select(
+        "id", F.explode_outer("sk").alias("v")
+    ).filter(F.col("v").isNotNull())
+    if max_df is not None:
+        hot = el.groupBy("v").agg(F.count(F.lit(1)).alias("__df"))
+        el = el.join(hot.filter(F.col("__df") <= max_df), "v").drop("__df")
+    cand = (
+        el.select(F.col("id").alias("id_a"), "v")
+        .join(el.select(F.col("id").alias("id_b"), "v"), "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sk.select(F.col("id").alias("id_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("id").alias("id_b"), F.col("sk").alias("sk_b"))
+    est = let(
+        F.slice(
+            F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))),
+            1,
+            k,
+        ),
+        lambda u: F.size(
+            F.array_intersect(F.array_intersect(u, F.col("sk_a")), F.col("sk_b"))
+        )
+        / F.size(u).cast("double"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def minhash_signatures(

@@ -695,6 +695,67 @@ def q_near_dedup_simhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dedup_bottomk",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN
+               [('0x' || substr(sha256(array_to_string(tk, ' ')), 1, 15))::BIGINT]
+             ELSE [('0x' || substr(sha256(array_to_string(tk[i:i+2], ' ')),
+                                   1, 15))::BIGINT
+                   for i in generate_series(1, len(tk) - 2)]
+        END AS grams
+      FROM t),
+    sk AS (
+      SELECT doc_id, list_sort(list_distinct(grams))[1:32] AS sk FROM g
+      WHERE len(grams) > 0),
+    el AS (SELECT doc_id, unnest(sk) AS v FROM sk),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM el a JOIN el b ON a.v = b.v AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(
+               list_sort(list_distinct(sa.sk || sb.sk))[1:32],
+               x -> list_contains(sa.sk, x) AND list_contains(sb.sk, x)))
+             * 1.0
+             / len(list_sort(list_distinct(sa.sk || sb.sk))[1:32]) AS e
+      FROM cand c
+      JOIN sk sa ON sa.doc_id = c.id_a
+      JOIN sk sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, round(e, 6) AS est_jaccard
+    FROM est WHERE e >= 0.3
+    """,
+)
+def q_near_dedup_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch near-dup pairs with the engine-portable
+    sha256-prefix gram hash: DuckDB re-derives every sketch AND every
+    Jaccard estimate bit-for-bit — the first sketch ESTIMATOR in the
+    suite whose approximate values (not just membership) are
+    hash-matched. k=32 longs shuffle per doc regardless of length;
+    the banded-MinHash twin (`near_dedup_minhash`) stays the
+    hot path with its seeded-permutation family."""
+    from polars_text_spark.operators.dedup import (
+        bottomk_sketch_pairs,
+        sha_token_hash,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = bottomk_sketch_pairs(
+        docs, "text", "doc_id", k=32, shingle_n=3, threshold=0.3,
+        gram_hash=sha_token_hash,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+@query(
     "similarity_topk",
     """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

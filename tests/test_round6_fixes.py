@@ -269,6 +269,65 @@ def test_unblocked_pairwise_requires_opt_in(spark):
 
 
 # ---------------------------------------------------------------------------
+# Bottom-k (KMV) sketch dedup — estimator semantics
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_estimate_tracks_true_jaccard(spark):
+    from polars_text_spark.operators.dedup import (
+        bottomk_sketch_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = ("w%d " % i for i in range(60))
+    words = list(base)
+    docs = [
+        (1, "".join(words)),                      # 58 shingles
+        (2, "".join(words[:50]) + "x y z "),      # high overlap with 1
+        (3, "totally different content here"),
+        (4, "totally different content here"),    # exact dup of 3
+        (5, "a b"),                               # short doc (single shingle)
+        (6, "a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in bottomk_sketch_pairs(df, k=32, threshold=0.1).collect()
+    }
+    true = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.1, strategy="setjoin"
+        ).collect()
+    }
+    # exact dups and sub-k sets estimate EXACTLY
+    assert est[(3, 4)] == 1.0 and est[(5, 6)] == 1.0
+    # the high-overlap pair is detected and the estimate tracks truth
+    assert abs(est[(1, 2)] - true[(1, 2)]) < 0.2
+    # no pair invented that truth says is < 0.05
+    for pair in est:
+        assert true.get(pair, 0.0) > 0.05
+
+
+def test_bottomk_sketch_is_bounded_and_sorted(spark):
+    from polars_text_spark.operators.dedup import bottomk_sketch
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(500))), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.sk
+        for r in df.select(
+            "doc_id", bottomk_sketch("text", k=16).alias("sk")
+        ).collect()
+    }
+    assert len(rows[1]) == 16 and rows[1] == sorted(rows[1])
+    assert rows[2] is None
+    assert len(rows[3]) == 1  # whole-run shingle of the empty token
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r5 #6: ANN recall report — driver-visible quality floor
 # ---------------------------------------------------------------------------
 

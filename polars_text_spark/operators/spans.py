@@ -1,0 +1,182 @@
+"""Duplicated n-gram SPAN coverage — the "what fraction of this doc is
+corpus-duplicated text" signal (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", exact-substring dedup
+family; also RefinedWeb/Dolma's ``dup_ngram_frac`` quality columns).
+
+Whole-doc MinHash answers "is this DOC a near-duplicate"; paragraph
+dedup answers it for explicit chunk boundaries. This operator answers
+the finer question real filters threshold on: how many of a document's
+TOKENS sit inside at least one n-gram that repeats across the corpus —
+with overlapping duplicated grams merged into spans so a 20-token
+verbatim quote counts 20 tokens, not 16 overlapping 5-grams x 5.
+
+Scale design:
+
+- Grams are hashed to longs in ONE projection per doc (staged
+  ``withColumn`` columns so Catalyst cannot re-inline the token array
+  into the per-gram lambda — the O(G^2) trap documented in
+  SCALING.md). Only (id, start, hash) rows ever shuffle; never text.
+- Corpus-frequency is one groupBy on the gram hash (map-side partial
+  aggregation), filtered to ``count >= min_df`` BEFORE joining back,
+  so the join-back input is only the duplicated subset.
+- Span merging is the classic sorted-interval sweep as a window
+  partitioned by doc id (running max of interval end over preceding
+  rows) — per-doc state, no cross-doc traffic, no driver collect.
+- At 100 TB the frequency table is the only global structure; it is
+  (hash, count) longs, orders of magnitude smaller than the corpus,
+  and AQE can pick a broadcast join-back when ``min_df`` leaves a
+  small duplicated set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators._cols import require_free_columns
+
+__all__ = ["dup_ngram_coverage"]
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    gram_hash=None,
+) -> DataFrame:
+    """Per-document duplicated-span profile.
+
+    A token n-gram is *duplicated* when it occurs >= ``min_df`` times
+    corpus-wide (total occurrences, so in-document self-repetition
+    counts — that is itself a quality signal). Returns one row per
+    input row::
+
+        id_col      (original name)
+        n_tokens    whitespace tokens in lower(trim(text))
+        n_grams     max(n_tokens - n + 1, 0)
+        n_dup_grams grams of this doc that are duplicated
+        dup_tokens  tokens covered by >=1 duplicated gram
+                    (overlapping grams merged into spans)
+        dup_frac    dup_tokens / n_tokens, rounded to 6 dp (0 when
+                    the doc has no tokens)
+
+    ``gram_hash`` defaults to the engine-portable sha256-prefix hash
+    (:func:`polars_text_spark.operators.dedup.sha_token_hash`) so a
+    SQL oracle can re-derive every gram; pass ``F.xxhash64`` for the
+    fastest production path. Docs shorter than ``n`` tokens have zero
+    grams and zero coverage by definition.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (1 would flag every gram)")
+    require_free_columns(
+        df,
+        ("__sp_id", "__sp_text", "__sp_toks", "__sp_grams"),
+        "dup_ngram_coverage",
+    )
+    if gram_hash is None:
+        from polars_text_spark.operators.dedup import sha_token_hash
+
+        gram_hash = sha_token_hash
+
+    d = df.select(F.col(id_col).alias("__sp_id"), F.col(text_col).alias("__sp_text"))
+    d = d.withColumn(
+        "__sp_toks",
+        F.when(
+            F.col("__sp_text").isNotNull(),
+            F.filter(
+                F.split(F.trim(F.lower(F.col("__sp_text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    nt = F.size(F.col("__sp_toks"))
+    # struct(start, hash) per gram; sequence(0, nt-n) DESCENDS when
+    # nt < n, so guard and emit an empty array instead
+    d = d.withColumn(
+        "__sp_grams",
+        F.when(
+            nt >= n,
+            F.transform(
+                F.sequence(F.lit(0), nt - n),
+                lambda i: F.struct(
+                    i.cast("int").alias("start"),
+                    gram_hash(
+                        F.concat_ws(" ", F.slice(F.col("__sp_toks"), i + 1, n))
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<start:int,g:bigint>>")),
+    )
+    base = d.select(
+        "__sp_id",
+        nt.cast("long").alias("n_tokens"),
+        F.size("__sp_grams").cast("long").alias("n_grams"),
+        "__sp_grams",
+    )
+
+    # explode_outer, NOT explode: explode makes InferFiltersFromGenerate
+    # insert a size()>0 filter that re-inlines the gram expression
+    # (SCALING.md); the null-filter below references only the POST-
+    # generate attribute, which cannot be pushed through the Generate.
+    pos = (
+        base.select("__sp_id", F.explode_outer("__sp_grams").alias("pg"))
+        .select(
+            "__sp_id",
+            F.col("pg.start").alias("start"),
+            F.col("pg.g").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__sp_df"))
+        .filter(F.col("__sp_df") >= min_df)
+        .select("g")
+    )
+    dup_pos = pos.join(dup, "g")
+
+    # sorted-interval sweep: a gram covers [start, start+n); new
+    # coverage is whatever extends past the running max end so far
+    w = (
+        Window.partitionBy("__sp_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.coalesce(F.max(F.col("start") + n).over(w), F.lit(0))
+    add = F.greatest(
+        F.lit(0), (F.col("start") + n) - F.greatest(F.col("start"), prev_end)
+    )
+    per_doc = (
+        dup_pos.select("__sp_id", add.alias("__sp_add"))
+        .groupBy("__sp_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.sum("__sp_add").cast("long").alias("dup_tokens"),
+        )
+    )
+
+    return (
+        base.drop("__sp_grams")
+        .join(per_doc, "__sp_id", "left")
+        .select(
+            F.col("__sp_id").alias(id_col),
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

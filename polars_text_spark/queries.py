@@ -2505,6 +2505,64 @@ def q_events_purchase_windows_left(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "dup_span_coverage",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    base AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             greatest(len(tk) - 4, 0) AS n_grams, tk
+      FROM t),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS i, tk
+      FROM base WHERE n_tokens >= 5),
+    g AS (
+      SELECT doc_id, i - 1 AS start,
+             ('0x' || substr(sha256(array_to_string(tk[i:i+4], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM pos),
+    dupset AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.start FROM g JOIN dupset USING (gh)),
+    cov AS (
+      SELECT doc_id, start,
+             greatest(0, (start + 5) - greatest(start,
+               coalesce(max(start + 5) OVER (PARTITION BY doc_id
+                          ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0))) AS add
+      FROM d),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+             CAST(sum(add) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_grams AS BIGINT)  AS n_grams,
+           CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(a.dup_tokens, 0) AS BIGINT)  AS dup_tokens,
+           round(CASE WHEN b.n_tokens > 0
+                      THEN coalesce(a.dup_tokens, 0) * 1.0 / b.n_tokens
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated n-gram SPAN coverage (Lee et al. 2022 family): per
+    doc, the fraction of tokens inside at least one corpus-duplicated
+    5-gram, with overlapping grams merged into spans. The oracle
+    re-derives every sha-prefix gram hash, the corpus frequency table,
+    and the same sorted-interval sweep. Only (id, start, hash) longs
+    shuffle — text never does."""
+    from polars_text_spark.operators.spans import dup_ngram_coverage
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return dup_ngram_coverage(docs, "text", "doc_id", n=5, min_df=2)
+
+
 # ---------------------------------------------------------------------------
 # Flagship (driver smoke): per-language document profile.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""Unit tests for duplicated n-gram span coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.spans import dup_ngram_coverage
+
+
+def _collect(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_shared_passage_merges_overlapping_grams(spark):
+    # docs 1 and 2 share the 6-token passage "a b c d e f"; with n=3
+    # that is 4 duplicated grams per doc merging into ONE 6-token span
+    rows = [
+        (1, "a b c d e f x1 y1 z1"),
+        (2, "q2 a b c d e f w2"),
+        (3, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _collect(dup_ngram_coverage(df, n=3, min_df=2))
+
+    assert got[1]["n_tokens"] == 9
+    assert got[1]["n_grams"] == 7
+    assert got[1]["n_dup_grams"] == 4
+    assert got[1]["dup_tokens"] == 6
+    assert got[1]["dup_frac"] == pytest.approx(6 / 9, abs=1e-6)
+
+    assert got[2]["n_dup_grams"] == 4
+    assert got[2]["dup_tokens"] == 6
+
+    assert got[3]["n_dup_grams"] == 0
+    assert got[3]["dup_tokens"] == 0
+    assert got[3]["dup_frac"] == 0.0
+
+
+def test_disjoint_duplicate_spans_sum(spark):
+    # "a b c" (start) and "x y z" (end) both duplicated, separated by
+    # unique middles: two disjoint 3-token spans = 6 covered tokens
+    rows = [
+        (1, "a b c m1 m2 x y z"),
+        (2, "a b c k1 k2 k3 x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _collect(dup_ngram_coverage(df, n=3, min_df=2))
+    assert got[1]["dup_tokens"] == 6
+    assert got[2]["dup_tokens"] == 6
+
+
+def test_self_repetition_counts_toward_min_df(spark):
+    # the same gram twice within ONE doc reaches min_df=2 on its own
+    rows = [(1, "spam spam spam spam"), (2, "clean words only here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _collect(dup_ngram_coverage(df, n=3, min_df=2))
+    # grams: (spam spam spam) at starts 0 and 1 -> both duplicated,
+    # merged span covers all 4 tokens
+    assert got[1]["n_dup_grams"] == 2
+    assert got[1]["dup_tokens"] == 4
+    assert got[1]["dup_frac"] == 1.0
+    assert got[2]["n_dup_grams"] == 0
+
+
+def test_short_null_and_empty_docs(spark):
+    rows = [(1, "a b"), (2, None), (3, "   "), (4, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _collect(dup_ngram_coverage(df, n=3, min_df=2))
+    for i in (1, 2, 3, 4):
+        assert got[i]["n_grams"] == 0
+        assert got[i]["n_dup_grams"] == 0
+        assert got[i]["dup_tokens"] == 0
+        assert got[i]["dup_frac"] == 0.0
+    assert got[1]["n_tokens"] == 2
+    assert got[2]["n_tokens"] == 0
+    assert got[3]["n_tokens"] == 0
+
+
+def test_dup_frac_bounded_and_case_insensitive(spark):
+    rows = [(1, "Foo Bar Baz qux"), (2, "foo bar baz different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _collect(dup_ngram_coverage(df, n=3, min_df=2))
+    # "foo bar baz" duplicated across docs despite case difference
+    assert got[1]["n_dup_grams"] == 1
+    assert got[2]["n_dup_grams"] == 1
+    for r in got.values():
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_rejects_bad_params_and_collisions(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dup_ngram_coverage(df, n=0)
+    with pytest.raises(ValueError):
+        dup_ngram_coverage(df, min_df=1)
+    clash = df.withColumn("__sp_toks", F.lit(1))
+    with pytest.raises(ValueError):
+        dup_ngram_coverage(clash)
+
+
+def test_xxhash_fast_path_same_shape(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _collect(
+        dup_ngram_coverage(df, n=3, min_df=2, gram_hash=F.xxhash64)
+    )
+    assert got[1]["dup_tokens"] == 5 and got[2]["dup_tokens"] == 5

@@ -2506,6 +2506,69 @@ def q_events_purchase_windows_left(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE
+    sh AS ({_SQL_SH_CTE}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.01
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT u AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+    sized AS (
+      SELECT c.doc_id, c.component, s.n AS cluster_size
+      FROM comp c
+      JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) s
+        USING (component)
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(z.component, d.doc_id)             AS component,
+             CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+      FROM (SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL) d
+      LEFT JOIN sized z USING (doc_id)
+    )
+    SELECT doc_id, component, cluster_size,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id ASC) = 1
+             AS is_canonical
+    FROM labeled
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document SELECTION, not just clustering: the same
+    blocked-Jaccard duplicate families as ``dedup_clusters``, but the
+    keeper per family is the LONGEST member (``prefer_col='n_chars'``,
+    ties to min id) — the policy real pipelines want when a family
+    mixes truncated and full versions of a page. The oracle re-derives
+    the closure with a recursive CTE and the same preference window."""
+    from polars_text_spark.operators.components import duplicate_clusters
+    from polars_text_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("source", "lang"), threshold=0.01
+    )
+    return duplicate_clusters(
+        docs.select("doc_id", "n_chars"),
+        pairs.select("id_a", "id_b"),
+        "doc_id",
+        prefer_col="n_chars",
+    ).select("doc_id", "component", "cluster_size", "is_canonical")
+
+
+@query(
     "dup_span_coverage",
     """
     WITH t AS (

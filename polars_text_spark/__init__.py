@@ -104,6 +104,11 @@ from polars_text_spark.operators.token_frequencies import (
     token_frequencies,
     token_frequency_stats,
 )
+from polars_text_spark.operators.semdedup import (
+    kmeans_assign,
+    semantic_dup_pairs,
+)
+from polars_text_spark.operators.spans import dup_ngram_coverage
 from polars_text_spark.operators.topic_modeling import topic_modeling
 from polars_text_spark.operators.winnow import (
     winnow_fingerprints,
@@ -149,8 +154,11 @@ __all__ = [
     "predefined_model_records",
     "prefetch_model",
     "chunk_dup_stats",
+    "dup_ngram_coverage",
     "explode_chunks",
     "incremental_pairs_from_store",
+    "kmeans_assign",
+    "semantic_dup_pairs",
     "interval_join",
     "pii_counts",
     "quantize_vec",

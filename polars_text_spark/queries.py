@@ -2568,6 +2568,99 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "component", "cluster_size", "is_canonical")
 
 
+_SQL_KMEANS_CTE = """
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+    d0 AS (
+      SELECT e.vec_id,
+             list(list_reduce(list_transform(generate_series(1, len(e.v)),
+                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])),
+                  (a, b) -> a + b) ORDER BY c.cid) AS ds
+      FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
+    a0 AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cid
+           FROM d0),
+    u0 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i, v
+           FROM a0 JOIN e USING (vec_id)),
+    m0 AS (SELECT cid, i, round(avg(v[i]), 6) AS mx FROM u0 GROUP BY cid, i),
+    c1m AS (SELECT cid, list(mx ORDER BY i) AS c FROM m0 GROUP BY cid),
+    c1 AS (SELECT c0.cid, coalesce(c1m.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1m USING (cid)),
+    d1 AS (
+      SELECT e.vec_id,
+             list(list_reduce(list_transform(generate_series(1, len(e.v)),
+                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])),
+                  (a, b) -> a + b) ORDER BY c.cid) AS ds
+      FROM e CROSS JOIN c1 c GROUP BY e.vec_id),
+    a1 AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cid
+           FROM d1)
+"""
+
+
+@query(
+    "kmeans_clusters",
+    f"""
+    WITH {_SQL_KMEANS_CTE}
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM a1
+    """,
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd k-means (k=8, 2 rounds) over
+    the embeddings table — every per-point assignment hash-checked
+    against a DuckDB twin that re-derives both rounds (smallest-id
+    seeding, left-fold distances, argmin-ties-to-first, centroid
+    means rounded to 6 dp between rounds; see
+    operators/semdedup.py for why that makes k-means, normally
+    seeded-approximate, exactly reproducible across engines)."""
+    from polars_text_spark.operators.semdedup import kmeans_assign
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(
+        vecs, "embedding", "vec_id", k=8, iterations=2, decimals=6
+    )
+
+
+@query(
+    "semantic_dedup_pairs",
+    f"""
+    WITH {_SQL_KMEANS_CTE},
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END
+          AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e))
+    SELECT id_a, id_b, cluster, round(cos, 6) AS cosine FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             CAST(x.cid AS INT) AS cluster,
+             list_reduce(list_transform(generate_series(1, len(ux.u)),
+                  i -> ux.u[i] * uy.u[i]), (a, b) -> a + b) AS cos
+      FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN unit ux ON ux.vec_id = x.vec_id
+      JOIN unit uy ON uy.vec_id = y.vec_id)
+    WHERE cos >= 0.4
+    """,
+)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-duplicate pairs by cosine
+    WITHIN k-means clusters — candidate generation is an equi-join on
+    the cluster id, never all-pairs; vectors are L2-normalized per row
+    so per-pair work is one dot product. The oracle replays the full
+    pipeline (both k-means rounds + normalize + dot) with bit-identical
+    left folds, so the >= tau threshold cannot flip between engines."""
+    from polars_text_spark.operators.semdedup import semantic_dup_pairs
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dup_pairs(
+        vecs, "embedding", "vec_id", k=8, iterations=2, tau=0.4, decimals=6
+    )
+
+
 @query(
     "dup_span_coverage",
     """

@@ -23,6 +23,7 @@ __all__ = [
     "detect_language",
     "doc_fingerprint",
     "dup_word_frac",
+    "hashed_classifier_score",
     "line_stats",
     "normalize_text",
     "quality_score",
@@ -243,6 +244,92 @@ def line_stats(col: Column | str) -> Column:
     # without the guard the struct itself is non-null for NULL text
     # (each field independently nulls/zeroes out)
     return F.when(c.isNotNull(), stats)
+
+
+def hashed_classifier_score(
+    col: Column | str,
+    *,
+    weights: list[float] | None = None,
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> Column:
+    """Hashing-trick linear text classifier (the fastText-style
+    model-based quality filter of CCNet/LLaMA-class pipelines):
+    every token hashes into one of ``n_buckets`` feature buckets, the
+    document's score is the MEAN bucket weight plus ``bias``, and
+    ``keep`` thresholds that margin.
+
+    Returns ``struct(margin double, keep boolean)`` with ``margin``
+    rounded to 6 dp and ``keep = n_tokens > 0 AND margin >=
+    threshold`` (empty/null docs never pass a quality filter).
+
+    Pass ``weights`` (length ``n_buckets``, learned offline) to run a
+    real model — the vector rides into the plan as a literal array
+    (kilobytes, the broadcast-as-literal pattern used for k-means
+    centroids), so scoring is one map-only whole-stage-codegen
+    projection: no shuffle, no UDF, no join. With ``weights=None`` the
+    weight of bucket j derives deterministically from
+    sha256('w:' || j) in [-1, 1] — a stand-in that exercises the
+    identical plan AND is re-derivable by a SQL oracle.
+
+    Everything is a sequential left fold over the token array, so a
+    differential engine computes bit-identical margins (see
+    operators/semdedup.py for the determinism contract).
+    """
+    if weights is not None and len(weights) != n_buckets:
+        raise ValueError(
+            f"weights must have length n_buckets={n_buckets}, "
+            f"got {len(weights)}"
+        )
+    from polars_text_spark.operators.dedup import sha_token_hash
+    from polars_text_spark.plans.exprs import let
+
+    c = _col(col)
+    bucket = lambda t: sha_token_hash(F.concat(F.lit("b:"), t)) % n_buckets  # noqa: E731
+    if weights is None:
+
+        def w_of(t):
+            j = bucket(t).cast("string")
+            return (
+                sha_token_hash(F.concat(F.lit("w:"), j)) % 2000001
+            ) / 1000000.0 - 1.0
+
+    else:
+        lit_w = F.array(*[F.lit(float(w)) for w in weights])
+
+        def w_of(t):
+            return F.element_at(lit_w, bucket(t).cast("int") + 1)
+
+    toks = F.when(
+        c.isNotNull(),
+        F.filter(
+            F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def body(tk):
+        n = F.size(tk)
+        z = (
+            F.when(
+                n > 0,
+                F.aggregate(
+                    F.transform(tk, w_of), F.lit(0.0), lambda a, x: a + x
+                )
+                / n.cast("double"),
+            ).otherwise(F.lit(0.0))
+            + F.lit(float(bias))
+        )
+
+        def with_z(zz):
+            return F.struct(
+                F.round(zz, 6).alias("margin"),
+                ((n > 0) & (zz >= F.lit(float(threshold)))).alias("keep"),
+            )
+
+        return let(z, with_z)
+
+    return let(toks, body)
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -2662,6 +2662,53 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_classifier",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                  ELSE list_filter(regexp_split_to_array(trim(lower(text)),
+                                                         '\\s+'),
+                                   x -> x <> '')
+             END AS tk
+      FROM documents),
+    z AS (
+      SELECT doc_id, len(tk) AS n,
+             CASE WHEN len(tk) > 0 THEN
+               list_reduce(list_transform(tk, t ->
+                 (('0x' || substr(sha256('w:' || CAST(
+                     ('0x' || substr(sha256('b:' || t), 1, 15))::BIGINT
+                       % 4096 AS VARCHAR)), 1, 15))::BIGINT % 2000001)
+                 / 1000000.0 - 1.0),
+                 (a, b) -> a + b) / CAST(len(tk) AS DOUBLE)
+             ELSE 0.0 END AS m
+      FROM t)
+    SELECT doc_id, round(m, 6) AS margin,
+           (n > 0 AND m >= 0.0) AS keep
+    FROM z
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier step of
+    CCNet/LLaMA-class pipelines): hashing-trick linear scorer, map-only
+    whole-stage-codegen, weights broadcast as a literal array. Runs the
+    deterministic sha-derived stand-in weights so DuckDB re-derives
+    every bucket weight and the exact fold margin; a trained weight
+    vector drops into the same plan via ``weights=``."""
+    from polars_text_spark.functions.analysis import hashed_classifier_score
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        hashed_classifier_score("text").alias("__qc"),
+    ).select(
+        "doc_id",
+        F.col("__qc.margin").alias("margin"),
+        F.col("__qc.keep").alias("keep"),
+    )
+
+
+@query(
     "dup_span_coverage",
     """
     WITH t AS (

@@ -150,21 +150,48 @@ def bottomk_sketch_pairs(
         bottomk_sketch(
             text_col, k=k, shingle_n=shingle_n, gram_hash=gram_hash
         ).alias("sk"),
-    ).filter(F.size("sk") > 0)
-    # consumed 3x (element explode + both estimate sides)
+    )
+    # consumed 3x (element explode + both estimate sides). Persist
+    # BEFORE the emptiness filter: filtering the projection directly
+    # lets PushDownPredicate substitute the alias and inline the whole
+    # O(G log G) sketch expression into a pre-exchange Filter — the
+    # sketch then computes twice, once serially in the scan stage
+    # (measured 6.5 s of an 8.8 s query at sf0.1). Filtering the
+    # cached relation evaluates size() on the materialized column.
     sk = track_persist(sk.persist(StorageLevel.MEMORY_AND_DISK))
+    sk = sk.filter(F.size("sk") > 0)
     el = sk.select(
-        "id", F.explode_outer("sk").alias("v")
+        "id", F.explode_outer("sk").alias("v"), F.size("sk").alias("sz")
     ).filter(F.col("v").isNotNull())
     if max_df is not None:
         hot = el.groupBy("v").agg(F.count(F.lit(1)).alias("__df"))
         el = el.join(hot.filter(F.col("__df") <= max_df), "v").drop("__df")
+    # count-filtered candidates: est >= t needs |U∩a∩b| >= t*|U| shared
+    # sketch elements, and |U| >= max(|sk_a|, |sk_b|), so any surviving
+    # pair must share >= t * max(sz_a, sz_b) elements. Counting shared
+    # elements in the SAME aggregate that dedups pairs prunes the
+    # 1-element-in-common candidate flood (measured at sf0.1: 520k
+    # candidates -> the handful that can clear the threshold) before
+    # the O(k log k) estimate math ever runs. The 1e-9 slack keeps the
+    # double-rounded product from excluding exact-boundary pairs.
     cand = (
-        el.select(F.col("id").alias("id_a"), "v")
-        .join(el.select(F.col("id").alias("id_b"), "v"), "v")
+        el.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "v")
+        .join(
+            el.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "v"),
+            "v",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__shared"),
+            F.first("sz_a").alias("__sz_a"),
+            F.first("sz_b").alias("__sz_b"),
+        )
+        .filter(
+            F.col("__shared")
+            >= threshold * F.greatest("__sz_a", "__sz_b") - 1e-9
+        )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     a = sk.select(F.col("id").alias("id_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("id").alias("id_b"), F.col("sk").alias("sk_b"))
@@ -653,13 +680,17 @@ def set_similarity_jaccard_pairs(
         *block_cols,
         F.col(id_col).alias("id"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
     # Consumed 3x (prefix generation + both verification sides):
     # persist the hashed sets (longs, ~1% of the raw text) rather than
     # re-scan + re-shingle. Spills to disk; registered with the persist
     # tracker — callers release via release_tracked() after the final
-    # consuming action (persist.py module docs).
+    # consuming action (persist.py module docs). Persist BEFORE the
+    # emptiness filter: filtered directly, PushDownPredicate inlines
+    # the whole shingle expression into a scan-stage Filter and it
+    # computes twice (the bottomk lesson above).
     sh_full = track_persist(sh_full.persist(StorageLevel.MEMORY_AND_DISK))
+    sh_full = sh_full.filter(F.size("sh") > 0)
     # ceil over double arithmetic can land just ABOVE the exact
     # integer product and shorten the prefix below the lossless bound;
     # the 1e-9 subtraction only ever LENGTHENS the prefix (more
@@ -725,8 +756,10 @@ def count_join_jaccard_pairs(
         *block_cols,
         F.col(id_col).alias("id"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
+    # persist before filtering (see set_similarity_jaccard_pairs)
     sh = track_persist(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    sh = sh.filter(F.size("sh") > 0)
     sizes = sh.select("id", F.size("sh").alias("sz"))
     ex = sh.select(*block_cols, "id", F.explode("sh").alias("tk"))
     on = [f"__b_{c}" for c in block_cols] + ["tk"]

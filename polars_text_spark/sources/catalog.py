@@ -37,6 +37,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{sf}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Widen an under-partitioned scan so map-side work parallelizes.
+
+    Parquet splits at row-group boundaries, so a table written as one
+    file with one row group scans as ONE task no matter how many cores
+    the cluster has — and every per-row expression downstream (shingle
+    hashing, tokenization, sha fingerprints) serializes onto it. This
+    is exactly the classic "three huge gzip files" ingest problem: pay
+    one tiny shuffle of the raw bytes up front, then run the expensive
+    projection at full parallelism.
+
+    Guarded to only WIDEN: when the scan already has >= target
+    partitions (any real multi-file/multi-row-group table — the
+    100 TB case), this is the identity and costs nothing. Round-robin
+    repartition sorts within partitions first (SPARK-23207), so the
+    redistribution is retry-deterministic.
+    """
+    tgt = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= tgt:
+        return df
+    return df.repartition(tgt)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-adaptive events reader: normalize ``ts`` to a session-TZ
     ``timestamp`` column whatever the on-disk parquet encoding is.

@@ -1,0 +1,64 @@
+"""Physical-plan assertions for the round-6 operators: pin the plan
+we'd want at 100 TB, not just a plan that passes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.semdedup import (
+    kmeans_assign,
+    semantic_dup_pairs,
+)
+from polars_text_spark.operators.spans import dup_ngram_coverage
+from polars_text_spark.plans import explain_str
+
+
+def _docs(spark):
+    rows = [(i, f"tok{i} alpha beta gamma delta epsilon") for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vecs(spark):
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The per-iteration ASSIGNMENT is one projection over the input:
+    centroids ride as literals, so the final assignment plan has no
+    join, no aggregate and no exchange."""
+    plan = explain_str(kmeans_assign(_vecs(spark), k=4, iterations=1))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_pairs_no_cartesian(spark):
+    """Candidate generation is an equi-join on the cluster id — never
+    a cross join."""
+    plan = explain_str(semantic_dup_pairs(_vecs(spark), k=4, tau=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_coverage_no_cartesian_and_no_text_shuffle(spark):
+    """Only (id, start, hash) longs shuffle: the text column must not
+    appear in any exchange input, and there is no cross join."""
+    out = dup_ngram_coverage(_docs(spark), n=3, min_df=2)
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gram-frequency aggregate must be partial (map-side combine)
+    assert "partial_count" in plan
+
+
+def test_dup_span_coverage_gram_expression_not_duplicated(spark):
+    """The gram pipeline appears EXACTLY twice: once per consumer of
+    the exploded stream (frequency agg + join-back) — a deliberate
+    recompute-over-materialize trade (see operators/spans.py). What
+    this pins: (a) explode_outer keeps InferFiltersFromGenerate from
+    cloning it into a pre-generate filter, and (b) the profile side
+    computes n_grams arithmetically instead of size(<gram expr>) —
+    either regression pushes the count to 3+."""
+    out = dup_ngram_coverage(_docs(spark), n=3, min_df=2)
+    plan = explain_str(out)
+    assert plan.count("sha2") == 2

@@ -35,7 +35,80 @@ from pyspark.sql import functions as F
 
 from polars_text_spark.operators._cols import require_free_columns
 
-__all__ = ["dup_ngram_coverage"]
+__all__ = ["dup_ngram_coverage", "strip_duplicate_spans"]
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(__sp_id, __sp_toks): filtered whitespace tokens of
+    lower(trim(text)); null text tokenizes to an empty array."""
+    d = df.select(
+        F.col(id_col).alias("__sp_id"), F.col(text_col).alias("__sp_text")
+    )
+    return d.withColumn(
+        "__sp_toks",
+        F.when(
+            F.col("__sp_text").isNotNull(),
+            F.filter(
+                F.split(F.trim(F.lower(F.col("__sp_text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def _dup_gram_starts(
+    d: DataFrame, *, n: int, min_df: int, gram_hash
+) -> DataFrame:
+    """(__sp_id, start, g) rows for grams whose corpus-wide occurrence
+    count reaches ``min_df``.
+
+    struct(start, hash) per gram; sequence(0, nt-n) DESCENDS when
+    nt < n, so guard and emit an empty array instead.
+    explode_outer, NOT explode: explode makes InferFiltersFromGenerate
+    insert a size()>0 filter that re-inlines the gram expression
+    (SCALING.md); the null-filter below references only the POST-
+    generate attribute, which cannot be pushed through the Generate.
+
+    ``pos`` feeds two consumers (the frequency agg and the join-back),
+    so the gram projection runs twice from the scan. Deliberate:
+    materializing the exploded gram stream to save the recompute
+    would persist an intermediate the SIZE OF THE CORPUS (one row
+    per token), while the recompute is embarrassingly-parallel
+    map work — and with the xxhash production hash, ~free. The
+    sha default exists for oracle auditing, not the hot path.
+    """
+    nt = F.size(F.col("__sp_toks"))
+    grams = d.withColumn(
+        "__sp_grams",
+        F.when(
+            nt >= n,
+            F.transform(
+                F.sequence(F.lit(0), nt - n),
+                lambda i: F.struct(
+                    i.cast("int").alias("start"),
+                    gram_hash(
+                        F.concat_ws(" ", F.slice(F.col("__sp_toks"), i + 1, n))
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<start:int,g:bigint>>")),
+    )
+    pos = (
+        grams.select("__sp_id", F.explode_outer("__sp_grams").alias("pg"))
+        .select(
+            "__sp_id",
+            F.col("pg.start").alias("start"),
+            F.col("pg.g").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__sp_df"))
+        .filter(F.col("__sp_df") >= min_df)
+        .select("g")
+    )
+    return pos.join(dup, "g")
 
 
 def dup_ngram_coverage(
@@ -83,63 +156,19 @@ def dup_ngram_coverage(
 
         gram_hash = sha_token_hash
 
-    d = df.select(F.col(id_col).alias("__sp_id"), F.col(text_col).alias("__sp_text"))
-    d = d.withColumn(
-        "__sp_toks",
-        F.when(
-            F.col("__sp_text").isNotNull(),
-            F.filter(
-                F.split(F.trim(F.lower(F.col("__sp_text"))), r"\s+"),
-                lambda t: t != F.lit(""),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    d = _tokenized(df, text_col, id_col)
     nt = F.size(F.col("__sp_toks"))
-    # struct(start, hash) per gram; sequence(0, nt-n) DESCENDS when
-    # nt < n, so guard and emit an empty array instead
-    d = d.withColumn(
-        "__sp_grams",
-        F.when(
-            nt >= n,
-            F.transform(
-                F.sequence(F.lit(0), nt - n),
-                lambda i: F.struct(
-                    i.cast("int").alias("start"),
-                    gram_hash(
-                        F.concat_ws(" ", F.slice(F.col("__sp_toks"), i + 1, n))
-                    ).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<start:int,g:bigint>>")),
-    )
+    # The per-doc profile side never touches gram hashes: n_grams is
+    # arithmetic (max(nt-n+1, 0)), NOT size(<gram expr>) — sizing the
+    # gram array would inline the whole O(G) sha pipeline into this
+    # branch a second time (plan-asserted in test_round6_plans).
     base = d.select(
         "__sp_id",
         nt.cast("long").alias("n_tokens"),
-        F.size("__sp_grams").cast("long").alias("n_grams"),
-        "__sp_grams",
+        F.greatest(nt - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
     )
 
-    # explode_outer, NOT explode: explode makes InferFiltersFromGenerate
-    # insert a size()>0 filter that re-inlines the gram expression
-    # (SCALING.md); the null-filter below references only the POST-
-    # generate attribute, which cannot be pushed through the Generate.
-    pos = (
-        base.select("__sp_id", F.explode_outer("__sp_grams").alias("pg"))
-        .select(
-            "__sp_id",
-            F.col("pg.start").alias("start"),
-            F.col("pg.g").alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
-    )
-
-    dup = (
-        pos.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__sp_df"))
-        .filter(F.col("__sp_df") >= min_df)
-        .select("g")
-    )
-    dup_pos = pos.join(dup, "g")
+    dup_pos = _dup_gram_starts(d, n=n, min_df=min_df, gram_hash=gram_hash)
 
     # sorted-interval sweep: a gram covers [start, start+n); new
     # coverage is whatever extends past the running max end so far
@@ -162,8 +191,7 @@ def dup_ngram_coverage(
     )
 
     return (
-        base.drop("__sp_grams")
-        .join(per_doc, "__sp_id", "left")
+        base.join(per_doc, "__sp_id", "left")
         .select(
             F.col("__sp_id").alias(id_col),
             "n_tokens",
@@ -178,5 +206,88 @@ def dup_ngram_coverage(
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    gram_hash=None,
+) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022):
+    rebuild every document from its normalized token stream with all
+    tokens covered by a corpus-duplicated n-gram dropped.
+
+    Returns ``(id_col, text)`` for every input row; the rebuilt text
+    is the surviving tokens of ``lower(trim(text))`` joined by single
+    spaces (docs whose every token is covered — verbatim boilerplate —
+    come back as ``''``). Unlike the per-doc keep-first policy of
+    ``strip_duplicate_chunks``, span-dedup drops EVERY occurrence: the
+    duplicated passage itself is what poisons training loss.
+
+    Scale shape: duplicated gram starts come from
+    :func:`dup_ngram_coverage`'s count-then-join pipeline (hash longs
+    shuffle); coverage expands each start by a bounded factor ``n``
+    (``sequence(start, start+n-1)`` explode, deduped map-side by the
+    aggregate); the rebuild is one anti-join of (id, pos, token)
+    against covered (id, pos) and one ordered per-doc aggregate. The
+    token stream shuffles once — unavoidable, the output IS new text.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (1 would strip every doc)")
+    require_free_columns(
+        df,
+        ("__sp_id", "__sp_text", "__sp_toks", "__sp_grams"),
+        "strip_duplicate_spans",
+    )
+    if gram_hash is None:
+        from polars_text_spark.operators.dedup import sha_token_hash
+
+        gram_hash = sha_token_hash
+
+    d = _tokenized(df, text_col, id_col)
+    dup_pos = _dup_gram_starts(d, n=n, min_df=min_df, gram_hash=gram_hash)
+
+    covered = (
+        dup_pos.select(
+            "__sp_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("p"),
+        )
+        .groupBy("__sp_id", "p")
+        .agg(F.lit(1).alias("__sp_one"))
+        .select("__sp_id", "p")
+    )
+
+    tokpos = d.select(
+        "__sp_id", F.posexplode_outer("__sp_toks").alias("p", "tok")
+    ).filter(F.col("tok").isNotNull())
+
+    kept = tokpos.join(covered, ["__sp_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("__sp_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    return (
+        d.select("__sp_id")
+        .join(rebuilt, "__sp_id", "left")
+        .select(
+            F.col("__sp_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
         )
     )

@@ -83,7 +83,25 @@ def query(name: str, oracle: str | None = None):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: the testdata tables are single-row-group parquet, so
+    # the scan (and every per-doc expression fused into it) would run
+    # as ONE task; widening costs one tiny shuffle of the raw text and
+    # is the identity on any properly-partitioned production table.
+    from polars_text_spark.sources.catalog import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table with the scan widened (see _docs).
+    Broadcast-destined dims stay as-is — widening a 5-row frame only
+    adds an exchange in front of the broadcast collect."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("region", "nation"):
+        return df
+    from polars_text_spark.sources.catalog import spread_scan
+
+    return spread_scan(df)
 
 
 # ---------------------------------------------------------------------------
@@ -775,7 +793,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate arithmetic — no Python in the loop)."""
     from polars_text_spark.operators.similarity import cosine_topk
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     out = cosine_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
     return out.select(
         "query_id",
@@ -829,7 +847,7 @@ def q_similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors need the round(6)."""
     from polars_text_spark.operators.similarity import cosine_topk_quantized
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     out = cosine_topk_quantized(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
     return out.select(
         "query_id",
@@ -844,7 +862,7 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact path is pytest-asserted)."""
     from polars_text_spark.operators.similarity import cosine_topk_lsh
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(vecs, vecs.filter(F.col("vec_id") < 5), k=10, dim=64)
 
 
@@ -856,7 +874,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs exact is pytest-asserted)."""
     from polars_text_spark.operators.similarity import cosine_topk_ivf
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(
         vecs, vecs.filter(F.col("vec_id") < 5), k=10, nprobe=4, seed=42
     )
@@ -875,7 +893,7 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide enough for near-random vectors), nprobe=12 of ~22 IVF lists."""
     from polars_text_spark.operators.similarity import ann_recall_report
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     return ann_recall_report(
         vecs,
         vecs.filter(F.col("vec_id") < 5),
@@ -908,7 +926,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is a single dot product."""
     from polars_text_spark.operators.similarity import dot, with_l2_normalized
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     unit = with_l2_normalized(vecs, "embedding", "__unit")
     a = unit.select(
         "label",
@@ -950,7 +968,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -980,8 +998,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast join showcase: customer is the small build side."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_orderstatus") != "F")
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
@@ -1010,10 +1028,10 @@ def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four-way star-schema join: the two dimension joins broadcast
     (region/nation are tiny); only the customer<->orders join shuffles."""
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    region = _tbl(spark, sf_dir, "region")
+    nation = _tbl(spark, sf_dir, "nation")
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
     return (
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1041,8 +1059,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dimension join on the big lineitem side; supplier
     broadcasts."""
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = _tbl(spark, sf_dir, "supplier")
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_nationkey").alias("nationkey"))
@@ -1106,7 +1124,7 @@ def q_customer_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     balances per market segment with deterministic tie-break."""
     from pyspark.sql import Window
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _tbl(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     )
@@ -2403,10 +2421,10 @@ def q_salted_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     key over `salt` reducers, which is the point at 100 TB."""
     from polars_text_spark.operators.skew import salted_join
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _tbl(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _tbl(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
     )
     joined = salted_join(li, orders, ["orderkey"], salt=8)
@@ -2437,10 +2455,10 @@ def q_salted_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFram
     with NULL small-side columns."""
     from polars_text_spark.operators.skew import salted_join
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+    cust = _tbl(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     ).select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _tbl(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
     )
     left = salted_join(
@@ -2617,7 +2635,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded-approximate, exactly reproducible across engines)."""
     from polars_text_spark.operators.semdedup import kmeans_assign
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     return kmeans_assign(
         vecs, "embedding", "vec_id", k=8, iterations=2, decimals=6
     )
@@ -2655,7 +2673,7 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     left folds, so the >= tau threshold cannot flip between engines."""
     from polars_text_spark.operators.semdedup import semantic_dup_pairs
 
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = _tbl(spark, sf_dir, "embeddings")
     return semantic_dup_pairs(
         vecs, "embedding", "vec_id", k=8, iterations=2, tau=0.4, decimals=6
     )
@@ -2764,6 +2782,55 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     return dup_ngram_coverage(docs, "text", "doc_id", n=5, min_df=2)
+
+
+@query(
+    "strip_duplicate_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS i, tk
+      FROM t WHERE len(tk) >= 5),
+    g AS (
+      SELECT doc_id, i - 1 AS start,
+             ('0x' || substr(sha256(array_to_string(tk[i:i+4], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM pos),
+    dupset AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.start FROM g JOIN dupset USING (gh)),
+    covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(generate_series(start, start + 4)) AS p
+        FROM d)),
+    tokpos AS (
+      SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t),
+    tp AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok FROM tokpos),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok
+      FROM tp LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.p
+      WHERE c.p IS NULL)
+    SELECT d0.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d0
+    LEFT JOIN kept k USING (doc_id)
+    GROUP BY d0.doc_id
+    """,
+)
+def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring-dedup REMOVAL step (Lee et al. 2022):
+    rebuild every doc with all tokens covered by a corpus-duplicated
+    5-gram dropped — every occurrence, unlike the keep-first paragraph
+    strip. The oracle re-derives gram hashes, the duplicated set, the
+    coverage expansion and the ordered rebuild, hash-matching the full
+    output text of all 500 docs."""
+    from polars_text_spark.operators.spans import strip_duplicate_spans
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return strip_duplicate_spans(docs, "text", "doc_id", n=5, min_df=2)
 
 
 # ---------------------------------------------------------------------------

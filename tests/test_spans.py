@@ -5,7 +5,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from polars_text_spark.operators.spans import dup_ngram_coverage
+from polars_text_spark.operators.spans import (
+    dup_ngram_coverage,
+    strip_duplicate_spans,
+)
 
 
 def _collect(df):
@@ -97,6 +100,55 @@ def test_rejects_bad_params_and_collisions(spark):
     clash = df.withColumn("__sp_toks", F.lit(1))
     with pytest.raises(ValueError):
         dup_ngram_coverage(clash)
+
+
+def test_strip_drops_every_occurrence(spark):
+    # shared passage "a b c" stripped from BOTH docs (no keep-first)
+    rows = [
+        (1, "a b c u1 u2"),
+        (2, "w1 a b c w2"),
+        (3, "all original words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_spans(df, n=3, min_df=2).collect()
+    }
+    assert got[1] == "u1 u2"
+    assert got[2] == "w1 w2"
+    assert got[3] == "all original words"
+
+
+def test_strip_fully_duplicated_doc_becomes_empty(spark):
+    rows = [(1, "Copy Pasta Text"), (2, "copy pasta text"), (3, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_spans(df, n=3, min_df=2).collect()
+    }
+    assert got[1] == "" and got[2] == ""
+    assert got[3] == "a b"  # shorter than n: never covered
+
+
+def test_strip_consistent_with_coverage_counts(spark):
+    rows = [
+        (1, "x y z m1 m2 p q r"),
+        (2, "x y z k1 k2 k3 p q r"),
+        (3, "nothing shared here at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cov = {
+        r["doc_id"]: r
+        for r in dup_ngram_coverage(df, n=3, min_df=2).collect()
+    }
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_spans(df, n=3, min_df=2).collect()
+    }
+    for i in (1, 2, 3, 4):
+        kept_tokens = len(stripped[i].split()) if stripped[i] else 0
+        assert kept_tokens == cov[i]["n_tokens"] - cov[i]["dup_tokens"]
 
 
 def test_xxhash_fast_path_same_shape(spark):

@@ -108,7 +108,10 @@ from polars_text_spark.operators.semdedup import (
     kmeans_assign,
     semantic_dup_pairs,
 )
-from polars_text_spark.operators.spans import dup_ngram_coverage
+from polars_text_spark.operators.spans import (
+    dup_ngram_coverage,
+    strip_duplicate_spans,
+)
 from polars_text_spark.operators.topic_modeling import topic_modeling
 from polars_text_spark.operators.winnow import (
     winnow_fingerprints,
@@ -165,6 +168,7 @@ __all__ = [
     "redact_pii",
     "salted_join",
     "strip_duplicate_chunks",
+    "strip_duplicate_spans",
     "with_l2_normalized",
     "with_quantized",
     "with_winnow_fingerprints",

@@ -51,6 +51,19 @@ def test_dup_span_coverage_no_cartesian_and_no_text_shuffle(spark):
     assert "partial_count" in plan
 
 
+def test_spread_scan_widens_and_is_identity_when_wide(spark, sf_dir):
+    from polars_text_spark.sources.catalog import spread_scan
+
+    scan = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    widened = spread_scan(scan)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == scan.count()
+    # already-wide input: identity, no exchange added
+    wide = scan.repartition(target + 5)
+    assert spread_scan(wide) is wide
+
+
 def test_dup_span_coverage_gram_expression_not_duplicated(spark):
     """The gram pipeline appears EXACTLY twice: once per consumer of
     the exploded stream (frequency agg + join-back) — a deliberate

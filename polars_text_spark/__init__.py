@@ -104,6 +104,11 @@ from polars_text_spark.operators.token_frequencies import (
     token_frequencies,
     token_frequency_stats,
 )
+from polars_text_spark.operators.filters import (
+    FilterRule,
+    apply_filter_rules,
+    with_gopher_tags,
+)
 from polars_text_spark.operators.semdedup import (
     kmeans_assign,
     semantic_dup_pairs,
@@ -159,6 +164,9 @@ __all__ = [
     "chunk_dup_stats",
     "dup_ngram_coverage",
     "explode_chunks",
+    "FilterRule",
+    "apply_filter_rules",
+    "with_gopher_tags",
     "incremental_pairs_from_store",
     "kmeans_assign",
     "semantic_dup_pairs",

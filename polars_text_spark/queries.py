@@ -2785,6 +2785,62 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gopher_filter",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                  ELSE list_filter(regexp_split_to_array(trim(lower(text)),
+                                                         '\\s+'),
+                                   x -> x <> '')
+             END AS tk
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(tk) AS n,
+             CASE WHEN len(tk) > 0 THEN
+               list_reduce(list_transform(tk,
+                   t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)
+               * 1.0 / len(tk) END AS mean_len,
+             CASE WHEN len(tk) > 0 THEN
+               len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+               * 1.0 / len(tk) END AS alpha_frac,
+             len(list_filter(tk, t -> t IN ('the','a','of','and','to',
+                                            'in','is','it','that','was')))
+               AS stop_hits
+      FROM t)
+    SELECT doc_id,
+           coalesce(n >= 10 AND n <= 100000, FALSE)      AS rule_token_count,
+           coalesce(mean_len >= 2.0 AND mean_len <= 12.0,
+                    FALSE)                               AS rule_mean_word_len,
+           coalesce(alpha_frac >= 0.8, FALSE)            AS rule_alpha_words,
+           coalesce(stop_hits >= 2, FALSE)               AS rule_stopwords,
+           coalesce(n >= 10 AND n <= 100000, FALSE)
+             AND coalesce(mean_len >= 2.0 AND mean_len <= 12.0, FALSE)
+             AND coalesce(alpha_frac >= 0.8, FALSE)
+             AND coalesce(stop_hits >= 2, FALSE)         AS keep
+    FROM m
+    """,
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-tagger filtering (the Gopher/Dolma taggers pattern): every
+    heuristic is a named boolean TAG column and keep is their AND, so
+    rejected docs stay inspectable. The whole battery is one map-only
+    codegen projection with the token array staged once; the oracle
+    re-derives every tag and the verdict."""
+    from polars_text_spark.operators.filters import with_gopher_tags
+
+    docs = _docs(spark, sf_dir)
+    return with_gopher_tags(docs, "text").select(
+        "doc_id",
+        "rule_token_count",
+        "rule_mean_word_len",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "keep",
+    )
+
+
+@query(
     "strip_duplicate_spans",
     """
     WITH t AS (

@@ -70,6 +70,8 @@ from polars_text_spark.operators.packing import (
     sequence_manifest,
 )
 from polars_text_spark.operators.quality import (
+    bigram_surprisal,
+    doc_bigrams,
     unigram_frequencies,
     unigram_surprisal,
 )
@@ -135,8 +137,10 @@ __all__ = [
     "asof_join",
     "available_features",
     "bm25_scores",
+    "bigram_surprisal",
     "bottomk_sketch",
     "bottomk_sketch_pairs",
+    "doc_bigrams",
     "bm25_topk",
     "char_count",
     "clean_text",

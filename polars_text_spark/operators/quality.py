@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bigram_surprisal",
+    "doc_bigrams",
     "oov_rate",
     "source_kl_divergence",
     "unigram_frequencies",
@@ -100,6 +102,93 @@ def unigram_surprisal(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.avg("__bits").alias("avg_surprisal"),
+    )
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Ordered whitespace-token bigrams: ``(id, w1, w2)`` — one row
+    per adjacent token pair; docs with < 2 tokens contribute nothing.
+    explode_outer + null filter (the InferFiltersFromGenerate rule,
+    SCALING.md) so the pair array builds once per row."""
+    toks = _ws_tokens(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__bg_id"), F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(
+            F.col("__bg_id").alias(id_col),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL surprisal in bits under the
+    corpus's own bigram model — one Markov order up from
+    :func:`unigram_surprisal`, the zero-dependency stand-in for the
+    KenLM perplexity filters of CCNet-class pipelines:
+
+    ``mean(-log2((C(w1,w2) + alpha) / (C(w1,·) + alpha·V)))``
+
+    with add-``alpha`` smoothing over vocabulary size ``V`` (distinct
+    corpus tokens). High values flag incoherent token sequences that
+    unigram statistics cannot see (every word common, no word pair).
+
+    Returns ``(id_col, n_bigrams, avg_surprisal)``; docs with < 2
+    tokens are absent (no bigram to score).
+
+    Scale: the LM is two aggregates over the exploded pair stream —
+    bigram counts (shuffled on (w1, w2)), then left-context totals
+    derived from the COUNTS frame (|bigram types| rows, never a second
+    corpus pass). V and the pair stream's join against the counts
+    shuffle on token keys; a web-scale bigram table is deliberately
+    not broadcast.
+    """
+    bg = doc_bigrams(df, text_col, id_col)
+    from polars_text_spark.persist import track_persist
+
+    counts = track_persist(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c")).persist()
+    )
+    left = counts.groupBy("w1").agg(F.sum("__c").alias("__lc"))
+    vocab = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_ws_tokens(text_col)).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("__v"))
+    )
+    bits = -F.log2(
+        (F.col("__c") + F.lit(float(alpha)))
+        / (F.col("__lc") + F.lit(float(alpha)) * F.col("__v"))
+    )
+    return (
+        bg.join(counts, ["w1", "w2"])
+        .join(left, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, bits.alias("__bits"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("__bits").alias("avg_surprisal"),
+        )
     )
 
 

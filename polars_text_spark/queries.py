@@ -1674,6 +1674,48 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_surprisal",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i,
+                   tk
+            FROM t WHERE len(tk) >= 2)),
+    cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    lc AS (SELECT w1, sum(c) AS lcnt FROM cnt GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vv
+          FROM (SELECT unnest(tk) AS tok FROM t))
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2((c + 1.0) / (lcnt + vv))), 6) AS avg_surprisal
+    FROM bg b JOIN cnt USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (one Markov order above
+    unigram_surprisal — the KenLM-perplexity-filter stand-in): mean
+    conditional surprisal under the corpus's own add-1-smoothed bigram
+    model. The LM is two aggregates over the pair stream; left-context
+    totals derive from the bigram-TYPE frame, never a second corpus
+    pass; V rides in as a broadcast 1-row cross join."""
+    from polars_text_spark.operators.quality import bigram_surprisal
+
+    docs = _docs(spark, sf_dir)
+    out = bigram_surprisal(docs, "text", "doc_id", alpha=1.0)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_surprisal", 6).alias("avg_surprisal"),
+    )
+
+
+@query(
     "decontaminate_ngrams",
     """
     WITH toks AS (

@@ -126,6 +126,45 @@ def test_unigram_surprisal_external_freq_with_smoothing(spark):
     assert out.avg_surprisal == pytest.approx(expect)
 
 
+def test_bigram_surprisal_hand_computed(spark):
+    from polars_text_spark.operators.quality import bigram_surprisal
+
+    # Corpus: "a b a b" / "a c" / "solo". Bigrams: (a,b):2 (b,a):1
+    # (a,c):1. Left totals: a:3 b:1. V = 4 (a, b, c, solo — vocabulary
+    # counts ALL corpus tokens, including from bigram-less docs).
+    # alpha=1:
+    #   P(b|a) = (2+1)/(3+4) = 3/7    P(a|b) = (1+1)/(1+4) = 2/5
+    #   P(c|a) = (1+1)/(3+4) = 2/7
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    # docs with < 2 tokens are absent
+    assert set(out) == {1, 2}
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    expect1 = (-math.log2(3 / 7) * 2 - math.log2(2 / 5)) / 3
+    assert out[1].avg_surprisal == pytest.approx(expect1)
+    assert out[2].avg_surprisal == pytest.approx(-math.log2(2 / 7))
+
+
+def test_bigram_surprisal_flags_incoherent_sequences(spark):
+    from polars_text_spark.operators.quality import bigram_surprisal
+
+    # same unigram content, different pair coherence: doc 3 shuffles
+    # word order so its bigrams are all singletons
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "mat the on cat the sat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert out[3].avg_surprisal > out[1].avg_surprisal
+
+
 def test_unigram_frequencies_counts(spark):
     docs = spark.createDataFrame(
         [(1, "  Foo  bar FOO "), (2, None)], "doc_id long, text string"

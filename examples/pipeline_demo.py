@@ -44,6 +44,19 @@ def main() -> None:
     ).filter(F.col("quality_score") >= 0.5)
     print(f"kept {cleaned.count()} / {docs.count()} docs")
 
+    print("== 2a. rule-tagger filtering (Gopher-style tags) ==")
+    tagged = pts.with_gopher_tags(cleaned, "text", min_tokens=5)
+    tagged.agg(
+        *[
+            F.sum(F.col(c).cast("int")).alias(c)
+            for c in tagged.columns
+            if c.startswith("rule_") or c == "keep"
+        ]
+    ).show()
+    cleaned = tagged.filter("keep").drop(
+        *[c for c in tagged.columns if c.startswith("rule_")], "keep"
+    )
+
     print("== 2b. PII redaction ==")
     cleaned = cleaned.withColumn("text", pts.redact_pii("text"))
     n_pii = cleaned.filter(F.col("text").contains("[EMAIL]")).count()
@@ -61,6 +74,14 @@ def main() -> None:
         F.coalesce(F.col("dup_chunk_frac"), F.lit(0.0)) <= 0.9
     ).drop("dup_chunk_frac")
     print(f"after dropping >90%-boilerplate docs: {deduped.count()} docs")
+
+    print("== 3c. duplicated-span coverage + removal (Lee et al.) ==")
+    spans = pts.dup_ngram_coverage(deduped, "text", "doc_id", n=5, min_df=2)
+    n_dirty = spans.filter("dup_frac > 0.2").count()
+    print(f"docs with >20% duplicated-span coverage: {n_dirty}")
+    deduped = pts.strip_duplicate_spans(
+        deduped.select("doc_id", "text"), "text", "doc_id", n=5, min_df=2
+    ).join(deduped.drop("text"), "doc_id")
 
     print("== 4. near-dedup: pairs -> families -> canonical keep ==")
     pairs = pts.minhash_lsh_pairs(deduped, "text", "doc_id", jaccard_threshold=0.9)
@@ -96,6 +117,20 @@ def main() -> None:
     )
     print(f"kept docs inside the [{lo:.2f}, {hi:.2f}]-bit surprisal band:"
           f" {final.count()}")
+
+    print("== 4d2. bigram-LM coherence scoring ==")
+    bg = pts.bigram_surprisal(final, "text", "doc_id")
+    bg.agg(
+        F.round(F.avg("avg_surprisal"), 2).alias("mean_bits"),
+        F.round(F.max("avg_surprisal"), 2).alias("max_bits"),
+    ).show()
+
+    print("== 4d3. semantic dedup over embeddings (SemDeDup) ==")
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem_pairs = pts.semantic_dup_pairs(
+        vecs, "embedding", "vec_id", k=8, iterations=2, tau=0.4
+    )
+    print(f"within-cluster cosine>=0.4 pairs: {sem_pairs.count()}")
 
     print("== 4e. pack into 512-token training sequences ==")
     counted = final.withColumn(

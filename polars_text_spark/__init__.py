@@ -56,6 +56,7 @@ from polars_text_spark.operators.decontam import ngram_contamination
 from polars_text_spark.operators.dedup import (
     bottomk_sketch,
     bottomk_sketch_pairs,
+    dup_source_matrix,
     exact_dedup,
     minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
@@ -141,6 +142,7 @@ __all__ = [
     "bottomk_sketch",
     "bottomk_sketch_pairs",
     "doc_bigrams",
+    "dup_source_matrix",
     "bm25_topk",
     "char_count",
     "clean_text",

@@ -39,6 +39,7 @@ __all__ = [
     "embedding_dup_pairs",
     "bottomk_sketch",
     "bottomk_sketch_pairs",
+    "dup_source_matrix",
     "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
     "minhash_signatures",
@@ -60,6 +61,65 @@ def exact_dedup(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
+    )
+
+
+def dup_source_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    fingerprint=None,
+) -> DataFrame:
+    """Duplicate PROVENANCE matrix: for every (source_a, source_b)
+    pair (canonicalized ``source_a <= source_b``), how many exact-dup
+    document pairs connect them — the "which feeds copy from which"
+    curation report that decides crawl-source priorities.
+
+    Scale shape: the naive answer self-joins docs on the content
+    fingerprint, which explodes quadratically on any viral document
+    (a fingerprint shared by m docs materializes m^2/2 pair rows).
+    This computes per-(fingerprint, source) COUNTS first — bounded by
+    |sources| rows per fingerprint — then gets pair counts by
+    combinatorics: ``c_a * c_b`` across sources, ``C(c, 2)`` within
+    one. No pair row ever materializes. (The SQL oracle runs the
+    naive quadratic join, so the differential gate doubles as an
+    equivalence proof of the shortcut.)
+    """
+    fp_expr = (
+        fingerprint if fingerprint is not None else doc_fingerprint(text_col)
+    )
+    cnt = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(source_col).alias("src"), fp_expr.alias("__fp"))
+        .groupBy("__fp", "src")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    cross = (
+        cnt.select("__fp", F.col("src").alias("source_a"), F.col("__c").alias("__ca"))
+        .join(
+            cnt.select(
+                "__fp", F.col("src").alias("source_b"), F.col("__c").alias("__cb")
+            ),
+            "__fp",
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("__ca") * F.col("__cb")).alias("__n"),
+        )
+    )
+    same = cnt.filter(F.col("__c") >= 2).select(
+        F.col("src").alias("source_a"),
+        F.col("src").alias("source_b"),
+        (F.col("__c") * (F.col("__c") - 1) / 2).cast("long").alias("__n"),
+    )
+    return (
+        cross.unionByName(same)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("__n").cast("long").alias("n_pairs"))
     )
 
 

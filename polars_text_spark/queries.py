@@ -485,6 +485,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_source_matrix",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, sha256({_SQL_CLEAN}) AS f
+      FROM documents WHERE text IS NOT NULL)
+    SELECT least(a.source, b.source)    AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT)     AS n_pairs
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate provenance: exact-dup pair counts per source pair —
+    computed combinatorially from per-(fingerprint, source) counts so
+    no quadratic pair set ever materializes; the oracle RUNS the naive
+    quadratic join, so the gate doubles as an equivalence proof of
+    the shortcut (operators/dedup.py::dup_source_matrix)."""
+    from polars_text_spark.operators.dedup import dup_source_matrix
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return dup_source_matrix(docs, "text", "doc_id", "source")
+
+
+@query(
     "near_dedup_minhash",
     f"""
     WITH sh AS ({_SQL_SH_CTE})

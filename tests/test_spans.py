@@ -151,6 +151,28 @@ def test_strip_consistent_with_coverage_counts(spark):
         assert kept_tokens == cov[i]["n_tokens"] - cov[i]["dup_tokens"]
 
 
+def test_dup_source_matrix_combinatorics(spark):
+    from polars_text_spark.operators.dedup import dup_source_matrix
+
+    # fingerprint X: sources A, A, B -> A-A: C(2,2)=1, A-B: 2*1=2
+    # fingerprint Y: sources B, B    -> B-B: 1
+    # unique doc contributes nothing
+    rows = [
+        (1, "same one", "A"),
+        (2, "same one", "A"),
+        (3, "same one", "B"),
+        (4, "other dup", "B"),
+        (5, "other dup", "B"),
+        (6, "unique text", "A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dup_source_matrix(df).collect()
+    }
+    assert got == {("A", "A"): 1, ("A", "B"): 2, ("B", "B"): 1}
+
+
 def test_xxhash_fast_path_same_shape(spark):
     rows = [(1, "a b c d e"), (2, "a b c d e")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

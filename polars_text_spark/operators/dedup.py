@@ -114,7 +114,9 @@ def dup_source_matrix(
     same = cnt.filter(F.col("__c") >= 2).select(
         F.col("src").alias("source_a"),
         F.col("src").alias("source_b"),
-        (F.col("__c") * (F.col("__c") - 1) / 2).cast("long").alias("__n"),
+        # integer div, not /2: c*(c-1) exceeds double's exact-integer
+        # range once a viral fingerprint passes ~2^26 copies
+        F.expr("__c * (__c - 1) div 2").alias("__n"),
     )
     return (
         cross.unionByName(same)

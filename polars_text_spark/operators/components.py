@@ -73,6 +73,13 @@ def connected_components(
     """
     if max_iterations < 1:
         raise ValueError("max_iterations must be >= 1")
+    from polars_text_spark.persist import track_persist
+
+    # pairs is consumed twice before the loop (the symmetric edge
+    # checkpoint AND the vertex/label checkpoint); without the pin the
+    # caller's pair-generation pipeline — often an expensive
+    # shingle-join — runs end-to-end twice.
+    pairs = track_persist(pairs.persist())
     a, b = F.col(src), F.col(dst)
     # Symmetric edge list, self-loops dropped (they add nothing).
     sym = (

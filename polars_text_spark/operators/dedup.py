@@ -96,6 +96,10 @@ def dup_source_matrix(
         .groupBy("__fp", "src")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    # consumed three times (both sides of the self-join + `same`):
+    # persist so the sha256 fingerprint projection and the aggregate —
+    # the expensive stage of this query — compute once
+    cnt = track_persist(cnt.persist())
     cross = (
         cnt.select("__fp", F.col("src").alias("source_a"), F.col("__c").alias("__ca"))
         .join(
@@ -226,20 +230,53 @@ def bottomk_sketch_pairs(
         "id", F.explode_outer("sk").alias("v"), F.size("sk").alias("sz")
     ).filter(F.col("v").isNotNull())
     if max_df is not None:
+        # Keep the hot-element prune AND the count-prune sound
+        # together: __shared below is counted on the PRUNED stream
+        # while sizes and the estimate use FULL sketches, so a pair
+        # sharing hot elements undercounts by at most
+        # min(dropped_a, dropped_b). Track the per-doc dropped-hot
+        # count and weaken the bound by exactly that — zero recall
+        # loss beyond max_df's own documented semantics (pairs whose
+        # ONLY shared elements are hot never become candidates; that
+        # is the point of the dial).
         hot = el.groupBy("v").agg(F.count(F.lit(1)).alias("__df"))
-        el = el.join(hot.filter(F.col("__df") <= max_df), "v").drop("__df")
+        el = (
+            el.join(hot, "v")
+            .withColumn("__is_hot", F.col("__df") > max_df)
+            .drop("__df")
+        )
+        el = el.withColumn(
+            "__drop",
+            F.sum(F.col("__is_hot").cast("int")).over(
+                Window.partitionBy("id")
+            ),
+        )
+        el = el.filter(~F.col("__is_hot")).drop("__is_hot")
+    else:
+        el = el.withColumn("__drop", F.lit(0))
     # count-filtered candidates: est >= t needs |U∩a∩b| >= t*|U| shared
     # sketch elements, and |U| >= max(|sk_a|, |sk_b|), so any surviving
-    # pair must share >= t * max(sz_a, sz_b) elements. Counting shared
-    # elements in the SAME aggregate that dedups pairs prunes the
+    # pair must share >= t * max(sz_a, sz_b) elements (minus the hot
+    # undercount bound when max_df is set). Counting shared elements in
+    # the SAME aggregate that dedups pairs prunes the
     # 1-element-in-common candidate flood (measured at sf0.1: 520k
     # candidates -> the handful that can clear the threshold) before
     # the O(k log k) estimate math ever runs. The 1e-9 slack keeps the
     # double-rounded product from excluding exact-boundary pairs.
     cand = (
-        el.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "v")
+        el.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("__drop").alias("dr_a"),
+            "v",
+        )
         .join(
-            el.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "v"),
+            el.select(
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("__drop").alias("dr_b"),
+                "v",
+            ),
             "v",
         )
         .filter(F.col("id_a") < F.col("id_b"))
@@ -248,10 +285,14 @@ def bottomk_sketch_pairs(
             F.count(F.lit(1)).alias("__shared"),
             F.first("sz_a").alias("__sz_a"),
             F.first("sz_b").alias("__sz_b"),
+            F.first("dr_a").alias("__dr_a"),
+            F.first("dr_b").alias("__dr_b"),
         )
         .filter(
             F.col("__shared")
-            >= threshold * F.greatest("__sz_a", "__sz_b") - 1e-9
+            >= threshold * F.greatest("__sz_a", "__sz_b")
+            - F.least("__dr_a", "__dr_b")
+            - 1e-9
         )
         .select("id_a", "id_b")
     )

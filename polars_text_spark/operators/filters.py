@@ -52,10 +52,15 @@ def apply_filter_rules(
     if not rules:
         raise ValueError("apply_filter_rules: no rules given")
     names = [prefix + r.name for r in rules]
-    dupes = {n for n in names if names.count(n) > 1 or n in df.columns}
-    if dupes or keep_col in df.columns:
+    # one combined report: duplicate/colliding rule columns AND a
+    # keep_col collision surface together, not one failure at a time
+    collisions = sorted(
+        {n for n in names if names.count(n) > 1 or n in df.columns}
+        | ({keep_col} if keep_col in df.columns or keep_col in names else set())
+    )
+    if collisions:
         raise ValueError(
-            f"apply_filter_rules: column collisions: {sorted(dupes) or keep_col}"
+            f"apply_filter_rules: column collisions: {collisions}"
         )
     out = df
     for r, n in zip(rules, names):

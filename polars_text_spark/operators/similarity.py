@@ -32,6 +32,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_kmeans",
     "cosine_topk_lsh",
     "cosine_topk_quantized",
     "dot",
@@ -396,6 +397,99 @@ def cosine_topk_ivf(
         F.explode(probe_many(F.col(vec_col))).alias("list_id"),
     )
     cands = v.join(q, "list_id").dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_topk_ivf_kmeans(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 3,
+    iterations: int = 2,
+    decimals: int = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN with a fully DETERMINISTIC codebook: the inverted lists
+    are the clusters of :func:`polars_text_spark.operators.semdedup.
+    kmeans_fit` (smallest-id seeding, left-fold distances, rounded
+    mean updates — the construction that hash-matches in DuckDB), so
+    every candidate list AND the exact-cosine re-ranked top-k are
+    oracle-checkable end to end — unlike :func:`cosine_topk_ivf`,
+    whose numpy-seeded codebook is reproducible but not
+    SQL-re-derivable.
+
+    Same distributed shape as the production IVF: the scan side
+    shuffles once on its single list id; each query expands to its
+    ``nprobe`` nearest lists (distance ties to the smaller list id)
+    and the candidate join is an equi-join on ``list_id`` touching
+    ~``nprobe/n_lists`` of the corpus. Returns
+    ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    from polars_text_spark.operators.semdedup import _sq_dist, kmeans_fit
+
+    assign, centroids = kmeans_fit(
+        vectors, vec_col, id_col,
+        k=n_lists, iterations=iterations, decimals=decimals,
+    )
+    nprobe = min(nprobe, len(centroids))
+
+    v = (
+        with_l2_normalized(
+            vectors.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            vec_col,
+            "__vvec",
+        )
+        .select("neighbor_id", "__vvec")
+        .join(
+            assign.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("cluster").alias("list_id"),
+            ),
+            "neighbor_id",
+        )
+    )
+    # nprobe nearest lists per query: sort (dist, cid) structs — array
+    # sort is lexicographic, so ties resolve to the smaller list id,
+    # matching the oracle's ORDER BY d, cid
+    vcast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dc = F.array(
+        *[
+            F.struct(
+                _sq_dist(vcast, c).alias("d"),
+                F.lit(i).cast("int").alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(dc), 1, nprobe), lambda s: s.getField("cid")
+    )
+    q = with_l2_normalized(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        vec_col,
+        "__qvec",
+    ).select(
+        "query_id", "__qvec", F.explode(probes).alias("list_id")
+    )
+    # each vector lives in exactly ONE list and probes are distinct,
+    # so (query_id, neighbor_id) is already unique — no dedup needed
+    cands = v.join(q, "list_id")
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cands.select(

@@ -141,6 +141,12 @@ def dup_ngram_coverage(
     SQL oracle can re-derive every gram; pass ``F.xxhash64`` for the
     fastest production path. Docs shorter than ``n`` tokens have zero
     grams and zero coverage by definition.
+
+    ``id_col`` must be UNIQUE: duplicate ids merge the (id, start,
+    gram) streams of distinct rows — same-id self-collisions count
+    toward ``min_df`` and spans from different rows merge — and the
+    final join-back fans out, silently breaking the one-row-per-input
+    contract (same requirement as the dedup pair operators).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -237,6 +243,10 @@ def strip_duplicate_spans(
     aggregate); the rebuild is one anti-join of (id, pos, token)
     against covered (id, pos) and one ordered per-doc aggregate. The
     token stream shuffles once — unavoidable, the output IS new text.
+
+    ``id_col`` must be UNIQUE — see :func:`dup_ngram_coverage` (the
+    shared gram pipeline merges streams per id, so duplicate ids
+    cross-contaminate coverage and fan out the rebuild join).
     """
     if n < 1:
         raise ValueError("n must be >= 1")

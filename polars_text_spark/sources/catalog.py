@@ -37,7 +37,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{sf}/{name}.parquet")
 
 
-def spread_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+def spread_scan(
+    df: DataFrame,
+    target: int | None = None,
+    *,
+    min_bytes: int | None = None,
+) -> DataFrame:
     """Widen an under-partitioned scan so map-side work parallelizes.
 
     Parquet splits at row-group boundaries, so a table written as one
@@ -53,11 +58,37 @@ def spread_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     100 TB case), this is the identity and costs nothing. Round-robin
     repartition sorts within partitions first (SPARK-23207), so the
     redistribution is retry-deterministic.
+
+    ``min_bytes``: metadata-cheap opt-out for scans too small to
+    amortize the exchange + task-scheduling fixed cost (~0.3-0.5 s
+    measured): when the summed input-file size is known and below the
+    threshold, the scan is left alone. Note the threshold is a BYTES
+    dial; whether widening pays is really a map-work-DENSITY question
+    (a 500 KB corpus of documents still wins big when every row feeds
+    an O(tokens) sha pipeline) — callers with cheap per-row work
+    should skip widening at the call site instead.
     """
     tgt = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= tgt:
         return df
+    if min_bytes is not None:
+        total = _input_bytes(df)
+        if total is not None and total < min_bytes:
+            return df
     return df.repartition(tgt)
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Summed size of the frame's input files, or None when any file
+    is not stat-able from the driver (non-local FS etc.)."""
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            total += os.path.getsize(path)
+        return total
+    except OSError:
+        return None
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

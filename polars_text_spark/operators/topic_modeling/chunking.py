@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from typing import Callable
 
-__all__ = ["chunk_document", "split_paragraphs", "split_sentences"]
+__all__ = [
+    "chunk_document",
+    "chunk_rows",
+    "split_paragraphs",
+    "split_sentences",
+]
 
 _TERMINATORS = set(".!?。！？۔؟।॥")
 
@@ -194,3 +199,71 @@ def chunk_document(
     for paragraph in split_paragraphs(doc):
         _append_sized_units(paragraph, max_tokens, counter, units)
     return _pack_units(units, max_tokens, overlap)
+
+
+def chunk_rows(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 256,
+    overlap: int = 32,
+):
+    """Distributed chunking surface: one row per chunk,
+    ``(id_col, chunk_index, chunk, n_tokens)`` with ``chunk_index``
+    contiguous from 0 per document and ``n_tokens`` the SAME counter
+    the packer budgeted with (so ``n_tokens <= max_tokens`` holds by
+    construction). Empty/whitespace docs contribute zero rows.
+
+    Runs :func:`chunk_document` inside an Arrow-batched pandas UDF —
+    per-doc Python work over string batches, no driver collect; the
+    explode is the only row multiplier (bounded by
+    ``doc_tokens / max_tokens`` chunks per doc, + overlap carry).
+    """
+    import pandas as pd  # noqa: F401  (pandas ships with pyspark env)
+    from typing import Iterator
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    counter = _default_count
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("chunk", T.StringType(), False),
+                T.StructField("n_tokens", T.IntegerType(), False),
+            ]
+        ),
+        containsNull=False,
+    )
+
+    def fn(batches):
+        for series in batches:
+            yield series.map(
+                lambda t: [
+                    {"chunk": c, "n_tokens": counter(c)}
+                    for c in chunk_document(
+                        t, max_tokens=max_tokens, overlap=overlap
+                    )
+                ]
+            )
+
+    # explicit annotations: `from __future__ import annotations` turns
+    # inline hints into strings pandas_udf can't infer from
+    fn.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    udf = F.pandas_udf(fn, out_type)
+    # posexplode_outer + null filter (not posexplode): the
+    # InferFiltersFromGenerate trap would re-inline the UDF into a
+    # pre-generate filter and run the chunker twice per row
+    exploded = df.select(
+        F.col(id_col), F.posexplode_outer(udf(F.col(text_col)))
+    ).filter(F.col("col").isNotNull())
+    return exploded.select(
+        id_col,
+        F.col("pos").cast("int").alias("chunk_index"),
+        F.col("col.chunk").alias("chunk"),
+        F.col("col.n_tokens").cast("int").alias("n_tokens"),
+    )

@@ -13,6 +13,8 @@ parallel summation order) don't flip the value hash.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2991,6 +2993,176 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return profile.join(token_stats, "lang", "left").orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Round 7: deterministic IVF, cache-through-driver, chunking oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_ivf_sha",
+    f"""
+    WITH {_SQL_KMEANS_CTE},
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END
+          AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e)),
+    pd AS (
+      SELECT q.vec_id AS query_id, c.cid,
+             list_reduce(list_transform(generate_series(1, len(q.v)),
+                  i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])),
+                  (a, b) -> a + b) AS d
+      FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q CROSS JOIN c1 c),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid, row_number() OVER (
+                 PARTITION BY query_id ORDER BY d, cid) AS pr
+        FROM pd)
+      WHERE pr <= 3),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN a1 a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(uq.u)),
+                  i -> uq.u[i] * un.u[i]), (a, b) -> a + b) AS cos
+      FROM cand c
+      JOIN unit uq ON uq.vec_id = c.query_id
+      JOIN unit un ON un.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def q_similarity_topk_ivf_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose EVERY stage the oracle re-derives: the codebook is
+    the oracle-checked deterministic k-means (both Lloyd rounds replayed
+    in SQL), vector list assignment is that k-means' own assignment,
+    query probes are the nprobe nearest final centroids (distance ties
+    to the smaller list id), and the candidate re-rank is the exact
+    normalized dot — candidate membership AND final top-k hash-match,
+    closing the "ANN is rows-only by nature" gap for the IVF family
+    (the xxhash-seeded LSH variant stays irreducibly rows-only)."""
+    from polars_text_spark.operators.similarity import cosine_topk_ivf_kmeans
+
+    vecs = _tbl(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf_kmeans(
+        vecs,
+        vecs.filter(F.col("vec_id") < 5),
+        k=10,
+        n_lists=8,
+        nprobe=3,
+        iterations=2,
+        decimals=6,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query("tokenize_cached", ORACLES["tokenize_offsets"])
+def q_tokenize_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-addressed cache layer driven through the driver's
+    hash gate (mirrors reference tests/test_tokenize_cache.py:22-34):
+    a COLD pass populates the parquet cache scope (distinct-text miss
+    dedup, then append), a WARM pass finds zero misses and serves every
+    token list from the cache parquet — and the warm output must equal
+    the uncached ``tokenize_offsets`` result exactly (same oracle SQL).
+    A stale/corrupt/incomplete cache round-trip fails the value hash,
+    not just a pytest invariant."""
+    import shutil
+    import tempfile
+
+    from polars_text_spark.operators.cache import tokenize_cached
+
+    cache_path = os.path.join(
+        tempfile.gettempdir(), "ptx_driver_tokenize_cache"
+    )
+    shutil.rmtree(cache_path, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    # cold: computes every distinct text once, writes the cache scope
+    tokenize_cached(
+        docs, "text", model=NATIVE_MODEL, cache_path=cache_path,
+        output_col="toks",
+    )
+    # warm: zero misses; token lists come back from the parquet cache
+    warm = tokenize_cached(
+        docs, "text", model=NATIVE_MODEL, cache_path=cache_path,
+        output_col="toks",
+    )
+    toks = warm.select("doc_id", F.explode("toks").alias("t"))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct(F.col("t.token")).alias("n_distinct"),
+    )
+
+
+@query(
+    "topic_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           sha256(array_to_string(tk, ' ')) AS tokens_sha,
+           TRUE AS bound_ok,
+           TRUE AS contiguous_ok
+    FROM t WHERE len(tk) > 0
+    """,
+)
+def q_topic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy chunking stage of the topic pipeline (reference
+    chunking.rs:238-281) under the driver's hash — via its checkable
+    INVARIANTS, labeled as such (a full greedy replay needs recursion
+    over the unit ladder, beyond a practical SQL twin):
+
+    - coverage: with overlap=0 the packer must preserve the document's
+      whitespace-token stream exactly, so ``tokens_sha`` (sha256 of the
+      space-joined token stream rebuilt from all chunks in index order)
+      must equal the oracle's sha of the doc's own token stream;
+    - totals: ``n_tokens`` (sum of per-chunk counts) == doc token count;
+    - bound: every chunk's packed count <= max_tokens (Spark computes
+      the boolean; the oracle pins it TRUE);
+    - contiguity: chunk_index runs 0..n-1 per doc (same).
+
+    Chunk COUNTS per doc are packing-dependent and not SQL-derivable;
+    they are covered by tests/test_topic_modeling.py."""
+    from polars_text_spark.operators.topic_modeling.chunking import chunk_rows
+
+    docs = _docs(spark, sf_dir)
+    ch = chunk_rows(docs, "text", "doc_id", max_tokens=32, overlap=0)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_index", "chunk"))),
+            lambda s: s.getField("chunk"),
+        ),
+        " ",
+    )
+    toks = F.filter(F.split(rebuilt, r"\s+"), lambda x: x != "")
+    return ch.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sha2(F.array_join(toks, " "), 256).alias("tokens_sha"),
+        (F.max("n_tokens") <= F.lit(32)).alias("bound_ok"),
+        (
+            (F.min("chunk_index") == 0)
+            & (F.max("chunk_index") == F.count(F.lit(1)) - 1)
+        ).alias("contiguous_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

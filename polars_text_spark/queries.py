@@ -3166,6 +3166,132 @@ def q_topic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 7: deterministic splitting / leakage audit / sharding.
+# ---------------------------------------------------------------------------
+
+# Cumulative hex thresholds for the 0.1/0.1/0.8 split, derived with the
+# SAME formula as operators/splits.py so query and oracle cannot drift.
+_SPLIT_T1 = format(min(int(0.1 * 16 ** 8), 16 ** 8 - 1), "08x")
+_SPLIT_T2 = format(min(int(0.2 * 16 ** 8), 16 ** 8 - 1), "08x")
+_SQL_SPLIT_CASE = f"""
+    CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SPLIT_T1}'
+           THEN 'val'
+         WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SPLIT_T2}'
+           THEN 'test'
+         ELSE 'train' END
+"""
+
+
+@query(
+    "train_val_split",
+    f"""
+    SELECT doc_id, {_SQL_SPLIT_CASE} AS split
+    FROM documents
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/val/test assignment: a row's split depends
+    only on sha256(doc_id), so reruns, backfills and the DuckDB oracle
+    agree row-for-row (no Spark-internal RNG). Map-only CASE over
+    cumulative hash intervals; the last label (train) absorbs the
+    rounding residue. The group-keyed variant (whole domains move
+    together) is exercised in tests/test_splits.py."""
+    from polars_text_spark.operators.splits import assign_splits
+
+    docs = _docs(spark, sf_dir, wide=False)
+    out = assign_splits(
+        docs, "doc_id", {"val": 0.1, "test": 0.1, "train": 0.8}
+    )
+    return out.select("doc_id", "split")
+
+
+@query(
+    "split_leakage_audit",
+    f"""
+    WITH RECURSIVE
+    sh AS ({_SQL_SH_CTE}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.01
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT u AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+    s AS (
+      SELECT doc_id, {_SQL_SPLIT_CASE} AS split
+      FROM documents WHERE text IS NOT NULL),
+    lab AS (
+      SELECT s.doc_id, s.split,
+             coalesce(c.component, s.doc_id) AS component
+      FROM s LEFT JOIN comp c USING (doc_id)),
+    fam AS (
+      SELECT component,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+      FROM lab GROUP BY component)
+    SELECT l.doc_id, l.component, l.split, fam.has_train = 1 AS contaminated
+    FROM lab l JOIN fam USING (component)
+    WHERE l.split <> 'train'
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE audit of the split: non-train rows whose
+    duplicate family (connected components over exact-Jaccard pairs)
+    contains a train member — the eval rows a benchmark must re-draw.
+    The n-gram decontamination twin (`decontaminate_ngrams`) catches
+    passage overlap; this catches whole-document near-dups that
+    straddle the split. Oracle replays the closure (recursive CTE),
+    the split CASE and the per-family train flag."""
+    from polars_text_spark.operators.dedup import ngram_jaccard_pairs
+    from polars_text_spark.operators.splits import assign_splits, split_leakage
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    with_split = assign_splits(
+        docs, "doc_id", {"val": 0.1, "test": 0.1, "train": 0.8}
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("source", "lang"), threshold=0.01
+    )
+    return split_leakage(
+        with_split, pairs.select("id_a", "id_b"), "doc_id", "split"
+    )
+
+
+@query(
+    "shard_manifest",
+    """
+    WITH h AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hh
+               FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8
+                  ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    output: shard = hash mod 8, within-shard order = the full hash —
+    a reproducible pseudo-random read order with no RNG state. One
+    shuffle on the shard id; at 100 TB this feeds
+    repartition(n, "shard") + sortWithinPartitions + partitioned
+    write, one shard streamed per executor."""
+    from polars_text_spark.operators.splits import shard_assignment
+
+    docs = _docs(spark, sf_dir, wide=False)
+    return shard_assignment(docs, "doc_id", n_shards=8)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -3182,6 +3308,9 @@ _DRIVER_PRIORITY = [
     "similarity_topk_ivf_sha",
     "tokenize_cached",
     "topic_chunks",
+    "train_val_split",
+    "split_leakage_audit",
+    "shard_manifest",
     # round-6 additions with no driver row
     "dedup_keep_best",
     "kmeans_clusters",

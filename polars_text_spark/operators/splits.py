@@ -125,6 +125,8 @@ def split_leakage(
     require_free_columns(
         df, ("__sl_comp", "__sl_has_train"), "split_leakage"
     )
+    from polars_text_spark.persist import track_persist
+
     comp = connected_components(pairs).select(
         F.col("vertex").alias(id_col), F.col("component").alias("__sl_comp")
     )
@@ -132,6 +134,9 @@ def split_leakage(
     labeled = labeled.withColumn(
         "__sl_comp", F.coalesce("__sl_comp", F.col(id_col))
     )
+    # consumed twice (family aggregate + final join): persist so the
+    # scan + component join don't run twice
+    labeled = track_persist(labeled.persist())
     fam = labeled.groupBy("__sl_comp").agg(
         F.max((F.col(split_col) == train_value).cast("int")).alias(
             "__sl_has_train"

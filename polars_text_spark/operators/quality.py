@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bigram_surprisal",
+    "cardinality_report",
     "doc_bigrams",
     "oov_rate",
     "source_kl_divergence",
@@ -334,4 +335,40 @@ def zipf_slope_by(
         F.count("*").alias("n_types"),
         F.regr_slope(ly, lx).alias("zipf_slope"),
         F.regr_intercept(ly, lx).alias("zipf_intercept"),
+    )
+
+
+def cardinality_report(
+    df: DataFrame,
+    group_col: str,
+    key_col,
+    *,
+    rsd: float = 0.02,
+    rel_err_bound: float = 0.1,
+) -> DataFrame:
+    """Per-group distinct-cardinality report with a sketch-accuracy
+    audit: ``(group_col, n_rows, n_distinct, sketch_ok)``.
+
+    ``n_distinct`` is the exact count; ``sketch_ok`` asserts the
+    HyperLogLog++ estimate (``approx_count_distinct`` at ``rsd``)
+    lands within ``rel_err_bound`` of it. At 100 TB the exact count is
+    the thing you STOP computing — dedup-rate dashboards run on the
+    sketch (one pass, mergeable partial state, no exact-distinct
+    shuffle of the key universe) — and this report is the per-shard
+    calibration you run where exact is still affordable, so the
+    sketch path ships with a measured error bound instead of a quoted
+    one. ``key_col`` may be any column or expression (typically a
+    content fingerprint).
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(key).cast("long").alias("n_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct(key, rsd).cast("double")
+                - F.countDistinct(key).cast("double")
+            )
+            <= F.lit(rel_err_bound) * F.countDistinct(key).cast("double")
+        ).alias("sketch_ok"),
     )

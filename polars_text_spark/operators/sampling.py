@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cap_per_group",
     "mixture_rates",
     "mixture_rebalance",
     "sample_predicate",
@@ -150,4 +151,38 @@ def mixture_rebalance(
     rates = mixture_rates(counts, weights)
     return stratified_sample(
         df, rates, stratum_col, key_col, default_rate=0.0, salt=salt
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    max_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen by a
+    content-keyed pseudo-random ranking — the per-domain frequency cap
+    of crawl curation (no single host may dominate the corpus), with
+    the same reproducibility contract as the samplers: which rows
+    survive depends only on (key, salt), never on partitioning or
+    engine RNG.
+
+    Rank within a group = order of ``sha256(key || salt)`` (ties by
+    key). One shuffle keyed by ``group_col``; per-group state is the
+    window's running count — hot domains cost sort time, not memory.
+    A skew-extreme group (one domain = half the corpus) can pre-filter
+    with :func:`sample_predicate` at ``~max_rows / group_count`` rate
+    before the exact window pass."""
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.sha2(F.concat(F.col(key_col).cast("string"), F.lit(salt)), 256)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= max_rows)
+        .drop("__cap_rn")
     )

@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_topk", "tfidf_keywords"]
 
 
 def _ws_tokens(text: Column) -> Column:
@@ -112,3 +112,71 @@ def bm25_topk(
     """Top-k BM25 results, deterministic tie-break on the id."""
     scores = bm25_scores(docs, query_terms, text_col, id_col, **kwargs)
     return scores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    min_df: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` whitespace terms
+    by smoothed TF-IDF. Returns ``(id_col, term, tf, df, tfidf, rank)``
+    with ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn's
+    smooth-idf — never negative, never divides by zero) rounded to
+    ``decimals``; ``rank`` orders by the ROUNDED score then term
+    (engine-stable: ordering on the raw float could flip on a last-ulp
+    ln() difference between engines).
+
+    Scale shape: explode -> per-(doc, term) counts (one combiner-heavy
+    shuffle), document frequencies from the same aggregate stream
+    grouped by term (vocabulary-sized), N as a 1-row broadcast; the
+    final per-doc top-k window shuffles on the doc id. No UDFs,
+    whole-stage codegen throughout. ``min_df`` drops hapax noise
+    before the window.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("term")
+    )
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n = docs.filter(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    scored = (
+        tf.join(dfreq.filter(F.col("df") >= min_df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                decimals,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", "df", "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -3292,6 +3292,101 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 7: curation caps, keyword extraction, sketch calibration.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+               PARTITION BY source
+               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 30
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (no host may dominate the corpus):
+    keep at most 30 docs per source, chosen by content-keyed
+    pseudo-random rank — reruns and the oracle agree row-for-row, no
+    engine RNG. One shuffle keyed by source."""
+    from polars_text_spark.operators.sampling import cap_per_group
+
+    docs = _docs(spark, sf_dir, wide=False)
+    return cap_per_group(docs, "source", "doc_id", max_rows=30).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "tfidf_keywords",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(CASE WHEN trim(lower(text)) = ''
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+') END) AS term
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn
+          FROM documents WHERE text IS NOT NULL),
+    sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                  round(tf.tf * (ln((nn + 1.0) / (dfq.df + 1.0)) + 1.0),
+                        6) AS tfidf
+           FROM tf JOIN dfq USING (term), n)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM sc)
+    WHERE rn <= 5
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by smoothed
+    TF-IDF (sklearn smooth-idf), ranked on the ROUNDED score so a
+    last-ulp ln() difference between engines cannot flip the order.
+    Explode -> combiner-heavy (doc, term) counts; vocabulary-sized df
+    aggregate; 1-row N broadcast; per-doc top-k window. No UDFs."""
+    from polars_text_spark.operators.search import tfidf_keywords
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_keywords(docs, "text", "doc_id", k=5)
+
+
+@query(
+    "source_cardinality",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT sha256({_SQL_CLEAN})) AS BIGINT)
+             AS n_distinct,
+           TRUE AS sketch_ok
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+)
+def q_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-content cardinality per source with a sketch-accuracy
+    audit: the exact distinct count is oracle-checked, and
+    ``sketch_ok`` pins the HyperLogLog++ estimate (rsd=0.02) within
+    10% of it — the calibration a 100 TB dedup-rate dashboard runs
+    per-shard before trusting the one-pass mergeable sketch instead
+    of an exact-distinct shuffle."""
+    from polars_text_spark.operators.quality import cardinality_report
+
+    docs = _docs(spark, sf_dir, wide=False).filter(F.col("text").isNotNull())
+    return cardinality_report(
+        docs, "source", doc_fingerprint("text"), rsd=0.02, rel_err_bound=0.1
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -3311,6 +3406,9 @@ _DRIVER_PRIORITY = [
     "train_val_split",
     "split_leakage_audit",
     "shard_manifest",
+    "domain_cap",
+    "tfidf_keywords",
+    "source_cardinality",
     # round-6 additions with no driver row
     "dedup_keep_best",
     "kmeans_clusters",

@@ -3387,6 +3387,130 @@ def q_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-linguistics analysis (operators/linguistics.py): n-grams,
+# collocations, Gries dispersion — the AntConc-family tools rounding out
+# the reference's concordance/frequency surface.
+# ---------------------------------------------------------------------------
+
+# Portable whitespace tokens as a DuckDB list (same contract as the
+# Spark-side linguistics._ws_token_array: lower + trim + \s+ split,
+# empties removed — only the all-whitespace text produces any).
+_SQL_WS_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+@query(
+    "ngram_trigrams",
+    f"""
+    WITH toks AS (
+      SELECT {_SQL_WS_TOKS} AS t
+      FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS ngram
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3)
+    SELECT ngram, CAST(count(*) AS BIGINT) AS count
+    FROM grams GROUP BY ngram HAVING count(*) >= 2
+    """,
+)
+def q_ngram_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram frequency table (min_count=2). Gram construction
+    is map-only (slice over the token array — no positional self-join);
+    the single shuffle is the count groupBy with map-side combine."""
+    from polars_text_spark.operators.linguistics import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), "text", n=3, min_count=2)
+
+
+@query(
+    "collocations_pmi",
+    f"""
+    WITH toks AS (
+      SELECT {_SQL_WS_TOKS} AS t
+      FROM documents WHERE text IS NOT NULL),
+    pairs AS (
+      SELECT t[i] AS a, t[i + d] AS b
+      FROM toks,
+           UNNEST(range(1, len(t) + 1)) AS u(i),
+           UNNEST(range(1, 4)) AS v(d)
+      WHERE i + d <= len(t)),
+    pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+           FROM pairs GROUP BY a, b),
+    uc AS (SELECT unnest(t) AS token FROM toks),
+    ucc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+            FROM uc GROUP BY token),
+    tot AS (SELECT (SELECT CAST(sum(pair_count) AS DOUBLE) FROM pc) AS m,
+                   (SELECT CAST(sum(c) AS DOUBLE) FROM ucc) AS n)
+    SELECT p.a, p.b, p.pair_count,
+           ua.c AS count_a, ub.c AS count_b,
+           round(log2((CAST(p.pair_count AS DOUBLE) / m)
+                      / ((CAST(ua.c AS DOUBLE) / n)
+                         * (CAST(ub.c AS DOUBLE) / n))), 6) AS pmi,
+           round(14.0 + log2(2.0 * CAST(p.pair_count AS DOUBLE)
+                             / (CAST(ua.c AS DOUBLE)
+                                + CAST(ub.c AS DOUBLE))), 6) AS log_dice
+    FROM pc p
+    JOIN ucc ua ON ua.token = p.a
+    JOIN ucc ub ON ub.token = p.b, tot
+    WHERE p.pair_count >= 5
+    """,
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed collocation pairs (window=3, min pair count 5) scored
+    with PMI + logDice, both rounded to 6 dp for engine stability. Pair
+    generation is map-only slice/zip arrays — the oracle's positional
+    cross-unnest replays it exactly; shuffles are the two count
+    groupBys, marginals joined via broadcast vocabulary."""
+    from polars_text_spark.operators.linguistics import collocations
+
+    return collocations(_docs(spark, sf_dir), "text", window=3, min_pair_count=5)
+
+
+@query(
+    "token_dispersion",
+    f"""
+    WITH toks AS (
+      SELECT source, {_SQL_WS_TOKS} AS t
+      FROM documents WHERE text IS NOT NULL),
+    tp AS (SELECT source AS part, unnest(t) AS token FROM toks),
+    tpc AS (SELECT token, part, CAST(count(*) AS BIGINT) AS tp
+            FROM tp GROUP BY token, part),
+    pt AS (SELECT part, sum(tp) AS part_total FROM tpc GROUP BY part),
+    nt AS (SELECT CAST(sum(part_total) AS DOUBLE) AS n FROM pt),
+    ms AS (SELECT min(CAST(part_total AS DOUBLE) / n) AS min_s
+           FROM pt, nt),
+    enr AS (SELECT token, tp,
+                   CAST(part_total AS DOUBLE) / n AS s_i
+            FROM tpc JOIN pt USING (part), nt),
+    per AS (SELECT token, CAST(sum(tp) AS BIGINT) AS freq,
+                   CAST(count(*) AS BIGINT) AS range_parts,
+                   sum(s_i) AS present_share
+            FROM enr GROUP BY token),
+    dev AS (SELECT e.token,
+                   sum(abs(CAST(e.tp AS DOUBLE)
+                           / CAST(p.freq AS DOUBLE) - e.s_i))
+                     AS present_dev
+            FROM enr e JOIN per p USING (token) GROUP BY e.token)
+    SELECT p.token, p.freq, p.range_parts,
+           round(0.5 * (d.present_dev + (1.0 - p.present_share)), 6) AS dp,
+           round(0.5 * (d.present_dev + (1.0 - p.present_share))
+                 / (1.0 - ms.min_s), 6) AS dp_norm
+    FROM per p JOIN dev d USING (token), ms
+    WHERE p.freq >= 5
+    """,
+)
+def q_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP / DP_norm dispersion across `source` parts (freq>=5).
+    The (token x part) matrix is never densified: absent-part mass is
+    1 - sum(present shares), closed-form from the sparse counts."""
+    from polars_text_spark.operators.linguistics import dispersion
+
+    return dispersion(_docs(spark, sf_dir), "source", "text", min_count=5)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -3400,6 +3524,9 @@ def q_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "ngram_trigrams",
+    "collocations_pmi",
+    "token_dispersion",
     "similarity_topk_ivf_sha",
     "tokenize_cached",
     "topic_chunks",

@@ -20,6 +20,8 @@ from polars_text_spark.functions.scalar import clean_text
 
 __all__ = [
     "STOPWORDS",
+    "char_class_ratios",
+    "char_entropy",
     "detect_language",
     "doc_fingerprint",
     "dup_word_frac",
@@ -330,6 +332,75 @@ def hashed_classifier_score(
         return let(z, with_z)
 
     return let(toks, body)
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Per-document Shannon entropy over characters (bits/char).
+
+    A classic quality/anomaly signal: natural prose sits around 4-4.5
+    bits/char, base64 or hex blobs and keyboard-mash spam sit far
+    higher or lower. Computed in an Arrow-batched pandas UDF — a
+    MAP-ONLY design with zero shuffle (the pure-Catalyst alternative,
+    explode chars + two groupBys, would shuffle the full character
+    stream twice just to build per-row histograms).
+
+    Engine-stable contract for the SQL oracle: the probability terms
+    ``(c/n) * log2(c/n)`` are accumulated in ASCENDING CHARACTER ORDER
+    and the sign flipped as ``0.0 - acc`` (never ``-acc``, which turns
+    the single-character document's 0.0 into -0.0). DuckDB replays the
+    identical order via ``list_sum(list_transform(list(cnt ORDER BY c),
+    ...))`` — the same IEEE additions in the same order, so values
+    match bit for bit before any rounding. Null in, null out; empty
+    string scores 0.0.
+    """
+    import math
+    from collections import Counter
+
+    def fn(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(s):
+            if s is None:
+                return None
+            n = len(s)
+            if n == 0:
+                return 0.0
+            cnt = Counter(s)
+            acc = 0.0
+            for ch in sorted(cnt):
+                p = cnt[ch] / n
+                acc += p * math.log2(p)
+            return 0.0 - acc
+
+        for series in batches:
+            yield series.map(one)
+
+    c = _col(col)
+    return F.pandas_udf(fn, "double")(c).alias("char_entropy")
+
+
+def char_class_ratios(col: Column | str) -> Column:
+    """ASCII character-class ratios as a struct
+    ``(n_chars, digit_ratio, upper_ratio, space_ratio)``.
+
+    Pure Catalyst (regexp strip + length), map-only; ratios are plain
+    double divisions so any SQL engine reproduces them bit for bit.
+    Empty string yields 0.0 ratios; null in, null struct fields out.
+    """
+    c = _col(col)
+    n = F.length(c)
+    nd = n.cast("double")
+
+    def ratio(pattern: str) -> Column:
+        stripped = F.length(F.regexp_replace(c, pattern, ""))
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            stripped.cast("double") / nd
+        )
+
+    return F.struct(
+        n.cast("long").alias("n_chars"),
+        ratio("[^0-9]").alias("digit_ratio"),
+        ratio("[^A-Z]").alias("upper_ratio"),
+        ratio(r"[^\s]").alias("space_ratio"),
+    ).alias("char_class_ratios")
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -42,6 +42,7 @@ __all__ = [
     "dup_source_matrix",
     "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
+    "near_dup_source_matrix",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "set_similarity_jaccard_pairs",
@@ -936,4 +937,64 @@ def embedding_dup_pairs(
         .withColumn("cosine", dot(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def near_dup_source_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    jaccard_threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate provenance: per source-pair counts of near-dup
+    document pairs — the :func:`minhash_lsh_pairs` analog of
+    :func:`dup_source_matrix` (which covers only EXACT duplicates).
+
+    Returns ``(source_a, source_b, pair_count, min_jaccard,
+    max_jaccard)`` with ``source_a <= source_b`` (unordered pairs
+    canonicalized via least/greatest) and the jaccard extremes rounded
+    to 6 dp. min/max — never avg — because they are
+    summation-order-independent, so the values hash-match any engine.
+
+    Scale: the pair stream comes from the banded-LSH join (never
+    all-pairs); attaching sources is two equi-joins of the (small) pair
+    frame against the corpus id→source projection — shuffles on the id
+    key, broadcast-eligible whenever the pair frame is small enough for
+    AQE to notice. The matrix itself is at most |sources|² rows.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    )
+    src = df.select(
+        F.col(id_col).alias("__sid"), F.col(source_col).alias("__src")
+    )
+    joined = (
+        pairs.join(src, pairs["id_a"] == src["__sid"])
+        .select("id_a", "id_b", "jaccard", F.col("__src").alias("__src_a"))
+        .join(src, F.col("id_b") == src["__sid"])
+        .select("id_a", "id_b", "jaccard", "__src_a", F.col("__src").alias("__src_b"))
+    )
+    return (
+        joined.select(
+            F.least("__src_a", "__src_b").alias("source_a"),
+            F.greatest("__src_a", "__src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
     )

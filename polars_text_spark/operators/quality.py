@@ -30,6 +30,7 @@ __all__ = [
     "bigram_surprisal",
     "cardinality_report",
     "doc_bigrams",
+    "heavy_hitters_audit",
     "oov_rate",
     "source_kl_divergence",
     "unigram_frequencies",
@@ -372,3 +373,107 @@ def cardinality_report(
             <= F.lit(rel_err_bound) * F.countDistinct(key).cast("double")
         ).alias("sketch_ok"),
     )
+
+
+def heavy_hitters_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Top-``k`` corpus tokens with a count-min-sketch accuracy audit:
+    ``(token, exact_count, cms_est, rank)``.
+
+    The companion to :func:`cardinality_report` for FREQUENCY sketches:
+    at 100 TB the exact token-count table is the thing a trending /
+    heavy-hitters dashboard stops computing — it runs on a count-min
+    sketch (``depth x width`` counters, mergeable partial state, fixed
+    memory). This report re-derives the sketch estimate for the exact
+    top-k where exact is still affordable, shipping the sketch path
+    with a MEASURED per-token error instead of the quoted
+    ``eps*N``-with-probability-``1-delta`` bound.
+
+    Design points:
+
+    - The sketch is built from the ALREADY-AGGREGATED ``(token, count)``
+      frame, not the raw token stream — identical counters (CMS cells
+      are sums, and sums of per-token subtotals equal sums over
+      occurrences), but the depth-fold explodes a vocabulary-sized
+      frame instead of the corpus token stream.
+    - Row hashes are the engine-portable sha256-prefix
+      (``conv(substr(sha2('j:'||token), 1, 15), 16, 10) % width``), so
+      a SQL oracle re-derives EVERY counter and estimate — a
+      value-verified sketch, like the KMV Jaccard estimator.
+    - The ``depth x width`` counter table and the k-row top-k are both
+      broadcast; the only corpus-scale shuffle is the token count
+      groupBy (with map-side combine), shared with the exact path via
+      exchange reuse.
+
+    Guarantee audited: ``cms_est >= exact_count`` always (CMS never
+    underestimates); the gap is the collision mass.
+    """
+    if k < 1 or depth < 1 or width < 1:
+        raise ValueError("k, depth and width must all be >= 1")
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(_ws_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+
+    def bucket(j: int) -> "F.Column":
+        h = F.conv(
+            F.substring(F.sha2(F.concat(F.lit(f"{j}:"), F.col("token")), 256), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return (h % width).cast("long")
+
+    rows = counts.select(
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    )
+    cms = rows.groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b")).agg(
+        F.sum("exact_count").alias("bucket_sum")
+    )
+
+    topk = (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_count").desc(), F.col("token"))
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+    probes = topk.select(
+        "token",
+        "exact_count",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cms),
+            (F.col("jb.j") == F.col("j")) & (F.col("jb.b") == F.col("b")),
+        )
+        .groupBy("token", "exact_count", "rank")
+        .agg(F.min("bucket_sum").alias("cms_est"))
+    )
+    return est.select("token", "exact_count", "cms_est", "rank")

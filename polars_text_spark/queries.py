@@ -3511,6 +3511,143 @@ def q_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Character-level quality stats, CMS heavy-hitters audit, near-dup
+# provenance matrix (round-7 batch 2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "char_quality_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE text IS NOT NULL),
+    ch AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, n + 1), i -> text[i])) AS c
+      FROM base WHERE n > 0),
+    cc AS (SELECT doc_id, n, c, count(*) AS cnt
+           FROM ch GROUP BY doc_id, n, c),
+    ent AS (SELECT doc_id,
+                   0.0 - list_sum(list_transform(
+                     list(cnt ORDER BY c),
+                     x -> (CAST(x AS DOUBLE) / n)
+                          * log2(CAST(x AS DOUBLE) / n))) AS e
+            FROM cc GROUP BY doc_id, n)
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_chars,
+           round(COALESCE(ent.e, 0.0), 6) AS char_entropy,
+           round(CASE WHEN b.n = 0 THEN 0.0 ELSE
+             length(regexp_replace(b.text, '[^0-9]', '', 'g'))
+               * 1.0 / b.n END, 6) AS digit_ratio,
+           round(CASE WHEN b.n = 0 THEN 0.0 ELSE
+             length(regexp_replace(b.text, '[^A-Z]', '', 'g'))
+               * 1.0 / b.n END, 6) AS upper_ratio,
+           round(CASE WHEN b.n = 0 THEN 0.0 ELSE
+             length(regexp_replace(b.text, '[^\\s]', '', 'g'))
+               * 1.0 / b.n END, 6) AS space_ratio
+    FROM base b LEFT JOIN ent ON b.doc_id = ent.doc_id
+    """,
+)
+def q_char_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character entropy + ASCII class ratios — the
+    byte/char-level quality battery (base64 blobs, mash spam, shouting
+    and whitespace-padding all separate from prose here). Entropy is a
+    zero-shuffle Arrow-batched UDF with a canonical ascending-char
+    accumulation so the oracle's ordered list_sum replays it bit for
+    bit; ratios are pure-Catalyst divisions."""
+    from polars_text_spark.functions.analysis import (
+        char_class_ratios,
+        char_entropy,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    r = char_class_ratios("text")
+    return docs.select(
+        "doc_id",
+        r["n_chars"].alias("n_chars"),
+        F.round(char_entropy("text"), 6).alias("char_entropy"),
+        F.round(r["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(r["upper_ratio"], 6).alias("upper_ratio"),
+        F.round(r["space_ratio"], 6).alias("space_ratio"),
+    )
+
+
+@query(
+    "heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_WS_TOKS}) AS token
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+            FROM toks GROUP BY token),
+    buck AS (
+      SELECT j,
+             ('0x' || substr(sha256(CAST(j AS VARCHAR) || ':' || token),
+                             1, 15))::BIGINT % 256 AS b,
+             sum(exact_count) AS bucket_sum
+      FROM cnt, UNNEST(range(0, 4)) AS d(j)
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT token, exact_count,
+             CAST(row_number() OVER (ORDER BY exact_count DESC, token)
+                  AS INT) AS rank
+      FROM cnt QUALIFY rank <= 20),
+    probes AS (
+      SELECT t.token, t.exact_count, t.rank, j,
+             ('0x' || substr(sha256(CAST(j AS VARCHAR) || ':' || t.token),
+                             1, 15))::BIGINT % 256 AS b
+      FROM topk t, UNNEST(range(0, 4)) AS d(j))
+    SELECT p.token, p.exact_count,
+           CAST(min(bk.bucket_sum) AS BIGINT) AS cms_est, p.rank
+    FROM probes p JOIN buck bk ON bk.j = p.j AND bk.b = p.b
+    GROUP BY p.token, p.exact_count, p.rank
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens with a value-verified count-min-sketch audit
+    (depth 4 x width 256, sha-prefix row hashes): the oracle re-derives
+    every CMS counter AND estimate — the frequency-sketch companion to
+    source_cardinality's HLL audit."""
+    from polars_text_spark.operators.quality import heavy_hitters_audit
+
+    return heavy_hitters_audit(
+        _docs(spark, sf_dir), "text", k=20, depth=4, width=256
+    )
+
+
+@query(
+    "near_dup_sources",
+    f"""
+    WITH sh AS ({_SQL_SH_CTE}),
+    p AS (
+      SELECT a.source AS sa, b.source AS sb,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9)
+    SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+           CAST(count(*) AS BIGINT) AS pair_count,
+           round(min(j), 6) AS min_jaccard,
+           round(max(j), 6) AS max_jaccard
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_near_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup provenance matrix: per source-pair counts of
+    MinHash+LSH near-dup pairs (j >= 0.9, where banded LSH recall is
+    1-4e-8 so the full-pairwise oracle matches exactly) with
+    summation-order-independent min/max jaccard extremes."""
+    from polars_text_spark.operators.dedup import near_dup_source_matrix
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return near_dup_source_matrix(
+        docs, "text", "doc_id", "source", jaccard_threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -3524,6 +3661,9 @@ def q_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "char_quality_stats",
+    "heavy_hitters",
+    "near_dup_sources",
     "ngram_trigrams",
     "collocations_pmi",
     "token_dispersion",

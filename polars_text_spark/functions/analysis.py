@@ -29,6 +29,7 @@ __all__ = [
     "line_stats",
     "normalize_text",
     "quality_score",
+    "readability",
     "remove_stopwords",
     "token_count_bpe",
     "token_count_ws",
@@ -332,6 +333,58 @@ def hashed_classifier_score(
         return let(z, with_z)
 
     return let(toks, body)
+
+
+def readability(col: Column | str) -> Column:
+    """Flesch Reading Ease + Flesch-Kincaid grade as a struct
+    ``(n_words, n_sentences, n_syllables, flesch, fk_grade)``.
+
+    Classic text-analytics surface (the reference platform's audience
+    runs readability over corpora as routinely as frequencies). Syllable
+    counting is the standard vowel-group heuristic: per word,
+    ``max(1, count of [aeiouy]+ runs)`` — deterministic and
+    engine-portable (``size(split(w, '[aeiouy]+')) - 1`` counts the
+    runs, since a split always yields matches+1 pieces).
+
+    Pure Catalyst, map-only. Docs with zero words or zero sentences
+    yield null scores (the formulas divide by both). Scores are LEFT
+    UNROUNDED — callers round; the arithmetic is written in the same
+    operation order as the SQL oracle so values match bit for bit.
+    """
+    c = _col(col)
+    toks = _ws_tokens(F.lower(c))
+    n_words = F.size(toks).cast("long")
+    # sentence_count shares the scalar.py contract (reference op #4)
+    from polars_text_spark.functions.scalar import sentence_count
+
+    n_sent = sentence_count(c).cast("long")
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1), F.size(F.split(w, "[aeiouy]+")) - 1
+        ).cast("long"),
+    )
+    wd = n_words.cast("double")
+    sd = n_sent.cast("double")
+    yd = syl.cast("double")
+    ok = (n_words > 0) & (n_sent > 0)
+    flesch = F.when(
+        ok,
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd),
+    )
+    fk = F.when(
+        ok,
+        F.lit(0.39) * (wd / sd) + F.lit(11.8) * (yd / wd) - F.lit(15.59),
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        flesch.alias("flesch"),
+        fk.alias("fk_grade"),
+    ).alias("readability")
 
 
 def char_entropy(col: Column | str) -> Column:

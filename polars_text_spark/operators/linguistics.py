@@ -42,7 +42,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_counts", "collocations", "dispersion", "ROUND_DP"]
+__all__ = [
+    "ngram_counts",
+    "collocations",
+    "dispersion",
+    "term_dispersion_bins",
+    "prefix_boilerplate",
+    "ROUND_DP",
+]
 
 # Score rounding for cross-engine (libm ulp) stability; matches the
 # contract used by tfidf_keywords / quality scores elsewhere in the repo.
@@ -305,3 +312,75 @@ def dispersion(
     if min_count > 1:
         out = out.where(F.col("freq") >= min_count)
     return out
+
+
+def term_dispersion_bins(
+    df: DataFrame,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Dispersion-plot data for one term (AntConc "Plot" tool): where in
+    each document the term occurs, positions normalized into ``bins``
+    equal token-share bins.
+
+    Returns ``(id_col, bin, hits)`` for documents containing the term —
+    ``bin = floor(pos * bins / n_tokens)`` with ``pos`` the 0-based
+    token offset, pure integer arithmetic so any engine reproduces it
+    exactly.
+
+    Scale: posexplode + an equality filter ON the exploded stream — the
+    filter reaches the generator (only matching tokens survive the
+    explode output), then one groupBy on (id, bin). No joins.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not term:
+        raise ValueError("term must be non-empty")
+    toks = _ws_token_array(text_col)
+    exploded = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.size(toks).alias("__n"), F.posexplode(toks))
+        .where(F.col("col") == term)
+    )
+    return (
+        exploded.select(
+            id_col,
+            F.floor(F.col("pos") * bins / F.col("__n")).cast("int").alias("bin"),
+        )
+        .groupBy(id_col, "bin")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def prefix_boilerplate(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    k_tokens: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Templated-opening detection: per group (source/domain), the
+    first-``k_tokens`` prefixes shared by at least ``min_docs``
+    documents — the cheap screen for injected headers and scraper
+    banners that near-dup pipelines miss when the tail diverges.
+
+    Returns ``(group_col, prefix, n_docs)``. Map-only prefix
+    construction (slice + concat_ws), one count shuffle.
+    """
+    if k_tokens < 1:
+        raise ValueError(f"k_tokens must be >= 1, got {k_tokens}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    toks = _ws_token_array(text_col)
+    prefix = F.concat_ws(" ", F.slice(toks, 1, k_tokens))
+    return (
+        df.where(F.col(text_col).isNotNull() & (F.size(toks) >= k_tokens))
+        .select(F.col(group_col), prefix.alias("prefix"))
+        .groupBy(group_col, "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -3648,6 +3648,151 @@ def q_near_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Readability, KWIC dispersion plot, snapshot diff, prefix boilerplate
+# (round-7 batch 3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "readability_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_WS_TOKS} AS t
+      FROM documents WHERE text IS NOT NULL),
+    agg AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             {_SQL_SENTENCE_COUNT} AS n_sentences,
+             COALESCE(list_sum(list_transform(t,
+               w -> greatest(1,
+                 len(regexp_split_to_array(w, '[aeiouy]+')) - 1))), 0)
+               AS n_syllables
+      FROM base)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+           END AS flesch,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                   - 15.59, 6)
+           END AS fk_grade
+    FROM agg
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + FK grade per document — vowel-group
+    syllable heuristic, pure-Catalyst map-only; the oracle replays the
+    identical operation order so values match bit for bit."""
+    from polars_text_spark.functions.analysis import readability
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    r = readability("text")
+    return docs.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sentences"].alias("n_sentences"),
+        r["n_syllables"].alias("n_syllables"),
+        F.round(r["flesch"], 6).alias("flesch"),
+        F.round(r["fk_grade"], 6).alias("fk_grade"),
+    )
+
+
+@query(
+    "kwic_term_plot",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WS_TOKS} AS t
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, i - 1 AS pos, len(t) AS n, t[i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i))
+    SELECT doc_id, CAST((pos * 10) // n AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS hits
+    FROM pos WHERE tok = 'the' GROUP BY doc_id, bin
+    """,
+)
+def q_kwic_term_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion-plot bins for the term 'the' (AntConc Plot tool):
+    0-based token offsets normalized into 10 bins with pure integer
+    arithmetic. posexplode + filter + one groupBy; no joins."""
+    from polars_text_spark.operators.linguistics import term_dispersion_bins
+
+    return term_dispersion_bins(
+        _docs(spark, sf_dir), "the", "text", "doc_id", bins=10
+    )
+
+
+@query(
+    "corpus_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT doc_id, sha256({_SQL_CLEAN}) AS fp
+      FROM documents WHERE doc_id % 10 <> 7),
+    new0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 3),
+    new AS (SELECT doc_id, sha256({_SQL_CLEAN}) AS fp FROM new0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                ELSE 'modified' END AS status
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over two deterministically-synthesized corpus
+    versions (ids ≡7 mod 10 added, ≡3 removed, ≡0 mod 5 edited):
+    added/removed/modified/unchanged per id via one fingerprint
+    full-outer join — the incremental-ingest gate."""
+    from polars_text_spark.operators.snapshots import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    old = docs.where(i % 10 != 7)
+    new = docs.where(i % 10 != 3).withColumn(
+        "text",
+        F.when(i % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new, "text", "doc_id")
+
+
+@query(
+    "source_prefix_boilerplate",
+    f"""
+    WITH t AS (
+      SELECT source, {_SQL_WS_TOKS} AS toks
+      FROM documents WHERE text IS NOT NULL),
+    p AS (
+      SELECT source,
+             array_to_string(list_slice(toks, 1, 2), ' ') AS prefix
+      FROM t WHERE len(toks) >= 2)
+    SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY source, prefix HAVING count(*) >= 2
+    """,
+)
+def q_source_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-opening screen: first-2-token prefixes shared by >= 2
+    docs within a source — the cheap header/banner detector. Map-only
+    prefix build, one count shuffle."""
+    from polars_text_spark.operators.linguistics import prefix_boilerplate
+
+    return prefix_boilerplate(
+        _docs(spark, sf_dir), "source", "text", k_tokens=2, min_docs=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -3661,6 +3806,10 @@ def q_near_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "readability_scores",
+    "kwic_term_plot",
+    "corpus_snapshot_diff",
+    "source_prefix_boilerplate",
     "char_quality_stats",
     "heavy_hitters",
     "near_dup_sources",

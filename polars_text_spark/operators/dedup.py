@@ -40,6 +40,7 @@ __all__ = [
     "bottomk_sketch",
     "bottomk_sketch_pairs",
     "dup_source_matrix",
+    "dup_degree_histogram",
     "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
     "near_dup_source_matrix",
@@ -998,3 +999,31 @@ def near_dup_source_matrix(
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+def dup_degree_histogram(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Degree distribution of a duplicate-pair graph: ``(degree,
+    n_docs)`` — how many documents have exactly ``degree`` near-dup
+    neighbors (degree >= 1; isolated docs don't appear in the pair
+    stream).
+
+    The shape audit run before committing to a dedup strategy: a heavy
+    tail (a few hub documents in thousands of pairs) says "boilerplate
+    family — strip it", a flat degree-1 histogram says "true mirrors —
+    keep-one wins". Works over ANY pair frame (MinHash, SimHash,
+    SemDeDup, winnowing...).
+
+    Scale: union the two id columns (map-only), one groupBy for
+    degrees (|docs-in-pairs| rows), one for the histogram (|distinct
+    degrees| rows).
+    """
+    ends = pairs.select(F.col(id_a).alias("id")).unionAll(
+        pairs.select(F.col(id_b).alias("id"))
+    )
+    degrees = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

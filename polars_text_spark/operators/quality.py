@@ -30,7 +30,9 @@ __all__ = [
     "bigram_surprisal",
     "cardinality_report",
     "doc_bigrams",
+    "doc_ngram_novelty",
     "heavy_hitters_audit",
+    "length_outlier_report",
     "oov_rate",
     "source_kl_divergence",
     "unigram_frequencies",
@@ -477,3 +479,121 @@ def heavy_hitters_audit(
         .agg(F.min("bucket_sum").alias("cms_est"))
     )
     return est.select("token", "exact_count", "cms_est", "rank")
+
+
+def doc_ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a doc's DISTINCT
+    ``n``-grams appear in no other document — the inverse of the
+    Lee-et-al duplicated-span signal, and the standard memorization /
+    contamination audit for a training corpus (novelty near 0 means
+    the doc is assembled from corpus-common n-grams).
+
+    Returns ``(id_col, n_grams, n_novel, novelty)`` with ``novelty =
+    round(n_novel / n_grams, 6)``; docs with fewer than ``n`` tokens
+    are absent. ``id_col`` must be unique.
+
+    Scale: gram construction is map-only (slice over the token array);
+    the per-doc DISTINCT and the corpus document-frequency are two hash
+    aggregations over (gram, id) / (gram); attaching df back is one
+    equi-join on the gram key — the same Zipf-skew-tolerant 1:N shape
+    as unigram_surprisal (AQE handles hot grams).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _ws_tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .select(id_col, "gram")
+    )
+    gram_df = doc_grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    joined = doc_grams.join(gram_df, "gram")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def length_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    length_col,
+    *,
+    iqr_factor: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence length audit: ``(group_col, n_docs, q1,
+    q3, low_fence, high_fence, n_low, n_high)``.
+
+    The length screen every curation pipeline runs per domain —
+    truncated fragments below the low fence, concatenation blobs above
+    the high one. Quartiles are exact ``percentile`` (≙
+    ``percentile_approx`` at 100 TB — the exact/sketch calibration
+    stance of ``length_quantiles``); fences are ``q1/q3 ∓
+    iqr_factor*(q3-q1)``.
+
+    Scale: one groupBy for the quartiles, the fence table (|groups|
+    rows) broadcast back for the flag counts — the corpus shuffles once
+    on the group key, in map-side-combinable form.
+    """
+    length = F.col(length_col) if isinstance(length_col, str) else length_col
+    base = df.select(F.col(group_col).alias("g"), length.cast("double").alias("len"))
+    fences = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("len", F.lit(0.25)).alias("q1"),
+        F.percentile("len", F.lit(0.75)).alias("q3"),
+    )
+    fences = fences.select(
+        "g",
+        "n_docs",
+        "q1",
+        "q3",
+        (F.col("q1") - iqr_factor * (F.col("q3") - F.col("q1"))).alias("low_fence"),
+        (F.col("q3") + iqr_factor * (F.col("q3") - F.col("q1"))).alias("high_fence"),
+    )
+    flags = (
+        base.join(F.broadcast(fences), "g")
+        .groupBy("g", "n_docs", "q1", "q3", "low_fence", "high_fence")
+        .agg(
+            F.sum((F.col("len") < F.col("low_fence")).cast("long")).alias("n_low"),
+            F.sum((F.col("len") > F.col("high_fence")).cast("long")).alias("n_high"),
+        )
+    )
+    return flags.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("low_fence", 6).alias("low_fence"),
+        F.round("high_fence", 6).alias("high_fence"),
+        "n_low",
+        "n_high",
+    )

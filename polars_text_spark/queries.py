@@ -3793,6 +3793,146 @@ def q_source_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trending keys (streaming twin), n-gram novelty, length outliers,
+# dup-graph degree histogram (round-7 batch 4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trending_keys",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS key,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE props IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, key) AS INT) AS rank
+      FROM c)
+    SELECT window_start, key, n_events, rank FROM r WHERE rank <= 5
+    """,
+)
+def q_trending_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items pipeline, batch twin: per-hour counts of the
+    props.k key, top-5 per window. The count half
+    (streaming.windowed_key_counts) is stream-safe with watermarked
+    state; the rank half (topk_per_window) is the foreachBatch /
+    serving side — stream==batch equivalence is pinned in
+    tests/test_trending_stream.py."""
+    from polars_text_spark.sources.catalog import load_events
+    from polars_text_spark.streaming.events import (
+        topk_per_window,
+        windowed_key_counts,
+    )
+
+    events = load_events(spark, sf_dir).where(F.col("props").isNotNull())
+    counts = windowed_key_counts(
+        events, F.get_json_object("props", "$.k").cast("long"), window="1 hour"
+    )
+    return topk_per_window(counts, k=5)
+
+
+@query(
+    "doc_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WS_TOKS} AS t
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3),
+    dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM g JOIN dfq USING (gram) GROUP BY g.doc_id
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty (fraction of distinct trigrams unique to
+    the doc corpus-wide) — the memorization/contamination audit. Four
+    Zipf-tolerant hash steps: per-doc distinct, gram df, df join-back,
+    per-doc rollup."""
+    from polars_text_spark.operators.quality import doc_ngram_novelty
+
+    return doc_ngram_novelty(_docs(spark, sf_dir), "text", "doc_id", n=3)
+
+
+@query(
+    "length_outliers",
+    """
+    WITH f AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source),
+    fe AS (
+      SELECT source, n_docs, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS low_fence,
+             q3 + 1.5 * (q3 - q1) AS high_fence
+      FROM f)
+    SELECT d.source, fe.n_docs,
+           round(fe.q1, 6) AS q1, round(fe.q3, 6) AS q3,
+           round(fe.low_fence, 6) AS low_fence,
+           round(fe.high_fence, 6) AS high_fence,
+           CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) < fe.low_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > fe.high_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM documents d JOIN fe ON d.source = fe.source
+    WHERE d.n_chars IS NOT NULL
+    GROUP BY d.source, fe.n_docs, fe.q1, fe.q3, fe.low_fence, fe.high_fence
+    """,
+)
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Tukey-fence length audit (exact quartiles, 1.5·IQR
+    fences, out-of-fence counts) — the per-domain length screen."""
+    from polars_text_spark.operators.quality import length_outlier_report
+
+    docs = _docs(spark, sf_dir).where(F.col("n_chars").isNotNull())
+    return length_outlier_report(docs, "source", "n_chars", iqr_factor=1.5)
+
+
+@query(
+    "dup_degree_hist",
+    f"""
+    WITH sh AS ({_SQL_SH_CTE}),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+    ends AS (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM ends GROUP BY id)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def q_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the j>=0.9 MinHash near-dup graph — the
+    hub-vs-mirror shape audit run before choosing a dedup strategy."""
+    from polars_text_spark.operators.dedup import (
+        dup_degree_histogram,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.9)
+    return dup_degree_histogram(pairs)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -3806,6 +3946,10 @@ def q_source_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "trending_keys",
+    "doc_novelty",
+    "length_outliers",
+    "dup_degree_hist",
     "readability_scores",
     "kwic_term_plot",
     "corpus_snapshot_diff",

@@ -31,8 +31,10 @@ __all__ = [
     "cardinality_report",
     "doc_bigrams",
     "doc_ngram_novelty",
+    "heaps_law_fit",
     "heavy_hitters_audit",
     "length_outlier_report",
+    "quantile_sketch_audit",
     "oov_rate",
     "source_kl_divergence",
     "unigram_frequencies",
@@ -596,4 +598,148 @@ def length_outlier_report(
         F.round("high_fence", 6).alias("high_fence"),
         "n_low",
         "n_high",
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Heaps' law fit: OLS of ``log2(cum_types)`` on ``log2(cum_tokens)``
+    over the corpus consumed in ``id_col`` order — vocabulary growth
+    ``V(n) ≈ k·n^beta`` (natural text: beta ~0.4-0.6; a flat curve
+    flags template floods, a near-1 slope flags token soup). The
+    growth-curve companion to :func:`zipf_slope_by`.
+
+    Returns one row ``(n_docs, beta, log2_k)`` (fit coefficients
+    rounded to 6 dp).
+
+    Scale: "cumulative distinct types" never scans the corpus twice —
+    a token's type contribution lands on its FIRST document
+    (``groupBy(token).agg(min(id))``), so the cumulative frame is
+    doc-level. The running sums use a TWO-PHASE bucketed cumsum
+    (within-bucket window partitioned by ``id div bucket_size`` +
+    per-bucket offsets from the tiny bucket frame) — no global
+    single-partition window over the doc frame.
+    """
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(_ws_tokens(text_col)).alias("token")
+    )
+    per_doc = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_types = (
+        toks.groupBy("token")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    doc = per_doc.join(new_types, "id", "left").select(
+        "id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.floor(F.col("id") / bucket_size).alias("__b"),
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    doc = doc.select(
+        "id",
+        "__b",
+        F.sum("n_tok").over(w_in).alias("__ct_in"),
+        F.sum("n_new").over(w_in).alias("__cy_in"),
+    )
+    btot = doc.groupBy("__b").agg(
+        F.max("__ct_in").alias("__bt"), F.max("__cy_in").alias("__by")
+    )
+    w_b = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = btot.select(
+        "__b",
+        (F.sum("__bt").over(w_b) - F.col("__bt")).alias("__ot"),
+        (F.sum("__by").over(w_b) - F.col("__by")).alias("__oy"),
+    )
+    cum = doc.join(F.broadcast(offsets), "__b").select(
+        "id",
+        (F.col("__ct_in") + F.col("__ot")).alias("cum_tokens"),
+        (F.col("__cy_in") + F.col("__oy")).alias("cum_types"),
+    )
+    pts = cum.where((F.col("cum_tokens") > 0) & (F.col("cum_types") > 0))
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.regr_slope(F.log2("cum_types"), F.log2("cum_tokens")), 6
+        ).alias("beta"),
+        F.round(
+            F.regr_intercept(F.log2("cum_types"), F.log2("cum_tokens")), 6
+        ).alias("log2_k"),
+    )
+
+
+def quantile_sketch_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    *,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-group quantile report with a Greenwald-Khanna sketch audit:
+    ``(group_col, n_rows, p50_exact, p90_exact, gk_p50_ok, gk_p90_ok)``.
+
+    The third panel of the sketch-calibration family
+    (:func:`cardinality_report` = HLL, :func:`heavy_hitters_audit` =
+    CMS): at 100 TB percentile dashboards run on
+    ``percentile_approx`` (mergeable GK summaries, bounded memory);
+    this report checks, where exact is still affordable, that each
+    approximate value's RANK lands inside the published
+    ``p ± 1/accuracy`` window — a measured guarantee, not a quoted one.
+
+    The ok-booleans are pinned TRUE by the GK contract, which is what
+    a SQL oracle asserts (the sketch internals aren't portable; its
+    guarantee is).
+    """
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    eps = 1.0 / accuracy
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(F.col(group_col).alias("g"), val.cast("double").alias("v"))
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile("v", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("v", F.lit(0.9)).alias("p90_exact"),
+        F.percentile_approx("v", F.array(F.lit(0.5), F.lit(0.9)), F.lit(accuracy)).alias(
+            "__ap"
+        ),
+    )
+    checked = (
+        base.join(F.broadcast(agg), "g")
+        .groupBy("g", "n_rows", "p50_exact", "p90_exact")
+        .agg(
+            F.sum((F.col("v") <= F.element_at("__ap", 1)).cast("long")).alias("__le50"),
+            F.sum((F.col("v") < F.element_at("__ap", 1)).cast("long")).alias("__lt50"),
+            F.sum((F.col("v") <= F.element_at("__ap", 2)).cast("long")).alias("__le90"),
+            F.sum((F.col("v") < F.element_at("__ap", 2)).cast("long")).alias("__lt90"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+
+    def ok(le, lt, p):
+        lo = F.floor(F.lit(p - eps) * n)
+        hi = F.ceil(F.lit(p + eps) * n)
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+
+    return checked.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        F.round("p50_exact", 6).alias("p50_exact"),
+        F.round("p90_exact", 6).alias("p90_exact"),
+        ok("__le50", "__lt50", 0.5).alias("gk_p50_ok"),
+        ok("__le90", "__lt90", 0.9).alias("gk_p90_ok"),
     )

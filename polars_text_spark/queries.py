@@ -3933,6 +3933,71 @@ def q_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth + GK quantile sketch audit (round-7
+# batch 5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "heaps_fit",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_WS_TOKS}) AS token
+      FROM documents WHERE text IS NOT NULL),
+    per_doc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+    firsts AS (SELECT token, min(doc_id) AS doc_id FROM toks GROUP BY token),
+    newt AS (SELECT doc_id, count(*) AS n_new FROM firsts GROUP BY doc_id),
+    cum AS (
+      SELECT d.doc_id,
+             sum(d.n_tok) OVER (ORDER BY d.doc_id) AS cum_tokens,
+             sum(COALESCE(nt.n_new, 0)) OVER (ORDER BY d.doc_id)
+               AS cum_types
+      FROM per_doc d LEFT JOIN newt nt USING (doc_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(regr_slope(log2(cum_types), log2(cum_tokens)), 6) AS beta,
+           round(regr_intercept(log2(cum_types), log2(cum_tokens)), 6)
+             AS log2_k
+    FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+    """,
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (V(n) ~ k*n^beta) over docs in
+    id order — the growth-curve companion to zipf_by_lang. Cumulative
+    sums run as a TWO-PHASE bucketed cumsum (within-bucket windows +
+    broadcast bucket offsets), never a global single-partition window."""
+    from polars_text_spark.operators.quality import heaps_law_fit
+
+    return heaps_law_fit(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "quantile_audit",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6)
+             AS p50_exact,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6)
+             AS p90_exact,
+           TRUE AS gk_p50_ok,
+           TRUE AS gk_p90_ok
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY source
+    """,
+)
+def q_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact quantiles + Greenwald-Khanna percentile_approx
+    rank-bound audit (the booleans are computed from real rank counts
+    on the Spark side and pinned TRUE by the GK contract in the
+    oracle) — the third panel of the sketch-calibration family after
+    HLL (source_cardinality) and CMS (heavy_hitters)."""
+    from polars_text_spark.operators.quality import quantile_sketch_audit
+
+    docs = _docs(spark, sf_dir).where(F.col("n_chars").isNotNull())
+    return quantile_sketch_audit(docs, "source", "n_chars", accuracy=1000)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -3946,6 +4011,8 @@ def q_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "heaps_fit",
+    "quantile_audit",
     "trending_keys",
     "doc_novelty",
     "length_outliers",

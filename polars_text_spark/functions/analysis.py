@@ -406,6 +406,13 @@ def char_entropy(col: Column | str) -> Column:
     match bit for bit before any rounding. Null in, null out; empty
     string scores 0.0.
     """
+    c = _col(col)
+    return F.pandas_udf(_char_entropy_fn(), "double")(c).alias("char_entropy")
+
+
+def _char_entropy_fn():
+    """Arrow-batched body of :func:`char_entropy` (shared with the
+    ``pt_char_entropy`` SQL registration in sql.py)."""
     import math
     from collections import Counter
 
@@ -426,8 +433,7 @@ def char_entropy(col: Column | str) -> Column:
         for series in batches:
             yield series.map(one)
 
-    c = _col(col)
-    return F.pandas_udf(fn, "double")(c).alias("char_entropy")
+    return fn
 
 
 def char_class_ratios(col: Column | str) -> Column:

@@ -49,6 +49,31 @@ _SQL_SCALAR_FUNCTIONS = {
         coalesce(size(filter(split(s, '[.!?。！？۔؟।॥]'),
                              seg -> seg RLIKE '[^\\p{IsWhite_Space}]')), 0)
     """,
+    # vowel-group syllable heuristic (functions/analysis.py::readability)
+    "pt_syllables": r"""
+        (s STRING) RETURNS BIGINT RETURN
+        CASE WHEN s IS NULL THEN NULL ELSE
+          aggregate(filter(split(lower(trim(s)), '\\s+'), t -> t != ''),
+                    CAST(0 AS BIGINT),
+                    (acc, w) -> acc + CAST(greatest(1,
+                        size(split(w, '[aeiouy]+')) - 1) AS BIGINT))
+        END
+    """,
+    "pt_flesch": r"""
+        (s STRING) RETURNS DOUBLE RETURN
+        CASE WHEN s IS NULL
+               OR size(filter(split(lower(trim(s)), '\\s+'), t -> t != '')) = 0
+               OR pt_sentence_count(s) = 0
+             THEN NULL
+             ELSE 206.835
+               - 1.015 * (CAST(size(filter(split(lower(trim(s)), '\\s+'),
+                                           t -> t != '')) AS DOUBLE)
+                          / pt_sentence_count(s))
+               - 84.6 * (CAST(pt_syllables(s) AS DOUBLE)
+                         / size(filter(split(lower(trim(s)), '\\s+'),
+                                       t -> t != '')))
+        END
+    """,
 }
 
 
@@ -70,4 +95,10 @@ def register_sql_functions(
     spark.udf.register(
         "pt_tokens",
         F.pandas_udf(_tokenize_fn(tokenizer_model, True, True), TOKEN_SCHEMA),
+    )
+
+    from polars_text_spark.functions.analysis import _char_entropy_fn
+
+    spark.udf.register(
+        "pt_char_entropy", F.pandas_udf(_char_entropy_fn(), "double")
     )

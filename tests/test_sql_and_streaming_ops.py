@@ -42,6 +42,46 @@ def test_sql_tokens_udf(spark):
     assert [x.token for x in row.t] == ["hello", "world"]
 
 
+def test_sql_readability_and_entropy_match_column_api(spark):
+    import math
+
+    from polars_text_spark.functions.analysis import char_entropy, readability
+
+    pts.register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "aabb"), (3, None)], ["id", "text"]
+    )
+    df.createOrReplaceTempView("sql_read_t")
+    via_sql = {
+        r.id: r
+        for r in spark.sql(
+            "SELECT id, pt_syllables(text) AS syl, pt_flesch(text) AS fl, "
+            "pt_char_entropy(text) AS ent FROM sql_read_t"
+        ).collect()
+    }
+    via_api = {
+        r.id: r
+        for r in df.select(
+            "id",
+            readability("text")["n_syllables"].alias("syl"),
+            readability("text")["flesch"].alias("fl"),
+            char_entropy("text").alias("ent"),
+        ).collect()
+    }
+    for i in via_sql:
+        assert via_sql[i].syl == via_api[i].syl
+        if via_api[i].fl is None:
+            assert via_sql[i].fl is None
+        else:
+            assert via_sql[i].fl == pytest.approx(via_api[i].fl, abs=1e-9)
+        if via_api[i].ent is None:
+            assert via_sql[i].ent is None
+        else:
+            assert via_sql[i].ent == pytest.approx(via_api[i].ent, abs=1e-12)
+    assert via_sql[2].ent == pytest.approx(1.0)
+    assert math.isclose(via_sql[1].fl, 206.835 - 1.015 * 2.5 - 84.6 * 1.0)
+
+
 def test_embed_column_dispatch(spark):
     df = spark.createDataFrame(
         [(1, "hello", ["a", "b"]), (2, None, None)],

@@ -48,6 +48,7 @@ __all__ = [
     "dispersion",
     "term_dispersion_bins",
     "prefix_boilerplate",
+    "vocab_spelling_pairs",
     "ROUND_DP",
 ]
 
@@ -384,3 +385,61 @@ def prefix_boilerplate(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def vocab_spelling_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+) -> DataFrame:
+    """Spelling-variant pairs in the corpus vocabulary: token pairs at
+    Damerau-free edit distance exactly 1 (insert/delete/substitute),
+    both with corpus count >= ``min_count`` — the screen behind
+    spelling normalization and OCR-noise audits.
+
+    Returns ``(a, b, count_a, count_b)`` with ``a < b``.
+
+    Scale design — SymSpell deletion-neighborhood blocking, NOT an
+    all-pairs scan: two words are within edit distance 1 only if their
+    {word} ∪ {1-deletes} sets intersect, so candidates come from one
+    equi-join on the deletion-variant key (each word of length L emits
+    L+1 variants; the join key space is vocabulary-sized). Candidates
+    are then verified with the exact ``levenshtein`` built-in. The SQL
+    oracle runs the naive quadratic pairwise scan, so the differential
+    gate doubles as an equivalence proof of the blocking (no pair at
+    distance 1 escapes the deletion neighborhood).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = _ws_token_array(text_col)
+    vocab = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w = F.col("w")
+    variants = F.concat(
+        F.array(w),
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.concat(
+                F.substring(w, F.lit(1), i - 1),
+                w.substr(i + 1, F.length(w)),
+            ),
+        ),
+    )
+    keyed = vocab.select("w", "cnt", F.explode(variants).alias("k"))
+    cand = (
+        keyed.select(F.col("w").alias("a"), F.col("cnt").alias("count_a"), "k")
+        .join(
+            keyed.select(F.col("w").alias("b"), F.col("cnt").alias("count_b"), "k"),
+            "k",
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "count_a", "count_b")
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.where(F.levenshtein("a", "b") == 1)

@@ -3998,6 +3998,78 @@ def q_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary spelling variants (SymSpell blocking) + CUBE rollup
+# (round-7 batch 6).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_spelling",
+    f"""
+    WITH noisy AS (
+      SELECT CASE WHEN doc_id % 13 = 0
+                  THEN replace(text, 'value', 'vallue')
+                  WHEN doc_id % 13 = 1
+                  THEN replace(text, 'table', 'tabel')
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL),
+    v AS (
+      SELECT token AS w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_WS_TOKS}) AS token FROM noisy)
+      GROUP BY token HAVING count(*) >= 5)
+    SELECT a.w AS a, b.w AS b, a.cnt AS count_a, b.cnt AS count_b
+    FROM v a JOIN v b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) = 1
+    """,
+)
+def q_vocab_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 spelling-variant pairs in the vocabulary
+    (count >= 5) via SymSpell deletion-neighborhood blocking — one
+    equi-join on the 1-delete variant key, levenshtein verification.
+    OCR-style noise ('vallue' insert, 'tabel' transposition-as-2-ops is
+    NOT matched — only true distance-1 pairs) is injected
+    deterministically in BOTH engines; the oracle runs the naive
+    all-pairs scan, so the gate doubles as an equivalence proof of the
+    blocking."""
+    from polars_text_spark.operators.linguistics import vocab_spelling_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    i = F.col("doc_id")
+    noisy = docs.select(
+        F.when(i % 13 == 0, F.replace(F.col("text"), F.lit("value"), F.lit("vallue")))
+        .when(i % 13 == 1, F.replace(F.col("text"), F.lit("table"), F.lit("tabel")))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return vocab_spelling_pairs(noisy, "text", min_count=5)
+
+
+@query(
+    "quality_cube",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    """,
+)
+def q_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup of doc counts + mean length over (lang, source) —
+    the grouping-sets host-engine surface; grouping_id disambiguates
+    subtotal rows (bit order verified identical across engines).
+    avg over integer-valued doubles is summation-order-exact (every
+    partial sum stays an integer below 2^53), so no rounding risk."""
+    docs = _docs(spark, sf_dir, wide=False)
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+    ).select("lang", "source", "gid", "n_docs", "avg_chars")
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -4011,6 +4083,8 @@ def q_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "vocab_spelling",
+    "quality_cube",
     "heaps_fit",
     "quantile_audit",
     "trending_keys",

@@ -138,3 +138,33 @@ def test_ngram_and_pair_generation_is_map_only(spark, sf_dir):
     for line in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan2):
         keys = {c.split("#")[0].strip() for c in line.split(",")[:-1]}
         assert keys <= {"a", "b", "token"}, line
+
+
+def test_vocab_spelling_pairs_symspell_blocking(spark):
+    from polars_text_spark.operators.linguistics import vocab_spelling_pairs
+
+    rows = [
+        ("color color color colour colour colour",),   # deletion pair
+        ("cat bat cat bat cat bat",),                  # substitution pair
+        ("table tabel table tabel table tabel",),      # transposition: dist 2, NOT matched
+        ("x y x y x y",),                              # single-char substitution pair
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        (r["a"], r["b"]): (r["count_a"], r["count_b"])
+        for r in vocab_spelling_pairs(df, min_count=3).collect()
+    }
+    assert ("color", "colour") in got
+    assert ("bat", "cat") in got
+    assert ("x", "y") in got
+    assert ("tabel", "table") not in got  # transposition = 2 ops
+    assert got[("color", "colour")] == (3, 3)
+    # min_count filters rare tokens out
+    none = vocab_spelling_pairs(
+        spark.createDataFrame([("cat bat",)], "text string"), min_count=3
+    ).collect()
+    assert none == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_spelling_pairs(df, min_count=0)

@@ -32,6 +32,8 @@ __all__ = [
     "readability",
     "remove_stopwords",
     "token_count_bpe",
+    "word_ngram_array",
+    "ws_token_array",
     "token_count_ws",
 ]
 
@@ -57,6 +59,34 @@ def _ws_tokens(c: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
+
+
+def ws_token_array(col: Column | str) -> Column:
+    """THE portable whitespace tokenizer: lowercase + trim + ``\\s+``
+    split, empties removed. The single definition shared by the
+    corpus-statistics operators (linguistics, quality) so the
+    cross-module token contract cannot drift; the SQL-oracle twin is
+    ``queries._SQL_WS_TOKS``."""
+    c = _col(col)
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def word_ngram_array(toks: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of a token array (map-only:
+    ``transform(sequence(...)) + slice``); empty array below ``n``
+    tokens. Shared by ngram_counts / doc_ngram_novelty so the two
+    operators' n-gram definition stays identical."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _stopword_hits(tokens: Column, lang: str) -> Column:

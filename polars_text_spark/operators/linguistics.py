@@ -58,11 +58,11 @@ ROUND_DP = 6
 
 
 def _ws_token_array(text_col: str) -> Column:
-    """Lowercased whitespace tokens, empties removed (portable contract)."""
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
+    """Lowercased whitespace tokens, empties removed — the shared
+    portable contract (functions/analysis.py::ws_token_array)."""
+    from polars_text_spark.functions.analysis import ws_token_array
+
+    return ws_token_array(text_col)
 
 
 def ngram_counts(
@@ -84,14 +84,10 @@ def ngram_counts(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from polars_text_spark.functions.analysis import word_ngram_array
+
     toks = _ws_token_array(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngram_array(toks, n)
     out = (
         df.where(F.col(text_col).isNotNull())
         .select(F.explode(grams).alias("ngram"))
@@ -282,6 +278,9 @@ def dispersion(
             ).alias("__present_dev")
         )
     )
+    dp_raw = F.lit(0.5) * (
+        F.col("__present_dev") + (F.lit(1.0) - F.col("__present_share"))
+    )
     out = (
         per_token.join(dp_sum, "token")
         .crossJoin(F.broadcast(min_share))
@@ -289,24 +288,9 @@ def dispersion(
             "token",
             "freq",
             "range_parts",
+            F.round(dp_raw, ROUND_DP).alias("dp"),
             F.round(
-                F.lit(0.5)
-                * (
-                    F.col("__present_dev")
-                    + (F.lit(1.0) - F.col("__present_share"))
-                ),
-                ROUND_DP,
-            ).alias("dp"),
-            F.round(
-                (
-                    F.lit(0.5)
-                    * (
-                        F.col("__present_dev")
-                        + (F.lit(1.0) - F.col("__present_share"))
-                    )
-                )
-                / (F.lit(1.0) - F.col("__min_s")),
-                ROUND_DP,
+                dp_raw / (F.lit(1.0) - F.col("__min_s")), ROUND_DP
             ).alias("dp_norm"),
         )
     )

@@ -45,8 +45,10 @@ __all__ = [
 
 
 def _ws_tokens(text_col: str):
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return F.filter(toks, lambda t: t != "")
+    # the shared portable contract — one definition repo-wide
+    from polars_text_spark.functions.analysis import ws_token_array
+
+    return ws_token_array(text_col)
 
 
 def unigram_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -508,14 +510,9 @@ def doc_ngram_novelty(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = _ws_tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from polars_text_spark.functions.analysis import word_ngram_array
+
+    grams = word_ngram_array(_ws_tokens(text_col), n)
     doc_grams = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(grams).alias("gram"))
@@ -627,6 +624,19 @@ def heaps_law_fit(
     """
     if bucket_size < 1:
         raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    # Bucketing divides the id: a non-numeric id would cast to null,
+    # collapse every row into one null bucket, and silently serialize
+    # the cumsum — the exact shape this design avoids. Fail at plan
+    # time instead (hash string ids to a long first if needed).
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise TypeError(
+            f"heaps_law_fit requires a numeric {id_col!r} for bucketed "
+            f"cumulative sums; got {id_type.simpleString()} — derive a "
+            "numeric order key first (e.g. xxhash64 or a row_number)"
+        )
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.explode(_ws_tokens(text_col)).alias("token")
     )

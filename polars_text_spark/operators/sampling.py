@@ -179,6 +179,9 @@ def cap_per_group(
         raise ValueError("max_rows must be >= 1")
     from pyspark.sql import Window
 
+    from polars_text_spark.operators._cols import require_free_columns
+
+    require_free_columns(df, ["__cap_rn"], "cap_per_group")
     h = F.sha2(F.concat(F.col(key_col).cast("string"), F.lit(salt)), 256)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     return (

@@ -76,6 +76,18 @@ def assign_splits(
     h8 = F.substring(
         F.sha2(F.concat(hash_key.cast("string"), F.lit(salt)), 256), 1, 8
     )
+    # A NULL hash key would null every interval comparison and fall
+    # through to the LAST label — silently skewing the split. Fail fast
+    # at the first null row instead (runtime, inside the projection).
+    h8 = F.when(
+        hash_key.isNull(),
+        F.raise_error(
+            F.lit(
+                "assign_splits: null hash key (key_col/group_col) — "
+                "fill or filter null keys before splitting"
+            )
+        ),
+    ).otherwise(h8)
     labels = list(splits)
     expr = None
     acc = 0.0
@@ -144,7 +156,10 @@ def split_leakage(
     )
     return (
         labeled.join(fam, "__sl_comp")
-        .filter(F.col(split_col) != train_value)
+        # null-safe: rows with a NULL split label (e.g. from a left-join
+        # of a partial assignment) are non-train and MUST stay in the
+        # audit — plain != would null them out of the result
+        .filter(~F.col(split_col).eqNullSafe(train_value))
         .select(
             id_col,
             F.col("__sl_comp").alias("component"),

@@ -3082,15 +3082,19 @@ def q_tokenize_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uncached ``tokenize_offsets`` result exactly (same oracle SQL).
     A stale/corrupt/incomplete cache round-trip fails the value hash,
     not just a pytest invariant."""
+    import atexit
     import shutil
     import tempfile
 
     from polars_text_spark.operators.cache import tokenize_cached
 
-    cache_path = os.path.join(
-        tempfile.gettempdir(), "ptx_driver_tokenize_cache"
-    )
-    shutil.rmtree(cache_path, ignore_errors=True)
+    # Unique per invocation: a fixed path would race a concurrent
+    # bench/driver run (one process rmtree-ing between another's cold
+    # write and warm read) and collide across users on a shared host.
+    # Deletion is deferred to exit because the returned frame reads the
+    # cache parquet lazily, at the driver's collect.
+    cache_path = tempfile.mkdtemp(prefix="ptx_tokcache_")
+    atexit.register(shutil.rmtree, cache_path, True)
     docs = _docs(spark, sf_dir)
     # cold: computes every distinct text once, writes the cache scope
     tokenize_cached(

@@ -85,3 +85,45 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
         )
 
     assert key(got) == key(batch)
+
+
+def test_audio_meta_wav_header(spark):
+    import struct as _struct
+
+    from polars_text_spark.operators.multimodal import audio_meta
+
+    def wav(n_ch=2, rate=16000, bits=16, frames=16000):
+        block = n_ch * bits // 8
+        data_size = frames * block
+        fmt = _struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+        body = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", data_size) + b"\x00" * 64)
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    rows = [(1, wav()), (2, wav(n_ch=1, rate=8000, frames=4000)),
+            (3, b"\xffnot audio"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r.media_id: r.m for r in df.select("media_id", audio_meta("media").alias("m")).collect()}
+    assert got[1]["format"] == "wav"
+    assert (got[1]["n_channels"], got[1]["sample_rate"], got[1]["bits_per_sample"]) == (2, 16000, 16)
+    assert got[1]["n_frames"] == 16000
+    assert got[1]["duration_s"] == 1.0
+    assert got[2]["duration_s"] == 0.5
+    assert got[3]["format"] is None and got[3]["n_bytes"] == 10
+    assert got[4]["sha256"] is None
+
+
+def test_image_meta_gif_and_bmp(spark):
+    import struct as _struct
+
+    from polars_text_spark.operators.multimodal import image_meta
+
+    gif = b"GIF89a" + _struct.pack("<HH", 320, 200) + b"\x00" * 8
+    bmp = b"BM" + b"\x00" * 16 + _struct.pack("<ii", 640, -480) + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(1, gif), (2, bmp)], "media_id long, media binary"
+    )
+    got = {r.media_id: r.m for r in df.select("media_id", image_meta("media").alias("m")).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("gif", 320, 200)
+    # negative BMP height = top-down bitmap; report magnitude
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("bmp", 640, 480)

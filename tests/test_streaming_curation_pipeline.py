@@ -6,8 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_text_spark.functions.analysis import char_entropy, readability
-from polars_text_spark.sources.catalog import spread_scan
-from polars_text_spark.streaming.dedup import dedup_stream, read_docs_stream
+from polars_text_spark.streaming.dedup import dedup_stream
 
 
 def _pipeline(docs):

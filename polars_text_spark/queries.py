@@ -4074,6 +4074,72 @@ def q_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Language confusion matrix + embedding norm audit (round-7 batch 7).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "language_confusion",
+    f"""
+    SELECT lang, {_SQL_DETECT_LANG} AS lang_detected,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the labeled lang column vs the heuristic
+    detector — the per-corpus calibration report for the language-ID
+    quality gate (which labels the detector disagrees with, and how
+    often). One map-only projection + one count shuffle."""
+    from polars_text_spark.functions.analysis import detect_language
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", detect_language("text").alias("lang_detected"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "embedding_norms",
+    """
+    WITH e AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    n AS (
+      SELECT sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM e)
+    SELECT CAST(floor(nrm * 10) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n GROUP BY 1
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution audit (0.1-wide buckets): the
+    pre-flight check before any cosine/ANN stage — zero vectors,
+    un-normalized mixtures and scale drift all show up here. Norms via
+    the bit-identical left fold (same recipe as SemDeDup); min/max are
+    summation-order-independent."""
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    a = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        vecs.select(norm.alias("__nrm"))
+        .groupBy(F.floor(F.col("__nrm") * 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("__nrm"), 6).alias("min_norm"),
+            F.round(F.max("__nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -4087,6 +4153,8 @@ def q_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "language_confusion",
+    "embedding_norms",
     "vocab_spelling",
     "quality_cube",
     "heaps_fit",

@@ -4140,6 +4140,111 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation funnel (round-7 batch 7, query #100): cumulative stage
+# counts through the standard gate sequence, one pass + one unpivot.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_funnel",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                  ELSE list_filter(regexp_split_to_array(trim(lower(text)),
+                                                         '\\s+'),
+                                   x -> x <> '')
+             END AS tk
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, len(tk) AS n,
+             CASE WHEN len(tk) > 0 THEN
+               list_reduce(list_transform(tk,
+                   t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)
+               * 1.0 / len(tk) END AS mean_len,
+             CASE WHEN len(tk) > 0 THEN
+               len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+               * 1.0 / len(tk) END AS alpha_frac,
+             len(list_filter(tk, t -> t IN ('the','a','of','and','to',
+                                            'in','is','it','that','was')))
+               AS stop_hits
+      FROM t),
+    g AS (
+      SELECT doc_id, text,
+             text IS NOT NULL AS p_nonnull,
+             text IS NOT NULL AND length(text) >= 50 AS p_len,
+             text IS NOT NULL AND length(text) >= 50
+               AND coalesce(n >= 10 AND n <= 100000, FALSE)
+               AND coalesce(mean_len >= 2.0 AND mean_len <= 12.0, FALSE)
+               AND coalesce(alpha_frac >= 0.8, FALSE)
+               AND coalesce(stop_hits >= 2, FALSE) AS p_gopher
+      FROM m),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN p_nonnull THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonnull,
+             CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_len,
+             CAST(sum(CASE WHEN p_gopher THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher,
+             CAST(count(DISTINCT CASE WHEN p_gopher
+                        THEN sha256({_SQL_CLEAN}) END) AS BIGINT)
+               AS n_unique
+      FROM g)
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'raw' AS stage, n_raw AS n_docs FROM agg
+      UNION ALL SELECT 1, 'nonnull', n_nonnull FROM agg
+      UNION ALL SELECT 2, 'min_length_50', n_len FROM agg
+      UNION ALL SELECT 3, 'gopher_pass', n_gopher FROM agg
+      UNION ALL SELECT 4, 'exact_dedup_unique', n_unique FROM agg)
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel report every curation run starts from: cumulative
+    survivor counts through raw -> non-null -> length gate -> Gopher
+    rule battery -> exact-dedup uniques. ONE corpus pass (conditional
+    aggregation over the tag projection; distinct fingerprints only
+    for gate survivors) + a 5-row unpivot — no per-stage rescans."""
+    from polars_text_spark.functions.analysis import doc_fingerprint
+    from polars_text_spark.operators.filters import with_gopher_tags
+
+    docs = _docs(spark, sf_dir)
+    tagged = with_gopher_tags(docs, "text")
+    p_nonnull = F.col("text").isNotNull()
+    p_len = p_nonnull & (F.length("text") >= 50)
+    p_gopher = p_len & F.col("keep")
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(p_nonnull.cast("long")).alias("n_nonnull"),
+        F.sum(p_len.cast("long")).alias("n_len"),
+        F.sum(p_gopher.cast("long")).alias("n_gopher"),
+        F.countDistinct(
+            F.when(p_gopher, doc_fingerprint("text"))
+        ).alias("n_unique"),
+    )
+    stages = F.array(
+        F.struct(F.lit(0).alias("stage_idx"), F.lit("raw").alias("stage"),
+                 F.col("n_raw").alias("n_docs")),
+        F.struct(F.lit(1).alias("stage_idx"), F.lit("nonnull").alias("stage"),
+                 F.col("n_nonnull").alias("n_docs")),
+        F.struct(F.lit(2).alias("stage_idx"),
+                 F.lit("min_length_50").alias("stage"),
+                 F.col("n_len").alias("n_docs")),
+        F.struct(F.lit(3).alias("stage_idx"),
+                 F.lit("gopher_pass").alias("stage"),
+                 F.col("n_gopher").alias("n_docs")),
+        F.struct(F.lit(4).alias("stage_idx"),
+                 F.lit("exact_dedup_unique").alias("stage"),
+                 F.col("n_unique").alias("n_docs")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_docs").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -4153,6 +4258,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "curation_funnel",
     "language_confusion",
     "embedding_norms",
     "vocab_spelling",

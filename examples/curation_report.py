@@ -93,8 +93,10 @@ def main() -> None:
     length_outlier_report(docs, "source", "n_chars").show(5)
 
     print("== 6. dup provenance + degree shape ==")
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.9)
-    near_dup_source_matrix(docs, jaccard_threshold=0.9).show(5)
+    # the expensive shingle/minhash/band-join DAG is consumed by three
+    # sections — pin it once instead of recomputing per consumer
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.9).persist()
+    near_dup_source_matrix(docs, pairs=pairs).show(5)
     dup_degree_histogram(pairs).orderBy("degree").show()
 
     print("== 7. snapshot diff (synthesized v2) ==")
@@ -112,6 +114,7 @@ def main() -> None:
     )
     leak = split_leakage(split, pairs)
     leak.groupBy("split", "contaminated").count().orderBy("split").show()
+    pairs.unpersist()
 
 
 if __name__ == "__main__":

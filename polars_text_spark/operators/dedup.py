@@ -951,6 +951,7 @@ def near_dup_source_matrix(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate provenance: per source-pair counts of near-dup
     document pairs — the :func:`minhash_lsh_pairs` analog of
@@ -967,16 +968,21 @@ def near_dup_source_matrix(
     frame against the corpus id→source projection — shuffles on the id
     key, broadcast-eligible whenever the pair frame is small enough for
     AQE to notice. The matrix itself is at most |sources|² rows.
+
+    Pass ``pairs`` (``(id_a, id_b, jaccard)``, e.g. a persisted
+    :func:`minhash_lsh_pairs` result shared with other consumers) to
+    skip rebuilding the pair DAG; the minhash knobs are ignored then.
     """
-    pairs = minhash_lsh_pairs(
-        df,
-        text_col,
-        id_col,
-        num_perm=num_perm,
-        bands=bands,
-        shingle_n=shingle_n,
-        jaccard_threshold=jaccard_threshold,
-    )
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df,
+            text_col,
+            id_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+        )
     src = df.select(
         F.col(id_col).alias("__sid"), F.col(source_col).alias("__src")
     )

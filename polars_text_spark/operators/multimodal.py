@@ -95,8 +95,16 @@ def _parse_image_header(data: bytes | None) -> dict | None:
         meta["width"], meta["height"] = int(width), int(height)
     elif data.startswith(b"BM") and len(data) >= 26:
         meta["format"] = "bmp"
-        width, height = struct.unpack("<ii", data[18:26])
-        meta["width"], meta["height"] = int(width), abs(int(height))
+        # DIB header size at offset 14 picks the layout: 12 = OS/2
+        # BITMAPCOREHEADER (uint16 dims), >= 40 = BITMAPINFOHEADER
+        # family (int32 dims, negative height = top-down)
+        dib = struct.unpack("<I", data[14:18])[0]
+        if dib == 12 and len(data) >= 22:
+            width, height = struct.unpack("<HH", data[18:22])
+            meta["width"], meta["height"] = int(width), int(height)
+        elif dib >= 40:
+            width, height = struct.unpack("<ii", data[18:26])
+            meta["width"], meta["height"] = int(width), abs(int(height))
     return meta
 
 
@@ -135,9 +143,11 @@ def _parse_wav_header(data: bytes | None) -> dict | None:
     while i + 8 <= len(data):
         chunk_id = data[i : i + 4]
         chunk_size = struct.unpack("<I", data[i + 4 : i + 8])[0]
-        if chunk_id == b"fmt " and i + 24 <= len(data):
+        if chunk_id == b"fmt " and chunk_size >= 16 and i + 24 <= len(data):
             fmt = struct.unpack("<HHIIHH", data[i + 8 : i + 24])
-        elif chunk_id == b"data":
+        elif chunk_id == b"data" and chunk_size != 0xFFFFFFFF:
+            # 0xFFFFFFFF = streaming WAV, size unknown at write time —
+            # frame count/duration would be garbage; leave them null
             data_size = chunk_size
         # chunks are word-aligned (padded to even size)
         i += 8 + chunk_size + (chunk_size % 2)

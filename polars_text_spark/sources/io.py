@@ -63,13 +63,21 @@ def read_jsonl(
     write out) the parsed frame before running the audit.
     """
     s = schema if schema is not None else DOCS_SCHEMA
-    if keep_corrupt and CORRUPT_COL not in [f.name for f in s.fields]:
-        s = T.StructType(list(s.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
-    reader = (
-        spark.read.schema(s)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-    )
+    if keep_corrupt:
+        # PERMISSIVE + audit column: malformed lines become rows
+        if CORRUPT_COL not in [f.name for f in s.fields]:
+            s = T.StructType(
+                list(s.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+            )
+        reader = (
+            spark.read.schema(s)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
+    else:
+        # opting out of the audit must DROP malformed lines — PERMISSIVE
+        # without the column would silently turn them into all-null rows
+        reader = spark.read.schema(s).option("mode", "DROPMALFORMED")
     return reader.json(path)
 
 
@@ -112,12 +120,19 @@ def read_text_tree(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_jsonl(df: DataFrame, path: str, *, compression: str | None = "gzip") -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str | None = "gzip",
+    mode: str = "errorifexists",
+) -> None:
     """Write a corpus as (optionally gzipped) JSONL shards — the
     interchange format every downstream LLM-data tool reads. One shard
     per partition: `repartition(n)` beforehand to control shard count/
-    size (aim ~100-500 MB compressed)."""
-    w = df.write.mode("overwrite")
+    size (aim ~100-500 MB compressed). Refuses an existing target by
+    default; pass ``mode='overwrite'`` to replace it deliberately."""
+    w = df.write.mode(mode)
     if compression:
         w = w.option("compression", compression)
     w.json(path)

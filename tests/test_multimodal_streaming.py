@@ -119,7 +119,8 @@ def test_image_meta_gif_and_bmp(spark):
     from polars_text_spark.operators.multimodal import image_meta
 
     gif = b"GIF89a" + _struct.pack("<HH", 320, 200) + b"\x00" * 8
-    bmp = b"BM" + b"\x00" * 16 + _struct.pack("<ii", 640, -480) + b"\x00" * 8
+    bmp = (b"BM" + b"\x00" * 12 + _struct.pack("<I", 40)
+           + _struct.pack("<ii", 640, -480) + b"\x00" * 8)
     df = spark.createDataFrame(
         [(1, gif), (2, bmp)], "media_id long, media binary"
     )
@@ -127,3 +128,31 @@ def test_image_meta_gif_and_bmp(spark):
     assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("gif", 320, 200)
     # negative BMP height = top-down bitmap; report magnitude
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("bmp", 640, 480)
+
+
+def test_bmp_core_header_and_streaming_wav_guards(spark):
+    import struct as _struct
+
+    from polars_text_spark.operators.multimodal import audio_meta, image_meta
+
+    # OS/2 BITMAPCOREHEADER: DIB size 12, uint16 dims
+    core = (b"BM" + b"\x00" * 12 + _struct.pack("<I", 12)
+            + _struct.pack("<HH", 100, 100) + b"\x00" * 8)
+    df = spark.createDataFrame([(1, core)], "media_id long, media binary")
+    m = df.select(image_meta("media").alias("m")).collect()[0]["m"]
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 100, 100)
+
+    # streaming WAV (data size 0xFFFFFFFF): frames/duration stay null
+    fmt = _struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", 0xFFFFFFFF))
+    wav = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    # truncated fmt chunk (size 8): fields stay null, no misparse
+    bad_fmt = (b"fmt " + _struct.pack("<I", 8) + b"\x00" * 8
+               + b"data" + _struct.pack("<I", 64))
+    wav_bad = b"RIFF" + _struct.pack("<I", 4 + len(bad_fmt)) + b"WAVE" + bad_fmt
+    df2 = spark.createDataFrame([(1, wav), (2, wav_bad)], "media_id long, media binary")
+    got = {r.media_id: r.m for r in df2.select("media_id", audio_meta("media").alias("m")).collect()}
+    assert got[1]["format"] == "wav" and got[1]["sample_rate"] == 16000
+    assert got[1]["n_frames"] is None and got[1]["duration_s"] is None
+    assert got[2]["format"] == "wav" and got[2]["n_channels"] is None

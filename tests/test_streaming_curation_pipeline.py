@@ -38,13 +38,8 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
 
     drop_dir = tmp_path / "docdrops"
     docs.repartition(3).write.parquet(str(drop_dir))
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        docs.schema.fields  # includes ingest_ts
-    )
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(str(drop_dir))
     )

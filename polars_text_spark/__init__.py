@@ -126,12 +126,28 @@ from polars_text_spark.operators.winnow import (
     winnow_overlap_pairs,
     with_winnow_fingerprints,
 )
+from polars_text_spark.operators.linguistics import (
+    collocations,
+    dispersion,
+    ngram_counts,
+    prefix_boilerplate,
+    term_dispersion_bins,
+    vocab_spelling_pairs,
+)
+from polars_text_spark.operators.snapshots import snapshot_diff
 from polars_text_spark.session import get_spark
 from polars_text_spark.sql import register_sql_functions
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "collocations",
+    "dispersion",
+    "ngram_counts",
+    "prefix_boilerplate",
+    "snapshot_diff",
+    "term_dispersion_bins",
+    "vocab_spelling_pairs",
     "LINDERA_MODELS_BY_LANGUAGE",
     "PREDEFINED_MODELS",
     "PREDEFINED_MODEL_LABELS",

@@ -9,12 +9,15 @@ Usage mirrors idiomatic Spark::
 from __future__ import annotations
 
 from polars_text_spark.functions.analysis import (
+    char_class_ratios,
+    char_entropy,
     detect_language,
     doc_fingerprint,
     dup_word_frac,
     line_stats,
     normalize_text,
     quality_score,
+    readability,
     remove_stopwords,
     token_count_bpe,
     token_count_ws,
@@ -30,7 +33,9 @@ from polars_text_spark.functions.scalar import (
 from polars_text_spark.functions.tokenize import tokenize
 
 __all__ = [
+    "char_class_ratios",
     "char_count",
+    "char_entropy",
     "clean_text",
     "concordance",
     "detect_language",
@@ -41,6 +46,7 @@ __all__ = [
     "normalize_text",
     "remove_stopwords",
     "quality_score",
+    "readability",
     "sentence_count",
     "token_count_bpe",
     "token_count_ws",

@@ -128,6 +128,7 @@ from polars_text_spark.operators.winnow import (
 )
 from polars_text_spark.operators.linguistics import (
     collocations,
+    node_collocates,
     dispersion,
     ngram_counts,
     prefix_boilerplate,
@@ -144,6 +145,7 @@ __all__ = [
     "collocations",
     "dispersion",
     "ngram_counts",
+    "node_collocates",
     "prefix_boilerplate",
     "snapshot_diff",
     "term_dispersion_bins",

@@ -49,6 +49,7 @@ __all__ = [
     "term_dispersion_bins",
     "prefix_boilerplate",
     "vocab_spelling_pairs",
+    "node_collocates",
     "ROUND_DP",
 ]
 
@@ -427,3 +428,85 @@ def vocab_spelling_pairs(
         .dropDuplicates(["a", "b"])
     )
     return cand.where(F.levenshtein("a", "b") == 1)
+
+
+def node_collocates(
+    df: DataFrame,
+    node: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Collocates of one NODE word (AntConc "Collocates" tool): tokens
+    occurring within ``window`` positions of any occurrence of
+    ``node``, scored observed-vs-expected.
+
+    Returns ``(collocate, obs, corpus_count, mi)`` where ``obs`` is the
+    collocate's occurrence count inside the node's windows (both
+    directions), ``corpus_count`` its corpus frequency, and ``mi =
+    round(log2((obs / T) / (corpus_count / N)), 6)`` with ``T`` total
+    collocate slots around the node and ``N`` total corpus tokens —
+    positive MI = attracted to the node, negative = repelled.
+
+    Scale: the windowed stream is the same map-only slice/arrays_zip
+    pair construction as :func:`collocations` filtered to the node on
+    either side — no positional self-join; three small aggregates
+    (collocate counts, unigram counts, two 1-row totals).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not node:
+        raise ValueError("node must be non-empty")
+    toks = _ws_token_array(text_col)
+    docs = df.where(F.col(text_col).isNotNull()).select(toks.alias("__toks"))
+    tarr = F.col("__toks")
+    pair_arrays = [
+        F.when(
+            F.size(tarr) > d,
+            F.arrays_zip(
+                F.slice(tarr, 1, F.size(tarr) - d).alias("a"),
+                F.slice(tarr, 1 + d, F.size(tarr) - d).alias("b"),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        for d in range(1, window + 1)
+    ]
+    pairs = docs.select(F.explode(F.concat(*pair_arrays)).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    stream = pairs.where(F.col("a") == node).select(
+        F.col("b").alias("collocate")
+    ).unionAll(
+        pairs.where(F.col("b") == node).select(F.col("a").alias("collocate"))
+    )
+    obs = stream.groupBy("collocate").agg(F.count(F.lit(1)).alias("obs"))
+    unigrams = (
+        docs.select(F.explode(tarr).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("corpus_count"))
+    )
+    totals = obs.agg(F.sum("obs").alias("__t")).crossJoin(
+        unigrams.agg(F.sum("corpus_count").alias("__n"))
+    )
+    scored = (
+        obs.join(
+            unigrams.select(
+                F.col("token").alias("collocate"), "corpus_count"
+            ),
+            "collocate",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    o = F.col("obs").cast("double")
+    cc = F.col("corpus_count").cast("double")
+    t = F.col("__t").cast("double")
+    n = F.col("__n").cast("double")
+    out = scored.select(
+        "collocate",
+        "obs",
+        "corpus_count",
+        F.round(F.log2((o / t) / (cc / n)), ROUND_DP).alias("mi"),
+    )
+    if min_count > 1:
+        out = out.where(F.col("obs") >= min_count)
+    return out

@@ -4244,6 +4244,48 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "node_collocates",
+    f"""
+    WITH toks AS (
+      SELECT {_SQL_WS_TOKS} AS t
+      FROM documents WHERE text IS NOT NULL),
+    pairs AS (
+      SELECT t[i] AS a, t[i + d] AS b
+      FROM toks,
+           UNNEST(range(1, len(t) + 1)) AS u(i),
+           UNNEST(range(1, 4)) AS v(d)
+      WHERE i + d <= len(t)),
+    stream AS (
+      SELECT b AS collocate FROM pairs WHERE a = 'the'
+      UNION ALL
+      SELECT a FROM pairs WHERE b = 'the'),
+    obs AS (SELECT collocate, CAST(count(*) AS BIGINT) AS obs
+            FROM stream GROUP BY collocate),
+    uc AS (SELECT unnest(t) AS token FROM toks),
+    ucc AS (SELECT token, CAST(count(*) AS BIGINT) AS corpus_count
+            FROM uc GROUP BY token),
+    tot AS (SELECT (SELECT CAST(sum(obs) AS DOUBLE) FROM obs) AS t,
+                   (SELECT CAST(sum(corpus_count) AS DOUBLE) FROM ucc) AS n)
+    SELECT o.collocate, o.obs, c.corpus_count,
+           round(log2((CAST(o.obs AS DOUBLE) / t)
+                      / (CAST(c.corpus_count AS DOUBLE) / n)), 6) AS mi
+    FROM obs o JOIN ucc c ON c.token = o.collocate, tot
+    WHERE o.obs >= 2
+    """,
+)
+def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocates of the node 'the' (AntConc Collocates tool, window
+    3 both directions): observed window counts vs corpus expectation
+    as MI, rounded 6dp. Same map-only pair construction as
+    collocations; the oracle replays stream, marginals and MI."""
+    from polars_text_spark.operators.linguistics import node_collocates
+
+    return node_collocates(
+        _docs(spark, sf_dir), "the", "text", window=3, min_count=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -4258,6 +4300,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "node_collocates",
     "curation_funnel",
     "language_confusion",
     "embedding_norms",

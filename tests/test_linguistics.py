@@ -168,3 +168,23 @@ def test_vocab_spelling_pairs_symspell_blocking(spark):
 
     with _pytest.raises(ValueError):
         vocab_spelling_pairs(df, min_count=0)
+
+
+def test_node_collocates_hand_computed(spark):
+    from polars_text_spark.operators.linguistics import node_collocates
+
+    # "n x n y" window=1: stream for node 'n': R-neighbors x,y; L-neighbor x
+    df = _frame(spark, ["n x n y"])
+    rows = {
+        r["collocate"]: r
+        for r in node_collocates(df, "n", window=1, min_count=1).collect()
+    }
+    assert rows["x"]["obs"] == 2  # right of first n, left of second n
+    assert rows["y"]["obs"] == 1
+    assert rows["x"]["corpus_count"] == 1
+    # T=3 slots, N=4 tokens: mi(x) = log2((2/3)/(1/4)) = log2(8/3)
+    assert rows["x"]["mi"] == pytest.approx(math.log2(8 / 3), abs=1e-6)
+    with pytest.raises(ValueError):
+        node_collocates(df, "", window=1)
+    with pytest.raises(ValueError):
+        node_collocates(df, "n", window=0)

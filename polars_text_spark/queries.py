@@ -13,7 +13,6 @@ parallel summation order) don't flip the value hash.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

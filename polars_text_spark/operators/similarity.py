@@ -34,6 +34,8 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_ivf_kmeans",
     "cosine_topk_lsh",
+    "cosine_topk_lsh_sha",
+    "sha_band_keys",
     "cosine_topk_quantized",
     "dot",
     "l2_normalize",
@@ -648,6 +650,97 @@ def cosine_topk_lsh(
         F.explode(
             lsh_band_keys(
                 F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands, seed=seed
+            )
+        ).alias("band_key"),
+    )
+    cands = v.join(q, "band_key").dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _sha_sign(j: int, p: int) -> float:
+    """Engine-portable ±1 hyperplane component: sign of (plane j,
+    dim p) from the first hex digit of sha256("j:p") — '0'-'7' -> +1,
+    '8'-'f' -> -1. DuckDB re-derives it as
+    ``substr(sha256(j || ':' || p), 1, 1) < '8'``."""
+    import hashlib
+
+    return 1.0 if hashlib.sha256(f"{j}:{p}".encode()).hexdigest()[0] < "8" else -1.0
+
+
+def sha_band_keys(vec_col, *, dim: int, num_planes: int = 16, bands: int = 4):
+    """``array<string>`` of band bucket keys from sha-derived ±1
+    hyperplanes — the SQL-re-derivable twin of :func:`lsh_band_keys`
+    (whose Gaussian planes come from numpy's PRNG, reproducible but
+    not replayable by another engine). ±1 planes are the standard
+    cheap variant of random-hyperplane LSH; each sign bit is a single
+    left fold of ±v[p], bit-identical across engines."""
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must be divisible by bands")
+    v = vec_col.cast("array<double>")
+    bits = []
+    for j in range(num_planes):
+        signs = F.array(*[F.lit(_sha_sign(j, p)) for p in range(dim)])
+        dotv = F.aggregate(
+            F.zip_with(v, signs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dotv >= 0, F.lit(1)).otherwise(F.lit(0)))
+    rows_per_band = num_planes // bands
+    keys = []
+    for b in range(bands):
+        chunk = bits[b * rows_per_band : (b + 1) * rows_per_band]
+        keys.append(
+            F.concat_ws(
+                "", F.lit(str(b)), F.lit(":"), *[c.cast("string") for c in chunk]
+            )
+        )
+    return F.array(*keys)
+
+
+def cosine_topk_lsh_sha(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """LSH ANN with fully DETERMINISTIC, SQL-re-derivable hashing:
+    :func:`sha_band_keys` buckets + exact-cosine re-rank, so an
+    external engine replays every signature bit, every candidate AND
+    the final top-k — the same recipe that converted SimHash and IVF
+    to the oracle column. Identical distributed shape to
+    :func:`cosine_topk_lsh`: band-key equi-join candidates (banding
+    OR-construction), never all-pairs."""
+    keys = sha_band_keys(F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands)
+    v = with_l2_normalized(
+        vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__vvec"
+    ).select("neighbor_id", "__vvec", F.explode(keys).alias("band_key"))
+    q = with_l2_normalized(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "__qvec"
+    ).select(
+        "query_id",
+        "__qvec",
+        F.explode(
+            sha_band_keys(
+                F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands
             )
         ).alias("band_key"),
     )

@@ -4243,6 +4243,82 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_sha_bit_sql(j: int, alias: str) -> str:
+    """One sha-hyperplane sign bit of ``{alias}.v`` as SQL (replays
+    similarity._sha_sign + the left fold bit-identically)."""
+    return f"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+      p -> CASE WHEN substr(sha256('{j}:' || CAST(p - 1 AS VARCHAR)), 1, 1)
+                     < '8'
+                THEN {alias}.v[p] ELSE -{alias}.v[p] END),
+      (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END"""
+
+
+def _lsh_sha_keys_sql(alias: str) -> str:
+    """The 4 band-key strings (4 bits each) of ``{alias}.v`` as a SQL
+    list literal."""
+    keys = []
+    for b in range(4):
+        bits = " || ".join(_lsh_sha_bit_sql(j, alias) for j in range(4 * b, 4 * b + 4))
+        keys.append(f"'{b}:' || {bits}")
+    return "[" + ", ".join(keys) + "]"
+
+
+@query(
+    "similarity_topk_lsh_sha",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e)),
+    bk AS (
+      SELECT e.vec_id, unnest({_lsh_sha_keys_sql('e')}) AS band_key
+      FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM bk q JOIN bk n ON q.band_key = n.band_key
+      WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(uq.u)),
+                  i -> uq.u[i] * un.u[i]), (a, b) -> a + b) AS cos
+      FROM cand c
+      JOIN unit uq ON uq.vec_id = c.query_id
+      JOIN unit un ON un.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def q_similarity_topk_lsh_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with sha-derived ±1 hyperplanes — the oracle replays
+    every signature bit (64-term left folds), the banding
+    OR-construction candidates AND the exact-cosine top-k: the last
+    approximate-search family member converted to the oracle column
+    (production path similarity_topk_lsh keeps the Gaussian planes +
+    recall tests)."""
+    from polars_text_spark.operators.similarity import cosine_topk_lsh_sha
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = cosine_topk_lsh_sha(
+        vecs, vecs.filter(F.col("vec_id") < 5), k=10, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
 @query(
     "node_collocates",
     f"""
@@ -4299,6 +4375,7 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-7 additions (driver has never seen these)
+    "similarity_topk_lsh_sha",
     "node_collocates",
     "curation_funnel",
     "language_confusion",

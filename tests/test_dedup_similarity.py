@@ -319,3 +319,48 @@ def test_ivf_train_sample_spans_partitions(spark):
     # with Bernoulli sampling the draw spans the id range; a
     # first-partition limit() would cap out below 125
     assert ids[-1] - ids[0] > 250
+
+
+def test_lsh_sha_recall_and_portable_keys(spark, sf_dir):
+    """sha-hyperplane LSH: recall floor vs exact top-k, and the band
+    keys must match a pure-Python re-derivation of the sha signs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh_sha,
+        sha_band_keys,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    qs = vecs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vecs, qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh_sha(vecs, qs, k=10, dim=64).collect()
+    }
+    # ±1-plane banding recall is comparable to the Gaussian path at
+    # this tuning (sha 0.44 vs gauss 0.40 at sf0.01); the tiny sf0.001
+    # fixture is noisy, so the floor is conservative
+    assert len(approx & exact) / len(exact) >= 0.25
+
+    # key portability: replay one row's keys in pure Python
+    row = vecs.select("vec_id", "embedding",
+                      sha_band_keys(F.col("embedding"), dim=64).alias("keys")
+                      ).first()
+    v = [float(x) for x in row["embedding"]]
+    def bit(j):
+        s = 0.0
+        for p, x in enumerate(v):
+            sign = 1.0 if hashlib.sha256(f"{j}:{p}".encode()).hexdigest()[0] < "8" else -1.0
+            s += sign * x
+        return "1" if s >= 0 else "0"
+    expect = [f"{b}:" + "".join(bit(4 * b + i) for i in range(4)) for b in range(4)]
+    assert list(row["keys"]) == expect

@@ -23,11 +23,12 @@ query time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_text_spark.operators.similarity import (
     dot,
+    rank_topk,
     sha_band_keys,
     with_l2_normalized,
 )
@@ -71,6 +72,13 @@ def write_ann_store(
     write_bucketed(
         unit, f"{name}_vectors", bucket_by="id", buckets=buckets, sort_by="id"
     )
+    # signature parameters ride with the store so a query-time mismatch
+    # (whose band keys could NEVER collide -> silent recall-0) fails loudly
+    meta = vectors.sparkSession.createDataFrame(
+        [(int(dim), int(num_planes), int(bands))],
+        "dim int, num_planes int, bands int",
+    )
+    meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def topk_from_store(
@@ -91,7 +99,17 @@ def topk_from_store(
     cosine re-rank against the bucketed unit-vector table. Returns
     ``(query_id, neighbor_id, cosine, rank)`` — value-identical to
     :func:`polars_text_spark.operators.similarity.cosine_topk_lsh_sha`
-    over the same corpus (tested)."""
+    over the same corpus (tested). Raises if (dim, num_planes, bands)
+    differ from the store's write-time parameters."""
+    m = spark.table(f"{name}_meta").collect()[0]
+    if (m["dim"], m["num_planes"], m["bands"]) != (dim, num_planes, bands):
+        raise ValueError(
+            f"ann store '{name}' was written with dim={m['dim']}, "
+            f"num_planes={m['num_planes']}, bands={m['bands']}; query-time "
+            f"parameters (dim={dim}, num_planes={num_planes}, "
+            f"bands={bands}) would produce band keys that can never "
+            "collide with the store"
+        )
     q = with_l2_normalized(
         queries.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), vec_col
@@ -125,9 +143,4 @@ def topk_from_store(
         "neighbor_id",
         dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return rank_topk(scored, k)

@@ -66,6 +66,27 @@ def _ws_token_array(text_col: str) -> Column:
     return ws_token_array(text_col)
 
 
+def _windowed_pairs(docs: DataFrame, window: int) -> DataFrame:
+    """Directed within-window token pairs ``(a, b)`` of a one-column
+    frame ``docs(__toks array<string>)`` — the map-only slice/arrays_zip
+    construction shared by :func:`collocations` and
+    :func:`node_collocates` (one definition, one contract)."""
+    tarr = F.col("__toks")
+    pair_arrays = [
+        F.when(
+            F.size(tarr) > d,
+            F.arrays_zip(
+                F.slice(tarr, 1, F.size(tarr) - d).alias("a"),
+                F.slice(tarr, 1 + d, F.size(tarr) - d).alias("b"),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        for d in range(1, window + 1)
+    ]
+    return docs.select(F.explode(F.concat(*pair_arrays)).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -139,20 +160,7 @@ def collocations(
     docs = df.where(F.col(text_col).isNotNull()).select(toks.alias("__toks"))
 
     tarr = F.col("__toks")
-    pair_arrays = [
-        F.when(
-            F.size(tarr) > d,
-            F.arrays_zip(
-                F.slice(tarr, 1, F.size(tarr) - d).alias("a"),
-                F.slice(tarr, 1 + d, F.size(tarr) - d).alias("b"),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        for d in range(1, window + 1)
-    ]
-    pairs = (
-        docs.select(F.explode(F.concat(*pair_arrays)).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    )
+    pairs = _windowed_pairs(docs, window)
     all_pair_counts = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("pair_count")
     )
@@ -461,23 +469,21 @@ def node_collocates(
     toks = _ws_token_array(text_col)
     docs = df.where(F.col(text_col).isNotNull()).select(toks.alias("__toks"))
     tarr = F.col("__toks")
-    pair_arrays = [
-        F.when(
-            F.size(tarr) > d,
-            F.arrays_zip(
-                F.slice(tarr, 1, F.size(tarr) - d).alias("a"),
-                F.slice(tarr, 1 + d, F.size(tarr) - d).alias("b"),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        for d in range(1, window + 1)
-    ]
-    pairs = docs.select(F.explode(F.concat(*pair_arrays)).alias("p")).select(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    )
-    stream = pairs.where(F.col("a") == node).select(
-        F.col("b").alias("collocate")
-    ).unionAll(
-        pairs.where(F.col("b") == node).select(F.col("a").alias("collocate"))
+    pairs = _windowed_pairs(docs, window)
+    # single pass: each pair contributes b when a is the node and a
+    # when b is (both when a == b == node) — a unionAll of two filters
+    # would re-tokenize and re-explode the whole corpus twice
+    stream = (
+        pairs.where((F.col("a") == node) | (F.col("b") == node))
+        .select(
+            F.explode(
+                F.array(
+                    F.when(F.col("a") == node, F.col("b")),
+                    F.when(F.col("b") == node, F.col("a")),
+                )
+            ).alias("collocate")
+        )
+        .where(F.col("collocate").isNotNull())
     )
     obs = stream.groupBy("collocate").agg(F.count(F.lit(1)).alias("obs"))
     unigrams = (

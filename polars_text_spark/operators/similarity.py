@@ -616,6 +616,59 @@ def lsh_band_keys(
     return F.array(*keys)
 
 
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """The shared re-rank tail of every candidate-generation strategy:
+    ``row_number`` per query over ``(cosine desc, neighbor_id asc)``
+    (the deterministic tie-break), keep ``rank <= k``. One definition
+    so the rank contract cannot drift between operators."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _banded_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    keys_fn,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared banding-OR-construction ANN: explode band keys on both
+    sides (``keys_fn(vec Column) -> array<string>``), equi-join on the
+    key, dedup, exact-cosine re-rank. Null vectors are dropped on BOTH
+    sides (a null vector has no meaningful signature and its cosine is
+    null)."""
+    v = with_l2_normalized(
+        vectors.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"), vec_col
+        ),
+        vec_col,
+        "__vvec",
+    ).select("neighbor_id", "__vvec", F.explode(keys_fn(F.col(vec_col))).alias("band_key"))
+    q = with_l2_normalized(
+        queries.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), vec_col
+        ),
+        vec_col,
+        "__qvec",
+    ).select("query_id", "__qvec", F.explode(keys_fn(F.col(vec_col))).alias("band_key"))
+    cands = v.join(q, "band_key").dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    )
+    return rank_topk(scored, k)
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
@@ -632,40 +685,16 @@ def cosine_topk_lsh(
     """Approximate top-k: candidates from LSH band-bucket collisions,
     exact cosine re-rank. A vector colliding with a query in ANY band
     is a candidate (standard banding OR-construction)."""
-    keys = lsh_band_keys(
-        F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands, seed=seed
-    )
-    v = with_l2_normalized(
-        vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__vvec"
-    ).select(
-        "neighbor_id",
-        "__vvec",
-        F.explode(keys).alias("band_key"),
-    )
-    q = with_l2_normalized(
-        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "__qvec"
-    ).select(
-        "query_id",
-        "__qvec",
-        F.explode(
-            lsh_band_keys(
-                F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands, seed=seed
-            )
-        ).alias("band_key"),
-    )
-    cands = v.join(q, "band_key").dropDuplicates(["query_id", "neighbor_id"])
-    if exclude_self:
-        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return _banded_topk(
+        vectors,
+        queries,
+        lambda c: lsh_band_keys(
+            c, dim=dim, num_planes=num_planes, bands=bands, seed=seed
+        ),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
     )
 
 
@@ -728,33 +757,15 @@ def cosine_topk_lsh_sha(
     the final top-k — the same recipe that converted SimHash and IVF
     to the oracle column. Identical distributed shape to
     :func:`cosine_topk_lsh`: band-key equi-join candidates (banding
-    OR-construction), never all-pairs."""
-    keys = sha_band_keys(F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands)
-    v = with_l2_normalized(
-        vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__vvec"
-    ).select("neighbor_id", "__vvec", F.explode(keys).alias("band_key"))
-    q = with_l2_normalized(
-        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "__qvec"
-    ).select(
-        "query_id",
-        "__qvec",
-        F.explode(
-            sha_band_keys(
-                F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands
-            )
-        ).alias("band_key"),
-    )
-    cands = v.join(q, "band_key").dropDuplicates(["query_id", "neighbor_id"])
-    if exclude_self:
-        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    OR-construction), never all-pairs. Null vectors are dropped on
+    both sides (matching :func:`polars_text_spark.operators.ann_store.
+    topk_from_store`, which is value-identical over the same corpus)."""
+    return _banded_topk(
+        vectors,
+        queries,
+        lambda c: sha_band_keys(c, dim=dim, num_planes=num_planes, bands=bands),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
     )

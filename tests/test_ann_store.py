@@ -45,25 +45,24 @@ def test_store_topk_matches_direct_operator(spark, vectors):
 def test_store_side_joins_are_shuffle_free(spark, vectors, no_broadcast):
     """Both store tables must reach their joins without an Exchange:
     the band join shuffles only the QUERY side, the unit-vector join
-    only the candidate side."""
+    only the candidate side. Asserted on hard counts so a bucketing
+    regression (an extra Exchange re-partitioning a store scan) FAILS
+    the test rather than sliding past a substring pattern."""
     write_ann_store(vectors, "ann_store_x", dim=64, buckets=4)
     qs = vectors.filter(F.col("vec_id") < 3)
     plan = explain_str(
         topk_from_store(spark, "ann_store_x", qs, k=5, dim=64), "simple"
     )
-    import re
-
-    # count Exchanges feeding scans of the store tables: a bucketed
-    # scan consumed on its bucket key needs none. We assert the total
-    # Exchange count stays at the query-side minimum: query bands onto
-    # band_key, candidates onto neighbor_id, the dropDuplicates hash,
-    # and the final rank window — but NO exchange directly above either
-    # store scan.
+    # both store scans must come from the bucketed tables and be read
+    # bucketed (the scan line advertises the selected buckets)
     for tbl in ("ann_store_x_bands", "ann_store_x_vectors"):
-        seg = plan[plan.find(tbl) - 2000 : plan.find(tbl)]
-        # the nearest plan lines above a bucketed scan must not be an
-        # Exchange introduced to re-partition the store itself
-        assert f"Exchange hashpartitioning(id" not in seg, seg
+        assert tbl in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # exactly the four query-side exchanges: query bands onto band_key,
+    # dedup hash on (query_id, neighbor_id), candidates onto
+    # neighbor_id, and the rank window on query_id. A fifth Exchange
+    # means a store scan got re-partitioned.
+    assert plan.count("Exchange") == 4, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
@@ -79,3 +78,32 @@ def test_store_tables_round_trip(spark, vectors):
         F.aggregate("u", F.lit(0.0), lambda a, x: a + x * x).alias("sq")
     ).agg(F.max(F.abs(F.col("sq") - 1.0)).alias("dev")).collect()[0]
     assert row["dev"] < 1e-9
+
+
+def test_store_rejects_mismatched_parameters(spark, vectors):
+    write_ann_store(vectors, "ann_store_m", dim=64, num_planes=16, bands=4, buckets=4)
+    qs = vectors.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="never\\s+collide|never collide"):
+        topk_from_store(spark, "ann_store_m", qs, k=5, dim=64, bands=2)
+
+
+def test_lsh_sha_drops_null_vectors_like_store(spark, vectors):
+    """Null embeddings must not surface as cosine=null rows — and the
+    direct operator must stay value-identical to the store over a
+    corpus CONTAINING nulls."""
+    from pyspark.sql import Row
+
+    with_null = vectors.unionByName(
+        spark.createDataFrame(
+            [Row(vec_id=999999, embedding=None, label=None)], vectors.schema
+        )
+    )
+    qs = with_null.filter(F.col("vec_id") < 3)
+    direct = cosine_topk_lsh_sha(with_null, qs, k=5, dim=64)
+    assert direct.where(F.col("cosine").isNull()).count() == 0
+    assert direct.where(F.col("neighbor_id") == 999999).count() == 0
+    write_ann_store(with_null, "ann_store_n", dim=64, buckets=4)
+    stored = {
+        tuple(r) for r in topk_from_store(spark, "ann_store_n", qs, k=5, dim=64).collect()
+    }
+    assert stored == {tuple(r) for r in direct.collect()}

@@ -4368,9 +4368,12 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()`` iteration order. With 70+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 7: the 20 queries with
-# no CORRECTNESS_r06 row (13 round-6 additions + 7 r5-era drop-outs)
-# plus every round-7 addition.
+# keep their original order behind them. Round 7: all 33 round-7
+# additions, then the 13 round-6 additions with no CORRECTNESS_r06 row,
+# then the r5-era drop-outs — everything that has never been (or was
+# longest-ago) driver-signed sits inside the ~50-row window; the two
+# entries displaced past it (gopher_line_stats, events_first_hour)
+# carry r5-signed rows.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [

@@ -32,7 +32,11 @@ from polars_text_spark.operators.similarity import (
     sha_band_keys,
     with_l2_normalized,
 )
-from polars_text_spark.sources.bucketing import read_bucketed, write_bucketed
+from polars_text_spark.sources.bucketing import (
+    clear_table,
+    read_bucketed,
+    write_bucketed,
+)
 
 __all__ = ["write_ann_store", "topk_from_store"]
 
@@ -78,6 +82,7 @@ def write_ann_store(
         [(int(dim), int(num_planes), int(bands))],
         "dim int, num_planes int, bands int",
     )
+    clear_table(vectors.sparkSession, f"{name}_meta")
     meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}_meta")
 
 

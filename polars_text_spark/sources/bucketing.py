@@ -18,7 +18,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_bucketed", "write_bucketed"]
+__all__ = ["clear_table", "read_bucketed", "write_bucketed"]
 
 
 def write_bucketed(
@@ -37,20 +37,24 @@ def write_bucketed(
     """
     keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     if mode == "overwrite":
-        # A previously-dropped managed table can leave its warehouse
-        # directory behind, which saveAsTable refuses to reuse
-        # (LOCATION_ALREADY_EXISTS). Clear both catalog entry and dir.
-        spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        location = os.path.join(warehouse.removeprefix("file:"), table.lower())
-        if os.path.isdir(location):
-            shutil.rmtree(location)
+        clear_table(df.sparkSession, table)
     writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
     if sort_by is not None:
         sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sort_keys)
     writer.saveAsTable(table)
+
+
+def clear_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse directory. A
+    previously-dropped (or previous-session) managed table can leave
+    its directory behind, which saveAsTable refuses to reuse
+    (LOCATION_ALREADY_EXISTS) — clear both before an overwrite."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    location = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(location):
+        shutil.rmtree(location)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

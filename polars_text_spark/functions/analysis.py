@@ -382,7 +382,11 @@ def readability(col: Column | str) -> Column:
     operation order as the SQL oracle so values match bit for bit.
     """
     c = _col(col)
-    toks = _ws_tokens(F.lower(c))
+    # ws_token_array is the shared empty-filtered contract (also used by
+    # the readability_scores DuckDB oracle and the pt_* SQL UDFs) — the
+    # unfiltered _ws_tokens would count a phantom empty token for text
+    # with leading/trailing tabs or newlines.
+    toks = ws_token_array(c)
     n_words = F.size(toks).cast("long")
     # sentence_count shares the scalar.py contract (reference op #4)
     from polars_text_spark.functions.scalar import sentence_count

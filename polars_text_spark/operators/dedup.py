@@ -972,6 +972,12 @@ def near_dup_source_matrix(
     Pass ``pairs`` (``(id_a, id_b, jaccard)``, e.g. a persisted
     :func:`minhash_lsh_pairs` result shared with other consumers) to
     skip rebuilding the pair DAG; the minhash knobs are ignored then.
+
+    NULL sources are coalesced to the sentinel ``'<null>'`` BEFORE
+    canonicalization — ``least``/``greatest`` skip NULL operands, so
+    without the sentinel a pair with one NULL source would silently
+    fold into a same-source ``(src, src)`` cell instead of being
+    surfaced as cross-provenance.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(
@@ -984,7 +990,8 @@ def near_dup_source_matrix(
             jaccard_threshold=jaccard_threshold,
         )
     src = df.select(
-        F.col(id_col).alias("__sid"), F.col(source_col).alias("__src")
+        F.col(id_col).alias("__sid"),
+        F.coalesce(F.col(source_col), F.lit("<null>")).alias("__src"),
     )
     joined = (
         pairs.join(src, pairs["id_a"] == src["__sid"])

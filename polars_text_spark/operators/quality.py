@@ -714,6 +714,10 @@ def quantile_sketch_audit(
     The ok-booleans are pinned TRUE by the GK contract, which is what
     a SQL oracle asserts (the sketch internals aren't portable; its
     guarantee is).
+
+    A NULL group key forms its own group (the rank-check join is
+    null-safe), matching a plain SQL ``GROUP BY``, which emits a
+    NULL-group row — an equi-join here would silently drop it.
     """
     if accuracy < 1:
         raise ValueError(f"accuracy must be >= 1, got {accuracy}")
@@ -728,8 +732,10 @@ def quantile_sketch_audit(
             "__ap"
         ),
     )
+    lhs = base.withColumnRenamed("g", "__gl")
     checked = (
-        base.join(F.broadcast(agg), "g")
+        lhs.join(F.broadcast(agg), F.col("__gl").eqNullSafe(F.col("g")))
+        .drop("__gl")
         .groupBy("g", "n_rows", "p50_exact", "p90_exact")
         .agg(
             F.sum((F.col("v") <= F.element_at("__ap", 1)).cast("long")).alias("__le50"),

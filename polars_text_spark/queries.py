@@ -3624,7 +3624,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS ({_SQL_SH_CTE}),
     p AS (
-      SELECT a.source AS sa, b.source AS sb,
+      SELECT coalesce(a.source, '<null>') AS sa,
+             coalesce(b.source, '<null>') AS sb,
              len(list_intersect(a.s, b.s)) * 1.0
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id

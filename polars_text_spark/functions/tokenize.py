@@ -172,6 +172,117 @@ class _HuggingFace(_Backend):
         return out
 
 
+def _sweep_surface_offsets(
+    text: str, surfaces: list[str]
+) -> list[tuple[str, int, int]]:
+    """Char offsets for an in-order surface sequence via one
+    left-to-right cursor sweep — the char-domain analog of the
+    reference's byte->char offset sweep (src/offsets.rs:21-51).
+    Morpheme analyzers emit surfaces in input order but may drop
+    whitespace between them, so each surface is located with
+    ``find(surface, cursor)``; a surface the analyzer normalized away
+    from the raw text (rare) is skipped rather than guessed, keeping
+    the ``text[start:end] == token`` invariant unconditional."""
+    out: list[tuple[str, int, int]] = []
+    cursor = 0
+    for surface in surfaces:
+        if not surface:
+            continue
+        idx = text.find(surface, cursor)
+        if idx < 0:
+            continue
+        out.append((surface, idx, idx + len(surface)))
+        cursor = idx + len(surface)
+    return out
+
+
+class _JapaneseMorpheme(_Backend):
+    """Japanese morphological segmentation for the ``lindera:ja-ipadic``
+    / ``lindera:ja-ipadic-neologd`` / ``lindera:ja-unidic`` ids
+    (src/tokenizer.rs:162-185, dict protocol src/lindera_dict.rs:29-86)
+    via fugashi (MeCab) when importable, else SudachiPy. Equivalent
+    *capability* (morpheme-level ja segmentation with char offsets),
+    not byte-identical to lindera's dictionaries — the same documented
+    deviation as :class:`_Jieba`. The three ja dict ids bind whatever
+    dictionary the installed analyzer ships (ipadic / unidic-lite /
+    sudachi core), mirroring the id surface, not the dictionary build.
+    """
+
+    case_aware = False
+
+    def __init__(self, model_id: str) -> None:
+        try:
+            from fugashi import Tagger
+
+            self._impl = ("fugashi", Tagger())
+            return
+        except ImportError:
+            pass
+        try:
+            from sudachipy import dictionary
+            from sudachipy import tokenizer as sudachi_tokenizer
+
+            self._impl = (
+                "sudachi",
+                (
+                    dictionary.Dictionary().create(),
+                    sudachi_tokenizer.Tokenizer.SplitMode.C,
+                ),
+            )
+        except ImportError as exc:  # pragma: no cover - optional dep
+            raise RuntimeError(
+                f"{model_id} needs a CJK morpheme segmenter (fugashi/mecab-ko) "
+                "which is not installed"
+            ) from exc
+
+    def records(self, text: str, remove_punct: bool):
+        kind, impl = self._impl
+        if kind == "fugashi":
+            recs = _sweep_surface_offsets(
+                text, [word.surface for word in impl(text)]
+            )
+        else:
+            obj, mode = impl
+            # SudachiPy morphemes carry char begin/end directly
+            recs = [
+                (m.surface(), m.begin(), m.end())
+                for m in obj.tokenize(text, mode)
+            ]
+        return [
+            r
+            for r in recs
+            if r[0].strip() and _keep_token(r[0], remove_punct)
+        ]
+
+
+class _KoreanMorpheme(_Backend):
+    """Korean morpheme segmentation for the ``lindera:ko-dic`` id
+    (src/tokenizer.rs:162-185) via python-mecab-ko. Same
+    capability-parity stance as :class:`_JapaneseMorpheme`; offsets
+    come from the shared cursor sweep (mecab-ko emits surfaces in
+    input order without positions)."""
+
+    case_aware = False
+
+    def __init__(self) -> None:
+        try:
+            import mecab
+        except ImportError as exc:  # pragma: no cover - optional dep
+            raise RuntimeError(
+                "lindera:ko-dic needs a CJK morpheme segmenter "
+                "(fugashi/mecab-ko) which is not installed"
+            ) from exc
+        self._mecab = mecab.MeCab()
+
+    def records(self, text: str, remove_punct: bool):
+        recs = _sweep_surface_offsets(text, self._mecab.morphs(text))
+        return [
+            r
+            for r in recs
+            if r[0].strip() and _keep_token(r[0], remove_punct)
+        ]
+
+
 class _Jieba(_Backend):
     """CJK word segmentation for the ``lindera:jieba`` /
     ``lindera:cc-cedict`` ids. Equivalent *capability* (word-level zh
@@ -211,6 +322,14 @@ def _build_backend(model_id: str) -> _Backend:
         return _HuggingFace(model_id.split(":", 1)[1])
     if model_id in ("lindera:jieba", "lindera:cc-cedict"):
         return _Jieba()
+    if model_id in (
+        "lindera:ja-ipadic",
+        "lindera:ja-ipadic-neologd",
+        "lindera:ja-unidic",
+    ):
+        return _JapaneseMorpheme(model_id)
+    if model_id == "lindera:ko-dic":
+        return _KoreanMorpheme()
     if model_id.startswith("lindera:"):
         raise RuntimeError(
             f"{model_id} needs a CJK morpheme segmenter (fugashi/mecab-ko) "

@@ -246,3 +246,81 @@ def test_hdbscan_trivial_cases():  # pragma: no cover - gated
     assert n_topics == 1 and labels.tolist() == [0]
     labels, n_topics = cluster(np.empty((0, 2), dtype=np.float32))
     assert n_topics == 0 and len(labels) == 0
+
+
+# ---------------------------------------------------------------------------
+# Japanese / Korean morpheme backends (reference src/tokenizer.rs:162-185,
+# dict protocol src/lindera_dict.rs:29-86). Gated like the jieba test:
+# linguistic properties + the offsets invariant, not exact tokens.
+# ---------------------------------------------------------------------------
+
+needs_ja = pytest.mark.skipif(
+    importlib.util.find_spec("fugashi") is None
+    and importlib.util.find_spec("sudachipy") is None,
+    reason="requires fugashi or sudachipy",
+)
+needs_mecab_ko = pytest.mark.skipif(
+    importlib.util.find_spec("mecab") is None,
+    reason="requires python-mecab-ko",
+)
+
+
+@needs_ja
+@pytest.mark.parametrize(
+    "model_id",
+    ["lindera:ja-ipadic", "lindera:ja-ipadic-neologd", "lindera:ja-unidic"],
+)
+def test_japanese_backend_properties(model_id):  # pragma: no cover - gated
+    backend = load_backend(model_id)
+    text = "すもももももももものうち"
+    out = backend.tokenize(text, False, True)
+    tokens = [t["token"] for t in out]
+    # Morpheme segmentation: fewer tokens than characters, at least one
+    # multi-char morpheme (reference tests gate on the same shape).
+    assert 1 < len(tokens) < len(text)
+    assert any(len(t) > 1 for t in tokens)
+    # char offsets reconstruct the source (sweep/sudachi both)
+    for t in out:
+        assert text[t["start"] : t["end"]] == t["token"]
+
+
+@needs_ja
+def test_japanese_backend_caseless():  # pragma: no cover - gated
+    """ja is a caseless script: lowercase=True must not change offsets
+    (case_aware=False skips the fold, src/tokenizer.rs:95-117)."""
+    backend = load_backend("lindera:ja-ipadic")
+    text = "Pythonで日本語を解析する"
+    assert backend.tokenize(text, True, True) == backend.tokenize(
+        text, False, True
+    )
+
+
+@needs_mecab_ko
+def test_korean_backend_properties():  # pragma: no cover - gated
+    backend = load_backend("lindera:ko-dic")
+    text = "아버지가 방에 들어가신다"
+    out = backend.tokenize(text, False, True)
+    tokens = [t["token"] for t in out]
+    # Morpheme analysis splits the agglutinated verb: MORE tokens than
+    # the 3 whitespace words, and offsets reconstruct the source.
+    assert len(tokens) > 3
+    for t in out:
+        assert text[t["start"] : t["end"]] == t["token"]
+
+
+def test_sweep_surface_offsets_invariants():
+    """Ungated: the cursor sweep shared by the fugashi/mecab-ko paths.
+    Whitespace the analyzer dropped is skipped over; duplicate surfaces
+    bind left-to-right; an unlocatable (normalized) surface is dropped,
+    never misplaced."""
+    from polars_text_spark.functions.tokenize import _sweep_surface_offsets
+
+    text = "ab ab  cd"
+    recs = _sweep_surface_offsets(text, ["ab", "ab", "cd"])
+    assert recs == [("ab", 0, 2), ("ab", 3, 5), ("cd", 7, 9)]
+    for tok, s, e in recs:
+        assert text[s:e] == tok
+    # analyzer-normalized surface absent from raw text -> dropped
+    assert _sweep_surface_offsets("abc", ["ABC"]) == []
+    # empty surfaces ignored, later ones still bind
+    assert _sweep_surface_offsets("xy", ["", "y"]) == [("y", 1, 2)]

@@ -52,11 +52,21 @@ def test_prefetch_and_list(spark):
 
 
 def test_gated_backend_errors():
+    import importlib.util
+
     from polars_text_spark.functions.tokenize import load_backend
 
-    with pytest.raises(RuntimeError, match="jieba"):
-        load_backend("lindera:jieba")
-    with pytest.raises(RuntimeError, match="segmenter"):
-        load_backend("lindera:ja-ipadic")
+    if importlib.util.find_spec("jieba") is None:
+        with pytest.raises(RuntimeError, match="jieba"):
+            load_backend("lindera:jieba")
+    if (
+        importlib.util.find_spec("fugashi") is None
+        and importlib.util.find_spec("sudachipy") is None
+    ):
+        with pytest.raises(RuntimeError, match="segmenter"):
+            load_backend("lindera:ja-ipadic")
+    if importlib.util.find_spec("mecab") is None:
+        with pytest.raises(RuntimeError, match="segmenter"):
+            load_backend("lindera:ko-dic")
     with pytest.raises(ValueError, match="unknown tokenizer model id"):
         load_backend("nonsense:model")

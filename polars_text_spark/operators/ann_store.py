@@ -38,7 +38,12 @@ from polars_text_spark.sources.bucketing import (
     write_bucketed,
 )
 
-__all__ = ["write_ann_store", "topk_from_store"]
+__all__ = [
+    "append_ann_shard",
+    "topk_against_shard",
+    "topk_from_store",
+    "write_ann_store",
+]
 
 
 def write_ann_store(
@@ -77,13 +82,172 @@ def write_ann_store(
         unit, f"{name}_vectors", bucket_by="id", buckets=buckets, sort_by="id"
     )
     # signature parameters ride with the store so a query-time mismatch
-    # (whose band keys could NEVER collide -> silent recall-0) fails loudly
+    # (whose band keys could NEVER collide -> silent recall-0) fails
+    # loudly; buckets rides too so incremental appends reuse the
+    # write-time bucket spec (a mismatched append would break the
+    # shuffle-free co-location guarantee)
     meta = vectors.sparkSession.createDataFrame(
-        [(int(dim), int(num_planes), int(bands))],
-        "dim int, num_planes int, bands int",
+        [(int(dim), int(num_planes), int(bands), int(buckets))],
+        "dim int, num_planes int, bands int, buckets int",
     )
     clear_table(vectors.sparkSession, f"{name}_meta")
     meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}_meta")
+
+
+def _shard_projections(
+    shard: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, unit) frames of a shard under the store's signature —
+    the same two projections :func:`write_ann_store` materializes."""
+    base = shard.where(F.col(vec_col).isNotNull())
+    banded = base.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            sha_band_keys(
+                F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands
+            )
+        ).alias("band_key"),
+    )
+    unit = with_l2_normalized(
+        base.select(F.col(id_col).alias("id"), vec_col), vec_col, "u"
+    ).select("id", "u")
+    return banded, unit
+
+
+def _store_meta(spark: SparkSession, name: str) -> tuple[int, int, int, int]:
+    m = spark.table(f"{name}_meta").collect()[0]
+    return (
+        int(m["dim"]),
+        int(m["num_planes"]),
+        int(m["bands"]),
+        int(m["buckets"]),
+    )
+
+
+def append_ann_shard(
+    shard: DataFrame,
+    name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest: append a NEW shard's band keys and unit
+    vectors into the standing store tables (the ANN twin of
+    :func:`polars_text_spark.operators.dedup_store.incremental_pairs_from_store`'s
+    write half).
+
+    Signature parameters are read from the store meta — they CANNOT
+    legitimately differ (a shard banded under different planes would
+    never collide with standing keys), so there is nothing to pass and
+    nothing to get wrong. The append reuses the write-time bucket spec:
+    Spark adds new bucket files per bucket id, the standing files are
+    untouched (no table rewrite), and subsequent store-side joins still
+    read every bucket co-located with NO Exchange. Only the (small)
+    shard shuffles — once, at write time, into its bucket files.
+    """
+    spark = shard.sparkSession
+    dim, num_planes, bands, buckets = _store_meta(spark, name)
+    banded, unit = _shard_projections(
+        shard,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        num_planes=num_planes,
+        bands=bands,
+    )
+    write_bucketed(
+        banded,
+        f"{name}_bands",
+        bucket_by="band_key",
+        buckets=buckets,
+        sort_by="band_key",
+        mode="append",
+    )
+    write_bucketed(
+        unit,
+        f"{name}_vectors",
+        bucket_by="id",
+        buckets=buckets,
+        sort_by="id",
+        mode="append",
+    )
+
+
+def topk_against_shard(
+    spark: SparkSession,
+    name: str,
+    shard: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-``k`` neighbors of a NEW shard's vectors over the standing
+    store PLUS the shard itself — the full-corpus answer an ingest
+    pipeline needs BEFORE (or without) committing
+    :func:`append_ann_shard`. Returns ``(query_id, neighbor_id, cosine,
+    rank)``, value-identical to
+    :func:`polars_text_spark.operators.similarity.cosine_topk_lsh_sha`
+    over ``store ∪ shard`` with the shard as queries (tested).
+
+    Scale shape: the store's band and vector tables read their buckets
+    in place (no Exchange above either store scan, plan-asserted); only
+    the shard's two small projections shuffle, and the shard-internal
+    candidate join broadcasts the shard bands.
+
+    Contract: shard ids must be DISJOINT from store ids (the
+    incremental-ingest invariant — same stance as
+    ``incremental_pairs_from_store``). Call this before
+    :func:`append_ann_shard`; after the append, :func:`topk_from_store`
+    answers over the grown store directly.
+    """
+    dim, num_planes, bands, _ = _store_meta(spark, name)
+    banded, unit = _shard_projections(
+        shard,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        num_planes=num_planes,
+        bands=bands,
+    )
+    q = banded.select(
+        F.col("id").alias("query_id"), "band_key"
+    ).join(
+        unit.select(F.col("id").alias("query_id"), F.col("u").alias("__qvec")),
+        "query_id",
+    )
+    store_bands = read_bucketed(spark, f"{name}_bands").select(
+        F.col("id").alias("neighbor_id"), "band_key"
+    )
+    shard_bands = banded.select(
+        F.col("id").alias("neighbor_id"), "band_key"
+    )
+    cands = (
+        store_bands.join(q, "band_key")
+        .unionByName(q.join(F.broadcast(shard_bands), "band_key"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "__qvec")
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    neighbors = (
+        read_bucketed(spark, f"{name}_vectors")
+        .unionByName(unit)
+        .select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
+    )
+    scored = cands.join(neighbors, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    )
+    return rank_topk(scored, k)
 
 
 def topk_from_store(

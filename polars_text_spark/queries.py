@@ -4321,6 +4321,77 @@ def q_similarity_topk_lsh_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_store_incremental",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e)),
+    bk AS (
+      SELECT e.vec_id, unnest({{_lsh_keys}}) AS band_key
+      FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM bk q JOIN bk n ON q.band_key = n.band_key
+      WHERE q.vec_id < 6 AND n.vec_id <> q.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(uq.u)),
+                  i -> uq.u[i] * un.u[i]), (a, b) -> a + b) AS cos
+      FROM cand c
+      JOIN unit uq ON uq.vec_id = c.query_id
+      JOIN unit un ON un.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """.replace("{_lsh_keys}", _lsh_sha_keys_sql("e")),
+)
+def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-store ingest under the driver hash: write the
+    store on 3/4 of the corpus, ``append_ann_shard`` the remaining
+    quarter, then answer top-k from the GROWN store — the result must
+    hash-match the oracle's full sha-LSH replay over the complete
+    corpus (bands, OR-construction candidates, exact-cosine re-rank).
+    A broken append (missed bucket files, re-banded planes, clobbered
+    standing rows) shifts candidates or cosines and fails the value
+    hash, not just a pytest invariant."""
+    import os
+
+    from polars_text_spark.operators.ann_store import (
+        append_ann_shard,
+        topk_from_store,
+        write_ann_store,
+    )
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # pid-unique name: a concurrent bench/driver run must not overwrite
+    # this invocation's store between the append and the collect
+    name = f"annincr_{os.getpid()}"
+    write_ann_store(
+        vecs.filter(F.col("vec_id") % 4 != 0), name, dim=64, buckets=8
+    )
+    append_ann_shard(vecs.filter(F.col("vec_id") % 4 == 0), name)
+    out = topk_from_store(
+        spark, name, vecs.filter(F.col("vec_id") < 6), k=10, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
+@query(
     "node_collocates",
     f"""
     WITH toks AS (

@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from polars_text_spark.operators.ann_store import topk_from_store, write_ann_store
+from polars_text_spark.operators.ann_store import (
+    append_ann_shard,
+    topk_against_shard,
+    topk_from_store,
+    write_ann_store,
+)
 from polars_text_spark.operators.similarity import cosine_topk_lsh_sha
 from polars_text_spark.plans import explain_str
 from polars_text_spark.sources.bucketing import read_bucketed
@@ -107,3 +112,86 @@ def test_lsh_sha_drops_null_vectors_like_store(spark, vectors):
         tuple(r) for r in topk_from_store(spark, "ann_store_n", qs, k=5, dim=64).collect()
     }
     assert stored == {tuple(r) for r in direct.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest (round 8): append_ann_shard + topk_against_shard.
+# ---------------------------------------------------------------------------
+
+
+def test_append_shard_then_query_matches_union_direct(spark, vectors):
+    """write base store -> append shard -> topk_from_store must be
+    value-identical to the direct sha-LSH operator over the UNIONED
+    corpus (the incremental-ingest parity contract)."""
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    shard = vectors.filter(F.col("vec_id") % 4 == 0)
+    write_ann_store(base, "ann_store_i", dim=64, buckets=4)
+    append_ann_shard(shard, "ann_store_i")
+    qs = vectors.filter(F.col("vec_id") < 6)
+    direct = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in cosine_topk_lsh_sha(vectors, qs, k=10, dim=64).collect()
+    }
+    stored = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in topk_from_store(spark, "ann_store_i", qs, k=10, dim=64).collect()
+    }
+    assert direct and stored == direct
+
+
+def test_append_does_not_rewrite_standing_files(spark, vectors):
+    """The append adds bucket files; standing files stay byte-identical
+    (no table rewrite)."""
+    import glob
+    import os
+
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    shard = vectors.filter(F.col("vec_id") % 4 == 0)
+    write_ann_store(base, "ann_store_a", dim=64, buckets=4)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "ann_store_a_vectors")
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{loc}/*.parquet")
+    }
+    assert before
+    append_ann_shard(shard, "ann_store_a")
+    after = {p: os.path.getmtime(p) for p in glob.glob(f"{loc}/*.parquet")}
+    assert set(before) < set(after)  # strictly more files
+    for p, mtime in before.items():
+        assert after[p] == mtime  # standing files untouched
+
+
+def test_topk_against_shard_matches_union_direct(spark, vectors):
+    """Pre-append incremental query: shard queried against store+shard
+    equals the direct operator over the union with shard queries."""
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    shard = vectors.filter(F.col("vec_id") % 4 == 0)
+    write_ann_store(base, "ann_store_q", dim=64, buckets=4)
+    qshard = shard.filter(F.col("vec_id") < 20)
+    direct = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in cosine_topk_lsh_sha(vectors, qshard, k=5, dim=64).collect()
+    }
+    # corpus = base + FULL shard; filter to the query ids afterwards
+    inc = topk_against_shard(
+        spark, "ann_store_q", shard, k=5
+    ).filter(F.col("query_id") < 20)
+    stored = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in inc.collect()
+    }
+    assert direct and stored == direct
+
+
+def test_topk_against_shard_store_side_shuffle_free(spark, vectors, no_broadcast):
+    """No Exchange above either STORE scan: the standing tables read
+    their buckets in place; only shard-side frames shuffle."""
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    shard = vectors.filter(F.col("vec_id") % 4 == 0)
+    write_ann_store(base, "ann_store_s", dim=64, buckets=4)
+    plan = explain_str(
+        topk_against_shard(spark, "ann_store_s", shard, k=5), "formatted"
+    )
+    for tbl in ("ann_store_s_bands", "ann_store_s_vectors"):
+        assert tbl in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan

@@ -10,6 +10,9 @@ same as the reference's single-process ceiling); c-TF-IDF, rollup and
 coordinates are Spark aggregations; results join back 1:1 on a row id.
 """
 
-from polars_text_spark.operators.topic_modeling.pipeline import topic_modeling
+from polars_text_spark.operators.topic_modeling.pipeline import (
+    assemble_topics,
+    topic_modeling,
+)
 
-__all__ = ["topic_modeling"]
+__all__ = ["assemble_topics", "topic_modeling"]

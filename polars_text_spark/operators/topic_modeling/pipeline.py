@@ -69,7 +69,7 @@ from polars_text_spark.operators.topic_modeling.reduce import (
 from polars_text_spark.operators.topic_modeling.rollup import rollup
 from polars_text_spark.persist import track_persist
 
-__all__ = ["TOPIC_STRUCT_TYPE", "topic_modeling"]
+__all__ = ["TOPIC_STRUCT_TYPE", "assemble_topics", "topic_modeling"]
 
 _ROW_ID = "__row_id"
 
@@ -451,21 +451,6 @@ def topic_modeling(
         doc_topics = None
     timings.mark("rollup")
 
-    out = source
-    if doc_topics is not None:
-        out = out.join(doc_topics, _ROW_ID, "left")
-    else:
-        out = out.withColumn("topic_distribution", F.lit(None).cast(DIST_TYPE))
-        out = out.withColumn("dominant_topic", F.lit(None).cast("int"))
-    if topic_table is not None:
-        out = out.join(F.broadcast(topic_table), "dominant_topic", "left")
-    else:
-        out = out.withColumn(
-            "representative_words", F.lit(None).cast("array<string>")
-        )
-        out = out.withColumn("topic_x", F.lit(None).cast("float"))
-        out = out.withColumn("topic_y", F.lit(None).cast("float"))
-
     timings.mark("assemble_topics")
     stage_list = timings.finish()
     timings_lit = F.array(
@@ -477,6 +462,70 @@ def topic_modeling(
             for stage, ms in stage_list
         ]
     )
+    return assemble_topics(
+        source,
+        doc_topics,
+        topic_table,
+        row_id_col=_ROW_ID,
+        n_topics=n_topics,
+        n_chunks=n_chunks,
+        keep_cols=list(df.columns),
+        output_col=output_col,
+        timings_col=timings_lit,
+    )
+
+
+_TIMINGS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("stage", T.StringType(), False),
+            T.StructField("elapsed_ms", T.DoubleType(), False),
+        ]
+    ),
+    containsNull=False,
+)
+
+
+def assemble_topics(
+    source: DataFrame,
+    doc_topics: DataFrame | None,
+    topic_table: DataFrame | None,
+    *,
+    row_id_col: str,
+    n_topics: int,
+    n_chunks: int,
+    keep_cols: list[str],
+    output_col: str = "topics",
+    timings_col=None,
+) -> DataFrame:
+    """The assemble stage (/root/reference/src/topic_modeling/
+    plugin.rs:136-293) as a standalone operator: join the per-row
+    rollup (``doc_topics``, keyed by ``row_id_col``) and the broadcast
+    per-topic metadata table (``topic_table``: ``(dominant_topic,
+    representative_words, topic_x, topic_y)``) back onto ``source``,
+    1:1 with the input rows, filling outlier/zero-chunk rows with
+    dominant -1, empty distribution/words, and origin coords
+    (plugin.rs:160-186).
+
+    Scale shape: one left equi-join on the row id plus one broadcast
+    join on the (|topics|-row) metadata — no extra shuffle of the
+    source beyond the rollup key."""
+    out = source
+    if doc_topics is not None:
+        out = out.join(doc_topics, row_id_col, "left")
+    else:
+        out = out.withColumn("topic_distribution", F.lit(None).cast(DIST_TYPE))
+        out = out.withColumn("dominant_topic", F.lit(None).cast("int"))
+    if topic_table is not None:
+        out = out.join(F.broadcast(topic_table), "dominant_topic", "left")
+    else:
+        out = out.withColumn(
+            "representative_words", F.lit(None).cast("array<string>")
+        )
+        out = out.withColumn("topic_x", F.lit(None).cast("float"))
+        out = out.withColumn("topic_y", F.lit(None).cast("float"))
+    if timings_col is None:
+        timings_col = F.array().cast(_TIMINGS_TYPE)
     # Outlier/zero-chunk rows: dominant -1, empty distribution/words,
     # origin coords (plugin.rs:160-186).
     struct_col = F.struct(
@@ -493,9 +542,8 @@ def topic_modeling(
         F.coalesce("topic_y", F.lit(0.0)).cast("float").alias("y"),
         F.lit(int(n_topics)).cast("int").alias("n_topics"),
         F.lit(int(n_chunks)).cast("int").alias("n_chunks"),
-        timings_lit.alias("stage_timings_ms"),
+        timings_col.alias("stage_timings_ms"),
     )
-    result = out.withColumn(output_col, struct_col).select(
-        *df.columns, output_col
+    return out.withColumn(output_col, struct_col).select(
+        *keep_cols, output_col
     )
-    return result

@@ -1296,6 +1296,51 @@ def q_embedding_docs_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_cached", ORACLES["embedding_docs_sha"])
+def q_embedding_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding cache driven through the driver's hash gate — the
+    embedding twin of ``tokenize_cached`` (reference semantics
+    src/topic_modeling/embedding_cache.rs:20-31,143-160): a COLD pass
+    computes every distinct text's vector once and appends it to the
+    (model, revision, provider)-scoped parquet cache; a WARM pass finds
+    zero misses and serves every vector FROM the cache — and the warm
+    output must hash-match the uncached ``embedding_docs_sha`` oracle,
+    which re-derives every vector component in SQL. A stale, corrupt,
+    or lossily round-tripped cache (float munging, row loss, scope
+    collisions) fails the value hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from polars_text_spark.operators.cache import embedding_cached
+
+    # unique per invocation; removal deferred past the driver's collect
+    # (the warm frame reads the cache parquet lazily) — same lifecycle
+    # as q_tokenize_cached
+    cache_path = tempfile.mkdtemp(prefix="ptx_embcache_")
+    atexit.register(shutil.rmtree, cache_path, True)
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    model = "native:feature-hash-sha:64"
+    # cold: populates the cache scope
+    embedding_cached(
+        docs, "text", embedder_model=model, cache_path=cache_path,
+        output_col="vec",
+    )
+    # warm: zero misses; vectors come back from the cache parquet
+    warm = embedding_cached(
+        docs, "text", embedder_model=model, cache_path=cache_path,
+        output_col="vec",
+    )
+    exploded = warm.select(
+        "doc_id", F.posexplode(F.col("vec").cast("array<double>"))
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("dim"),
+        F.round(F.col("col"), 6).alias("value"),
+    )
+
+
 def q_topic_modeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-column topic modeling (SURVEY §2.1 #8) — rows-only: the
     density clustering is not SQL-expressible; structural invariants
@@ -1454,6 +1499,105 @@ def q_topic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tp.topic_id").cast("int").alias("topic_id"),
         F.round(F.col("tp.proportion").cast("double"), 6).alias("proportion"),
         "dominant_topic",
+    )
+
+
+@query(
+    "topic_assemble",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, s
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS s
+            FROM documents WHERE text IS NOT NULL)
+      WHERE s <> ''),
+    labeled AS (
+      SELECT doc_id, {_SQL_SHA60.format(expr="s")} % 6 - 1 AS label
+      FROM chunks),
+    counts AS (
+      SELECT doc_id, label, count(*) AS cnt
+      FROM labeled GROUP BY doc_id, label),
+    dom AS (
+      SELECT doc_id, label AS dominant FROM (
+        SELECT doc_id, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM counts WHERE label <> -1) WHERE rn = 1),
+    ndist AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_dist
+      FROM counts GROUP BY doc_id),
+    tot AS (SELECT CAST(count(*) AS INT) AS nc FROM labeled)
+    SELECT d.doc_id,
+           CAST(COALESCE(dm.dominant, -1) AS INT) AS dominant_topic,
+           COALESCE(nd.n_dist, 0) AS n_dist,
+           CASE WHEN COALESCE(dm.dominant, -1) >= 0
+                THEN 'w' || CAST(dm.dominant AS VARCHAR) ELSE '' END
+             AS rep_words,
+           round(CAST(CAST(CASE WHEN COALESCE(dm.dominant, -1) >= 0
+                                THEN dm.dominant ELSE 0 END AS REAL)
+                      AS DOUBLE), 6) AS x,
+           round(CAST(CAST(CASE WHEN COALESCE(dm.dominant, -1) >= 0
+                                THEN -dm.dominant ELSE 0 END AS REAL)
+                      AS DOUBLE), 6) AS y,
+           CAST(5 AS INT) AS n_topics,
+           (SELECT nc FROM tot) AS n_chunks
+    FROM documents d
+    LEFT JOIN dom dm USING (doc_id)
+    LEFT JOIN ndist nd USING (doc_id)
+    """,
+)
+def q_topic_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assemble stage of topic modeling in isolation
+    (/root/reference/src/topic_modeling/plugin.rs:136-293): rollup +
+    broadcast topic-metadata joins back onto the source rows 1:1 with
+    the outlier/zero-chunk fills (dominant -1, empty words, origin
+    coords, plugin.rs:160-186) — the last deterministic op-8 block
+    under the driver hash. Hash-assigned labels over whitespace-token
+    chunks (the topic_ctfidf/topic_rollup trick) make every fill path
+    occur in real data: docs with NULL text exercise the no-chunk
+    fill, all-outlier docs the dominant=-1 metadata miss. The oracle
+    re-derives the dominant choice, the distribution size, the
+    replicated per-topic metadata incl. both fills, and the literal
+    n_topics/n_chunks replication."""
+    from polars_text_spark.operators.dedup import sha_token_hash
+    from polars_text_spark.operators.topic_modeling import assemble_topics
+    from polars_text_spark.operators.topic_modeling.rollup import rollup
+
+    docs = _docs(spark, sf_dir)  # ALL docs — null text hits the fill
+    chunks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("s"),
+    ).filter(F.col("s") != "")
+    labeled = chunks.select(
+        "doc_id", (sha_token_hash(F.col("s")) % 6 - 1).alias("label")
+    )
+    n_chunks = labeled.count()
+    doc_topics = rollup(labeled, row_id_col="doc_id", label_col="label")
+    topic_table = spark.createDataFrame(
+        [(t, [f"w{t}"], float(t), float(-t)) for t in range(5)],
+        "dominant_topic int, representative_words array<string>, "
+        "topic_x float, topic_y float",
+    )
+    out = assemble_topics(
+        docs,
+        doc_topics,
+        topic_table,
+        row_id_col="doc_id",
+        n_topics=5,
+        n_chunks=n_chunks,
+        keep_cols=["doc_id"],
+        output_col="topics",
+    )
+    return out.select(
+        "doc_id",
+        F.col("topics.dominant_topic").alias("dominant_topic"),
+        F.size("topics.topic_distribution").alias("n_dist"),
+        F.concat_ws(",", "topics.representative_words").alias("rep_words"),
+        F.round(F.col("topics.x").cast("double"), 6).alias("x"),
+        F.round(F.col("topics.y").cast("double"), 6).alias("y"),
+        F.col("topics.n_topics").alias("n_topics"),
+        F.col("topics.n_chunks").alias("n_chunks"),
     )
 
 

@@ -32,10 +32,12 @@ from pyspark.sql import types as T
 __all__ = [
     "AUDIO_META_TYPE",
     "IMAGE_META_TYPE",
+    "VIDEO_META_TYPE",
     "audio_meta",
     "image_meta",
     "media_fingerprint",
     "sample_frames",
+    "video_meta",
 ]
 
 IMAGE_META_TYPE = T.StructType(
@@ -195,6 +197,181 @@ def image_meta(col: Column | str) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return F.pandas_udf(fn, IMAGE_META_TYPE)(c).alias("image_meta")
+
+
+VIDEO_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+_NULL_VIDEO = {f.name: None for f in VIDEO_META_TYPE.fields}
+
+# ISO-BMFF container boxes whose payload is itself a box sequence
+_BMFF_CONTAINERS = frozenset({b"moov", b"trak", b"mdia", b"minf", b"stbl"})
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Walk an ISO-BMFF box sequence: yields ``(type, payload_start,
+    payload_end)``. size==1 -> 64-bit largesize follows the type;
+    size==0 -> box extends to the end of the enclosing scope. Stops on
+    any malformed size rather than guessing."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", data[i : i + 4])[0]
+        box_type = data[i + 4 : i + 8]
+        header = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
+            header = 16
+        elif size == 0:
+            size = end - i
+        if size < header or i + size > end:
+            return
+        yield box_type, i + header, i + size
+        i += size
+
+
+def _parse_mp4(data: bytes, meta: dict) -> dict:
+    """MP4 / ISO-BMFF bytes-level parse: major brand (ftyp), duration
+    (moov/mvhd: duration/timescale, v0 and v1 layouts), track count
+    (trak boxes), and video dims (largest non-zero tkhd width/height,
+    stored as 16.16 fixed point)."""
+    meta["format"] = "mp4"
+    n_tracks = 0
+    width = height = 0
+    for box_type, s, e in _iter_boxes(data, 0, len(data)):
+        if box_type == b"ftyp" and e - s >= 4:
+            brand = data[s : s + 4].decode("ascii", "replace").strip()
+            meta["codec"] = brand or None
+        elif box_type == b"moov":
+            for inner, is_, ie in _iter_boxes(data, s, e):
+                if inner == b"mvhd" and ie - is_ >= 4:
+                    version = data[is_]
+                    if version == 1 and ie - is_ >= 32:
+                        timescale = struct.unpack(
+                            ">I", data[is_ + 20 : is_ + 24]
+                        )[0]
+                        duration = struct.unpack(
+                            ">Q", data[is_ + 24 : is_ + 32]
+                        )[0]
+                    elif version == 0 and ie - is_ >= 20:
+                        timescale, duration = struct.unpack(
+                            ">II", data[is_ + 12 : is_ + 20]
+                        )
+                    else:
+                        continue
+                    if timescale:
+                        meta["duration_s"] = duration / timescale
+                elif inner == b"trak":
+                    n_tracks += 1
+                    for tb, ts_, te in _iter_boxes(data, is_, ie):
+                        if tb != b"tkhd" or te - ts_ < 4:
+                            continue
+                        # width/height are the LAST 8 payload bytes
+                        # (16.16 fixed point) in both tkhd versions
+                        if te - ts_ >= 84:
+                            w_fp, h_fp = struct.unpack(
+                                ">II", data[te - 8 : te]
+                            )
+                            width = max(width, w_fp >> 16)
+                            height = max(height, h_fp >> 16)
+    if n_tracks:
+        meta["n_tracks"] = n_tracks
+    if width and height:
+        meta["width"], meta["height"] = int(width), int(height)
+    return meta
+
+
+def _parse_ogg(data: bytes, meta: dict) -> dict:
+    """Ogg bytes-level parse: logical streams counted via BOS pages,
+    codec + stream parameters from the first identification packet
+    (Theora video dims, Vorbis/Opus channels+rate), duration from the
+    LAST page's granule position over the id header's rate (Vorbis
+    granule = PCM samples; Opus granule is 48 kHz by spec; Theora needs
+    the granule shift — left null there)."""
+    meta["format"] = "ogg"
+    n_bos = 0
+    pos = 0
+    while True:
+        pos = data.find(b"OggS", pos)
+        if pos < 0 or pos + 27 > len(data):
+            break
+        if data[pos + 5] & 0x02:
+            n_bos += 1
+        pos += 4
+    if n_bos:
+        meta["n_tracks"] = n_bos
+    # first packet payload starts after the 27-byte header + segment table
+    if len(data) >= 28:
+        n_segs = data[26]
+        body = 27 + n_segs
+        rate = None
+        if data[body : body + 7] == b"\x80theora" and len(data) >= body + 20:
+            meta["codec"] = "theora"
+            picw = int.from_bytes(data[body + 14 : body + 17], "big")
+            pich = int.from_bytes(data[body + 17 : body + 20], "big")
+            if picw and pich:
+                meta["width"], meta["height"] = picw, pich
+        elif data[body : body + 7] == b"\x01vorbis" and len(data) >= body + 16:
+            meta["codec"] = "vorbis"
+            rate = struct.unpack("<I", data[body + 12 : body + 16])[0]
+        elif data[body : body + 8] == b"OpusHead":
+            meta["codec"] = "opus"
+            rate = 48_000  # Opus granule positions are 48 kHz by spec
+        if rate:
+            last = data.rfind(b"OggS")
+            if last > 0 and last + 14 <= len(data):
+                granule = struct.unpack(
+                    "<q", data[last + 6 : last + 14]
+                )[0]
+                if granule > 0:
+                    meta["duration_s"] = granule / rate
+    return meta
+
+
+def _parse_video_header(data: bytes | None) -> dict | None:
+    """Bytes-level video container sniffing (MP4/ISO-BMFF box walk,
+    Ogg page scan) — the deterministic stub backend, same discipline as
+    :func:`_parse_wav_header`. Real frame decoding requires a codec
+    library and stays behind :func:`sample_frames`' stub note.
+    Unrecognized containers yield bytes-level fields only."""
+    if data is None:
+        return None
+    meta = dict(_NULL_VIDEO)
+    meta["n_bytes"] = len(data)
+    meta["sha256"] = hashlib.sha256(data).hexdigest()
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return _parse_mp4(data, meta)
+    if data.startswith(b"OggS") and len(data) >= 27 and data[4] == 0:
+        return _parse_ogg(data, meta)
+    return meta
+
+
+def video_meta(col: Column | str) -> Column:
+    """Extract typed metadata from a video binary column (MP4 box walk
+    and Ogg page scan parsed for real at the bytes level; elementary
+    streams yield bytes-level fields only). Arrow-batched pandas UDF;
+    null binary -> all-null fields."""
+
+    def fn(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in batches:
+            yield pd.DataFrame(
+                [_parse_video_header(data) or _NULL_VIDEO for data in series],
+                columns=list(_NULL_VIDEO),
+            )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pandas_udf(fn, VIDEO_META_TYPE)(c).alias("video_meta")
 
 
 def media_fingerprint(col: Column | str) -> Column:

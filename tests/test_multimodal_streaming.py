@@ -156,3 +156,120 @@ def test_bmp_core_header_and_streaming_wav_guards(spark):
     assert got[1]["format"] == "wav" and got[1]["sample_rate"] == 16000
     assert got[1]["n_frames"] is None and got[1]["duration_s"] is None
     assert got[2]["format"] == "wav" and got[2]["n_channels"] is None
+
+
+# ---------------------------------------------------------------------------
+# video_meta: MP4/ISO-BMFF box walk + Ogg page scan (round 8), hand-built
+# payloads like the WAV/PNG fixtures above.
+# ---------------------------------------------------------------------------
+
+
+def _box(box_type: bytes, payload: bytes) -> bytes:
+    import struct as _struct
+
+    return _struct.pack(">I", 8 + len(payload)) + box_type + payload
+
+
+def _mp4(version=0, timescale=1000, duration=90_000, tracks=(0, 0)):
+    """Minimal ftyp+moov file; tracks is a tuple of (width, height)
+    pairs or 0 for an audio (zero-dim) track."""
+    import struct as _struct
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomiso2")
+    if version == 1:
+        mvhd = _box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + _struct.pack(">IQ", timescale, duration) + b"\x00" * 80,
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8
+            + _struct.pack(">II", timescale, duration) + b"\x00" * 80,
+        )
+    traks = b""
+    for t in tracks:
+        w, h = t if t else (0, 0)
+        tkhd_payload = b"\x00" * 76 + _struct.pack(">II", w << 16, h << 16)
+        traks += _box(b"trak", _box(b"tkhd", tkhd_payload))
+    return ftyp + _box(b"moov", mvhd + traks)
+
+
+def _ogg_page(payload: bytes, *, bos=False, granule=0):
+    import struct as _struct
+
+    header = (
+        b"OggS" + b"\x00" + (b"\x02" if bos else b"\x00")
+        + _struct.pack("<q", granule) + b"\x00" * 12
+        + bytes([1, min(len(payload), 255)])
+    )
+    return header + payload
+
+
+def test_video_meta_mp4_box_walk(spark):
+    from polars_text_spark.operators.multimodal import video_meta
+
+    rows = [
+        (1, _mp4(version=0, timescale=1000, duration=90_000,
+                 tracks=((640, 360), 0))),
+        (2, _mp4(version=1, timescale=600, duration=1200, tracks=(0,))),
+        (3, b"\x00" * 40),  # unrecognized container
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    got = {
+        r.media_id: r.v.asDict()
+        for r in df.select("media_id", video_meta("media").alias("v")).collect()
+    }
+    assert got[1]["format"] == "mp4" and got[1]["codec"] == "isom"
+    assert (got[1]["width"], got[1]["height"]) == (640, 360)
+    assert got[1]["n_tracks"] == 2
+    assert abs(got[1]["duration_s"] - 90.0) < 1e-9
+    # v1 mvhd (64-bit duration), audio-only: no dims
+    assert got[2]["format"] == "mp4" and got[2]["n_tracks"] == 1
+    assert abs(got[2]["duration_s"] - 2.0) < 1e-9
+    assert got[2]["width"] is None and got[2]["height"] is None
+    # unrecognized: bytes-level fields only
+    assert got[3]["format"] is None and got[3]["n_bytes"] == 40
+    assert got[3]["sha256"] is not None
+    assert got[4]["format"] is None and got[4]["n_bytes"] is None
+
+
+def test_video_meta_ogg_streams(spark):
+    import struct as _struct
+
+    from polars_text_spark.operators.multimodal import video_meta
+
+    vorbis_id = b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2]) \
+        + _struct.pack("<I", 44_100) + b"\x00" * 16
+    vorbis = (
+        _ogg_page(vorbis_id, bos=True)
+        + _ogg_page(b"\x05" * 32, granule=441_000)
+    )
+    theora_id = (
+        b"\x80theora" + bytes([3, 2, 1])
+        + _struct.pack(">HH", 40, 30)
+        + (640).to_bytes(3, "big") + (480).to_bytes(3, "big")
+        + b"\x00" * 10
+    )
+    theora = _ogg_page(theora_id, bos=True) + _ogg_page(b"x" * 16, bos=True)
+    opus = (
+        _ogg_page(b"OpusHead" + bytes([1, 2]) + b"\x00" * 8, bos=True)
+        + _ogg_page(b"\x05" * 8, granule=96_000)
+    )
+    rows = [(1, vorbis), (2, theora), (3, opus)]
+    df = spark.createDataFrame(rows, "media_id int, media binary")
+    got = {
+        r.media_id: r.v.asDict()
+        for r in df.select("media_id", video_meta("media").alias("v")).collect()
+    }
+    assert got[1]["format"] == "ogg" and got[1]["codec"] == "vorbis"
+    assert got[1]["n_tracks"] == 1
+    assert abs(got[1]["duration_s"] - 10.0) < 1e-9  # 441000 / 44100
+    assert got[2]["codec"] == "theora"
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert got[2]["n_tracks"] == 2  # second BOS page = second stream
+    assert got[2]["duration_s"] is None  # theora granule shift unknown
+    assert got[3]["codec"] == "opus"
+    assert abs(got[3]["duration_s"] - 2.0) < 1e-9  # 96000 / 48000

@@ -65,18 +65,23 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": len(errors),
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": len(errors),
+        "sf": sf,
+    }
+    # The driver's BENCH artifact captures only the stdout TAIL, which
+    # truncates past ~70 queries — persist the complete per-query map
+    # ourselves so every query keeps a tracked number
+    # ($SPARK_GRAFT_BENCH_OUT overrides the path; empty disables).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -4584,70 +4584,74 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()`` iteration order. With 70+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 7: all 33 round-7
-# additions, then the 13 round-6 additions with no CORRECTNESS_r06 row,
-# then the r5-era drop-outs — everything that has never been (or was
-# longest-ago) driver-signed sits inside the ~50-row window; the two
-# entries displaced past it (gopher_line_stats, events_first_hour)
-# carry r5-signed rows.
+# keep their original order behind them. Round 8: the 3 round-8
+# additions, then the two r5-signed entries that r7 displaced
+# (VERDICT r7 item 3), then the 50 r6-signed queries the r7 window
+# pushed out — ordered oldest-signature-first so no query's latest
+# driver row falls more than two rounds behind. The ~5 r6-signed
+# entries past the 50-row window (pack_sequences .. length_quantiles)
+# rotate to the front next round.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-7 additions (driver has never seen these)
-    "similarity_topk_lsh_sha",
-    "node_collocates",
-    "curation_funnel",
-    "language_confusion",
-    "embedding_norms",
-    "vocab_spelling",
-    "quality_cube",
-    "heaps_fit",
-    "quantile_audit",
-    "trending_keys",
-    "doc_novelty",
-    "length_outliers",
-    "dup_degree_hist",
-    "readability_scores",
-    "kwic_term_plot",
-    "corpus_snapshot_diff",
-    "source_prefix_boilerplate",
-    "char_quality_stats",
-    "heavy_hitters",
-    "near_dup_sources",
-    "ngram_trigrams",
-    "collocations_pmi",
-    "token_dispersion",
-    "similarity_topk_ivf_sha",
-    "tokenize_cached",
-    "topic_chunks",
-    "train_val_split",
-    "split_leakage_audit",
-    "shard_manifest",
-    "domain_cap",
-    "tfidf_keywords",
-    "source_cardinality",
-    # round-6 additions with no driver row
-    "dedup_keep_best",
-    "kmeans_clusters",
-    "semantic_dedup_pairs",
-    "quality_classifier",
-    "dup_span_coverage",
-    "gopher_filter",
-    "strip_duplicate_spans",
-    "winnow_overlap",
-    "strip_duplicate_paragraphs",
-    "paragraph_dedup_stats",
-    "salted_order_priority_revenue",
-    "salted_customer_order_counts",
-    "events_purchase_windows_left",
-    # r5-era queries that dropped out of the r6 window
-    "vocab_oov",
-    "source_divergence",
-    "zipf_by_lang",
-    "mixture_rebalance",
-    "pii_scan",
+    # round-8 additions (driver has never seen these)
+    "embedding_cached",
+    "topic_assemble",
+    "ann_store_incremental",
+    # r5-signed, two rounds stale after r7 (VERDICT r7 item 3)
     "gopher_line_stats",
     "events_first_hour",
+    # r6-signed queries displaced out of the r7 window
+    "scalar_text_stats",
+    "token_frequencies",
+    "tokenize_offsets",
+    "token_frequency_stats",
+    "concordance_matches",
+    "concordance_neighbors",
+    "language_id",
+    "quality_by_source",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dup_source_matrix",
+    "near_dedup_minhash",
+    "near_dedup_blocked_jaccard",
+    "near_dedup_setjoin",
+    "cross_corpus_dedup",
+    "dedup_clusters",
+    "near_dedup_simhash",
+    "near_dedup_simhash_sha",
+    "near_dedup_bottomk",
+    "similarity_topk",
+    "similarity_topk_int8",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_ann_recall",
+    "embedding_dup_pairs",
+    "pricing_summary",
+    "top_customer_revenue",
+    "revenue_by_nation",
+    "supplier_part_coverage",
+    "events_hourly",
+    "customer_segment_rank",
+    "corpus_pooling_union",
+    "embedding_docs",
+    "embedding_docs_sha",
+    "topic_modeling",
+    "topic_ctfidf",
+    "topic_rollup",
+    "normalize_and_stopwords",
+    "event_sessions",
+    "events_props_json",
+    "events_asof_clicks",
+    "repetition_signals",
+    "unigram_surprisal",
+    "bigram_surprisal",
+    "decontaminate_ngrams",
+    "pack_sequences",
+    "sequence_manifest",
+    "stratified_sample",
+    "bm25_search",
+    "length_quantiles",
 ]
 
 

@@ -122,6 +122,12 @@ def _shard_projections(
 
 def _store_meta(spark: SparkSession, name: str) -> tuple[int, int, int, int]:
     m = spark.table(f"{name}_meta").collect()[0]
+    if "buckets" not in m.asDict():
+        raise ValueError(
+            f"ann store '{name}' predates incremental ingest (its meta "
+            "lacks the bucket count); rewrite it with write_ann_store "
+            "before appending shards"
+        )
     return (
         int(m["dim"]),
         int(m["num_planes"]),

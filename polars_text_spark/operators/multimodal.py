@@ -106,7 +106,11 @@ def _parse_image_header(data: bytes | None) -> dict | None:
             meta["width"], meta["height"] = int(width), int(height)
         elif dib >= 40:
             width, height = struct.unpack("<ii", data[18:26])
-            meta["width"], meta["height"] = int(width), abs(int(height))
+            # int32 fields: height < 0 is the legal top-down layout,
+            # but width <= 0 (or height 0) is a malformed header —
+            # leave dims null rather than surface a negative size
+            if width > 0 and height != 0:
+                meta["width"], meta["height"] = int(width), abs(int(height))
     return meta
 
 

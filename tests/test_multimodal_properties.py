@@ -1,0 +1,81 @@
+"""Property tests for the bytes-level media parsers — pure Python (no
+SparkSession), so hypothesis can hammer them with adversarial bytes.
+The invariant that matters operationally: a parser fed arbitrary or
+truncated bytes must return a well-typed dict (or None), NEVER raise —
+at 100 TB a corrupt payload that throws inside a pandas UDF kills the
+stage."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polars_text_spark.operators.multimodal import (
+    AUDIO_META_TYPE,
+    IMAGE_META_TYPE,
+    VIDEO_META_TYPE,
+    _parse_image_header,
+    _parse_video_header,
+    _parse_wav_header,
+)
+
+_PARSERS = [
+    (_parse_image_header, IMAGE_META_TYPE),
+    (_parse_wav_header, AUDIO_META_TYPE),
+    (_parse_video_header, VIDEO_META_TYPE),
+]
+
+
+@given(data=st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_parsers_never_raise_on_arbitrary_bytes(data):
+    for parse, schema in _PARSERS:
+        meta = parse(data)
+        assert set(meta) == {f.name for f in schema.fields}
+        assert meta["n_bytes"] == len(data)
+
+
+@given(data=st.binary(min_size=4, max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_parsers_never_raise_on_magic_prefixed_garbage(data):
+    """Valid magics followed by garbage exercise the deep branches."""
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"BM",
+        b"RIFF", b"OggS\x00",
+        # a plausible box header in front of garbage
+        len(data).to_bytes(4, "big") + b"ftyp",
+        b"\x00\x00\x00\x01ftyp",  # size=1 -> largesize path
+        b"\x00\x00\x00\x00ftyp",  # size=0 -> to-end path
+    ]
+    for magic in magics:
+        payload = magic + data
+        for parse, schema in _PARSERS:
+            meta = parse(payload)
+            assert set(meta) == {f.name for f in schema.fields}
+            for key in ("width", "height", "n_tracks"):
+                if key in meta and meta[key] is not None:
+                    assert meta[key] >= 0
+
+
+def test_parsers_none_passthrough():
+    for parse, _ in _PARSERS:
+        assert parse(None) is None
+
+
+@given(
+    surfaces=st.lists(st.text(min_size=0, max_size=5), max_size=20),
+    joiner=st.sampled_from(["", " ", "  ", "\t"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_sweep_offsets_invariant_holds_for_any_surfaces(surfaces, joiner):
+    """For text BUILT from the surfaces, every record must satisfy
+    text[start:end] == token with monotone non-overlapping spans."""
+    from polars_text_spark.functions.tokenize import _sweep_surface_offsets
+
+    text = joiner.join(surfaces)
+    recs = _sweep_surface_offsets(text, surfaces)
+    last_end = 0
+    for tok, start, end in recs:
+        assert text[start:end] == tok
+        assert start >= last_end
+        last_end = end

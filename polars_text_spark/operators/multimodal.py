@@ -296,29 +296,47 @@ def _parse_mp4(data: bytes, meta: dict) -> dict:
     return meta
 
 
+def _walk_ogg_pages(data: bytes):
+    """Yield ``(header_type, granule, body_start, body_end)`` for each
+    structurally-valid Ogg page, advancing by the segment table's lacing
+    values — a real page walk, not a byte scan (``find(b"OggS")`` can
+    false-positive inside packet payloads). Stops at the first
+    malformed page rather than guessing."""
+    pos = 0
+    n = len(data)
+    while pos + 27 <= n and data[pos : pos + 4] == b"OggS" and data[pos + 4] == 0:
+        n_segs = data[pos + 26]
+        table_end = pos + 27 + n_segs
+        if table_end > n:
+            return
+        body_len = sum(data[pos + 27 : table_end])
+        granule = struct.unpack("<q", data[pos + 6 : pos + 14])[0]
+        yield data[pos + 5], granule, table_end, min(table_end + body_len, n)
+        pos = table_end + body_len
+
+
 def _parse_ogg(data: bytes, meta: dict) -> dict:
     """Ogg bytes-level parse: logical streams counted via BOS pages,
     codec + stream parameters from the first identification packet
     (Theora video dims, Vorbis/Opus channels+rate), duration from the
-    LAST page's granule position over the id header's rate (Vorbis
-    granule = PCM samples; Opus granule is 48 kHz by spec; Theora needs
-    the granule shift — left null there)."""
+    last finished-packet granule position over the id header's rate
+    (Vorbis granule = PCM samples; Opus granule is 48 kHz by spec;
+    Theora needs the granule shift — left null there)."""
     meta["format"] = "ogg"
     n_bos = 0
-    pos = 0
-    while True:
-        pos = data.find(b"OggS", pos)
-        if pos < 0 or pos + 27 > len(data):
-            break
-        if data[pos + 5] & 0x02:
+    last_granule = None
+    first_body: tuple[int, int] | None = None
+    for header_type, granule, body_start, body_end in _walk_ogg_pages(data):
+        if header_type & 0x02:
             n_bos += 1
-        pos += 4
+        if granule > 0:  # -1 = no packet finishes on this page
+            last_granule = granule
+        if first_body is None:
+            first_body = (body_start, body_end)
     if n_bos:
         meta["n_tracks"] = n_bos
-    # first packet payload starts after the 27-byte header + segment table
-    if len(data) >= 28:
-        n_segs = data[26]
-        body = 27 + n_segs
+    if first_body is not None:
+        body, _ = first_body
         rate = None
         if data[body : body + 7] == b"\x80theora" and len(data) >= body + 20:
             meta["codec"] = "theora"
@@ -332,14 +350,8 @@ def _parse_ogg(data: bytes, meta: dict) -> dict:
         elif data[body : body + 8] == b"OpusHead":
             meta["codec"] = "opus"
             rate = 48_000  # Opus granule positions are 48 kHz by spec
-        if rate:
-            last = data.rfind(b"OggS")
-            if last > 0 and last + 14 <= len(data):
-                granule = struct.unpack(
-                    "<q", data[last + 6 : last + 14]
-                )[0]
-                if granule > 0:
-                    meta["duration_s"] = granule / rate
+        if rate and last_granule:
+            meta["duration_s"] = last_granule / rate
     return meta
 
 

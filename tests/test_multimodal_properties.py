@@ -79,3 +79,30 @@ def test_sweep_offsets_invariant_holds_for_any_surfaces(surfaces, joiner):
         assert text[start:end] == tok
         assert start >= last_end
         last_end = end
+
+
+def test_ogg_payload_fake_page_not_counted():
+    """A payload byte-pattern that looks like an 'OggS' capture pattern
+    must not be counted as a page — the walker advances by segment-table
+    lacing values, never by byte scanning."""
+    import struct as _struct
+
+    from polars_text_spark.operators.multimodal import _parse_video_header
+
+    def page(payload, *, bos=False, granule=0):
+        return (
+            b"OggS\x00" + (b"\x02" if bos else b"\x00")
+            + _struct.pack("<q", granule) + b"\x00" * 12
+            + bytes([1, len(payload)]) + payload
+        )
+
+    vorbis_id = (
+        b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+        + _struct.pack("<I", 44_100) + b"\x00" * 16
+    )
+    evil = page(vorbis_id, bos=True) + page(
+        b"OggS" + b"\x02" * 24, granule=441_000
+    )
+    meta = _parse_video_header(evil)
+    assert meta["n_tracks"] == 1  # the embedded fake BOS page is payload
+    assert abs(meta["duration_s"] - 10.0) < 1e-9

@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cap_per_group",
+    "key_uniform",
     "mixture_rates",
     "mixture_rebalance",
     "sample_predicate",
     "deterministic_sample",
     "stratified_sample",
+    "weighted_sample",
 ]
 
 _HEX_SPAN = 16 ** 8  # first 8 hex chars -> uniform over [0, 2^32)
@@ -58,6 +60,40 @@ def deterministic_sample(
     sample is stable under reruns and co-sampled across tables
     sharing the key (the salt decorrelates independent samples)."""
     return df.filter(sample_predicate(F.col(key_col), rate, salt))
+
+
+def key_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1) from a key: the first 15
+    hex chars of ``sha256(key || salt)`` as a 60-bit integer over
+    2^60 — the same engine-portable recipe as the dedup sha hashes
+    (DuckDB twin: ``('0x' || substr(sha256(k), 1, 15))::BIGINT /
+    2^60``). Used where the keep-rate varies PER ROW and the constant
+    hex-threshold trick of :func:`sample_predicate` cannot apply."""
+    h = F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Quality-proportional downsampling (the DataComp/Dolma curation
+    shape): each row survives with probability ``weight`` (clamped to
+    [0, 1]) — a per-row quality score decides how much of the corpus
+    mass it keeps, deterministically. Keep iff
+    ``key_uniform(key) < weight``: map-only, fused into the scan, no
+    shuffle, stable under reruns and engine-replayable (the oracle
+    recomputes both the draw and the weight).
+
+    Scale: identical shape to :func:`deterministic_sample` — a filter
+    the optimizer pushes to the parquet scan whenever the weight is
+    computable from scanned columns."""
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight.cast("double")))
+    return df.filter(key_uniform(F.col(key_col), salt) < w)
 
 
 def stratified_sample(

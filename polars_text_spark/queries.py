@@ -1374,6 +1374,13 @@ QUERIES["topic_modeling"] = q_topic_modeling
 # recipe as operators.dedup.sha_token_hash, inlined for SQL fragments.
 _SQL_SHA60 = "('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
 
+# THE portable whitespace tokenizer in SQL (functions/analysis.py::
+# ws_token_array twin) — defined early, many later oracles inline it.
+_SQL_WS_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+
 
 @query(
     "topic_ctfidf",
@@ -2388,6 +2395,95 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n_ipv4").alias("n_ipv4"),
         F.col("p.n_phones").alias("n_phones"),
         "redacted_len",
+    )
+
+
+def _pii_redact_oracle_sql() -> str:
+    from polars_text_spark.operators.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    enrich = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via +1 (415) 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.77'"
+    )
+    red = "t"
+    for pat, tok in (
+        (EMAIL_PATTERN, "[EMAIL]"),
+        (IPV4_PATTERN, "[IP]"),
+        (PHONE_PATTERN, "[PHONE]"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return (
+        "WITH enriched AS (SELECT doc_id, " + enrich + " AS t"
+        " FROM documents WHERE text IS NOT NULL)"
+        f" SELECT doc_id, {red} AS redacted FROM enriched"
+    )
+
+
+@query("pii_redact", _pii_redact_oracle_sql())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redactor's FULL output under the driver hash: every
+    character of every redacted document must match the oracle's
+    replay (pii_scan checks only lengths — a redactor that mangled
+    surrounding text while preserving length would slip it). Same
+    deterministic PII enrichment, same pattern strings both engines,
+    still a map-only projection fused into the scan."""
+    from polars_text_spark.operators.pii import redact_pii
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via +1 (415) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77"),
+        ).alias("t"),
+    )
+    return enriched.select(
+        "doc_id", redact_pii("t").alias("redacted")
+    )
+
+
+@query(
+    "quality_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             least(1.0, len({_SQL_WS_TOKS}) / 200.0) AS wt
+      FROM documents WHERE text IS NOT NULL),
+    drawn AS (
+      SELECT doc_id, lang, wt,
+             ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'q'),
+                             1, 15))::BIGINT / 1152921504606846976.0 AS u
+      FROM w)
+    SELECT doc_id, lang FROM drawn WHERE u < wt
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional downsampling (the DataComp/Dolma curation
+    shape): each doc survives with probability equal to its quality
+    weight — here ``min(1, word_count/200)`` so short docs are shed
+    proportionally — via a deterministic per-key uniform draw
+    (sha256 60-bit prefix over 2^60). Map-only, fused into the scan;
+    the oracle recomputes both the weight and the draw, so the kept
+    row SET must match exactly, not just its size."""
+    from polars_text_spark.functions.analysis import ws_token_array
+    from polars_text_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    wt = F.size(ws_token_array("text")) / F.lit(200.0)
+    return weighted_sample(docs, wt, "doc_id", salt="q").select(
+        "doc_id", "lang"
     )
 
 
@@ -3542,12 +3638,6 @@ def q_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable whitespace tokens as a DuckDB list (same contract as the
 # Spark-side linguistics._ws_token_array: lower + trim + \s+ split,
 # empties removed — only the all-whitespace text produces any).
-_SQL_WS_TOKS = (
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
-    " x -> x <> '')"
-)
-
-
 @query(
     "ngram_trigrams",
     f"""
@@ -4598,6 +4688,8 @@ _DRIVER_PRIORITY = [
     "embedding_cached",
     "topic_assemble",
     "ann_store_incremental",
+    "pii_redact",
+    "quality_weighted_sample",
     # r5-signed, two rounds stale after r7 (VERDICT r7 item 3)
     "gopher_line_stats",
     "events_first_hour",

@@ -4678,8 +4678,8 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions, then the two r5-signed entries that r7 displaced
 # (VERDICT r7 item 3), then the 50 r6-signed queries the r7 window
 # pushed out — ordered oldest-signature-first so no query's latest
-# driver row falls more than two rounds behind. The ~5 r6-signed
-# entries past the 50-row window (pack_sequences .. length_quantiles)
+# driver row falls more than two rounds behind. The handful of
+# r6-signed entries past the ~50-row window (tail of the r6 block)
 # rotate to the front next round.
 # ---------------------------------------------------------------------------
 

@@ -39,6 +39,7 @@ __all__ = [
     "embedding_dup_pairs",
     "bottomk_sketch",
     "bottomk_sketch_pairs",
+    "dedup_threshold_sweep",
     "dup_source_matrix",
     "dup_degree_histogram",
     "minhash_lsh_cross_pairs",
@@ -1010,6 +1011,60 @@ def near_dup_source_matrix(
             F.count(F.lit(1)).alias("pair_count"),
             F.round(F.min("jaccard"), 6).alias("min_jaccard"),
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+def dedup_threshold_sweep(
+    pairs: DataFrame,
+    thresholds,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "jaccard",
+) -> DataFrame:
+    """Threshold-tuning report for a similarity-pair frame:
+    ``(threshold, n_pairs, n_docs)`` — how many near-dup pairs each
+    candidate threshold would flag and how many documents they touch.
+    The report a curator reads BEFORE committing a dedup pass, so the
+    knob is chosen from measured mass rather than folklore.
+
+    One explode of the (already-blocked, small) pair frame over the
+    threshold list — the corpus is never re-read or re-shingled;
+    thresholds with no qualifying pairs report zeros, not missing
+    rows. Works over any ``(id_a, id_b, score)`` stream (MinHash,
+    blocked-exact Jaccard, cosine pairs)."""
+    ts = sorted(float(t) for t in thresholds)
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    th = F.array(*[F.lit(t) for t in ts])
+    ex = pairs.select(
+        F.col(id_a).alias("__a"),
+        F.col(id_b).alias("__b"),
+        F.col(score_col).alias("__s"),
+        F.explode(th).alias("threshold"),
+    ).filter(F.col("__s") >= F.col("threshold"))
+    n_pairs = ex.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        ex.select(
+            "threshold", F.explode(F.array("__a", "__b")).alias("__id")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    base = pairs.sparkSession.createDataFrame(
+        [(t,) for t in ts], "threshold double"
+    )
+    return (
+        base.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         )
     )
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "sequence_manifest"]
+__all__ = ["fim_transform", "pack_sequences", "sequence_manifest"]
 
 
 def pack_sequences(
@@ -130,4 +130,55 @@ def sequence_manifest(
         (slice_start_stream - seq_lo).alias("seq_pos"),
         (slice_start_stream - F.col("stream_start")).alias("doc_tok_start"),
         (slice_end_stream - slice_start_stream).alias("slice_len"),
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    prefix_token: str = "<PRE>",
+    suffix_token: str = "<SUF>",
+    middle_token: str = "<MID>",
+    fim_rate: float = 0.5,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, the
+    standard code/LM infilling augmentation): for a deterministic
+    ``fim_rate`` fraction of documents, pick two sha-uniform split
+    points i <= j over the character span and emit PSM order —
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — so the model learns to
+    infill; the rest pass through unchanged. Adds ``fim_text`` and
+    ``fim_applied`` columns.
+
+    Everything is derived from ``sha256(key || salt)`` uniforms
+    (:func:`polars_text_spark.operators.sampling.key_uniform`), so the
+    transform is map-only (fused into the scan, no shuffle, no UDF),
+    rerun-stable, and engine-replayable — an oracle recomputes the
+    split points and must reproduce every transformed character.
+    """
+    from polars_text_spark.operators.sampling import key_uniform
+
+    c = F.col(text_col)
+    key = F.col(key_col)
+    length = F.length(c)
+    u1 = key_uniform(key, salt + "1")
+    u2 = key_uniform(key, salt + "2")
+    i = F.floor(F.least(u1, u2) * length).cast("int")
+    j = F.floor(F.greatest(u1, u2) * length).cast("int")
+    # substring is 1-based: prefix=[1,i], middle=(i,j], suffix=(j,end]
+    prefix = F.substring(c, 1, i)
+    middle = F.substring(c, i + 1, j - i)
+    suffix = c.substr(j + 1, length - j)
+    applied = c.isNotNull() & (
+        key_uniform(key, salt + "r") < F.lit(float(fim_rate))
+    )
+    fim = F.concat(
+        F.lit(prefix_token), prefix,
+        F.lit(suffix_token), suffix,
+        F.lit(middle_token), middle,
+    )
+    return df.withColumn("fim_applied", applied).withColumn(
+        "fim_text", F.when(applied, fim).otherwise(c)
     )

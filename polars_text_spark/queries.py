@@ -580,6 +580,55 @@ def q_near_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_sweep",
+    f"""
+    WITH sh AS ({_SQL_SH_CTE}),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.01),
+    t AS (SELECT CAST(unnest([0.01, 0.02, 0.03, 0.05, 0.5, 0.9]) AS DOUBLE)
+            AS threshold),
+    f AS (SELECT t.threshold, p.id_a, p.id_b
+          FROM t JOIN p ON p.j >= t.threshold),
+    np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM f GROUP BY threshold),
+    nd AS (SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+           FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM f)
+           GROUP BY threshold)
+    SELECT t.threshold,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           COALESCE(nd.n_docs, 0) AS n_docs
+    FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+    """,
+)
+def q_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning report: pair and affected-doc counts at
+    six candidate Jaccard thresholds over the exact blocked pair
+    stream — the measured-mass report a curator reads before fixing
+    the dedup knob. One explode of the small pair frame; the corpus is
+    shingled exactly once. Built on the EXACT blocked pairs (not LSH)
+    so recall is 1 at every threshold and the oracle replay is a
+    strict equality, with zero rows reported as zeros."""
+    from polars_text_spark.operators.dedup import (
+        dedup_threshold_sweep,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("source", "lang"), threshold=0.01
+    )
+    return dedup_threshold_sweep(
+        pairs, [0.01, 0.02, 0.03, 0.05, 0.5, 0.9]
+    )
+
+
+@query(
     "near_dedup_setjoin",
     f"""
     WITH sh AS ({_SQL_SH_CTE})
@@ -2485,6 +2534,46 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, wt, "doc_id", salt="q").select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "fim_psm",
+    f"""
+    WITH u AS (
+      SELECT doc_id, text, length(text) AS L,
+             {_SQL_SHA60.format(expr="CAST(doc_id AS VARCHAR) || 'fim1'")}
+               / 1152921504606846976.0 AS u1,
+             {_SQL_SHA60.format(expr="CAST(doc_id AS VARCHAR) || 'fim2'")}
+               / 1152921504606846976.0 AS u2,
+             {_SQL_SHA60.format(expr="CAST(doc_id AS VARCHAR) || 'fimr'")}
+               / 1152921504606846976.0 AS ur
+      FROM documents WHERE text IS NOT NULL),
+    sp AS (
+      SELECT doc_id, text, L, ur,
+             CAST(floor(least(u1, u2) * L) AS INT) AS i,
+             CAST(floor(greatest(u1, u2) * L) AS INT) AS j
+      FROM u)
+    SELECT doc_id, ur < 0.5 AS fim_applied,
+           CASE WHEN ur < 0.5
+                THEN '<PRE>' || substr(text, 1, i)
+                  || '<SUF>' || substr(text, j + 1, L - j)
+                  || '<MID>' || substr(text, i + 1, j - i)
+                ELSE text END AS fim_text
+    FROM sp
+    """,
+)
+def q_fim_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle augmentation (Bavarian et al. 2022) under
+    the driver hash: a deterministic half of the corpus is rewritten
+    to PSM order with sha-uniform split points; the oracle recomputes
+    the uniforms, the split indices, and every transformed character.
+    Map-only — the 100 TB shape is a projection fused into the scan,
+    no shuffle, no UDF."""
+    from polars_text_spark.operators.packing import fim_transform
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = fim_transform(docs, "text", "doc_id", fim_rate=0.5)
+    return out.select("doc_id", "fim_applied", "fim_text")
 
 
 @query(
@@ -4690,6 +4779,8 @@ _DRIVER_PRIORITY = [
     "ann_store_incremental",
     "pii_redact",
     "quality_weighted_sample",
+    "fim_psm",
+    "dedup_sweep",
     # r5-signed, two rounds stale after r7 (VERDICT r7 item 3)
     "gopher_line_stats",
     "events_first_hour",

@@ -57,3 +57,66 @@ def test_key_uniform_range_and_salt(spark):
     assert 0.0 <= row.lo and row.hi < 1.0
     assert 0.4 < row.mean < 0.6  # uniform-ish
     assert row.same < 0.01  # salt decorrelates
+
+
+def test_fim_transform_reconstructs_and_rate(spark):
+    """FIM invariants: stripped sentinels reconstruct the original
+    characters (as prefix+suffix+middle), non-applied rows pass
+    through, and the applied fraction tracks fim_rate."""
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.operators.packing import fim_transform
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string"),
+                 F.lit(" body abcdefghij")).alias("text"),
+    )
+    out = fim_transform(df, "text", "doc_id", fim_rate=0.5).collect()
+    n_applied = 0
+    for r in out:
+        if r.fim_applied:
+            n_applied += 1
+            assert r.fim_text.startswith("<PRE>")
+            body = r.fim_text[len("<PRE>"):]
+            pre, rest = body.split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            assert pre + mid + suf == r.text  # PSM reassembles PM S
+        else:
+            assert r.fim_text == r.text
+    assert 0.4 < n_applied / len(out) < 0.6
+    # deterministic across reruns
+    again = fim_transform(df, "text", "doc_id", fim_rate=0.5).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_fim_transform_edges(spark):
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.operators.packing import fim_transform
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in
+            fim_transform(df, "text", "doc_id", fim_rate=1.0).collect()}
+    assert rows[1].fim_text == "<PRE><SUF><MID>"  # empty doc, all-empty spans
+    assert rows[2].fim_text is None and not rows[2].fim_applied
+    assert rows[3].fim_text.count("x") == 1  # single char lands in one span
+
+
+def test_dedup_threshold_sweep_counts(spark):
+    from polars_text_spark.operators.dedup import dedup_threshold_sweep
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.95), ("a", "c", 0.5), ("d", "e", 0.2)],
+        "id_a string, id_b string, jaccard double",
+    )
+    got = {
+        r.threshold: (r.n_pairs, r.n_docs)
+        for r in dedup_threshold_sweep(pairs, [0.1, 0.4, 0.9, 0.99]).collect()
+    }
+    assert got[0.1] == (3, 5)
+    assert got[0.4] == (2, 3)  # a,b,c
+    assert got[0.9] == (1, 2)
+    assert got[0.99] == (0, 0)  # zero row reported, not missing

@@ -17,8 +17,9 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["clear_table", "read_bucketed", "write_bucketed"]
+__all__ = ["clear_table", "compact_table", "read_bucketed", "write_bucketed"]
 
 
 def write_bucketed(
@@ -59,3 +60,65 @@ def clear_table(spark: SparkSession, table: str) -> None:
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_table(spark: SparkSession, table: str) -> int:
+    """Rewrite a bucketed table in place, merging append fragments.
+
+    Incremental ingest (``append_ann_shard``-style) adds a new file
+    set per bucket per append; after many small appends the store
+    reads degrade to many-tiny-file scans. Compaction reads the table,
+    repartitions on the bucket columns into exactly ``num_buckets``
+    partitions (Spark's hash repartitioning uses the same Murmur3 hash
+    as bucketing, so partitions align 1:1 with bucket ids and each
+    bucket lands in ONE file), rewrites under a temp name, then swaps
+    via DROP + RENAME. Bucket spec, sort spec, and table contents are
+    preserved — co-located joins stay shuffle-free (plan-tested).
+
+    Returns the number of data files after compaction. Not atomic: a
+    reader concurrent with the swap can observe the drop; run it in
+    the same maintenance window as the appends it merges.
+    """
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    if "Num Buckets" not in info:
+        raise ValueError(f"table '{table}' is not bucketed")
+    buckets = int(info["Num Buckets"])
+
+    def _cols(key: str) -> list[str]:
+        raw = info.get(key, "[]").strip("[]")
+        return [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+
+    bucket_cols = _cols("Bucket Columns")
+    sort_cols = _cols("Sort Columns")
+    location = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .removeprefix("file:"),
+        table.lower(),
+    )
+    tmp = f"{table}__compact"
+    clear_table(spark, tmp)
+    # Read the raw FILES, not the catalog table: a table-scan advertises
+    # the bucket partitioning, so the planner elides the repartition as
+    # redundant and each input fragment writes its own output file —
+    # exactly the fragmentation we're here to undo. The plain file scan
+    # carries no partitioning claim, so the repartition applies and each
+    # bucket lands in one task (repartition hash == bucketing hash).
+    df = spark.read.parquet(location).repartition(
+        buckets, *[F.col(c) for c in bucket_cols]
+    )
+    write_bucketed(
+        df,
+        tmp,
+        bucket_by=bucket_cols,
+        buckets=buckets,
+        sort_by=sort_cols or None,
+    )
+    clear_table(spark, table)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return sum(
+        1
+        for root, _, files in os.walk(location)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -195,3 +195,54 @@ def test_topk_against_shard_store_side_shuffle_free(spark, vectors, no_broadcast
     for tbl in ("ann_store_s_bands", "ann_store_s_vectors"):
         assert tbl in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_compact_store_merges_append_fragments(spark, vectors, no_broadcast):
+    """Three appends fragment the bucket files; compaction merges them
+    to one file per bucket, preserves every row, and keeps the
+    co-located (Bucketed: true) scan."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from polars_text_spark.sources.bucketing import compact_table
+
+    base = vectors.filter(F.col("vec_id") % 4 == 1)
+    write_ann_store(base, "ann_store_c", dim=64, buckets=4)
+    for rem in (2, 3, 0):
+        append_ann_shard(vectors.filter(F.col("vec_id") % 4 == rem), "ann_store_c")
+    before = {
+        (r.id, tuple(r.u))
+        for r in read_bucketed(spark, "ann_store_c_vectors").collect()
+    }
+    import glob
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "ann_store_c_vectors")
+    n_before = len(glob.glob(f"{loc}/*.parquet"))
+    n_after = compact_table(spark, "ann_store_c_vectors")
+    assert n_after < n_before
+    assert n_after <= 4  # one file per bucket
+    after = {
+        (r.id, tuple(r.u))
+        for r in read_bucketed(spark, "ann_store_c_vectors").collect()
+    }
+    assert after == before
+    compact_table(spark, "ann_store_c_bands")
+    # compacted store still answers shuffle-free on the store side
+    qs = vectors.filter(F.col("vec_id") < 3)
+    plan = explain_str(
+        topk_from_store(spark, "ann_store_c", qs, k=5, dim=64), "simple"
+    )
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("Exchange") == 4, plan
+
+
+def test_compact_rejects_unbucketed_table(spark):
+    import pytest as _pytest
+
+    from polars_text_spark.sources.bucketing import clear_table, compact_table
+
+    clear_table(spark, "plain_tbl")
+    spark.range(10).write.format("parquet").saveAsTable("plain_tbl")
+    with _pytest.raises(ValueError, match="not bucketed"):
+        compact_table(spark, "plain_tbl")

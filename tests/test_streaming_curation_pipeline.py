@@ -59,3 +59,49 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     # corpus has no exact dups at this sf, so keeper choice can't
     # diverge between the min-id batch path and first-seen stream path
     assert streamed == batch and streamed
+
+
+def test_streaming_weighted_sample_and_fim_match_batch(spark, sf_dir, tmp_path):
+    """The round-8 map-only curation ops (quality-weighted sampling,
+    FIM rewrite) are stream-safe: running them on a file stream yields
+    exactly the batch row set — both are pure projections/filters with
+    no state, so availableNow processing must be value-identical."""
+    from polars_text_spark.functions.analysis import ws_token_array
+    from polars_text_spark.operators.packing import fim_transform
+    from polars_text_spark.operators.sampling import weighted_sample
+
+    def transform(docs):
+        kept = weighted_sample(
+            docs.where(F.col("text").isNotNull()),
+            F.size(ws_token_array("text")) / F.lit(200.0),
+            "doc_id",
+            salt="q",
+        )
+        return fim_transform(kept, "text", "doc_id", fim_rate=0.5).select(
+            "doc_id", "fim_applied", "fim_text"
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {tuple(r) for r in transform(docs).collect()}
+    assert batch  # the sample keeps a real subset
+
+    drop_dir = tmp_path / "wdrops"
+    docs.repartition(3).write.parquet(str(drop_dir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("wfim_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM wfim_stream").collect()
+    }
+    assert streamed == batch

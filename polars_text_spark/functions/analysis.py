@@ -27,6 +27,7 @@ __all__ = [
     "dup_word_frac",
     "hashed_classifier_score",
     "line_stats",
+    "mojibake_signals",
     "normalize_text",
     "quality_score",
     "readability",
@@ -494,6 +495,50 @@ def char_class_ratios(col: Column | str) -> Column:
         ratio("[^A-Z]").alias("upper_ratio"),
         ratio(r"[^\s]").alias("space_ratio"),
     ).alias("char_class_ratios")
+
+
+def mojibake_signals(col: Column | str) -> Column:
+    """Encoding-damage heuristics as a struct ``(n_chars,
+    n_replacement, n_c1_controls, n_artifacts, score)`` — the
+    web-corpus quality gate for text that survived a bad
+    decode/re-encode cycle:
+
+    - ``n_replacement`` — U+FFFD replacement characters (a decoder
+      already gave up);
+    - ``n_c1_controls`` — C1 control chars U+0080–U+009F (the classic
+      cp1252-bytes-decoded-as-latin-1 residue);
+    - ``n_artifacts`` — occurrences of the UTF-8-double-decode
+      signatures ``Ã`` / ``â€`` / ``Â`` (how ``é``, smart quotes, and
+      NBSP read after a second decode). A HEURISTIC: rare-but-legal in
+      real Portuguese/French text (``Ã`` alone ends a word in pt),
+      hence a score to threshold on, not a verdict.
+
+    ``score`` = damaged chars over total. Pure Catalyst
+    (``regexp_count``), map-only; the identical patterns run in any
+    RE2/Java-regex SQL engine, so the oracle replays every count.
+    Null in, null fields out; empty string scores 0.0.
+    """
+    c = _col(col)
+    n = F.length(c)
+    # patterns from code points: artifact literals in source are one
+    # bad editor round-trip away from silently diverging from the
+    # oracle's chr() chains
+    n_rep = F.regexp_count(c, F.lit(chr(0xFFFD)))
+    n_c1 = F.regexp_count(c, F.lit("[\\x80-\\x9F]"))
+    n_art = F.regexp_count(
+        c,
+        F.lit(chr(0xC3) + "|" + chr(0xE2) + chr(0x20AC) + "|" + chr(0xC2)),
+    )
+    score = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n_rep + n_c1 + n_art).cast("double") / n.cast("double")
+    )
+    return F.struct(
+        n.cast("long").alias("n_chars"),
+        n_rep.cast("long").alias("n_replacement"),
+        n_c1.cast("long").alias("n_c1_controls"),
+        n_art.cast("long").alias("n_artifacts"),
+        score.alias("score"),
+    ).alias("mojibake_signals")
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -34,6 +34,7 @@ from polars_text_spark.operators.similarity import cosine
 from polars_text_spark.persist import track_persist
 
 __all__ = [
+    "containment_pairs",
     "count_join_jaccard_pairs",
     "exact_dedup",
     "embedding_dup_pairs",
@@ -1012,6 +1013,75 @@ def near_dup_source_matrix(
             F.round(F.min("jaccard"), 6).alias("min_jaccard"),
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """One-sided CONTAINMENT near-dup pairs: ``(id_a, id_b, c_a_in_b,
+    c_b_in_a)`` where ``c_a_in_b = |A∩B| / |A|`` over shingle sets and
+    ``max(c_a_in_b, c_b_in_a) >= threshold``.
+
+    Jaccard misses the quote/reply/wrapper shape: a short document
+    fully CONTAINED in a much longer one (a quoted email inside a
+    thread, an article inside a scrape-with-boilerplate) has tiny
+    Jaccard but containment ~1 — the curation decision ("drop the
+    substring doc, keep the superset") needs the one-sided score.
+    Broder's containment coefficient over the same hashed shingles the
+    Jaccard paths use.
+
+    Scale shape: identical to the blocked exact-Jaccard path — one
+    shingle projection, one equi-join on the block key, no length
+    prefilter (containment has no Jaccard-style length bound: a 10-
+    shingle doc can sit inside a 10,000-shingle one). Block on real
+    partition keys (source, lang, domain) to bound the quadratic term;
+    unblocked use raises like ``ngram_jaccard_pairs``.
+    """
+    if not block_cols:
+        raise ValueError(
+            "containment_pairs with no block_cols is an all-pairs "
+            "crossJoin of the corpus — O(n^2) at scale, and containment "
+            "admits no length prefilter. Pass block_cols (source, lang, "
+            "a domain bucket)."
+        )
+    sh = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    )
+    a = sh.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    on = [f"__b_{c}" for c in block_cols]
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        a.join(b, on)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__i", inter)
+        .withColumn(
+            "c_a_in_b", F.col("__i") / F.size("sh_a").cast("double")
+        )
+        .withColumn(
+            "c_b_in_a", F.col("__i") / F.size("sh_b").cast("double")
+        )
+        .filter(
+            F.greatest("c_a_in_b", "c_b_in_a") >= F.lit(float(threshold))
+        )
+        .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
     )
 
 

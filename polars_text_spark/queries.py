@@ -2536,6 +2536,132 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mojibake enrichment strings, built from explicit code points so the
+# Spark literal and the DuckDB chr() chain are character-identical by
+# construction (raw artifact literals in source are one bad editor
+# round-trip away from silent divergence). _MOJI_ART carries 3
+# artifacts (2x 'Ã', 1x 'â€') and 3 C1 controls (latin-1-style smart
+# quotes); _MOJI_REP carries 1 replacement char + 1 C1 control (NEL).
+_MOJI_ART = (
+    " caf" + chr(195) + chr(169) + " "
+    + chr(226) + chr(128) + chr(156) + "quoted"
+    + chr(226) + chr(128) + chr(157) + " it"
+    + chr(226) + chr(8364) + chr(8482) + "s na"
+    + chr(195) + chr(175) + "ve"
+)
+_MOJI_REP = " bad" + chr(65533) + "chars" + chr(133) + "x"
+_MOJI_ART_SQL = (
+    "' caf' || chr(195) || chr(169) || ' ' || chr(226) || chr(128)"
+    " || chr(156) || 'quoted' || chr(226) || chr(128) || chr(157)"
+    " || ' it' || chr(226) || chr(8364) || chr(8482) || 's na'"
+    " || chr(195) || chr(175) || 've'"
+)
+_MOJI_REP_SQL = "' bad' || chr(65533) || 'chars' || chr(133) || 'x'"
+
+
+@query(
+    "mojibake_scan",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 3 = 0 THEN {_MOJI_ART_SQL}
+               WHEN doc_id % 3 = 1 THEN {_MOJI_REP_SQL}
+               ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+             AS n_replacement,
+           CAST(len(regexp_extract_all(t,
+                '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT)
+             AS n_c1_controls,
+           CAST(len(regexp_extract_all(t,
+                chr(195) || '|' || chr(226) || chr(8364) || '|' || chr(194)))
+             AS BIGINT) AS n_artifacts,
+           round(CASE WHEN length(t) = 0 THEN 0.0 ELSE
+             (len(regexp_extract_all(t, chr(65533)))
+              + len(regexp_extract_all(t,
+                    '[' || chr(128) || '-' || chr(159) || ']'))
+              + len(regexp_extract_all(t,
+                    chr(195) || '|' || chr(226) || chr(8364) || '|'
+                    || chr(194)))) * 1.0
+             / length(t) END, 6) AS score
+    FROM enriched
+    """,
+)
+def q_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage scan (mojibake): replacement chars, C1-control
+    residue, and UTF-8 double-decode artifact counts with a damage
+    score — a web-corpus curation gate. The synthetic docs are clean,
+    so deterministic thirds of the corpus are enriched with real
+    artifact sequences (double-decoded e-acute, both smart-quote
+    mojibake flavors, U+FFFD, a C1 NEL) with the character-identical
+    expression in the oracle — the regex machinery is genuinely
+    exercised, not vacuously zero (the pii_scan recipe). Map-only
+    regexp_count built-ins, fused into the scan."""
+    from polars_text_spark.functions.analysis import mojibake_signals
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_MOJI_ART))
+            .when(F.col("doc_id") % 3 == 1, F.lit(_MOJI_REP))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    m = mojibake_signals("t")
+    return enriched.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_replacement"].alias("n_replacement"),
+        m["n_c1_controls"].alias("n_c1_controls"),
+        m["n_artifacts"].alias("n_artifacts"),
+        F.round(m["score"], 6).alias("score"),
+    )
+
+
+@query(
+    "containment_dups",
+    f"""
+    WITH sh AS ({{_sh_cte}})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+             AS c_a_in_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6)
+             AS c_b_in_a
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE greatest(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s),
+                   len(list_intersect(a.s, b.s)) * 1.0 / len(b.s))
+          >= 0.05
+    """.replace("{_sh_cte}", _SQL_SH_CTE),
+)
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment near-dups (Broder's containment
+    coefficient): the quote/reply/wrapper shape Jaccard misses — a
+    short doc fully inside a longer one has tiny Jaccard but
+    containment ~1, and the curation decision needs the one-sided
+    score. Blocked on (source, lang) like the exact-Jaccard path; the
+    oracle replays every intersection and both ratios. Threshold 0.05
+    keeps the synthetic corpus's overlap tail in the result so the
+    hash has entropy."""
+    from polars_text_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = containment_pairs(
+        docs, "text", "doc_id", block_cols=("source", "lang"),
+        threshold=0.05,
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("c_a_in_b", 6).alias("c_a_in_b"),
+        F.round("c_b_in_a", 6).alias("c_b_in_a"),
+    )
+
+
 @query(
     "fim_psm",
     f"""
@@ -4781,6 +4907,8 @@ _DRIVER_PRIORITY = [
     "quality_weighted_sample",
     "fim_psm",
     "dedup_sweep",
+    "mojibake_scan",
+    "containment_dups",
     # r5-signed, two rounds stale after r7 (VERDICT r7 item 3)
     "gopher_line_stats",
     "events_first_hour",

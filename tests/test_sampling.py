@@ -120,3 +120,65 @@ def test_dedup_threshold_sweep_counts(spark):
     assert got[0.4] == (2, 3)  # a,b,c
     assert got[0.9] == (1, 2)
     assert got[0.99] == (0, 0)  # zero row reported, not missing
+
+
+def test_mojibake_signals_counts(spark):
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.functions.analysis import mojibake_signals
+
+    art = chr(0xC3) + chr(0xA9)              # Ã©  (double-decoded é)
+    smart = chr(0xE2) + chr(0x20AC) + chr(0x2122)  # â€™ (cp1252 flavor)
+    c1 = chr(0x85)                            # NEL
+    rep = chr(0xFFFD)
+    rows = {
+        r.i: r.m.asDict()
+        for r in spark.createDataFrame(
+            [
+                (1, "clean ascii text"),
+                (2, f"caf{art} it{smart}s"),
+                (3, f"bad{rep}and{c1}ctl"),
+                (4, ""),
+                (5, None),
+            ],
+            "i int, s string",
+        ).select("i", mojibake_signals("s").alias("m")).collect()
+    }
+    assert rows[1]["score"] == 0.0 and rows[1]["n_artifacts"] == 0
+    assert rows[2]["n_artifacts"] == 2      # Ã + â€
+    assert rows[2]["n_replacement"] == 0
+    assert rows[3]["n_replacement"] == 1 and rows[3]["n_c1_controls"] == 1
+    assert rows[3]["score"] > 0.0
+    assert rows[4]["score"] == 0.0 and rows[4]["n_chars"] == 0
+    assert rows[5]["score"] is None and rows[5]["n_chars"] is None
+
+
+def test_containment_pairs_quote_shape(spark):
+    """The wrapper/quote shape: a short doc inside a long one has tiny
+    Jaccard but containment ~1 — exactly what the one-sided score
+    surfaces and the symmetric one misses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = ("preamble words here " + short + " and then a very long tail "
+            + " ".join(f"w{i}" for i in range(60)))
+    df = spark.createDataFrame(
+        [(1, short, "s"), (2, long, "s"), (3, "unrelated totally", "s")],
+        "doc_id long, text string, src string",
+    )
+    got = {
+        (r.id_a, r.id_b): (round(r.c_a_in_b, 3), round(r.c_b_in_a, 3))
+        for r in containment_pairs(
+            df, "text", "doc_id", block_cols=("src",), threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in got
+    a_in_b, b_in_a = got[(1, 2)]
+    assert a_in_b == 1.0      # the short doc is fully contained
+    assert b_in_a < 0.2       # the long one is not
+    assert (1, 3) not in got and (2, 3) not in got
+    with _pytest.raises(ValueError, match="block_cols"):
+        containment_pairs(df, "text", "doc_id")

@@ -132,6 +132,25 @@ def main() -> None:
     )
     print(f"within-cluster cosine>=0.4 pairs: {sem_pairs.count()}")
 
+    print("== 4d4. containment near-dups (quote/wrapper shape) ==")
+    cont = pts.containment_pairs(
+        final, "text", "doc_id", block_cols=("lang",), threshold=0.5
+    )
+    print(f"max-containment>=0.5 pairs: {cont.count()}")
+
+    print("== 4f. quality-weighted downsample + FIM augmentation ==")
+    kept = pts.weighted_sample(
+        final,
+        F.size(T.ws_token_array("text")) / F.lit(200.0),
+        "doc_id",
+        salt="demo",
+    )
+    fimmed = pts.fim_transform(kept, "text", "doc_id", fim_rate=0.5)
+    fimmed.agg(
+        F.count("*").alias("kept_docs"),
+        F.sum(F.col("fim_applied").cast("int")).alias("fim_rewritten"),
+    ).show()
+
     print("== 4e. pack into 512-token training sequences ==")
     counted = final.withColumn(
         "n_tok",

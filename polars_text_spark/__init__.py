@@ -54,6 +54,8 @@ from polars_text_spark.operators.components import (
 )
 from polars_text_spark.operators.decontam import ngram_contamination
 from polars_text_spark.operators.dedup import (
+    containment_pairs,
+    dedup_threshold_sweep,
     bottomk_sketch,
     bottomk_sketch_pairs,
     dup_source_matrix,
@@ -67,6 +69,7 @@ from polars_text_spark.operators.dedup import (
     simhash_pairs,
 )
 from polars_text_spark.operators.packing import (
+    fim_transform,
     pack_sequences,
     sequence_manifest,
 )
@@ -79,6 +82,7 @@ from polars_text_spark.operators.quality import (
 from polars_text_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
+    weighted_sample,
 )
 from polars_text_spark.operators.chunks import (
     chunk_dup_stats,
@@ -173,6 +177,8 @@ __all__ = [
     "deterministic_sample",
     "duplicate_clusters",
     "embedding",
+    "containment_pairs",
+    "dedup_threshold_sweep",
     "exact_dedup",
     "get_spark",
     "list_loaded_models",
@@ -181,6 +187,7 @@ __all__ = [
     "models",
     "ngram_contamination",
     "ngram_jaccard_pairs",
+    "fim_transform",
     "pack_sequences",
     "pairs_from_store",
     "predefined_model_records",
@@ -212,6 +219,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "stratified_sample",
+    "weighted_sample",
     "token_frequencies",
     "token_frequency_stats",
     "tokenize",

@@ -15,12 +15,14 @@ from polars_text_spark.functions.analysis import (
     doc_fingerprint,
     dup_word_frac,
     line_stats,
+    mojibake_signals,
     normalize_text,
     quality_score,
     readability,
     remove_stopwords,
     token_count_bpe,
     token_count_ws,
+    ws_token_array,
 )
 from polars_text_spark.functions.concordance import concordance
 from polars_text_spark.functions.embedding import embedding
@@ -42,6 +44,7 @@ __all__ = [
     "doc_fingerprint",
     "dup_word_frac",
     "line_stats",
+    "mojibake_signals",
     "embedding",
     "normalize_text",
     "remove_stopwords",
@@ -52,4 +55,5 @@ __all__ = [
     "token_count_ws",
     "tokenize",
     "word_count",
+    "ws_token_array",
 ]

@@ -231,8 +231,8 @@ class _JapaneseMorpheme(_Backend):
             )
         except ImportError as exc:  # pragma: no cover - optional dep
             raise RuntimeError(
-                f"{model_id} needs a CJK morpheme segmenter (fugashi/mecab-ko) "
-                "which is not installed"
+                f"{model_id} needs a Japanese morpheme segmenter "
+                "(fugashi or sudachipy) which is not installed"
             ) from exc
 
     def records(self, text: str, remove_punct: bool):
@@ -269,8 +269,8 @@ class _KoreanMorpheme(_Backend):
             import mecab
         except ImportError as exc:  # pragma: no cover - optional dep
             raise RuntimeError(
-                "lindera:ko-dic needs a CJK morpheme segmenter "
-                "(fugashi/mecab-ko) which is not installed"
+                "lindera:ko-dic needs a Korean morpheme segmenter "
+                "(python-mecab-ko) which is not installed"
             ) from exc
         self._mecab = mecab.MeCab()
 

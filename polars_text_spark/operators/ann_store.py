@@ -120,9 +120,36 @@ def _shard_projections(
     return banded, unit
 
 
-def _store_meta(spark: SparkSession, name: str) -> tuple[int, int, int, int]:
+def _assert_vec_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Fail loudly on a dimensionality mismatch BEFORE it corrupts the
+    store: a short vector null-pads through ``zip_with`` in
+    ``sha_band_keys``, every plane dot goes null, and ALL its band
+    keys collapse to the degenerate all-zero-bits keys — the silent
+    recall-0 failure the meta table exists to prevent. One bounded
+    action (limit-1 over the mismatch filter) per store mutation."""
+    bad = (
+        df.where(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) != F.lit(int(dim)))
+        )
+        .select(F.size(vec_col).alias("n"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"vector column '{vec_col}' has a row with {bad[0]['n']} "
+            f"components but the store signature is dim={dim}; a "
+            "mismatched shard would band to degenerate keys and "
+            "silently destroy recall"
+        )
+
+
+def _store_meta(
+    spark: SparkSession, name: str, *, require_buckets: bool = True
+) -> tuple[int, int, int, int | None]:
     m = spark.table(f"{name}_meta").collect()[0]
-    if "buckets" not in m.asDict():
+    has_buckets = "buckets" in m.asDict()
+    if require_buckets and not has_buckets:
         raise ValueError(
             f"ann store '{name}' predates incremental ingest (its meta "
             "lacks the bucket count); rewrite it with write_ann_store "
@@ -132,7 +159,7 @@ def _store_meta(spark: SparkSession, name: str) -> tuple[int, int, int, int]:
         int(m["dim"]),
         int(m["num_planes"]),
         int(m["bands"]),
-        int(m["buckets"]),
+        int(m["buckets"]) if has_buckets else None,
     )
 
 
@@ -159,6 +186,7 @@ def append_ann_shard(
     """
     spark = shard.sparkSession
     dim, num_planes, bands, buckets = _store_meta(spark, name)
+    _assert_vec_dim(shard, vec_col, dim)
     banded, unit = _shard_projections(
         shard,
         id_col=id_col,
@@ -214,7 +242,8 @@ def topk_against_shard(
     :func:`append_ann_shard`; after the append, :func:`topk_from_store`
     answers over the grown store directly.
     """
-    dim, num_planes, bands, _ = _store_meta(spark, name)
+    # read-only: works on pre-bucket-meta stores too
+    dim, num_planes, bands, _ = _store_meta(spark, name, require_buckets=False)
     banded, unit = _shard_projections(
         shard,
         id_col=id_col,

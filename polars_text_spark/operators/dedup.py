@@ -708,27 +708,12 @@ def ngram_jaccard_pairs(
             shingle_n=shingle_n,
             threshold=threshold,
         )
-    sh = df.select(
-        *block_cols,
-        F.col(id_col).alias("id"),
-        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    pairs = _blocked_shingle_self_join(
+        df, text_col, id_col, block_cols, shingle_n
     )
-    a = sh.select(
-        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-        F.col("id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    b = sh.select(
-        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-        F.col("id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    on = [f"__b_{c}" for c in block_cols]
-    pairs = a.join(b, on) if on else a.crossJoin(b)
     # Lossless PPJoin length bound (see minhash_lsh_pairs).
     return (
-        pairs.filter(F.col("id_a") < F.col("id_b"))
-        .filter(
+        pairs.filter(
             F.least(F.size("sh_a"), F.size("sh_b"))
             >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b")) - 1e-9
         )
@@ -1016,6 +1001,38 @@ def near_dup_source_matrix(
     )
 
 
+def _blocked_shingle_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: tuple[str, ...],
+    shingle_n: int,
+) -> DataFrame:
+    """Shared scaffolding for the exact pair verifiers: shingle each
+    doc once, self-join on the block key (cross join only when
+    unblocked — callers gate that), keep ordered ``id_a < id_b`` pairs
+    as ``(id_a, id_b, sh_a, sh_b)``. One projection + one equi-join;
+    the score expression (Jaccard, containment) is the caller's."""
+    sh = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    )
+    a = sh.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    on = [f"__b_{c}" for c in block_cols]
+    pairs = a.join(b, on) if on else a.crossJoin(b)
+    return pairs.filter(F.col("id_a") < F.col("id_b"))
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1051,26 +1068,9 @@ def containment_pairs(
             "admits no length prefilter. Pass block_cols (source, lang, "
             "a domain bucket)."
         )
-    sh = df.select(
-        *block_cols,
-        F.col(id_col).alias("id"),
-        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
-    )
-    a = sh.select(
-        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-        F.col("id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    b = sh.select(
-        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-        F.col("id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    on = [f"__b_{c}" for c in block_cols]
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        a.join(b, on)
-        .filter(F.col("id_a") < F.col("id_b"))
+        _blocked_shingle_self_join(df, text_col, id_col, block_cols, shingle_n)
         .withColumn("__i", inter)
         .withColumn(
             "c_a_in_b", F.col("__i") / F.size("sh_a").cast("double")

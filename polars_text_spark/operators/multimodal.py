@@ -297,11 +297,11 @@ def _parse_mp4(data: bytes, meta: dict) -> dict:
 
 
 def _walk_ogg_pages(data: bytes):
-    """Yield ``(header_type, granule, body_start, body_end)`` for each
-    structurally-valid Ogg page, advancing by the segment table's lacing
-    values — a real page walk, not a byte scan (``find(b"OggS")`` can
-    false-positive inside packet payloads). Stops at the first
-    malformed page rather than guessing."""
+    """Yield ``(header_type, serial, granule, body_start, body_end)``
+    for each structurally-valid Ogg page, advancing by the segment
+    table's lacing values — a real page walk, not a byte scan
+    (``find(b"OggS")`` can false-positive inside packet payloads).
+    Stops at the first malformed page rather than guessing."""
     pos = 0
     n = len(data)
     while pos + 27 <= n and data[pos : pos + 4] == b"OggS" and data[pos + 4] == 0:
@@ -310,8 +310,15 @@ def _walk_ogg_pages(data: bytes):
         if table_end > n:
             return
         body_len = sum(data[pos + 27 : table_end])
+        serial = struct.unpack("<I", data[pos + 14 : pos + 18])[0]
         granule = struct.unpack("<q", data[pos + 6 : pos + 14])[0]
-        yield data[pos + 5], granule, table_end, min(table_end + body_len, n)
+        yield (
+            data[pos + 5],
+            serial,
+            granule,
+            table_end,
+            min(table_end + body_len, n),
+        )
         pos = table_end + body_len
 
 
@@ -319,24 +326,28 @@ def _parse_ogg(data: bytes, meta: dict) -> dict:
     """Ogg bytes-level parse: logical streams counted via BOS pages,
     codec + stream parameters from the first identification packet
     (Theora video dims, Vorbis/Opus channels+rate), duration from the
-    last finished-packet granule position over the id header's rate
-    (Vorbis granule = PCM samples; Opus granule is 48 kHz by spec;
-    Theora needs the granule shift — left null there)."""
+    last finished-packet granule OF THAT SAME logical stream (matched
+    by page serial number — in a muxed file another stream's granule
+    is in a different unit) over the id header's rate (Vorbis granule
+    = PCM samples; Opus granule is 48 kHz by spec; Theora needs the
+    granule shift — left null there)."""
     meta["format"] = "ogg"
     n_bos = 0
+    first_serial: int | None = None
+    first_body: int | None = None
     last_granule = None
-    first_body: tuple[int, int] | None = None
-    for header_type, granule, body_start, body_end in _walk_ogg_pages(data):
+    for header_type, serial, granule, body_start, _ in _walk_ogg_pages(data):
         if header_type & 0x02:
             n_bos += 1
-        if granule > 0:  # -1 = no packet finishes on this page
+        if first_serial is None:
+            first_serial, first_body = serial, body_start
+        if serial == first_serial and granule > 0:
+            # -1 = no packet finishes on this page
             last_granule = granule
-        if first_body is None:
-            first_body = (body_start, body_end)
     if n_bos:
         meta["n_tracks"] = n_bos
     if first_body is not None:
-        body, _ = first_body
+        body = first_body
         rate = None
         if data[body : body + 7] == b"\x80theora" and len(data) >= body + 20:
             meta["codec"] = "theora"

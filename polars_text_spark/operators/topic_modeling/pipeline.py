@@ -451,6 +451,12 @@ def topic_modeling(
         doc_topics = None
     timings.mark("rollup")
 
+    # build the assemble joins BEFORE marking the stage so the timing
+    # still covers the join-plan construction (only the struct literal,
+    # which needs the finished timings, comes after)
+    joined = _assemble_joined(
+        source, doc_topics, topic_table, row_id_col=_ROW_ID
+    )
     timings.mark("assemble_topics")
     stage_list = timings.finish()
     timings_lit = F.array(
@@ -462,11 +468,8 @@ def topic_modeling(
             for stage, ms in stage_list
         ]
     )
-    return assemble_topics(
-        source,
-        doc_topics,
-        topic_table,
-        row_id_col=_ROW_ID,
+    return _assemble_struct(
+        joined,
         n_topics=n_topics,
         n_chunks=n_chunks,
         keep_cols=list(df.columns),
@@ -510,6 +513,26 @@ def assemble_topics(
     Scale shape: one left equi-join on the row id plus one broadcast
     join on the (|topics|-row) metadata — no extra shuffle of the
     source beyond the rollup key."""
+    joined = _assemble_joined(
+        source, doc_topics, topic_table, row_id_col=row_id_col
+    )
+    return _assemble_struct(
+        joined,
+        n_topics=n_topics,
+        n_chunks=n_chunks,
+        keep_cols=keep_cols,
+        output_col=output_col,
+        timings_col=timings_col,
+    )
+
+
+def _assemble_joined(
+    source: DataFrame,
+    doc_topics: DataFrame | None,
+    topic_table: DataFrame | None,
+    *,
+    row_id_col: str,
+) -> DataFrame:
     out = source
     if doc_topics is not None:
         out = out.join(doc_topics, row_id_col, "left")
@@ -524,6 +547,18 @@ def assemble_topics(
         )
         out = out.withColumn("topic_x", F.lit(None).cast("float"))
         out = out.withColumn("topic_y", F.lit(None).cast("float"))
+    return out
+
+
+def _assemble_struct(
+    out: DataFrame,
+    *,
+    n_topics: int,
+    n_chunks: int,
+    keep_cols: list[str],
+    output_col: str,
+    timings_col=None,
+) -> DataFrame:
     if timings_col is None:
         timings_col = F.array().cast(_TIMINGS_TYPE)
     # Outlier/zero-chunk rows: dominant -1, empty distribution/words,

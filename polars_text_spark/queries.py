@@ -3850,9 +3850,6 @@ def q_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the reference's concordance/frequency surface.
 # ---------------------------------------------------------------------------
 
-# Portable whitespace tokens as a DuckDB list (same contract as the
-# Spark-side linguistics._ws_token_array: lower + trim + \s+ split,
-# empties removed — only the all-whitespace text produces any).
 @query(
     "ngram_trigrams",
     f"""
@@ -4825,8 +4822,22 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     # pid-unique name: a concurrent bench/driver run must not overwrite
-    # this invocation's store between the append and the collect
+    # this invocation's store between the append and the collect.
+    # Deferred directory cleanup (the collect reads the tables lazily;
+    # the in-memory catalog entries die with the process anyway) keeps
+    # repeated runs from accumulating dead store data in the warehouse
+    # — same lifecycle as q_tokenize_cached's temp dir.
+    import atexit
+    import shutil
+
     name = f"annincr_{os.getpid()}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for suffix in ("_bands", "_vectors", "_meta"):
+        atexit.register(
+            shutil.rmtree, os.path.join(warehouse, name + suffix), True
+        )
     write_ann_store(
         vecs.filter(F.col("vec_id") % 4 != 0), name, dim=64, buckets=8
     )

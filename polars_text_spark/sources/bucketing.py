@@ -91,11 +91,12 @@ def compact_table(spark: SparkSession, table: str) -> int:
 
     bucket_cols = _cols("Bucket Columns")
     sort_cols = _cols("Sort Columns")
-    location = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        .removeprefix("file:"),
-        table.lower(),
-    )
+    # the catalog's own Location, NOT warehouse-dir + table-name
+    # reconstruction — the latter breaks for non-default databases
+    # (<warehouse>/db.db/tbl) and custom-location tables
+    if "Location" not in info:
+        raise ValueError(f"table '{table}' reports no Location")
+    location = info["Location"].removeprefix("file:")
     tmp = f"{table}__compact"
     clear_table(spark, tmp)
     # Read the raw FILES, not the catalog table: a table-scan advertises
@@ -116,9 +117,14 @@ def compact_table(spark: SparkSession, table: str) -> int:
     )
     clear_table(spark, table)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    # re-resolve: the rename moved the managed directory
+    final_rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    final_loc = {
+        r["col_name"]: r["data_type"] for r in final_rows
+    }["Location"].removeprefix("file:")
     return sum(
         1
-        for root, _, files in os.walk(location)
+        for root, _, files in os.walk(final_loc)
         for f in files
         if f.endswith(".parquet")
     )

@@ -246,3 +246,18 @@ def test_compact_rejects_unbucketed_table(spark):
     spark.range(10).write.format("parquet").saveAsTable("plain_tbl")
     with _pytest.raises(ValueError, match="not bucketed"):
         compact_table(spark, "plain_tbl")
+
+
+def test_append_rejects_dim_mismatch(spark, vectors):
+    """A shard whose vectors have the wrong dimensionality must fail
+    loudly: null-padded band keys would silently destroy recall."""
+    from pyspark.sql import Row
+
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    write_ann_store(base, "ann_store_d", dim=64, buckets=4)
+    short = spark.createDataFrame(
+        [Row(vec_id=777777, embedding=[0.5] * 32, label=None)],
+        vectors.schema,
+    )
+    with pytest.raises(ValueError, match="32 components.*dim=64"):
+        append_ann_shard(short, "ann_store_d")

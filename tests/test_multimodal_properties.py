@@ -106,3 +106,40 @@ def test_ogg_payload_fake_page_not_counted():
     meta = _parse_video_header(evil)
     assert meta["n_tracks"] == 1  # the embedded fake BOS page is payload
     assert abs(meta["duration_s"] - 10.0) < 1e-9
+
+
+def test_ogg_muxed_duration_uses_first_stream_serial():
+    """In a muxed file, the final page often belongs to the OTHER
+    stream (whose granule is in a different unit); duration must come
+    from the last granule of the SAME logical stream that supplied the
+    rate — matched by page serial number."""
+    import struct as _struct
+
+    from polars_text_spark.operators.multimodal import _parse_video_header
+
+    def page(payload, *, serial, bos=False, granule=0):
+        return (
+            b"OggS\x00" + (b"\x02" if bos else b"\x00")
+            + _struct.pack("<q", granule)
+            + _struct.pack("<I", serial) + b"\x00" * 8
+            + bytes([1, len(payload)]) + payload
+        )
+
+    vorbis_id = (
+        b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+        + _struct.pack("<I", 44_100) + b"\x00" * 16
+    )
+    theora_id = (
+        b"\x80theora" + bytes([3, 2, 1]) + _struct.pack(">HH", 40, 30)
+        + (640).to_bytes(3, "big") + (480).to_bytes(3, "big") + b"\x00" * 10
+    )
+    muxed = (
+        page(vorbis_id, serial=7, bos=True)
+        + page(theora_id, serial=9, bos=True)
+        + page(b"a" * 16, serial=7, granule=441_000)
+        # final page: the OTHER stream, huge shifted frame-granule
+        + page(b"b" * 16, serial=9, granule=1 << 40)
+    )
+    meta = _parse_video_header(muxed)
+    assert meta["codec"] == "vorbis" and meta["n_tracks"] == 2
+    assert abs(meta["duration_s"] - 10.0) < 1e-9  # 441000/44100, not 2^40

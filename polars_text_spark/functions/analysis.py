@@ -22,6 +22,7 @@ __all__ = [
     "STOPWORDS",
     "char_class_ratios",
     "char_entropy",
+    "dehyphenate",
     "detect_language",
     "doc_fingerprint",
     "dup_word_frac",
@@ -495,6 +496,24 @@ def char_class_ratios(col: Column | str) -> Column:
         ratio("[^A-Z]").alias("upper_ratio"),
         ratio(r"[^\s]").alias("space_ratio"),
     ).alias("char_class_ratios")
+
+
+def dehyphenate(col: Column | str) -> Column:
+    """Join hyphen-linebreak word splits (``"exam-\\nple"`` ->
+    ``"example"``) — the standard OCR/PDF line-wrap repair pass that
+    runs before tokenization in a scanned-document pipeline (an
+    unrepaired split inflates the vocabulary with both halves of every
+    wrapped word).
+
+    Conservative contract: joins ONLY letter ``-`` newline
+    (+ optional indent) letter — numeric ranges (``3-\\n4``),
+    em-dash-ish punctuation runs, and blank-line-separated hyphens are
+    untouched. Pure ``regexp_replace`` (map-only, fused into the
+    scan); the same pattern replays in any RE2/Java-regex engine."""
+    c = _col(col)
+    return F.regexp_replace(
+        c, r"(\p{L})-\n[ \t]*(\p{L})", "$1$2"
+    ).alias("dehyphenated")
 
 
 def mojibake_signals(col: Column | str) -> Column:

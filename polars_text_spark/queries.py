@@ -2703,6 +2703,58 @@ def q_fim_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dehyphenate_repair",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               ' over', ' ov-' || chr(10) || 'er', 'g'),
+               ' with', ' wi-' || chr(10) || '  th', 'g') AS tx
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(tx,
+             '[a-zA-Z]-' || chr(10) || '[ ' || chr(9) || ']*[a-zA-Z]'))
+             AS BIGINT) AS n_wraps,
+           regexp_replace(tx,
+             '([a-zA-Z])-' || chr(10) || '[ ' || chr(9) || ']*([a-zA-Z])',
+             '\\1\\2', 'g') AS repaired
+    FROM t
+    """,
+)
+def q_dehyphenate_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/PDF line-wrap repair under the driver hash: hyphen-newline
+    word splits are synthesized deterministically (the gopher_line_stats
+    newline recipe — both with and without trailing indentation), then
+    :func:`dehyphenate` must reproduce the oracle's repaired text to
+    the character, plus the wrap count. An over-eager pattern (joining
+    numeric ranges, eating the indent of non-wrap lines) or an
+    under-eager one (missing indented continuations) fails the value
+    hash. Map-only regexp built-ins fused into the scan.
+
+    The oracle uses ``[a-zA-Z]`` where the operator uses ``\\p{L}``:
+    equivalent on this corpus (ASCII letters only at the synthesized
+    seams), and RE2's class avoids engine drift on the oracle side."""
+    from polars_text_spark.functions.analysis import dehyphenate
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    wrapped = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), " over", " ov-\ner"),
+            " with",
+            " wi-\n  th",
+        ).alias("tx"),
+    )
+    return wrapped.select(
+        "doc_id",
+        F.regexp_count(
+            F.col("tx"), F.lit(r"[a-zA-Z]-\n[ \t]*[a-zA-Z]")
+        ).cast("long").alias("n_wraps"),
+        dehyphenate("tx").alias("repaired"),
+    )
+
+
+@query(
     "gopher_line_stats",
     """
     WITH t AS (
@@ -4920,6 +4972,7 @@ _DRIVER_PRIORITY = [
     "dedup_sweep",
     "mojibake_scan",
     "containment_dups",
+    "dehyphenate_repair",
     # r5-signed, two rounds stale after r7 (VERDICT r7 item 3)
     "gopher_line_stats",
     "events_first_hour",

@@ -182,3 +182,61 @@ def test_containment_pairs_quote_shape(spark):
     assert (1, 3) not in got and (2, 3) not in got
     with _pytest.raises(ValueError, match="block_cols"):
         containment_pairs(df, "text", "doc_id")
+
+
+def test_dehyphenate_fixtures(spark):
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.functions.analysis import dehyphenate
+
+    rows = {
+        r.i: r.out
+        for r in spark.createDataFrame(
+            [
+                (1, "exam-\nple"),            # plain wrap
+                (2, "exam-\n   ple"),         # indented continuation
+                (3, "pages 3-\n4 follow"),    # numeric range: untouched
+                (4, "dash-\n\nparagraph"),    # blank line: untouched
+                (5, "no wraps here"),
+                (6, None),
+            ],
+            "i int, s string",
+        ).select("i", dehyphenate("s").alias("out")).collect()
+    }
+    assert rows[1] == "example"
+    assert rows[2] == "example"
+    assert rows[3] == "pages 3-\n4 follow"
+    assert rows[4] == "dash-\n\nparagraph"
+    assert rows[5] == "no wraps here"
+    assert rows[6] is None
+
+
+def test_round8_map_only_ops_have_zero_exchange(spark):
+    """The map-only claims, plan-asserted: weighted_sample, fim,
+    mojibake, dehyphenate over a parquet-like scan plan contain NO
+    Exchange — they fuse into the scan stage at any scale."""
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.functions.analysis import (
+        dehyphenate,
+        mojibake_signals,
+        ws_token_array,
+    )
+    from polars_text_spark.operators.packing import fim_transform
+    from polars_text_spark.operators.sampling import weighted_sample
+    from polars_text_spark.plans import explain_str
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    composed = fim_transform(
+        weighted_sample(
+            df, F.size(ws_token_array("text")) / F.lit(200.0), "doc_id"
+        ),
+        "text",
+        "doc_id",
+    ).select("doc_id", "fim_text", mojibake_signals("fim_text"),
+             dehyphenate("fim_text"))
+    plan = explain_str(composed, "simple")
+    assert "Exchange" not in plan, plan

@@ -508,11 +508,14 @@ def dehyphenate(col: Column | str) -> Column:
     Conservative contract: joins ONLY letter ``-`` newline
     (+ optional indent) letter — numeric ranges (``3-\\n4``),
     em-dash-ish punctuation runs, and blank-line-separated hyphens are
-    untouched. Pure ``regexp_replace`` (map-only, fused into the
-    scan); the same pattern replays in any RE2/Java-regex engine."""
+    untouched. Both LF and CRLF line breaks repair (scanned-document
+    corpora are routinely Windows-line-ended; an LF-only pattern would
+    silently zero-repair them). Pure ``regexp_replace`` (map-only,
+    fused into the scan); the same pattern replays in any
+    RE2/Java-regex engine."""
     c = _col(col)
     return F.regexp_replace(
-        c, r"(\p{L})-\n[ \t]*(\p{L})", "$1$2"
+        c, r"(\p{L})-\r?\n[ \t]*(\p{L})", "$1$2"
     ).alias("dehyphenated")
 
 

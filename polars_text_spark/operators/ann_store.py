@@ -183,10 +183,34 @@ def append_ann_shard(
     untouched (no table rewrite), and subsequent store-side joins still
     read every bucket co-located with NO Exchange. Only the (small)
     shard shuffles — once, at write time, into its bucket files.
+
+    Contract: shard ids must be DISJOINT from store ids — enforced
+    with a bounded semi-join probe (limit-1 against the standing
+    vector table) before any write, because a duplicated id would
+    silently double its rows in both tables and burn top-k rank slots
+    with duplicate candidates on every later query.
     """
     spark = shard.sparkSession
     dim, num_planes, bands, buckets = _store_meta(spark, name)
     _assert_vec_dim(shard, vec_col, dim)
+    clash = (
+        read_bucketed(spark, f"{name}_vectors")
+        .select("id")
+        .join(
+            F.broadcast(shard.select(F.col(id_col).alias("id"))),
+            "id",
+            "left_semi",
+        )
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"shard id {clash[0]['id']!r} already exists in ann store "
+            f"'{name}'; appending would silently duplicate its rows in "
+            "the bands/vectors tables and corrupt later top-k results "
+            "(the incremental-ingest contract requires disjoint ids)"
+        )
     banded, unit = _shard_projections(
         shard,
         id_col=id_col,
@@ -244,6 +268,10 @@ def topk_against_shard(
     """
     # read-only: works on pre-bucket-meta stores too
     dim, num_planes, bands, _ = _store_meta(spark, name, require_buckets=False)
+    # same loud-failure guard as the write path: a wrong-dim query
+    # shard null-pads through sha_band_keys into degenerate band keys
+    # and returns silently-wrong/empty neighbors
+    _assert_vec_dim(shard, vec_col, dim)
     banded, unit = _shard_projections(
         shard,
         id_col=id_col,
@@ -314,6 +342,7 @@ def topk_from_store(
             f"bands={bands}) would produce band keys that can never "
             "collide with the store"
         )
+    _assert_vec_dim(queries, vec_col, dim)
     q = with_l2_normalized(
         queries.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), vec_col

@@ -200,22 +200,57 @@ def bigram_surprisal(
     )
 
 
+def _two_phase_topk(
+    frame: DataFrame,
+    order: list,
+    k: int,
+    *,
+    key_col: str,
+    rank_name: str = "rank",
+    buckets: int = 32,
+) -> DataFrame:
+    """Global top-``k`` without a corpus-vocab-sized single-task sort.
+
+    Phase 1 ranks inside ``buckets`` hash buckets of ``key_col`` — a
+    PARTITIONED window, so the heavy sort parallelizes — and keeps each
+    bucket's local top-``k``. Phase 2 ranks the <= ``buckets * k``
+    survivors globally; that final unpartitioned window is bounded by
+    construction (k * buckets rows), independent of vocabulary size.
+    Semantics are exactly the single-window ``row_number() <= k``:
+    every global-top-k row is, under the same total ordering, within
+    its own bucket's top-k (a bucket is a subset of the frame), so no
+    survivor is lost."""
+    w_local = Window.partitionBy("__tpk_b").orderBy(*order)
+    w_global = Window.orderBy(*order)
+    return (
+        frame.withColumn(
+            "__tpk_b", F.pmod(F.xxhash64(key_col), F.lit(int(buckets)))
+        )
+        .withColumn("__tpk_lr", F.row_number().over(w_local))
+        .filter(F.col("__tpk_lr") <= k)
+        .drop("__tpk_b", "__tpk_lr")
+        .withColumn(rank_name, F.row_number().over(w_global))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 10000) -> DataFrame:
     """Top-``k`` whitespace tokens by corpus count (count desc, token
     asc tie-break — the deterministic ordering a tokenizer-vocab build
     needs). Returns ``(token, cnt, rank)``.
 
-    Scale: the ranking window is a single global sort over the
-    *vocabulary* frame (|vocab| rows, not corpus rows) — even a
-    web-scale corpus has a vocab orders of magnitude below its token
-    count, so the unpartitioned window is fine; the corpus itself is
-    touched once by the explode+groupBy in
+    Scale: ranking is the two-phase top-k (:func:`_two_phase_topk`) —
+    a web-scale vocab is 10^7–10^8 rows, and a single unpartitioned
+    ``row_number()`` window over it is a one-task sort stall. Phase 1
+    ranks inside 32 hash buckets in parallel; only the bounded
+    ``32 * k`` survivors reach the global merge window. The corpus
+    itself is touched once by the explode+groupBy in
     :func:`unigram_frequencies`."""
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        unigram_frequencies(df, text_col)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _two_phase_topk(
+        unigram_frequencies(df, text_col),
+        [F.col("cnt").desc(), F.col("token").asc()],
+        k,
+        key_col="token",
     )
 
 
@@ -269,26 +304,32 @@ def source_kl_divergence(
     Returns ``(group_col, n_tokens, kl_bits)``.
 
     Scale: one explode + one groupBy(group, token) shuffle over the
-    corpus; the three totals (per-group, per-token, global) are
-    window sums over the aggregated |groups|×|vocab| frame, which is
-    tiny relative to the corpus — no second corpus scan, no driver
-    collect."""
-    gt = (
+    corpus; the per-group and per-token totals are PARTITIONED window
+    sums over the aggregated |groups|×|vocab| frame. The corpus total
+    is NOT a ``Window.partitionBy()`` sum — that would funnel the
+    whole aggregated frame (tens of millions of rows on a web vocab)
+    through ONE window task; it is the repo's broadcast-total pattern
+    (a 1-row aggregate cross-joined in, 8 bytes over the wire). The
+    aggregated frame is persisted so the total's aggregate re-reads
+    it instead of re-scanning the corpus."""
+    from polars_text_spark.persist import track_persist
+
+    gt = track_persist(
         df.filter(F.col(text_col).isNotNull())
         .select(group_col, F.explode(_ws_tokens(text_col)).alias("token"))
         .groupBy(group_col, "token")
         .agg(F.count("*").alias("cnt_gt"))
+        .persist()
     )
+    total = gt.agg(F.sum("cnt_gt").alias("total"))
     w_g = Window.partitionBy(group_col)
     w_t = Window.partitionBy("token")
-    w_all = Window.partitionBy()
     scored = gt.select(
         group_col,
         F.col("cnt_gt"),
         F.sum("cnt_gt").over(w_g).alias("total_g"),
         F.sum("cnt_gt").over(w_t).alias("cnt_t"),
-        F.sum("cnt_gt").over(w_all).alias("total"),
-    ).select(
+    ).crossJoin(F.broadcast(total)).select(
         group_col,
         "cnt_gt",
         "total_g",
@@ -452,14 +493,14 @@ def heavy_hitters_audit(
         F.sum("exact_count").alias("bucket_sum")
     )
 
-    topk = (
-        counts.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_count").desc(), F.col("token"))
-            ),
-        )
-        .where(F.col("rank") <= k)
+    # two-phase top-k: the exact-count ranking parallelizes over hash
+    # buckets; only <= 32*k survivors hit the global merge window
+    # (the vocab frame itself can be 10^7+ rows at web scale).
+    topk = _two_phase_topk(
+        counts,
+        [F.col("exact_count").desc(), F.col("token")],
+        k,
+        key_col="token",
     )
     probes = topk.select(
         "token",

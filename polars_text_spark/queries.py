@@ -2540,8 +2540,9 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark literal and the DuckDB chr() chain are character-identical by
 # construction (raw artifact literals in source are one bad editor
 # round-trip away from silent divergence). _MOJI_ART carries 3
-# artifacts (2x 'Ã', 1x 'â€') and 3 C1 controls (latin-1-style smart
-# quotes); _MOJI_REP carries 1 replacement char + 1 C1 control (NEL).
+# artifacts (2x 'Ã', 1x 'â€') and 4 C1 controls (0x80 twice from the
+# two latin-1-style smart-quote triples, plus 0x9C and 0x9D);
+# _MOJI_REP carries 1 replacement char + 1 C1 control (NEL).
 _MOJI_ART = (
     " caf" + chr(195) + chr(169) + " "
     + chr(226) + chr(128) + chr(156) + "quoted"
@@ -2709,14 +2710,16 @@ def q_fim_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              regexp_replace(regexp_replace(text,
                ' over', ' ov-' || chr(10) || 'er', 'g'),
-               ' with', ' wi-' || chr(10) || '  th', 'g') AS tx
+               ' with', ' wi-' || chr(13) || chr(10) || '  th', 'g') AS tx
       FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
            CAST(len(regexp_extract_all(tx,
-             '[a-zA-Z]-' || chr(10) || '[ ' || chr(9) || ']*[a-zA-Z]'))
+             '[a-zA-Z]-' || chr(13) || '?' || chr(10)
+               || '[ ' || chr(9) || ']*[a-zA-Z]'))
              AS BIGINT) AS n_wraps,
            regexp_replace(tx,
-             '([a-zA-Z])-' || chr(10) || '[ ' || chr(9) || ']*([a-zA-Z])',
+             '([a-zA-Z])-' || chr(13) || '?' || chr(10)
+               || '[ ' || chr(9) || ']*([a-zA-Z])',
              '\\1\\2', 'g') AS repaired
     FROM t
     """,
@@ -2724,11 +2727,12 @@ def q_fim_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dehyphenate_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR/PDF line-wrap repair under the driver hash: hyphen-newline
     word splits are synthesized deterministically (the gopher_line_stats
-    newline recipe — both with and without trailing indentation), then
-    :func:`dehyphenate` must reproduce the oracle's repaired text to
-    the character, plus the wrap count. An over-eager pattern (joining
-    numeric ranges, eating the indent of non-wrap lines) or an
-    under-eager one (missing indented continuations) fails the value
+    newline recipe — one LF seam, one CRLF+indent seam, so BOTH line
+    ending shapes are exercised), then :func:`dehyphenate` must
+    reproduce the oracle's repaired text to the character, plus the
+    wrap count. An over-eager pattern (joining numeric ranges, eating
+    the indent of non-wrap lines) or an under-eager one (missing
+    indented continuations or Windows CRLF wraps) fails the value
     hash. Map-only regexp built-ins fused into the scan.
 
     The oracle uses ``[a-zA-Z]`` where the operator uses ``\\p{L}``:
@@ -2742,13 +2746,13 @@ def q_dehyphenate_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(F.col("text"), " over", " ov-\ner"),
             " with",
-            " wi-\n  th",
+            " wi-\r\n  th",
         ).alias("tx"),
     )
     return wrapped.select(
         "doc_id",
         F.regexp_count(
-            F.col("tx"), F.lit(r"[a-zA-Z]-\n[ \t]*[a-zA-Z]")
+            F.col("tx"), F.lit(r"[a-zA-Z]-\r?\n[ \t]*[a-zA-Z]")
         ).cast("long").alias("n_wraps"),
         dehyphenate("tx").alias("repaired"),
     )

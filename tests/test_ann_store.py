@@ -261,3 +261,38 @@ def test_append_rejects_dim_mismatch(spark, vectors):
     )
     with pytest.raises(ValueError, match="32 components.*dim=64"):
         append_ann_shard(short, "ann_store_d")
+
+
+def test_query_paths_reject_dim_mismatch(spark, vectors):
+    """Wrong-dim QUERY shards must fail loudly too: they null-pad
+    through sha_band_keys into degenerate band keys and return
+    silently-wrong/empty neighbors (the read-path twin of the
+    append-path guard)."""
+    from pyspark.sql import Row
+
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    write_ann_store(base, "ann_store_qd", dim=64, buckets=4)
+    short = spark.createDataFrame(
+        [Row(vec_id=777778, embedding=[0.5] * 32, label=None)],
+        vectors.schema,
+    )
+    with pytest.raises(ValueError, match="32 components.*dim=64"):
+        topk_against_shard(spark, "ann_store_qd", short, k=3)
+    with pytest.raises(ValueError, match="32 components.*dim=64"):
+        topk_from_store(spark, "ann_store_qd", short, k=3, dim=64)
+
+
+def test_append_rejects_overlapping_ids(spark, vectors):
+    """Appending a shard whose ids already exist must fail loudly:
+    duplicated ids double their rows in both tables and burn top-k
+    rank slots with duplicate candidates on every later query."""
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    write_ann_store(base, "ann_store_ov", dim=64, buckets=4)
+    overlapping = vectors.filter(F.col("vec_id") % 4 != 0).limit(2)
+    with pytest.raises(ValueError, match="already exists"):
+        append_ann_shard(overlapping, "ann_store_ov")
+    # disjoint shard still appends fine after the rejected attempt
+    fresh = vectors.filter(F.col("vec_id") % 4 == 0).limit(2)
+    append_ann_shard(fresh, "ann_store_ov")
+    n = read_bucketed(spark, "ann_store_ov_vectors").count()
+    assert n == base.count() + 2

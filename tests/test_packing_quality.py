@@ -311,3 +311,73 @@ def test_mixture_rebalance_composition_and_determinism(spark):
     out2 = mixture_rebalance(df, {"major": 0.5, "minor": 0.5}, "stratum", "doc_id")
     ids2 = sorted(r.doc_id for r in out2.collect())
     assert ids1 == ids2
+
+
+# ---- round-9 plan assertions: no corpus-scale single-task windows --------
+
+
+def test_source_kl_plan_has_no_unpartitioned_window(spark):
+    """The corpus total must be a broadcast 1-row crossJoin, never a
+    ``Window.partitionBy()`` sum (one task would sort the whole
+    |groups|x|vocab| frame). An unpartitioned UNORDERED window prints
+    ``windowspecdefinition(specifiedwindowframe(...``; partitioned
+    ones name their key first."""
+    from polars_text_spark.operators.quality import source_kl_divergence
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [("s1", "a a"), ("s2", "a b")], "source string, text string"
+    )
+    plan = explain_str(source_kl_divergence(docs, "text", "source"), "formatted")
+    assert "windowspecdefinition(specifiedwindowframe" not in plan
+    # the per-group and per-token windows must still be there
+    assert plan.count(") Window") == 2
+    # and the total arrives via a broadcast join of the 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vocab_topk_two_phase_plan_and_equivalence(spark):
+    """Phase-1 ranking must be partitioned by the hash-bucket column
+    (parallel sort) with Spark's rank-limit pushdown applied; the
+    result must equal the naive single-window top-k."""
+    from polars_text_spark.operators.quality import (
+        unigram_frequencies,
+        vocab_topk,
+    )
+    from polars_text_spark.plans import explain_str
+    from pyspark.sql import Window
+
+    rows = [(i, f"tok{i % 97} tok{i % 31} common") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_topk(docs, "text", k=25)
+    plan = explain_str(out, "formatted")
+    assert "__tpk_b" in plan  # bucketed phase-1 window present
+    # Spark >= 3.5 pushes rank<=k into WindowGroupLimit partials
+    assert "WindowGroupLimit" in plan
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    naive = (
+        unigram_frequencies(docs, "text")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_heavy_hitters_two_phase_matches_naive_rank(spark):
+    from polars_text_spark.operators.quality import heavy_hitters_audit
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = heavy_hitters_audit(docs, "text", k=4, depth=4, width=4096).collect()
+    # w0 appears in every doc with >=1 token etc. -> counts strictly
+    # decreasing w0 > w1 > ... so ranks are unambiguous
+    assert [r.token for r in sorted(got, key=lambda r: r.rank)] == [
+        "w0",
+        "w1",
+        "w2",
+        "w3",
+    ]
+    for r in got:
+        assert r.cms_est >= r.exact_count

@@ -199,6 +199,9 @@ def test_dehyphenate_fixtures(spark):
                 (4, "dash-\n\nparagraph"),    # blank line: untouched
                 (5, "no wraps here"),
                 (6, None),
+                (7, "exam-\r\nple"),          # Windows CRLF wrap
+                (8, "exam-\r\n\tple"),        # CRLF + tab indent
+                (9, "pages 3-\r\n4"),         # CRLF numeric: untouched
             ],
             "i int, s string",
         ).select("i", dehyphenate("s").alias("out")).collect()
@@ -209,6 +212,9 @@ def test_dehyphenate_fixtures(spark):
     assert rows[4] == "dash-\n\nparagraph"
     assert rows[5] == "no wraps here"
     assert rows[6] is None
+    assert rows[7] == "example"
+    assert rows[8] == "example"
+    assert rows[9] == "pages 3-\r\n4"
 
 
 def test_round8_map_only_ops_have_zero_exchange(spark):

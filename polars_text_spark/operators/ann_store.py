@@ -34,12 +34,18 @@ from polars_text_spark.operators.similarity import (
 )
 from polars_text_spark.sources.bucketing import (
     clear_table,
+    compact_table,
+    minus_tombstones as _minus_tombstones,
     read_bucketed,
+    read_tombstones as _tombstones,
+    tombstone_ids,
     write_bucketed,
 )
 
 __all__ = [
     "append_ann_shard",
+    "delete_ids",
+    "purge_deleted",
     "topk_against_shard",
     "topk_from_store",
     "write_ann_store",
@@ -163,6 +169,39 @@ def _store_meta(
     )
 
 
+def delete_ids(ids: DataFrame, name: str, *, id_col: str = "vec_id") -> None:
+    """Logical deletion (right-to-be-forgotten / recrawled-domain
+    purge) WITHOUT rewriting the store: append the ids to the
+    ``<name>_tombstones`` table. Every read path anti-joins the
+    tombstone set from then on; :func:`purge_deleted` later folds the
+    tombstones into the files (one compaction pass) instead of a
+    per-deletion store rewrite — O(batch) deletes, amortized O(store)
+    physical reclaim.
+
+    Contract: a tombstoned id cannot be re-appended until
+    :func:`purge_deleted` runs (append rejects ids in store ∪
+    tombstones) — otherwise the read-time anti-join would silently
+    swallow the re-ingested row."""
+    tombstone_ids(ids, name, id_col=id_col)
+
+
+def purge_deleted(spark: SparkSession, name: str) -> None:
+    """Fold the tombstone set into the store files: compact both
+    bucketed tables with the tombstones anti-joined away, then clear
+    the tombstone table. After this the store is byte-equivalent to
+    one rebuilt from the filtered corpus (parity-tested) and
+    re-appending previously-deleted ids becomes legal again. Same
+    non-atomicity caveat as compact_table — run in the maintenance
+    window."""
+    ts = _tombstones(spark, name)
+    if ts is None:
+        return
+    ts = ts.localCheckpoint(eager=True)  # survives the table drops below
+    compact_table(spark, f"{name}_bands", anti=ts, anti_on="id")
+    compact_table(spark, f"{name}_vectors", anti=ts, anti_on="id")
+    clear_table(spark, f"{name}_tombstones")
+
+
 def append_ann_shard(
     shard: DataFrame,
     name: str,
@@ -193,9 +232,16 @@ def append_ann_shard(
     spark = shard.sparkSession
     dim, num_planes, bands, buckets = _store_meta(spark, name)
     _assert_vec_dim(shard, vec_col, dim)
+    standing = read_bucketed(spark, f"{name}_vectors").select("id")
+    ts = _tombstones(spark, name)
+    if ts is not None:
+        # a tombstoned id is still physically present (or about to be
+        # anti-joined away at read time) — re-appending it before
+        # purge_deleted would be silently swallowed by the read-time
+        # anti-join, so it clashes too
+        standing = standing.unionByName(ts)
     clash = (
-        read_bucketed(spark, f"{name}_vectors")
-        .select("id")
+        standing
         .join(
             F.broadcast(shard.select(F.col(id_col).alias("id"))),
             "id",
@@ -286,9 +332,10 @@ def topk_against_shard(
         unit.select(F.col("id").alias("query_id"), F.col("u").alias("__qvec")),
         "query_id",
     )
-    store_bands = read_bucketed(spark, f"{name}_bands").select(
-        F.col("id").alias("neighbor_id"), "band_key"
-    )
+    __ts = _tombstones(spark, name)
+    store_bands = _minus_tombstones(
+        read_bucketed(spark, f"{name}_bands"), __ts
+    ).select(F.col("id").alias("neighbor_id"), "band_key")
     shard_bands = banded.select(
         F.col("id").alias("neighbor_id"), "band_key"
     )
@@ -301,7 +348,7 @@ def topk_against_shard(
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     neighbors = (
-        read_bucketed(spark, f"{name}_vectors")
+        _minus_tombstones(read_bucketed(spark, f"{name}_vectors"), __ts)
         .unionByName(unit)
         .select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
     )
@@ -358,9 +405,10 @@ def topk_from_store(
             )
         ).alias("band_key"),
     )
-    store_bands = read_bucketed(spark, f"{name}_bands").select(
-        F.col("id").alias("neighbor_id"), "band_key"
-    )
+    __ts = _tombstones(spark, name)
+    store_bands = _minus_tombstones(
+        read_bucketed(spark, f"{name}_bands"), __ts
+    ).select(F.col("id").alias("neighbor_id"), "band_key")
     cands = (
         store_bands.join(q, "band_key")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -368,9 +416,9 @@ def topk_from_store(
     )
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    unit = read_bucketed(spark, f"{name}_vectors").select(
-        F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec")
-    )
+    unit = _minus_tombstones(
+        read_bucketed(spark, f"{name}_vectors"), __ts
+    ).select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
     scored = cands.join(unit, "neighbor_id").select(
         "query_id",
         "neighbor_id",

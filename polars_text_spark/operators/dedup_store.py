@@ -35,11 +35,20 @@ from polars_text_spark.operators.dedup import (
     _verify_jaccard,
     token_shingles,
 )
-from polars_text_spark.sources.bucketing import read_bucketed, write_bucketed
+from polars_text_spark.sources.bucketing import (
+    compact_table,
+    minus_tombstones as _minus_tombstones,
+    read_bucketed,
+    read_tombstones as _tombstones,
+    tombstone_ids,
+    write_bucketed,
+)
 
 __all__ = [
+    "delete_ids",
     "incremental_pairs_from_store",
     "pairs_from_store",
+    "purge_deleted",
     "write_minhash_store",
 ]
 
@@ -85,11 +94,43 @@ def write_minhash_store(
     )
 
 
+def delete_ids(ids: DataFrame, name: str, *, id_col: str = "doc_id") -> None:
+    """Logical deletion (right-to-be-forgotten / recrawled-domain
+    purge) WITHOUT rewriting the store: append the ids to the
+    ``<name>_tombstones`` table. Every read path anti-joins the set
+    from then on (broadcast, so the store side keeps its co-location);
+    :func:`purge_deleted` later folds the tombstones into the files in
+    one compaction pass — O(batch) deletes, amortized O(store)
+    physical reclaim."""
+    tombstone_ids(ids, name, id_col=id_col)
+
+
+def purge_deleted(spark: SparkSession, name: str) -> None:
+    """Fold the tombstone set into the store files: compact both
+    bucketed tables with the tombstones anti-joined away, then clear
+    the tombstone table. After this the store is equivalent to one
+    rebuilt from the filtered corpus (parity-tested). Same
+    non-atomicity caveat as compact_table — run in the maintenance
+    window."""
+    from polars_text_spark.sources.bucketing import clear_table
+
+    ts = _tombstones(spark, name)
+    if ts is None:
+        return
+    ts = ts.localCheckpoint(eager=True)  # survives the table drops below
+    compact_table(spark, f"{name}_bands", anti=ts, anti_on="id")
+    compact_table(spark, f"{name}_shingles", anti=ts, anti_on="id")
+    clear_table(spark, f"{name}_tombstones")
+
+
 def candidate_self_join(spark: SparkSession, name: str) -> DataFrame:
     """The raw band-collision self-join over the bucketed store —
     exposed separately so tests can assert its plan has NO Exchange
-    (both sides read the same bucketing)."""
-    banded = read_bucketed(spark, f"{name}_bands")
+    (both sides read the same bucketing; a pending tombstone set adds
+    only a broadcast anti-join above each scan)."""
+    banded = _minus_tombstones(
+        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+    )
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     return left.join(right, ["band", "bucket"]).filter(
@@ -112,7 +153,9 @@ def pairs_from_store(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = read_bucketed(spark, f"{name}_shingles")
+    sh = _minus_tombstones(
+        read_bucketed(spark, f"{name}_shingles"), _tombstones(spark, name)
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return _verify_jaccard(cand, a, b, jaccard_threshold)
@@ -143,9 +186,10 @@ def incremental_pairs_from_store(
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
     )
-    standing = read_bucketed(spark, f"{name}_bands").select(
-        F.col("id").alias("id_b"), "band", "bucket"
-    )
+    __ts = _tombstones(spark, name)
+    standing = _minus_tombstones(
+        read_bucketed(spark, f"{name}_bands"), __ts
+    ).select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
         new_bands.join(standing, ["band", "bucket"])
         .select("id_a", "id_b")
@@ -155,6 +199,6 @@ def incremental_pairs_from_store(
         F.col(id_col).alias("id_a"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
     )
-    sh = read_bucketed(spark, f"{name}_shingles")
+    sh = _minus_tombstones(read_bucketed(spark, f"{name}_shingles"), __ts)
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return _verify_jaccard(cand, a, b, jaccard_threshold)

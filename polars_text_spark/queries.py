@@ -4908,6 +4908,103 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_store_delete",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e)),
+    bk AS (
+      SELECT e.vec_id, unnest({{_lsh_keys}}) AS band_key
+      FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM bk q JOIN bk n ON q.band_key = n.band_key
+      WHERE q.vec_id < 6 AND n.vec_id <> q.vec_id
+        AND (n.vec_id % 5) <> 0),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(uq.u)),
+                  i -> uq.u[i] * un.u[i]), (a, b) -> a + b) AS cos
+      FROM cand c
+      JOIN unit uq ON uq.vec_id = c.query_id
+      JOIN unit un ON un.vec_id = c.neighbor_id),
+    topk AS (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(rn AS INT) AS rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+            FROM scored)
+      WHERE rn <= 10)
+    SELECT s.stage, t.query_id, t.neighbor_id, t.cosine, t.rank
+    FROM topk t CROSS JOIN (VALUES ('logical'), ('purged')) AS s(stage)
+    """.replace("{_lsh_keys}", _lsh_sha_keys_sql("e")),
+)
+def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store deletion lifecycle under the driver hash: write the ANN
+    store on the full corpus, ``delete_ids`` every fifth vector
+    (tombstones only — no rewrite), answer top-k ('logical' stage:
+    the read-time broadcast anti-join must hide the deleted rows),
+    then ``purge_deleted`` (tombstones folded into the files by
+    compaction) and answer again ('purged' stage). BOTH stages must
+    hash-match the oracle's sha-LSH replay over the corpus with the
+    deleted neighbors filtered out — a leaky anti-join, a purge that
+    drops the wrong rows, or a compaction that breaks the band tables
+    shifts candidates or cosines and fails the value hash."""
+    import atexit
+    import os
+    import shutil
+
+    from polars_text_spark.operators.ann_store import (
+        delete_ids,
+        purge_deleted,
+        topk_from_store,
+        write_ann_store,
+    )
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # pid-unique name + deferred cleanup: same lifecycle as
+    # q_ann_store_incremental
+    name = f"anndel_{os.getpid()}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for suffix in ("_bands", "_vectors", "_meta", "_tombstones"):
+        atexit.register(
+            shutil.rmtree, os.path.join(warehouse, name + suffix), True
+        )
+    write_ann_store(vecs, name, dim=64, buckets=8)
+    delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
+    qs = vecs.filter(F.col("vec_id") < 6)
+
+    def answer(stage: str) -> DataFrame:
+        return topk_from_store(spark, name, qs, k=10, dim=64).select(
+            F.lit(stage).alias("stage"),
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+
+    # the logical stage must materialize BEFORE the purge mutates the
+    # tables underneath the lazy plan
+    logical = spark.createDataFrame(
+        answer("logical").collect(), "stage string, query_id long, "
+        "neighbor_id long, cosine double, rank int"
+    )
+    purge_deleted(spark, name)
+    return logical.unionByName(answer("purged"))
+
+
+@query(
     "node_collocates",
     f"""
     WITH toks AS (

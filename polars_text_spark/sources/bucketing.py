@@ -19,7 +19,15 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["clear_table", "compact_table", "read_bucketed", "write_bucketed"]
+__all__ = [
+    "clear_table",
+    "compact_table",
+    "minus_tombstones",
+    "read_bucketed",
+    "read_tombstones",
+    "tombstone_ids",
+    "write_bucketed",
+]
 
 
 def write_bucketed(
@@ -62,7 +70,13 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def compact_table(spark: SparkSession, table: str) -> int:
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    *,
+    anti: DataFrame | None = None,
+    anti_on: str | list[str] | None = None,
+) -> int:
     """Rewrite a bucketed table in place, merging append fragments.
 
     Incremental ingest (``append_ann_shard``-style) adds a new file
@@ -74,6 +88,14 @@ def compact_table(spark: SparkSession, table: str) -> int:
     bucket lands in ONE file), rewrites under a temp name, then swaps
     via DROP + RENAME. Bucket spec, sort spec, and table contents are
     preserved — co-located joins stay shuffle-free (plan-tested).
+
+    ``anti`` (with join keys ``anti_on``) physically drops matching
+    rows during the rewrite — the tombstone-merge half of the store
+    deletion protocol (``delete_ids`` + ``purge_deleted`` in the store
+    modules): tombstones are anti-joined at read time until compaction
+    folds them into the files. The anti side is broadcast (tombstone
+    sets are small relative to the store), so the rewrite stays one
+    pass, one shuffle (the bucket repartition it already does).
 
     Returns the number of data files after compaction. Not atomic: a
     reader concurrent with the swap can observe the drop; run it in
@@ -105,9 +127,13 @@ def compact_table(spark: SparkSession, table: str) -> int:
     # exactly the fragmentation we're here to undo. The plain file scan
     # carries no partitioning claim, so the repartition applies and each
     # bucket lands in one task (repartition hash == bucketing hash).
-    df = spark.read.parquet(location).repartition(
-        buckets, *[F.col(c) for c in bucket_cols]
-    )
+    df = spark.read.parquet(location)
+    if anti is not None:
+        keys = [anti_on] if isinstance(anti_on, str) else list(anti_on or [])
+        if not keys:
+            raise ValueError("anti requires anti_on join keys")
+        df = df.join(F.broadcast(anti.select(keys)), keys, "left_anti")
+    df = df.repartition(buckets, *[F.col(c) for c in bucket_cols])
     write_bucketed(
         df,
         tmp,
@@ -128,3 +154,39 @@ def compact_table(spark: SparkSession, table: str) -> int:
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def tombstone_ids(ids: DataFrame, name: str, *, id_col: str) -> None:
+    """Append a batch of ids to the store's ``<name>_tombstones``
+    table (single ``id`` column) — the logical half of the deletion
+    protocol shared by the MinHash and ANN stores: O(batch) per
+    delete, read paths anti-join the set, compaction reclaims."""
+    spark = ids.sparkSession
+    frame = ids.select(F.col(id_col).alias("id")).distinct()
+    exists = spark.catalog.tableExists(f"{name}_tombstones")
+    if not exists:
+        clear_table(spark, f"{name}_tombstones")  # stale dir from a drop
+    frame.write.format("parquet").mode(
+        "append" if exists else "overwrite"
+    ).saveAsTable(f"{name}_tombstones")
+
+
+def read_tombstones(spark: SparkSession, name: str) -> DataFrame | None:
+    """The store's tombstone id set, or None if nothing was ever
+    deleted (the common case — zero read overhead)."""
+    if not spark.catalog.tableExists(f"{name}_tombstones"):
+        return None
+    # no .distinct(): the consumers are left-anti builds (duplicate
+    # build keys are harmless) and it would add a shuffle to every read
+    return spark.table(f"{name}_tombstones").select("id")
+
+
+def minus_tombstones(df: DataFrame, ts: DataFrame | None, *, on: str = "id") -> DataFrame:
+    """Anti-join a store frame against the tombstone set. The
+    tombstone side is broadcast (a deletion batch is small relative
+    to the store), so the store side keeps its bucket co-location —
+    NO Exchange appears above the store scan (plan-tested)."""
+    if ts is None:
+        return df
+    keyed = ts.select(F.col("id").alias(on)) if on != "id" else ts
+    return df.join(F.broadcast(keyed), on, "left_anti")

@@ -296,3 +296,80 @@ def test_append_rejects_overlapping_ids(spark, vectors):
     append_ann_shard(fresh, "ann_store_ov")
     n = read_bucketed(spark, "ann_store_ov_vectors").count()
     assert n == base.count() + 2
+
+
+# ---- round-9: tombstone deletion lifecycle -------------------------------
+
+
+def test_ann_delete_matches_rebuild_from_filtered_corpus(spark, vectors):
+    """Store minus deleted ids ≡ store rebuilt from filtered corpus,
+    for both the standing-query and shard-query read paths."""
+    from polars_text_spark.operators.ann_store import delete_ids
+
+    write_ann_store(vectors, "ann_del", dim=64, buckets=4)
+    doomed = vectors.select("vec_id").filter(F.col("vec_id") % 7 == 0)
+    delete_ids(doomed, "ann_del")
+    kept = vectors.join(F.broadcast(doomed), "vec_id", "left_anti")
+    write_ann_store(kept, "ann_del_ref", dim=64, buckets=4)
+    qs = vectors.filter(F.col("vec_id") % 7 == 1).limit(4)
+    key = lambda rows: {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9)) for r in rows
+    }
+    got = key(topk_from_store(spark, "ann_del", qs, k=8, dim=64).collect())
+    ref = key(topk_from_store(spark, "ann_del_ref", qs, k=8, dim=64).collect())
+    assert got and got == ref
+
+
+def test_ann_purge_then_reappend(spark, vectors):
+    from polars_text_spark.operators.ann_store import delete_ids, purge_deleted
+
+    base = vectors.filter(F.col("vec_id") < 40)
+    write_ann_store(base, "ann_pg", dim=64, buckets=4)
+    doomed = base.select("vec_id").filter(F.col("vec_id") < 5)
+    delete_ids(doomed, "ann_pg")
+    # re-appending a tombstoned id before purge must fail loudly
+    shard = vectors.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="already exists"):
+        append_ann_shard(shard, "ann_pg")
+    purge_deleted(spark, "ann_pg")
+    assert not spark.catalog.tableExists("ann_pg_tombstones")
+    remaining = {
+        r.id for r in read_bucketed(spark, "ann_pg_vectors").collect()
+    }
+    assert remaining == set(range(5, 40))
+    # after purge the ids are free again; a query identical to the
+    # re-appended vector shares ALL its band keys, so it must surface
+    # as its own top neighbor (cosine 1) — proves the re-ingested rows
+    # are really read
+    append_ann_shard(shard, "ann_pg")
+    qs = vectors.filter(F.col("vec_id") == 0)
+    out = topk_from_store(
+        spark, "ann_pg", qs, k=50, dim=64, exclude_self=False
+    ).collect()
+    best = min(out, key=lambda r: r.rank)
+    assert best.neighbor_id == 0 and best.cosine == pytest.approx(1.0)
+    neigh = {r.neighbor_id for r in out}
+    assert not ({2, 3, 4} & neigh)
+
+
+def test_ann_pending_tombstones_keep_store_reads_shuffle_free(
+    spark, vectors, no_broadcast
+):
+    """Hard-count twin of test_store_side_joins_are_shuffle_free with
+    a pending tombstone set: the two anti-joins must arrive as
+    BroadcastExchanges ONLY — the non-broadcast Exchange count stays
+    at the tombstone-free baseline of 4 (query bands onto band_key,
+    candidate dedup, candidates onto neighbor_id, rank window)."""
+    from polars_text_spark.operators.ann_store import delete_ids
+
+    write_ann_store(vectors, "ann_ts", dim=64, buckets=4)
+    delete_ids(vectors.select("vec_id").limit(3), "ann_ts")
+    qs = vectors.filter(F.col("vec_id") < 3)
+    plan = explain_str(
+        topk_from_store(spark, "ann_ts", qs, k=5, dim=64), "simple"
+    )
+    assert plan.count("Bucketed: true") == 2, plan
+    n_broadcast = plan.count("BroadcastExchange")
+    n_shuffle = plan.count("Exchange") - n_broadcast
+    assert n_broadcast == 2, plan  # one per store table's anti-join
+    assert n_shuffle == 4, plan

@@ -92,3 +92,75 @@ def test_incremental_pairs_only_shuffle_the_shard(
     # cross-side only
     assert all(r.id_a >= 1_000_000 > r.id_b for r in rows)
     assert all(r.jaccard >= 0.35 for r in rows)
+
+
+# ---- round-9: tombstone deletion lifecycle -------------------------------
+
+
+def test_delete_ids_matches_rebuild_from_filtered_corpus(spark, corpus):
+    """Store minus deleted ids must answer EXACTLY like a store
+    rebuilt from the filtered corpus — the deletion-parity contract."""
+    from polars_text_spark.operators.dedup_store import delete_ids
+
+    write_minhash_store(corpus, "mh_store_del", buckets=4)
+    doomed = corpus.select("doc_id").limit(20)
+    delete_ids(doomed, "mh_store_del")
+    kept = corpus.join(F.broadcast(doomed), "doc_id", "left_anti")
+    write_minhash_store(kept, "mh_store_ref", buckets=4)
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, "mh_store_del").collect()
+    }
+    ref = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, "mh_store_ref").collect()
+    }
+    assert got == ref
+    # and parity against the direct operator over the filtered corpus
+    direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(kept, jaccard_threshold=0.7).collect()
+    }
+    assert got == direct
+
+
+def test_pending_tombstones_keep_reads_exchange_free(
+    spark, corpus, no_broadcast
+):
+    """The tombstone anti-join must be a broadcast above each store
+    scan — no Exchange re-shuffling the store side."""
+    from polars_text_spark.operators.dedup_store import delete_ids
+
+    write_minhash_store(corpus, "mh_store_ts", buckets=4)
+    delete_ids(corpus.select("doc_id").limit(5), "mh_store_ts")
+    plan = explain_str(candidate_self_join(spark, "mh_store_ts"), "simple")
+    assert "BroadcastHashJoin" in plan  # the anti-join
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_purge_deleted_physically_removes_and_clears(spark, corpus):
+    from polars_text_spark.operators.dedup_store import (
+        delete_ids,
+        purge_deleted,
+    )
+    from polars_text_spark.sources.bucketing import read_bucketed
+
+    write_minhash_store(corpus, "mh_store_pg", buckets=4)
+    doomed = corpus.select("doc_id").limit(10)
+    doomed_ids = {r.doc_id for r in doomed.collect()}
+    before = pairs_from_store(spark, "mh_store_pg").collect()
+    purge_deleted(spark, "mh_store_pg")  # no tombstones: no-op
+    delete_ids(doomed, "mh_store_pg")
+    logical = pairs_from_store(spark, "mh_store_pg").collect()
+    purge_deleted(spark, "mh_store_pg")
+    assert not spark.catalog.tableExists("mh_store_pg_tombstones")
+    after = pairs_from_store(spark, "mh_store_pg").collect()
+    key = lambda rows: {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in rows}
+    assert key(after) == key(logical)  # purge changes nothing logically
+    # physical removal: no tombstoned id anywhere in either table
+    for t in ("mh_store_pg_bands", "mh_store_pg_shingles"):
+        remaining = {
+            r.id for r in read_bucketed(spark, t).select("id").distinct().collect()
+        }
+        assert not (remaining & doomed_ids)
+    assert key(before) != key(after) or not doomed_ids

@@ -5,6 +5,7 @@ want at 100 TB, not just a plan that passes."""
 from __future__ import annotations
 
 import pytest
+import re
 from pyspark.sql import functions as F
 
 from polars_text_spark.operators.interval import interval_join
@@ -121,3 +122,29 @@ def test_pii_scan_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     # column pruning: the scan must not read lang/source
     assert "lang" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_cosine_topk_has_partial_rank_limit_before_shuffle(spark, sf_dir):
+    """The exact top-k's `rank <= k` filter must trigger rank-limit
+    pushdown (SPARK-37099): a Partial-mode WindowGroupLimit BELOW the
+    query_id Exchange, so each map task ships at most k rows per query
+    into the shuffle instead of its whole candidate slice. Pins the
+    SCALING.md claim; a Spark upgrade or rank_topk refactor that loses
+    the rewrite fails here, not in a 100x-scale run."""
+    from polars_text_spark.operators.similarity import cosine_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 3)
+    plan = explain_str(cosine_topk(vecs, qs, k=5), "formatted")
+    partial = re.search(r"\((\d+)\) WindowGroupLimit\b.*", plan)
+    assert partial, "rank-limit pushdown missing entirely"
+    # formatted explain prints the tree top-down: the Partial node
+    # must appear deeper (later line) than the Exchange feeding the
+    # final window, i.e. below it in the plan tree.
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange" in l and "Broadcast" not in l]
+    pt = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    assert ex and pt
+    assert max(pt) > max(ex), "no WindowGroupLimit below the shuffle"
+    assert ", Partial" in plan and ", Final" in plan

@@ -14,6 +14,9 @@ parallel summation order) don't flip the value hash.
 from __future__ import annotations
 
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1654,6 +1657,119 @@ def q_topic_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("topics.y").cast("double"), 6).alias("y"),
         F.col("topics.n_topics").alias("n_topics"),
         F.col("topics.n_chunks").alias("n_chunks"),
+    )
+
+
+@query(
+    "topic_projector",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    fit AS (
+      SELECT vec_id, v,
+             {_SQL_SHA60.format(expr="CAST(vec_id AS VARCHAR)")} % 6 - 1
+               AS label
+      FROM e WHERE vec_id % 4 = 0 AND vec_id < 4000),
+    fdim AS (
+      SELECT f.label, f.vec_id, u.i AS i, f.v[u.i] AS x
+      FROM fit f, UNNEST(generate_series(1, 64)) AS u(i)
+      WHERE f.label >= 0),
+    cent AS (
+      SELECT label, i, avg(x) AS c FROM fdim GROUP BY label, i),
+    fitd AS (
+      SELECT d.label, d.vec_id, sqrt(sum((d.x - c.c) * (d.x - c.c))) AS dist
+      FROM fdim d JOIN cent c ON c.label = d.label AND c.i = d.i
+      GROUP BY d.label, d.vec_id),
+    radius AS (
+      SELECT label, max(dist) AS r FROM fitd GROUP BY label),
+    alld AS (
+      SELECT e.vec_id, c.label,
+             sqrt(sum((e.v[c.i] - c.c) * (e.v[c.i] - c.c))) AS dist
+      FROM e, cent c
+      GROUP BY e.vec_id, c.label),
+    nearest AS (
+      SELECT vec_id, label, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, label ASC) AS rn
+      FROM alld)
+    SELECT n.vec_id,
+           (n.vec_id % 4 = 0 AND n.vec_id < 4000) AS in_fit,
+           CAST(CASE WHEN n.dist <= r.r * 1.5 THEN n.label
+                     ELSE -1 END AS INT) AS projected_topic
+    FROM nearest n JOIN radius r USING (label)
+    WHERE n.rn = 1
+    """,
+)
+def q_topic_projector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled-fit -> broadcast-projector assignment of the topic
+    pipeline's scale path (pipeline.py:148-199) in isolation, under
+    the driver hash: fit members are a deterministic corpus sample
+    (vec_id % 4 = 0, bounded at 4000 — the max_fit_points stand-in)
+    with hash-assigned fit labels in [-1, 4] (the topic_assemble
+    trick, so the fit itself needs no seeded clustering), the topic
+    geometry comes from the REAL :func:`cluster_geometry` (centroid =
+    member mean, radius = max member distance), and every corpus
+    vector is labeled executor-side by the REAL
+    :func:`nearest_centroid_labels` inside an Arrow-batched pandas
+    UDF whose closure ships only the (n_topics x dim) geometry —
+    kilobytes, the broadcast-instead-of-collect half of the design.
+    The oracle re-derives centroids, radii, each vector's nearest
+    centroid (ties to the smaller label, numpy argmin's choice) and
+    the radius_slack=1.5 outlier gate. Mirrors the out-of-sample
+    assignment of /root/reference/src/topic_modeling/cluster.rs via
+    reduce.rs:69-83's sampled-fit stance."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_text_spark.operators.dedup import sha_token_hash
+    from polars_text_spark.operators.topic_modeling.cluster import (
+        cluster_geometry,
+        nearest_centroid_labels,
+    )
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    fit = (
+        vecs.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000))
+        .select(
+            "vec_id",
+            "embedding",
+            (sha_token_hash(F.col("vec_id").cast("string")) % 6 - 1).alias(
+                "label"
+            ),
+        )
+    )
+    # the ONE bounded driver materialization (<= 1000 rows by the
+    # vec_id < 4000 cap), mirroring the pipeline's max_fit_points
+    fit_pd = fit.toPandas()
+    pts = np.stack([np.asarray(v, dtype=np.float32) for v in fit_pd["embedding"]])
+    centroids, radii = cluster_geometry(
+        pts, fit_pd["label"].to_numpy(), n_topics=5
+    )
+
+    @F.pandas_udf("int")
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            if len(series) == 0:
+                yield pd.Series([], dtype="int32")
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in series]
+            )
+            yield pd.Series(
+                nearest_centroid_labels(
+                    mat, centroids, radii, radius_slack=1.5
+                )
+            )
+
+    return vecs.select(
+        "vec_id",
+        ((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000)).alias(
+            "in_fit"
+        ),
+        assign("embedding").alias("projected_topic"),
     )
 
 
@@ -5053,69 +5169,20 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()`` iteration order. With 70+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 8: the 3 round-8
-# additions, then the two r5-signed entries that r7 displaced
-# (VERDICT r7 item 3), then the 50 r6-signed queries the r7 window
-# pushed out — ordered oldest-signature-first so no query's latest
-# driver row falls more than two rounds behind. The handful of
-# r6-signed entries past the ~50-row window (tail of the r6 block)
-# rotate to the front next round.
+# keep their original order behind them. Round 9 (VERDICT r8 item 2):
+# the 2 round-9 additions, then the 12 r6-signed entries the r8
+# front-list displaced (oldest signatures in the registry), then all
+# 50 r7-signed queries — oldest-signature-first, so after this round
+# no query's latest driver row is older than r7. The r7 entries past
+# the ~50-row window (tail of the r7 block) rotate first next round
+# together with the 44 r8-signed queries.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-8 additions (driver has never seen these)
-    "embedding_cached",
-    "topic_assemble",
-    "ann_store_incremental",
-    "pii_redact",
-    "quality_weighted_sample",
-    "fim_psm",
-    "dedup_sweep",
-    "mojibake_scan",
-    "containment_dups",
-    "dehyphenate_repair",
-    # r5-signed, two rounds stale after r7 (VERDICT r7 item 3)
-    "gopher_line_stats",
-    "events_first_hour",
-    # r6-signed queries displaced out of the r7 window
-    "scalar_text_stats",
-    "token_frequencies",
-    "tokenize_offsets",
-    "token_frequency_stats",
-    "concordance_matches",
-    "concordance_neighbors",
-    "language_id",
-    "quality_by_source",
-    "doc_fingerprints",
-    "dedup_exact",
-    "dup_source_matrix",
-    "near_dedup_minhash",
-    "near_dedup_blocked_jaccard",
-    "near_dedup_setjoin",
-    "cross_corpus_dedup",
-    "dedup_clusters",
-    "near_dedup_simhash",
-    "near_dedup_simhash_sha",
-    "near_dedup_bottomk",
-    "similarity_topk",
-    "similarity_topk_int8",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "similarity_ann_recall",
-    "embedding_dup_pairs",
-    "pricing_summary",
-    "top_customer_revenue",
-    "revenue_by_nation",
-    "supplier_part_coverage",
-    "events_hourly",
-    "customer_segment_rank",
-    "corpus_pooling_union",
-    "embedding_docs",
-    "embedding_docs_sha",
-    "topic_modeling",
-    "topic_ctfidf",
-    "topic_rollup",
-    "normalize_and_stopwords",
+    # round-9 additions (driver has never seen these)
+    "topic_projector",
+    "ann_store_delete",
+    # r6-signed tail the r8 front-list displaced (oldest signatures)
     "event_sessions",
     "events_props_json",
     "events_asof_clicks",
@@ -5128,6 +5195,57 @@ _DRIVER_PRIORITY = [
     "stratified_sample",
     "bm25_search",
     "length_quantiles",
+    # the 50 r7-signed queries (r8's window covered none of them)
+    "vocab_oov",
+    "source_divergence",
+    "zipf_by_lang",
+    "mixture_rebalance",
+    "pii_scan",
+    "paragraph_dedup_stats",
+    "winnow_overlap",
+    "strip_duplicate_paragraphs",
+    "salted_order_priority_revenue",
+    "salted_customer_order_counts",
+    "events_purchase_windows_left",
+    "dedup_keep_best",
+    "kmeans_clusters",
+    "semantic_dedup_pairs",
+    "quality_classifier",
+    "dup_span_coverage",
+    "gopher_filter",
+    "strip_duplicate_spans",
+    "similarity_topk_ivf_sha",
+    "tokenize_cached",
+    "topic_chunks",
+    "train_val_split",
+    "split_leakage_audit",
+    "shard_manifest",
+    "domain_cap",
+    "tfidf_keywords",
+    "source_cardinality",
+    "ngram_trigrams",
+    "collocations_pmi",
+    "token_dispersion",
+    "char_quality_stats",
+    "heavy_hitters",
+    "near_dup_sources",
+    "readability_scores",
+    "kwic_term_plot",
+    "corpus_snapshot_diff",
+    "source_prefix_boilerplate",
+    "trending_keys",
+    "doc_novelty",
+    "length_outliers",
+    "dup_degree_hist",
+    "heaps_fit",
+    "quantile_audit",
+    "vocab_spelling",
+    "quality_cube",
+    "language_confusion",
+    "embedding_norms",
+    "curation_funnel",
+    "similarity_topk_lsh_sha",
+    "node_collocates",
 ]
 
 

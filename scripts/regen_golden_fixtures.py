@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Regenerate tests/fixtures/golden_backends.json from the REAL gated
+backends (VERDICT r8 item 3).
+
+Run this in an environment that has the optional packages installed
+(tokenizers / jieba / fugashi or sudachipy / python-mecab-ko /
+onnxruntime). For every backend that imports, it
+
+- replays the fixture's existing entries and reports any drift from
+  the committed expectation (a drifted hand-derived entry means the
+  hand derivation was wrong — fix the fixture, the test suite trusts
+  it);
+- (re)writes the entry from the live backend output with provenance
+  'regenerated', adding entries for backends that previously had none
+  (ja/ko morpheme analyzers, the MiniLM embedder vector).
+
+Backends whose package is absent are left untouched, so the script is
+safe to run anywhere — in this container it is a no-op beyond the
+replay of importable backends.
+
+Usage: python scripts/regen_golden_fixtures.py [--check-only]
+  --check-only  replay and report drift, never rewrite the file
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "golden_backends.json",
+)
+
+# (fixture key, required module, default probe text)
+TOKENIZER_TARGETS = [
+    ("huggingface:bert-base-uncased", "tokenizers", "I have a new GPU!"),
+    ("lindera:jieba", "jieba", "我来到北京清华大学"),
+    # fugashi OR sudachipy satisfies the ja ids; probe text is the
+    # canonical "sumomo mo momo mo" tongue-twister every MeCab
+    # tutorial segments
+    ("lindera:ja-ipadic", "fugashi|sudachipy", "すもももももももものうち"),
+    ("lindera:ko-dic", "mecab", "아버지가방에들어가신다"),
+]
+EMBEDDER_TARGETS = [
+    (
+        "onnx-community/all-MiniLM-L6-v2-ONNX",
+        "onnxruntime",
+        "golden fixture sentence for the MiniLM embedder",
+    ),
+]
+
+
+def _importable(spec: str) -> bool:
+    return any(importlib.util.find_spec(m) is not None for m in spec.split("|"))
+
+
+def main() -> int:
+    check_only = "--check-only" in sys.argv
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    with open(FIXTURE, encoding="utf-8") as fh:
+        data = json.load(fh)
+    drift = 0
+
+    from polars_text_spark.functions.tokenize import load_backend
+
+    for key, module, probe in TOKENIZER_TARGETS:
+        if not _importable(module):
+            print(f"SKIP {key} ({module} not importable)")
+            continue
+        entry = data["tokenizers"].get(key)
+        text = entry["text"] if entry else probe
+        lowercase = entry["lowercase"] if entry else False
+        remove_punct = entry["remove_punct"] if entry else False
+        out = load_backend(key).tokenize(text, lowercase, remove_punct)
+        got = [[t["token"], t["start"], t["end"]] for t in out]
+        if entry and got != entry["tokens"]:
+            drift += 1
+            print(f"DRIFT {key}: committed {entry['tokens']} live {got}")
+        else:
+            print(f"OK    {key}: {len(got)} tokens")
+        if not check_only:
+            data["tokenizers"][key] = {
+                "text": text,
+                "lowercase": lowercase,
+                "remove_punct": remove_punct,
+                "tokens": got,
+                "provenance": "regenerated"
+                if not entry or got != entry["tokens"]
+                else entry["provenance"],
+            }
+
+    if all(_importable(m) for m in ("onnxruntime", "tokenizers")):
+        from polars_text_spark.functions.embedding import load_embedder
+
+        for key, _module, probe in EMBEDDER_TARGETS:
+            entry = data["embedders"].get(key)
+            text = entry["text"] if entry else probe
+            vec = load_embedder(key).embed_batch([text])[0]
+            got = [round(float(x), 6) for x in vec]
+            if entry:
+                worst = max(
+                    abs(a - b) for a, b in zip(got, entry["vector"])
+                )
+                if worst > 1e-4:
+                    drift += 1
+                    print(f"DRIFT {key}: max component delta {worst}")
+                else:
+                    print(f"OK    {key}: dim {len(got)}")
+            else:
+                print(f"NEW   {key}: dim {len(got)}")
+            if not check_only:
+                data["embedders"][key] = {
+                    "text": text,
+                    "vector": got,
+                    "provenance": "regenerated",
+                }
+    else:
+        print("SKIP embedders (onnxruntime + tokenizers not importable)")
+
+    if not check_only:
+        with open(FIXTURE, "w", encoding="utf-8") as fh:
+            json.dump(data, fh, ensure_ascii=False, indent=2)
+            fh.write("\n")
+        print(f"wrote {FIXTURE}")
+    return 1 if drift else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -408,6 +408,130 @@ def media_fingerprint(col: Column | str) -> Column:
     return F.sha2(c, 256).alias("media_fingerprint")
 
 
+def _stub_frames(
+    data: bytes, every_n_bytes: int, max_frames: int
+) -> list[dict]:
+    """Deterministic byte-stride sampling — the dependency-free stand-in
+    that exercises the identical Spark plumbing (schema, explode
+    patterns, batch shape)."""
+    out = []
+    for i in range(max_frames):
+        offset = i * every_n_bytes
+        if offset >= len(data):
+            break
+        window = data[offset : offset + 256]
+        out.append(
+            {
+                "frame_index": i,
+                "offset": offset,
+                "digest": hashlib.sha256(window).hexdigest()[:16],
+            }
+        )
+    return out
+
+
+def _pillow_frames(data: bytes, max_frames: int) -> list[dict]:
+    """Real pixel decode via Pillow: one entry per frame (animated
+    formats seek frame by frame; still images yield one), digest over
+    the decoded RGB pixel bytes — so two byte-different encodings of
+    the SAME pixels fingerprint identically, which the byte-stride
+    stub cannot do. ``offset`` carries the source frame number (no
+    byte position survives decoding). Undecodable bytes -> []."""
+    import io
+
+    from PIL import Image
+
+    out = []
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            for i in range(max_frames):
+                try:
+                    im.seek(i)
+                except EOFError:
+                    break
+                rgb = im.convert("RGB")
+                out.append(
+                    {
+                        "frame_index": i,
+                        "offset": i,
+                        "digest": hashlib.sha256(rgb.tobytes()).hexdigest()[
+                            :16
+                        ],
+                    }
+                )
+    except Exception:
+        return []
+    return out
+
+
+def _av_keyframes(data: bytes, max_frames: int) -> list[dict]:
+    """Real keyframe extraction via PyAV: decode ONLY keyframes
+    (``skip_frame = NONKEY`` — the demuxer skips non-key packets, so
+    cost scales with keyframe count, not stream length), digest over
+    the rgb24 pixel bytes, ``offset`` = presentation timestamp in
+    stream time-base units. Undecodable bytes -> []."""
+    import io
+
+    import av
+
+    out = []
+    try:
+        with av.open(io.BytesIO(data)) as container:
+            stream = container.streams.video[0]
+            stream.codec_context.skip_frame = "NONKEY"
+            for i, frame in enumerate(container.decode(stream)):
+                if i >= max_frames:
+                    break
+                arr = frame.to_ndarray(format="rgb24")
+                out.append(
+                    {
+                        "frame_index": i,
+                        "offset": int(
+                            frame.pts if frame.pts is not None else i
+                        ),
+                        "digest": hashlib.sha256(
+                            arr.tobytes()
+                        ).hexdigest()[:16],
+                    }
+                )
+    except Exception:
+        return []
+    return out
+
+
+def _frame_backend(backend: str):
+    """Resolve the decode backend NAME at operator-construction time so
+    a missing package fails loudly on the driver (the tokenizer-gate
+    pattern), not as a per-row executor exception."""
+    import importlib.util
+
+    have_pil = importlib.util.find_spec("PIL") is not None
+    have_av = importlib.util.find_spec("av") is not None
+    if backend == "stub":
+        return "stub"
+    if backend == "pillow":
+        if not have_pil:
+            raise RuntimeError(
+                "sample_frames(backend='pillow') requires the 'Pillow' "
+                "package, which is not installed"
+            )
+        return "pillow"
+    if backend == "av":
+        if not have_av:
+            raise RuntimeError(
+                "sample_frames(backend='av') requires the 'av' (PyAV) "
+                "package, which is not installed"
+            )
+        return "av"
+    if backend == "auto":
+        # prefer real decode when available; magic-byte routing per
+        # row happens in the UDF
+        if have_av or have_pil:
+            return "auto:%s%s" % ("av" if have_av else "", "+pil" if have_pil else "")
+        return "stub"
+    raise ValueError(f"unknown sample_frames backend {backend!r}")
+
+
 def sample_frames(
     df: DataFrame,
     media_col: str = "media",
@@ -415,16 +539,29 @@ def sample_frames(
     every_n_bytes: int = 1 << 16,
     max_frames: int = 8,
     output_col: str = "frames",
+    backend: str = "stub",
 ) -> DataFrame:
-    """Frame-sampling plumbing: emit up to ``max_frames`` byte-offset
-    "frames" per media row as ``array<struct<frame_index, offset,
-    digest>>``.
+    """Sample up to ``max_frames`` "frames" per media row as
+    ``array<struct<frame_index, offset, digest>>``.
 
-    STUB backend: real video decoding (keyframe extraction) needs a
-    codec library; the deterministic stand-in samples the byte stream
-    at fixed strides and fingerprints each window, which exercises the
-    identical Spark plumbing (schema, explode patterns, batch shape).
-    """
+    Backends (the tokenizer-gate pattern — explicit choice fails
+    loudly when the package is absent, the default never needs one):
+
+    - ``"stub"`` (default): deterministic byte-stride sampling +
+      window fingerprints — dependency-free and engine-portable, the
+      path the driver oracle replays;
+    - ``"pillow"``: real pixel decode (stills + animated formats),
+      digest over decoded RGB bytes;
+    - ``"av"``: real keyframe extraction via PyAV (``skip_frame =
+      NONKEY``), digest over rgb24 pixel bytes;
+    - ``"auto"``: route per row by magic bytes — video containers to
+      PyAV, images to Pillow, anything else (or absent packages) to
+      the stub.
+
+    All backends share the schema, partitioning and Arrow batch shape,
+    so swapping the stub for real decode changes NO Spark-side
+    plumbing (plan-tested in tests/test_multimodal_streaming.py)."""
+    mode = _frame_backend(backend)
     frame_type = T.ArrayType(
         T.StructType(
             [
@@ -440,20 +577,22 @@ def sample_frames(
         def sample(data: bytes | None) -> list[dict]:
             if data is None:
                 return []
-            out = []
-            for i in range(max_frames):
-                offset = i * every_n_bytes
-                if offset >= len(data):
-                    break
-                window = data[offset : offset + 256]
-                out.append(
-                    {
-                        "frame_index": i,
-                        "offset": offset,
-                        "digest": hashlib.sha256(window).hexdigest()[:16],
-                    }
-                )
-            return out
+            if mode == "pillow":
+                return _pillow_frames(data, max_frames)
+            if mode == "av":
+                return _av_keyframes(data, max_frames)
+            if mode.startswith("auto:"):
+                is_video = (
+                    len(data) >= 12 and data[4:8] == b"ftyp"
+                ) or data.startswith(b"OggS")
+                if is_video and "av" in mode.split(":")[1]:
+                    return _av_keyframes(data, max_frames)
+                if not is_video and "pil" in mode:
+                    got = _pillow_frames(data, max_frames)
+                    if got:
+                        return got
+                return _stub_frames(data, every_n_bytes, max_frames)
+            return _stub_frames(data, every_n_bytes, max_frames)
 
         for series in batches:
             yield series.map(sample)

@@ -143,3 +143,136 @@ def test_ogg_muxed_duration_uses_first_stream_serial():
     meta = _parse_video_header(muxed)
     assert meta["codec"] == "vorbis" and meta["n_tracks"] == 2
     assert abs(meta["duration_s"] - 10.0) < 1e-9  # 441000/44100, not 2^40
+
+
+# ---- round-9: gated frame-decode backends --------------------------------
+
+# Hand-assembled 2-frame GIF (1x1, 2-color palette): header + two
+# image blocks whose single pixel differs (palette index 0 vs 1) —
+# the smallest fixture whose two frames decode to DIFFERENT pixels.
+TWO_FRAME_GIF = (
+    b"GIF89a"
+    + b"\x01\x00\x01\x00"  # 1x1 logical screen
+    + b"\xf0\x00\x00"      # 2-color global table, bg 0
+    + b"\x00\x00\x00\xff\xff\xff"  # palette: black, white
+    # frame 1: pixel -> palette 0 (codes clear,0,eoi packed LSB-first)
+    + b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+    + b"\x02\x02\x44\x01\x00"
+    # frame 2: pixel -> palette 1
+    + b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+    + b"\x02\x02\x4c\x01\x00"
+    + b"\x3b"
+)
+
+
+def test_sample_frames_stub_path_unchanged(spark):
+    """The default backend stays the deterministic byte-stride stub —
+    the path the driver oracle replays (no dependency, no drift)."""
+    import hashlib
+
+    from polars_text_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 300)], "id int, media binary"
+    )
+    (row,) = sample_frames(
+        df, every_n_bytes=1 << 12, max_frames=3
+    ).select("frames").collect()
+    frames = row.frames
+    assert [f.offset for f in frames] == [0, 4096, 8192]
+    data = bytes(range(256)) * 300
+    for f in frames:
+        expect = hashlib.sha256(
+            data[f.offset : f.offset + 256]
+        ).hexdigest()[:16]
+        assert f.digest == expect
+
+
+def test_sample_frames_unknown_and_missing_backends_fail_loudly(spark):
+    import importlib.util
+
+    import pytest as _pytest
+
+    from polars_text_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"x")], "id int, media binary")
+    with _pytest.raises(ValueError, match="unknown sample_frames backend"):
+        sample_frames(df, backend="ffmpeg")
+    if importlib.util.find_spec("av") is None:
+        with _pytest.raises(RuntimeError, match="PyAV"):
+            sample_frames(df, backend="av")
+    if importlib.util.find_spec("PIL") is None:
+        with _pytest.raises(RuntimeError, match="Pillow"):
+            sample_frames(df, backend="pillow")
+
+
+def test_two_frame_gif_fixture_is_a_valid_gif():
+    """Dependency-free sanity on the hand-built fixture: the repo's own
+    GIF header parser must read it as a 1x1 GIF (so the gated Pillow
+    test below exercises a genuinely well-formed file)."""
+    from polars_text_spark.operators.multimodal import _parse_image_header
+
+    meta = _parse_image_header(TWO_FRAME_GIF)
+    assert meta["format"] == "gif"
+    assert (meta["width"], meta["height"]) == (1, 1)
+
+
+def test_pillow_backend_decodes_two_distinct_frames(spark):  # pragma: no cover
+    """Gated: with Pillow installed, the 2-frame GIF must yield TWO
+    frames whose pixel digests DIFFER (black vs white pixel) — real
+    decode, which the byte-stride stub cannot produce from a 36-byte
+    payload (stride 64KiB -> one stub window)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("PIL") is None:
+        _pytest.skip("requires Pillow")
+    from polars_text_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, TWO_FRAME_GIF)], "id int, media binary")
+    (row,) = sample_frames(df, backend="pillow", max_frames=8).select(
+        "frames"
+    ).collect()
+    assert len(row.frames) == 2
+    assert row.frames[0].digest != row.frames[1].digest
+    assert [f.frame_index for f in row.frames] == [0, 1]
+
+
+def test_av_backend_round_trips_keyframes(spark):  # pragma: no cover
+    """Gated: with PyAV installed, encode a tiny 2-frame video
+    in-memory and extract its keyframes."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("av") is None:
+        _pytest.skip("requires PyAV")
+    import io
+
+    import av
+    import numpy as np
+
+    from polars_text_spark.operators.multimodal import sample_frames
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=1)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        stream.options = {"g": "1"}  # every frame a keyframe
+        for shade in (0, 255):
+            arr = np.full((16, 16, 3), shade, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "id int, media binary"
+    )
+    (row,) = sample_frames(df, backend="av", max_frames=8).select(
+        "frames"
+    ).collect()
+    assert len(row.frames) == 2
+    assert row.frames[0].digest != row.frames[1].digest

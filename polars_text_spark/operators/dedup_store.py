@@ -45,6 +45,7 @@ from polars_text_spark.sources.bucketing import (
 )
 
 __all__ = [
+    "append_minhash_shard",
     "delete_ids",
     "incremental_pairs_from_store",
     "pairs_from_store",
@@ -91,6 +92,117 @@ def write_minhash_store(
         bucket_by="id",
         buckets=buckets,
         sort_by="id",
+    )
+    # signature parameters ride with the store (the ann_store meta
+    # pattern): a shard banded under different permutations/shingles
+    # would NEVER collide with standing keys, so append reads them
+    # back instead of trusting the caller
+    from polars_text_spark.sources.bucketing import clear_table
+
+    meta = df.sparkSession.createDataFrame(
+        [(int(num_perm), int(bands), int(shingle_n), int(buckets))],
+        "num_perm int, bands int, shingle_n int, buckets int",
+    )
+    clear_table(df.sparkSession, f"{name}_meta")
+    meta.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{name}_meta"
+    )
+
+
+def _minhash_meta(
+    spark: SparkSession, name: str
+) -> tuple[int, int, int, int] | None:
+    """(num_perm, bands, shingle_n, buckets) recorded at write time,
+    or None for a store written before the meta table existed."""
+    if not spark.catalog.tableExists(f"{name}_meta"):
+        return None
+    m = spark.table(f"{name}_meta").collect()[0]
+    return (
+        int(m["num_perm"]),
+        int(m["bands"]),
+        int(m["shingle_n"]),
+        int(m["buckets"]),
+    )
+
+
+def append_minhash_shard(
+    shard: DataFrame,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental ingest for the MinHash store (the dedup twin of
+    :func:`polars_text_spark.operators.ann_store.append_ann_shard`):
+    band the shard under the store's RECORDED signature parameters and
+    append its band + shingle rows as new bucket files. Standing files
+    are never rewritten — ingest is O(shard), independent of store
+    size. After the append, :func:`pairs_from_store` answers over the
+    grown corpus; compact with
+    :func:`polars_text_spark.sources.bucketing.compact_table` once
+    append fragments accumulate.
+
+    Contract: shard ids must be DISJOINT from store ids AND from any
+    pending tombstones (enforced with a bounded broadcast semi-join
+    probe) — a duplicate id would double its rows in both tables, and
+    a tombstoned id would be silently swallowed by the read-time
+    anti-join until purge."""
+    spark = shard.sparkSession
+    meta = _minhash_meta(spark, name)
+    if meta is None:
+        raise ValueError(
+            f"minhash store '{name}' predates incremental ingest (no "
+            "meta table); rewrite it with write_minhash_store before "
+            "appending shards"
+        )
+    num_perm, bands, shingle_n, buckets = meta
+    standing = read_bucketed(spark, f"{name}_shingles").select("id")
+    ts = _tombstones(spark, name)
+    if ts is not None:
+        standing = standing.unionByName(ts)
+    clash = (
+        standing.join(
+            F.broadcast(shard.select(F.col(id_col).alias("id"))),
+            "id",
+            "left_semi",
+        )
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"shard id {clash[0]['id']!r} already exists in minhash "
+            f"store '{name}' (or is tombstoned awaiting purge); "
+            "appending would duplicate its rows and corrupt later "
+            "pair results"
+        )
+    banded = _banded_signatures(
+        shard, text_col, id_col, "id",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+    ).select(
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    write_bucketed(
+        banded,
+        f"{name}_bands",
+        bucket_by=["band", "bucket"],
+        buckets=buckets,
+        sort_by=["band", "bucket"],
+        mode="append",
+    )
+    shingles = shard.select(
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    )
+    write_bucketed(
+        shingles,
+        f"{name}_shingles",
+        bucket_by="id",
+        buckets=buckets,
+        sort_by="id",
+        mode="append",
     )
 
 
@@ -177,7 +289,19 @@ def incremental_pairs_from_store(
     ingest shape): ``(id_a, id_b, jaccard)`` with ``id_a`` from the
     shard, ``id_b`` from the store. Only the shard's (small) band and
     shingle frames shuffle; the store side reads its buckets in place.
-    Signature parameters must match the ones used at write time."""
+    Signature parameters must match the ones used at write time —
+    validated against the store meta when the store records one (a
+    mismatch would band the shard under planes that can never collide
+    with standing keys: silent recall 0)."""
+    meta = _minhash_meta(spark, name)
+    if meta is not None and (num_perm, bands, shingle_n) != meta[:3]:
+        raise ValueError(
+            f"minhash store '{name}' was written with num_perm="
+            f"{meta[0]}, bands={meta[1]}, shingle_n={meta[2]}; the "
+            f"passed parameters (num_perm={num_perm}, bands={bands}, "
+            f"shingle_n={shingle_n}) would produce band keys that can "
+            "never collide with the store"
+        )
     new_bands = _banded_signatures(
         new_df, text_col, id_col, "id_a",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,

@@ -1,0 +1,116 @@
+"""Web-corpus link signals: URL extraction, link density, domain
+frequencies.
+
+The standard link-spam / boilerplate gate of web-scale curation
+pipelines (C4 and Gopher both filter on page link characteristics, and
+the per-domain frequency table is the direct input to
+:func:`polars_text_spark.operators.sampling.domain_cap`). Everything
+is pure Catalyst regexp built-ins — map-only per-document signals
+fused into the scan, one explode + one groupBy shuffle for the corpus
+domain table, no UDF anywhere.
+
+Engine portability: the URL pattern deliberately avoids backreferences
+and lookarounds so the identical pattern runs under Java regex (Spark)
+and RE2 (DuckDB) — the oracle queries in
+:mod:`polars_text_spark.queries` build their SQL from THESE constants,
+so the two engines cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "DOMAIN_PATTERN",
+    "URL_PATTERN",
+    "domain_frequencies",
+    "extract_urls",
+    "link_stats",
+    "url_domains",
+]
+
+# scheme + everything to the next whitespace/bracket/quote — the
+# pragmatic web-text URL shape (trailing punctuation is NOT trimmed;
+# both engines see the same bytes so the oracle replays exactly)
+URL_PATTERN = "https?://[^\\s<>\"')\\]}]+"
+# capture group 1 = the host part of a matched URL
+DOMAIN_PATTERN = "^https?://([^/:?#]+)"
+
+
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All URL matches in a text column as ``array<string>`` —
+    map-only ``regexp_extract_all``. Null in, null out; no-match is
+    an empty array."""
+    return F.regexp_extract_all(_col(col), F.lit(URL_PATTERN), 0).alias(
+        "urls"
+    )
+
+
+def url_domains(col: Column | str) -> Column:
+    """Lower-cased host of every URL in the text, as
+    ``array<string>`` (order preserved, duplicates kept — the
+    per-document domain mention stream)."""
+    return F.transform(
+        extract_urls(col),
+        lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1)),
+    ).alias("url_domains")
+
+
+def link_stats(col: Column | str) -> Column:
+    """Per-document link signals as a struct ``(n_chars, n_urls,
+    url_chars, link_density)`` — ``link_density`` is the fraction of
+    the document's characters inside URLs, the classic link-farm /
+    navigation-boilerplate gate. Pure Catalyst (regexp + higher-order
+    aggregate), map-only. Null text -> null fields; empty text scores
+    0.0."""
+    c = _col(col)
+    urls = F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+    n = F.length(c)
+    url_chars = F.aggregate(
+        F.transform(urls, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    density = F.when(n == 0, F.lit(0.0)).otherwise(
+        url_chars.cast("double") / n.cast("double")
+    )
+    return F.struct(
+        n.cast("long").alias("n_chars"),
+        F.size(urls).cast("long").alias("n_urls"),
+        url_chars.cast("long").alias("url_chars"),
+        density.alias("link_density"),
+    ).alias("link_stats")
+
+
+def domain_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus domain table ``(domain, n_urls, n_docs)`` — mention
+    count and distinct-document count per linked host. The direct
+    input to a recrawl queue or
+    :func:`polars_text_spark.operators.sampling.domain_cap`.
+
+    Scale: one explode of the per-doc domain arrays into a
+    (domain, doc) aggregation (map-side combine collapses repeat
+    mentions within a partition before the shuffle), then a second
+    hash aggregation keyed on domain alone — that second shuffle moves
+    the ALREADY-COLLAPSED per-document frame, orders smaller than the
+    raw mention stream, which is the same two-phase shape as a
+    countDistinct but with the mention total preserved."""
+    mentions = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__doc"), F.explode(url_domains(text_col)).alias("domain"))
+        .filter(F.col("domain") != "")
+    )
+    per_doc = mentions.groupBy("domain", "__doc").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return per_doc.groupBy("domain").agg(
+        F.sum("__cnt").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

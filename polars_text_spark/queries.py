@@ -2619,6 +2619,112 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _web_enrich_sql() -> str:
+    """Deterministic URL enrichment shared by the two web queries —
+    same recipe both engines (the pii_redact trick): two URLs per doc
+    with a doc_id-derived host (one mixed-case to exercise the
+    lower-fold), one fragment, trailing plain text."""
+    return (
+        "text || ' see https://ex' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+        " || '?ref=1 and http://Mirror' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.example.NET/x#frag plus text'"
+    )
+
+
+def _web_enrich_spark(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=1 and http://Mirror"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.NET/x#frag plus text"),
+        ).alias("t"),
+    )
+
+
+def _link_stats_oracle_sql() -> str:
+    from polars_text_spark.operators.web import URL_PATTERN
+
+    pat = URL_PATTERN.replace("'", "''")
+    return (
+        "WITH enriched AS (SELECT doc_id, " + _web_enrich_sql() + " AS t"
+        " FROM documents WHERE text IS NOT NULL),"
+        " x AS (SELECT doc_id, t,"
+        f" regexp_extract_all(t, '{pat}') AS us"
+        " FROM enriched)"
+        " SELECT doc_id,"
+        " CAST(length(t) AS BIGINT) AS n_chars,"
+        " CAST(len(us) AS BIGINT) AS n_urls,"
+        " CAST(COALESCE(list_sum(list_transform(us, u -> length(u))), 0)"
+        "   AS BIGINT) AS url_chars,"
+        " round(CASE WHEN length(t) > 0 THEN"
+        "   COALESCE(list_sum(list_transform(us, u -> length(u))), 0)"
+        "   * 1.0 / length(t) ELSE 0 END, 6) AS link_density"
+        " FROM x"
+    )
+
+
+@query("link_stats", _link_stats_oracle_sql())
+def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document link signals (URL count, URL character mass, link
+    density — the C4/Gopher-style link-farm gate) under the driver
+    hash: deterministic URL enrichment, the same regex constant in
+    both engines (operators/web.py builds the oracle pattern from the
+    Spark one, so they cannot drift), map-only projection fused into
+    the scan."""
+    from polars_text_spark.operators.web import link_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = _web_enrich_spark(docs)
+    return enriched.select("doc_id", link_stats("t").alias("s")).select(
+        "doc_id",
+        F.col("s.n_chars").alias("n_chars"),
+        F.col("s.n_urls").alias("n_urls"),
+        F.col("s.url_chars").alias("url_chars"),
+        F.round(F.col("s.link_density"), 6).alias("link_density"),
+    )
+
+
+def _domain_freq_oracle_sql() -> str:
+    from polars_text_spark.operators.web import DOMAIN_PATTERN, URL_PATTERN
+
+    upat = URL_PATTERN.replace("'", "''")
+    dpat = DOMAIN_PATTERN.replace("'", "''")
+    return (
+        "WITH enriched AS (SELECT doc_id, " + _web_enrich_sql() + " AS t"
+        " FROM documents WHERE text IS NOT NULL),"
+        " urls AS (SELECT doc_id,"
+        f" unnest(regexp_extract_all(t, '{upat}')) AS u FROM enriched),"
+        " doms AS (SELECT doc_id,"
+        f" lower(regexp_extract(u, '{dpat}', 1)) AS domain FROM urls),"
+        " perdoc AS (SELECT domain, doc_id, count(*) AS c FROM doms"
+        " WHERE domain <> '' GROUP BY domain, doc_id)"
+        " SELECT domain, CAST(sum(c) AS BIGINT) AS n_urls,"
+        " CAST(count(*) AS BIGINT) AS n_docs"
+        " FROM perdoc GROUP BY domain"
+    )
+
+
+@query("domain_frequencies", _domain_freq_oracle_sql())
+def q_domain_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain table (mention count + distinct-doc count per
+    linked host — the input a recrawl queue or domain_cap consumes)
+    under the driver hash: the oracle replays URL extraction, the
+    host capture, the lower-fold, and both aggregation levels from
+    the shared pattern constants."""
+    from polars_text_spark.operators.web import domain_frequencies
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = _web_enrich_spark(docs)
+    return domain_frequencies(enriched, "t", "doc_id")
+
+
 @query(
     "quality_weighted_sample",
     f"""
@@ -5182,6 +5288,8 @@ _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "topic_projector",
     "ann_store_delete",
+    "link_stats",
+    "domain_frequencies",
     # r6-signed tail the r8 front-list displaced (oldest signatures)
     "event_sessions",
     "events_props_json",

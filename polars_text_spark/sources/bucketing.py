@@ -105,6 +105,20 @@ def compact_table(
     info = {r["col_name"]: r["data_type"] for r in rows}
     if "Num Buckets" not in info:
         raise ValueError(f"table '{table}' is not bucketed")
+    # the swap is DROP + RENAME (not atomic); a cached table means a
+    # live reader holds block references that the drop would
+    # invalidate mid-query — refuse rather than corrupt
+    try:
+        if spark.catalog.isCached(table):
+            raise ValueError(
+                f"table '{table}' is currently cached; uncache it "
+                "before compaction (the DROP+RENAME swap would "
+                "invalidate reader state)"
+            )
+    except ValueError:
+        raise
+    except Exception:
+        pass  # isCached can throw for exotic catalog states; proceed
     buckets = int(info["Num Buckets"])
 
     def _cols(key: str) -> list[str]:

@@ -164,3 +164,57 @@ def test_purge_deleted_physically_removes_and_clears(spark, corpus):
         }
         assert not (remaining & doomed_ids)
     assert key(before) != key(after) or not doomed_ids
+
+
+# ---- round-9: incremental MinHash ingest ---------------------------------
+
+
+def test_append_minhash_shard_matches_full_rebuild(spark, corpus):
+    """write 3/4 -> append 1/4 -> pairs over the grown store must
+    equal the direct operator over the full corpus (the
+    incremental-ingest parity contract, MinHash twin of the ANN one)."""
+    from polars_text_spark.operators.dedup_store import append_minhash_shard
+
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    shard = corpus.filter(F.col("doc_id") % 4 == 0)
+    write_minhash_store(base, "mh_store_app", buckets=4)
+    append_minhash_shard(shard, "mh_store_app")
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, "mh_store_app").collect()
+    }
+    direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
+    }
+    assert got and got == direct
+
+
+def test_append_minhash_guards(spark, corpus):
+    from polars_text_spark.operators.dedup_store import (
+        append_minhash_shard,
+        delete_ids,
+        incremental_pairs_from_store,
+    )
+
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    write_minhash_store(base, "mh_store_g", buckets=4)
+    # overlapping ids rejected
+    with pytest.raises(ValueError, match="already exists"):
+        append_minhash_shard(base.limit(2), "mh_store_g")
+    # tombstoned-but-unpurged ids rejected too
+    doomed = base.select("doc_id").limit(1)
+    delete_ids(doomed, "mh_store_g")
+    with pytest.raises(ValueError, match="already exists"):
+        append_minhash_shard(
+            corpus.join(F.broadcast(doomed), "doc_id", "left_semi"),
+            "mh_store_g",
+        )
+    # parameter mismatch against the recorded meta fails loudly
+    with pytest.raises(ValueError, match="never\\s+collide|never collide"):
+        incremental_pairs_from_store(
+            spark,
+            "mh_store_g",
+            corpus.filter(F.col("doc_id") % 4 == 0),
+            bands=8,
+        )

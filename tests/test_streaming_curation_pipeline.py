@@ -105,3 +105,57 @@ def test_streaming_weighted_sample_and_fim_match_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM wfim_stream").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_link_stats_matches_batch(spark, sf_dir, tmp_path):
+    """The round-9 web signals (URL extraction + link-density struct +
+    dehyphenation repair) are map-only projections — running them on a
+    file stream under availableNow must yield exactly the batch row
+    set (stream-safety proof for the new curation ops)."""
+    from polars_text_spark.functions.analysis import dehyphenate
+    from polars_text_spark.operators.web import link_stats, url_domains
+
+    def transform(docs):
+        t = F.concat(
+            F.col("text"),
+            F.lit(" wrap-\r\nped https://s"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/p"),
+        )
+        return docs.where(F.col("text").isNotNull()).select(
+            "doc_id",
+            link_stats(t).alias("ls"),
+            url_domains(t).alias("doms"),
+            F.length(dehyphenate(t)).alias("rep_len"),
+        ).select(
+            "doc_id",
+            F.col("ls.n_urls").alias("n_urls"),
+            F.round(F.col("ls.link_density"), 9).alias("density"),
+            F.concat_ws(",", "doms").alias("doms"),
+            "rep_len",
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {tuple(r) for r in transform(docs).collect()}
+    assert batch and any(r[1] > 0 for r in batch)
+
+    drop_dir = tmp_path / "webdrops"
+    docs.repartition(3).write.parquet(str(drop_dir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("web_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM web_stream").collect()
+    }
+    assert streamed == batch

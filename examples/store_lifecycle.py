@@ -1,0 +1,82 @@
+"""Bucketed-store LIFECYCLE demo — the round-9 incremental surface.
+
+Runs at sf0.001 in ~2 min:
+
+    python examples/store_lifecycle.py [sf_dir]
+
+Walks both write-once stores (MinHash dedup, LSH ANN) through the full
+state machine a 100 TB corpus store lives in:
+
+    write (bulk)  ->  append (daily shard, O(shard))
+                  ->  query (shuffle-free store side)
+                  ->  delete_ids (tombstones, O(batch))
+                  ->  query again (anti-joined reads)
+                  ->  purge_deleted (compaction folds tombstones)
+                  ->  compact (undo append fragmentation)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import polars_text_spark as pts
+from polars_text_spark.operators import ann_store, dedup_store
+from polars_text_spark.sources.bucketing import compact_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = pts.get_spark("store-lifecycle")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+
+    print("== MinHash dedup store ==")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    shard = docs.filter(F.col("doc_id") % 4 == 0)
+    dedup_store.write_minhash_store(base, "demo_mh", buckets=4)
+    dedup_store.append_minhash_shard(shard, "demo_mh")
+    pairs = dedup_store.pairs_from_store(spark, "demo_mh")
+    print(f"pairs over grown store: {pairs.count()}")
+    doomed = docs.select("doc_id").limit(25)
+    dedup_store.delete_ids(doomed, "demo_mh")
+    print(f"pairs after tombstoning 25 docs: "
+          f"{dedup_store.pairs_from_store(spark, 'demo_mh').count()}")
+    dedup_store.purge_deleted(spark, "demo_mh")
+    print(f"pairs after purge (same): "
+          f"{dedup_store.pairs_from_store(spark, 'demo_mh').count()}")
+
+    print("== ANN store ==")
+    vbase = vecs.filter(F.col("vec_id") % 4 != 0)
+    vshard = vecs.filter(F.col("vec_id") % 4 == 0)
+    ann_store.write_ann_store(vbase, "demo_ann", dim=64, buckets=4)
+    # answer the shard's neighbors BEFORE committing the append
+    pre = ann_store.topk_against_shard(spark, "demo_ann", vshard, k=5)
+    print(f"pre-append shard neighbors: {pre.count()}")
+    ann_store.append_ann_shard(vshard, "demo_ann")
+    qs = vecs.filter(F.col("vec_id") < 5)
+    print(f"top-k from grown store: "
+          f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
+    ann_store.delete_ids(vecs.select("vec_id").filter(F.col("vec_id") % 9 == 0),
+                         "demo_ann")
+    print(f"top-k with tombstones: "
+          f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
+    ann_store.purge_deleted(spark, "demo_ann")
+    n_files = compact_table(spark, "demo_ann_bands")
+    print(f"post-purge compaction: {n_files} band files")
+    print(f"top-k after purge+compact: "
+          f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -91,9 +91,22 @@ from polars_text_spark.operators.chunks import (
 )
 from polars_text_spark.operators.interval import interval_join
 from polars_text_spark.operators.dedup_store import (
+    append_minhash_shard,
     incremental_pairs_from_store,
     pairs_from_store,
     write_minhash_store,
+)
+from polars_text_spark.operators.ann_store import (
+    append_ann_shard,
+    topk_against_shard,
+    topk_from_store,
+    write_ann_store,
+)
+from polars_text_spark.operators.web import (
+    domain_frequencies,
+    extract_urls,
+    link_stats,
+    url_domains,
 )
 from polars_text_spark.operators.pii import pii_counts, redact_pii
 from polars_text_spark.operators.search import bm25_scores, bm25_topk
@@ -190,6 +203,15 @@ __all__ = [
     "fim_transform",
     "pack_sequences",
     "pairs_from_store",
+    "append_minhash_shard",
+    "append_ann_shard",
+    "topk_against_shard",
+    "topk_from_store",
+    "write_ann_store",
+    "domain_frequencies",
+    "extract_urls",
+    "link_stats",
+    "url_domains",
     "predefined_model_records",
     "prefetch_model",
     "chunk_dup_stats",

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bigram_surprisal",
+    "language_consistency",
     "cardinality_report",
     "doc_bigrams",
     "doc_ngram_novelty",
@@ -799,4 +800,69 @@ def quantile_sketch_audit(
         F.round("p90_exact", 6).alias("p90_exact"),
         ok("__le50", "__lt50", 0.5).alias("gk_p50_ok"),
         ok("__le90", "__lt90", 0.9).alias("gk_p90_ok"),
+    )
+
+
+def language_consistency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """Mixed-language detection: split each document into segments on
+    ``sep``, language-ID every segment with the heuristic detector
+    (:func:`polars_text_spark.functions.analysis.detect_language`),
+    and report per document ``(n_segments, n_langs, dominant_lang,
+    consistency)`` — ``consistency`` is the dominant language's share
+    of segments. The standard multilingual-curation gate: a "German"
+    page that is half English boilerplate scores 0.5, and a
+    web-template flood shows up as a consistency cliff per source.
+
+    Dominant tie-break: most segments, then alphabetical language —
+    deterministic, SQL-replayable. Blank segments are dropped;
+    segment-less docs are absent.
+
+    Scale: one explode + one (doc, lang) hash aggregation (map-side
+    combined), then a window PARTITIONED by the doc id over the
+    per-language counts (a handful of rows per doc — never a global
+    window)."""
+    from polars_text_spark.functions.analysis import detect_language
+
+    segs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__lc_id"),
+            F.explode(F.split(F.col(text_col), sep)).alias("seg"),
+        )
+        .filter(F.trim(F.col("seg")) != "")
+    )
+    counts = (
+        segs.select("__lc_id", detect_language("seg"))
+        .groupBy("__lc_id", "lang_detected")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("__lc_id").orderBy(
+        F.col("__n").desc(), F.col("lang_detected").asc()
+    )
+    w_doc = Window.partitionBy("__lc_id")
+    return (
+        counts.select(
+            "__lc_id",
+            "lang_detected",
+            "__n",
+            F.row_number().over(w).alias("__r"),
+            F.sum("__n").over(w_doc).alias("n_segments"),
+            F.count(F.lit(1)).over(w_doc).alias("n_langs"),
+        )
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("__lc_id").alias(id_col),
+            "n_segments",
+            F.col("n_langs").cast("int").alias("n_langs"),
+            F.col("lang_detected").alias("dominant_lang"),
+            (F.col("__n").cast("double") / F.col("n_segments")).alias(
+                "consistency"
+            ),
+        )
     )

@@ -2691,6 +2691,69 @@ def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_consistency_oracle_sql() -> str:
+    # per-SEGMENT detector: the doc-level replay with its text refs
+    # rebound to the exploded segment column
+    seg_detect = _SQL_DETECT_LANG.replace("text", "seg")
+    return (
+        "WITH enriched AS (SELECT doc_id,"
+        " CASE WHEN doc_id % 3 = 0 THEN"
+        "   text || chr(10) || 'le la les et est une pour dans'"
+        " ELSE text END AS t"
+        " FROM documents WHERE text IS NOT NULL),"
+        " segs AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS seg"
+        " FROM enriched),"
+        " labeled AS (SELECT doc_id, " + seg_detect + " AS lang"
+        " FROM segs WHERE trim(seg) <> ''),"
+        " counts AS (SELECT doc_id, lang, count(*) AS n"
+        " FROM labeled GROUP BY doc_id, lang),"
+        " ranked AS (SELECT doc_id, lang, n,"
+        " row_number() OVER (PARTITION BY doc_id"
+        "   ORDER BY n DESC, lang ASC) AS r,"
+        " sum(n) OVER (PARTITION BY doc_id) AS n_segments,"
+        " count(*) OVER (PARTITION BY doc_id) AS n_langs"
+        " FROM counts)"
+        " SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,"
+        " CAST(n_langs AS INT) AS n_langs, lang AS dominant_lang,"
+        " round(n * 1.0 / n_segments, 6) AS consistency"
+        " FROM ranked WHERE r = 1"
+    )
+
+
+@query("lang_consistency", _lang_consistency_oracle_sql())
+def q_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection under the driver hash: every third doc
+    gets a French stopword segment appended (deterministic enrichment,
+    both engines), segments split on newline, each language-ID'd with
+    the shared heuristic detector, dominant + consistency per doc. The
+    oracle replays the detector per segment (the language_id CASE with
+    its text refs rebound), both window totals, and the
+    count-desc/lang-asc dominant tie-break."""
+    from polars_text_spark.operators.quality import language_consistency
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nle la les et est une pour dans"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    out = language_consistency(enriched, "t", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_langs",
+        "dominant_lang",
+        F.round("consistency", 6).alias("consistency"),
+    )
+
+
 def _domain_freq_oracle_sql() -> str:
     from polars_text_spark.operators.web import DOMAIN_PATTERN, URL_PATTERN
 
@@ -5290,6 +5353,7 @@ _DRIVER_PRIORITY = [
     "ann_store_delete",
     "link_stats",
     "domain_frequencies",
+    "lang_consistency",
     # r6-signed tail the r8 front-list displaced (oldest signatures)
     "event_sessions",
     "events_props_json",

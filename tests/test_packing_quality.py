@@ -381,3 +381,42 @@ def test_heavy_hitters_two_phase_matches_naive_rank(spark):
     ]
     for r in got:
         assert r.cms_est >= r.exact_count
+
+
+def test_language_consistency_hand_cases(spark):
+    from polars_text_spark.operators.quality import language_consistency
+
+    docs = spark.createDataFrame(
+        [
+            # 2 en segments + 1 fr -> dominant en, consistency 2/3
+            (1, "the cat is a pet\nit was the end of it\nle la les et est"),
+            # pure single segment
+            (2, "der und die das ist"),
+            # tie 1:1 -> alphabetical winner (de < en)
+            (3, "der und die das ist nicht\nthe of and to is it"),
+            (4, None),
+            (5, "   \n  "),  # blank segments only -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in language_consistency(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dominant_lang == "en" and out[1].n_segments == 3
+    assert out[1].n_langs == 2
+    assert out[1].consistency == pytest.approx(2 / 3)
+    assert out[2].dominant_lang == "de" and out[2].consistency == 1.0
+    assert out[3].dominant_lang == "de"  # tie -> alphabetical
+    assert out[3].consistency == pytest.approx(0.5)
+
+
+def test_language_consistency_no_global_window(spark):
+    """The ranking windows must be partitioned by the doc id — never a
+    corpus-wide single task."""
+    from polars_text_spark.operators.quality import language_consistency
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb")], "doc_id long, text string"
+    )
+    plan = explain_str(language_consistency(docs), "formatted")
+    assert "windowspecdefinition(specifiedwindowframe" not in plan

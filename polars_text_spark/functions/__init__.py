@@ -9,6 +9,7 @@ Usage mirrors idiomatic Spark::
 from __future__ import annotations
 
 from polars_text_spark.functions.analysis import (
+    compression_ratio,
     char_class_ratios,
     char_entropy,
     detect_language,
@@ -35,6 +36,7 @@ from polars_text_spark.functions.scalar import (
 from polars_text_spark.functions.tokenize import tokenize
 
 __all__ = [
+    "compression_ratio",
     "char_class_ratios",
     "char_count",
     "char_entropy",

@@ -110,3 +110,34 @@ def test_fingerprint_normalization(spark):
     fps = {r.id: r.fingerprint for r in df.select("id", doc_fingerprint("text")).collect()}
     assert fps[1] == fps[2] != fps[3]  # fingerprint is over clean_text
     assert len(fps[1]) == 64  # sha2-256 hex
+
+
+def test_compression_ratio_separates_boilerplate_from_noise(spark):
+    """The redundancy gate: a template flood compresses far below a
+    high-entropy string; exact sizes are pinned by replaying zlib
+    driver-side (same library, same level -> byte-identical)."""
+    import zlib
+
+    from polars_text_spark.functions.analysis import compression_ratio
+
+    repetitive = "menu home about contact " * 200
+    import hashlib
+
+    noisy = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(32)
+    )  # 2048 chars of hash hex — incompressible beyond the hex alphabet
+    rows = {
+        r.i: r.c
+        for r in spark.createDataFrame(
+            [(1, repetitive), (2, noisy), (3, None), (4, "")],
+            "i int, t string",
+        ).select("i", compression_ratio("t").alias("c")).collect()
+    }
+    assert rows[1].ratio < 0.1 < rows[2].ratio
+    assert rows[2].ratio > 0.5
+    for i, text in ((1, repetitive), (2, noisy)):
+        raw = text.encode("utf-8")
+        assert rows[i].n_bytes == len(raw)
+        assert rows[i].n_compressed == len(zlib.compress(raw, 6))
+    assert rows[3].ratio is None and rows[3].n_bytes is None
+    assert rows[4] == (0, 0, 0.0)

@@ -36,6 +36,7 @@ from polars_text_spark.sources.bucketing import (
     clear_table,
     compact_table,
     minus_tombstones as _minus_tombstones,
+    probe_id_clash,
     read_bucketed,
     read_tombstones as _tombstones,
     tombstone_ids,
@@ -87,6 +88,10 @@ def write_ann_store(
     write_bucketed(
         unit, f"{name}_vectors", bucket_by="id", buckets=buckets, sort_by="id"
     )
+    # a rebuild starts a NEW store generation: tombstones from the
+    # previous generation would silently delete rows from the fresh
+    # store at read time and block re-appending their ids
+    clear_table(vectors.sparkSession, f"{name}_tombstones")
     # signature parameters ride with the store so a query-time mismatch
     # (whose band keys could NEVER collide -> silent recall-0) fails
     # loudly; buckets rides too so incremental appends reuse the
@@ -224,35 +229,24 @@ def append_ann_shard(
     shard shuffles — once, at write time, into its bucket files.
 
     Contract: shard ids must be DISJOINT from store ids — enforced
-    with a bounded semi-join probe (limit-1 against the standing
-    vector table) before any write, because a duplicated id would
+    with a limit-1 semi-join probe (the shard probes the id-bucketed
+    vector table, nothing store-sized is broadcast) before any
+    write, because a duplicated id would
     silently double its rows in both tables and burn top-k rank slots
     with duplicate candidates on every later query.
     """
     spark = shard.sparkSession
     dim, num_planes, bands, buckets = _store_meta(spark, name)
     _assert_vec_dim(shard, vec_col, dim)
-    standing = read_bucketed(spark, f"{name}_vectors").select("id")
-    ts = _tombstones(spark, name)
-    if ts is not None:
-        # a tombstoned id is still physically present (or about to be
-        # anti-joined away at read time) — re-appending it before
-        # purge_deleted would be silently swallowed by the read-time
-        # anti-join, so it clashes too
-        standing = standing.unionByName(ts)
-    clash = (
-        standing
-        .join(
-            F.broadcast(shard.select(F.col(id_col).alias("id"))),
-            "id",
-            "left_semi",
-        )
-        .limit(1)
-        .collect()
+    clash = probe_id_clash(
+        shard,
+        read_bucketed(spark, f"{name}_vectors"),
+        _tombstones(spark, name),
+        id_col=id_col,
     )
-    if clash:
+    if clash is not None:
         raise ValueError(
-            f"shard id {clash[0]['id']!r} already exists in ann store "
+            f"shard id {clash!r} already exists in ann store "
             f"'{name}'; appending would silently duplicate its rows in "
             "the bands/vectors tables and corrupt later top-k results "
             "(the incremental-ingest contract requires disjoint ids)"

@@ -36,8 +36,10 @@ from polars_text_spark.operators.dedup import (
     token_shingles,
 )
 from polars_text_spark.sources.bucketing import (
+    clear_table,
     compact_table,
     minus_tombstones as _minus_tombstones,
+    probe_id_clash,
     read_bucketed,
     read_tombstones as _tombstones,
     tombstone_ids,
@@ -93,12 +95,14 @@ def write_minhash_store(
         buckets=buckets,
         sort_by="id",
     )
+    # a rebuild starts a NEW store generation: tombstones from the
+    # previous generation would silently delete rows from the fresh
+    # store at read time and block re-appending their ids
+    clear_table(df.sparkSession, f"{name}_tombstones")
     # signature parameters ride with the store (the ann_store meta
     # pattern): a shard banded under different permutations/shingles
     # would NEVER collide with standing keys, so append reads them
     # back instead of trusting the caller
-    from polars_text_spark.sources.bucketing import clear_table
-
     meta = df.sparkSession.createDataFrame(
         [(int(num_perm), int(bands), int(shingle_n), int(buckets))],
         "num_perm int, bands int, shingle_n int, buckets int",
@@ -136,15 +140,17 @@ def append_minhash_shard(
     :func:`polars_text_spark.operators.ann_store.append_ann_shard`):
     band the shard under the store's RECORDED signature parameters and
     append its band + shingle rows as new bucket files. Standing files
-    are never rewritten — ingest is O(shard), independent of store
-    size. After the append, :func:`pairs_from_store` answers over the
+    are never rewritten — ingest writes O(shard) data (the
+    disjointness probe does read the store's id column, shuffle-free,
+    to prove no clash). After the append, :func:`pairs_from_store` answers over the
     grown corpus; compact with
     :func:`polars_text_spark.sources.bucketing.compact_table` once
     append fragments accumulate.
 
     Contract: shard ids must be DISJOINT from store ids AND from any
-    pending tombstones (enforced with a bounded broadcast semi-join
-    probe) — a duplicate id would double its rows in both tables, and
+    pending tombstones (enforced with a semi-join probe — the shard
+    probes the id-bucketed store, nothing store-sized is broadcast)
+    — a duplicate id would double its rows in both tables, and
     a tombstoned id would be silently swallowed by the read-time
     anti-join until purge."""
     spark = shard.sparkSession
@@ -156,22 +162,15 @@ def append_minhash_shard(
             "appending shards"
         )
     num_perm, bands, shingle_n, buckets = meta
-    standing = read_bucketed(spark, f"{name}_shingles").select("id")
-    ts = _tombstones(spark, name)
-    if ts is not None:
-        standing = standing.unionByName(ts)
-    clash = (
-        standing.join(
-            F.broadcast(shard.select(F.col(id_col).alias("id"))),
-            "id",
-            "left_semi",
-        )
-        .limit(1)
-        .collect()
+    clash = probe_id_clash(
+        shard,
+        read_bucketed(spark, f"{name}_shingles"),
+        _tombstones(spark, name),
+        id_col=id_col,
     )
-    if clash:
+    if clash is not None:
         raise ValueError(
-            f"shard id {clash[0]['id']!r} already exists in minhash "
+            f"shard id {clash!r} already exists in minhash "
             f"store '{name}' (or is tombstoned awaiting purge); "
             "appending would duplicate its rows and corrupt later "
             "pair results"
@@ -224,8 +223,6 @@ def purge_deleted(spark: SparkSession, name: str) -> None:
     rebuilt from the filtered corpus (parity-tested). Same
     non-atomicity caveat as compact_table — run in the maintenance
     window."""
-    from polars_text_spark.sources.bucketing import clear_table
-
     ts = _tombstones(spark, name)
     if ts is None:
         return

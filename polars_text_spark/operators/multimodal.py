@@ -436,7 +436,9 @@ def _pillow_frames(data: bytes, max_frames: int) -> list[dict]:
     the decoded RGB pixel bytes — so two byte-different encodings of
     the SAME pixels fingerprint identically, which the byte-stride
     stub cannot do. ``offset`` carries the source frame number (no
-    byte position survives decoding). Undecodable bytes -> []."""
+    byte position survives decoding). Undecodable bytes -> []; a
+    mid-stream decode error (truncated animation) keeps the frames
+    already decoded rather than discarding them."""
     import io
 
     from PIL import Image
@@ -460,7 +462,7 @@ def _pillow_frames(data: bytes, max_frames: int) -> list[dict]:
                     }
                 )
     except Exception:
-        return []
+        return out
     return out
 
 
@@ -495,7 +497,7 @@ def _av_keyframes(data: bytes, max_frames: int) -> list[dict]:
                     }
                 )
     except Exception:
-        return []
+        return out  # keep keyframes decoded before a mid-stream error
     return out
 
 
@@ -585,9 +587,16 @@ def sample_frames(
                 is_video = (
                     len(data) >= 12 and data[4:8] == b"ftyp"
                 ) or data.startswith(b"OggS")
+                # either media class: real decode first, and anything
+                # the real backend can't extract a single frame from
+                # (corrupt/truncated payloads) falls through to the
+                # stub — the documented 'auto' contract, symmetric for
+                # video and images
                 if is_video and "av" in mode.split(":")[1]:
-                    return _av_keyframes(data, max_frames)
-                if not is_video and "pil" in mode:
+                    got = _av_keyframes(data, max_frames)
+                    if got:
+                        return got
+                elif not is_video and "pil" in mode:
                     got = _pillow_frames(data, max_frames)
                     if got:
                         return got

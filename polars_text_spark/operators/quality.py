@@ -52,6 +52,13 @@ def _ws_tokens(text_col: str):
     return ws_token_array(text_col)
 
 
+def _java_regex_quote(s: str) -> str:
+    """Java ``Pattern.quote`` semantics: wrap in ``\\Q..\\E``, escaping
+    any embedded ``\\E`` so a caller-supplied literal separator can
+    never be misread as a regex by ``F.split``."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def unigram_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-token unigram counts: ``(token, cnt)``. One explode
     + one groupBy shuffle; save as parquet to reuse as a reference
@@ -821,7 +828,9 @@ def language_consistency(
 
     Dominant tie-break: most segments, then alphabetical language —
     deterministic, SQL-replayable. Blank segments are dropped;
-    segment-less docs are absent.
+    segment-less docs are absent. ``sep`` is a LITERAL separator
+    (regex metacharacters are quoted before the split, so
+    ``sep='|'`` splits on pipes, not between every character).
 
     Scale: one explode + one (doc, lang) hash aggregation (map-side
     combined), then a window PARTITIONED by the doc id over the
@@ -833,7 +842,13 @@ def language_consistency(
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("__lc_id"),
-            F.explode(F.split(F.col(text_col), sep)).alias("seg"),
+            # \Q..\E quotes the whole separator for Java's regex
+            # engine (F.split's pattern language) — the documented
+            # literal-separator contract; a sep containing \E itself
+            # is escaped piecewise
+            F.explode(
+                F.split(F.col(text_col), _java_regex_quote(sep))
+            ).alias("seg"),
         )
         .filter(F.trim(F.col("seg")) != "")
     )

@@ -109,16 +109,15 @@ def compact_table(
     # live reader holds block references that the drop would
     # invalidate mid-query — refuse rather than corrupt
     try:
-        if spark.catalog.isCached(table):
-            raise ValueError(
-                f"table '{table}' is currently cached; uncache it "
-                "before compaction (the DROP+RENAME swap would "
-                "invalidate reader state)"
-            )
-    except ValueError:
-        raise
+        cached = spark.catalog.isCached(table)
     except Exception:
-        pass  # isCached can throw for exotic catalog states; proceed
+        cached = False  # isCached can throw for exotic catalog states; proceed
+    if cached:
+        raise ValueError(
+            f"table '{table}' is currently cached; uncache it "
+            "before compaction (the DROP+RENAME swap would "
+            "invalidate reader state)"
+        )
     buckets = int(info["Num Buckets"])
 
     def _cols(key: str) -> list[str]:
@@ -168,6 +167,42 @@ def compact_table(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def probe_id_clash(
+    shard: DataFrame,
+    standing: DataFrame,
+    ts: DataFrame | None,
+    *,
+    id_col: str,
+):
+    """First shard id already present in ``standing`` (a bucketed
+    store's id column) or in the tombstone set ``ts``, else None.
+
+    Join direction matters at scale: the SHARD is the probe side
+    (semi-joined against the store), never broadcast — a web-scale
+    daily shard would blow the broadcast limit — and the standing
+    side is the id-bucketed store table, so its side of the join
+    reads co-located buckets without a shuffle; only the shard (the
+    O(shard) bound appends document) moves. The tombstone set is
+    checked with a broadcast build (deletion batches are small)."""
+    shard_ids = shard.select(F.col(id_col).alias("id"))
+    clash = (
+        shard_ids.join(standing.select("id"), "id", "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if not clash and ts is not None:
+        # a tombstoned id is still physically present (or about to be
+        # anti-joined away at read time) — re-appending it before
+        # purge_deleted would be silently swallowed by the read-time
+        # anti-join, so it clashes too
+        clash = (
+            shard_ids.join(F.broadcast(ts), "id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+    return clash[0]["id"] if clash else None
 
 
 def tombstone_ids(ids: DataFrame, name: str, *, id_col: str) -> None:

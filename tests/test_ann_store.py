@@ -373,3 +373,30 @@ def test_ann_pending_tombstones_keep_store_reads_shuffle_free(
     n_shuffle = plan.count("Exchange") - n_broadcast
     assert n_broadcast == 2, plan  # one per store table's anti-join
     assert n_shuffle == 4, plan
+
+
+def test_ann_rebuild_same_name_clears_stale_tombstones(spark, vectors):
+    """Rebuilding under the same name must discard the previous
+    generation's tombstones — otherwise the fresh store silently
+    loses those ids at read time and rejects their re-ingest."""
+    from polars_text_spark.operators.ann_store import delete_ids
+
+    base = vectors.filter(F.col("vec_id") % 3 != 0)
+    write_ann_store(base, "ann_gen", dim=64, buckets=4)
+    doomed = base.select("vec_id").limit(8)
+    delete_ids(doomed, "ann_gen")
+    write_ann_store(base, "ann_gen", dim=64, buckets=4)  # no purge first
+    write_ann_store(base, "ann_gen_ref", dim=64, buckets=4)
+    qs = vectors.filter(F.col("vec_id") % 5 == 1).limit(3)
+    key = lambda rows: {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9)) for r in rows
+    }
+    got = key(topk_from_store(spark, "ann_gen", qs, k=6, dim=64).collect())
+    ref = key(topk_from_store(spark, "ann_gen_ref", qs, k=6, dim=64).collect())
+    assert got and got == ref
+    # previously-tombstoned ids append cleanly into the new generation
+    kept = base.join(F.broadcast(doomed), "vec_id", "left_anti")
+    write_ann_store(kept, "ann_gen", dim=64, buckets=4)
+    append_ann_shard(
+        base.join(F.broadcast(doomed), "vec_id", "left_semi"), "ann_gen"
+    )

@@ -218,3 +218,37 @@ def test_append_minhash_guards(spark, corpus):
             corpus.filter(F.col("doc_id") % 4 == 0),
             bands=8,
         )
+
+
+def test_rebuild_same_name_clears_stale_tombstones(spark, corpus):
+    """A rebuild starts a new store generation: tombstones from the
+    previous generation must NOT silently delete rows from (or block
+    appends into) the fresh store — the flow the append error message
+    itself recommends ('rewrite it with write_minhash_store')."""
+    from polars_text_spark.operators.dedup_store import (
+        append_minhash_shard,
+        delete_ids,
+    )
+
+    base = corpus.filter(F.col("doc_id") % 3 != 0)
+    write_minhash_store(base, "mh_store_gen", buckets=4)
+    doomed = base.select("doc_id").limit(10)
+    delete_ids(doomed, "mh_store_gen")
+    # rebuild WITHOUT purging — old tombstones must not survive
+    write_minhash_store(base, "mh_store_gen", buckets=4)
+    write_minhash_store(base, "mh_store_gen_ref", buckets=4)
+    key = lambda rows: {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in rows
+    }
+    got = key(pairs_from_store(spark, "mh_store_gen").collect())
+    assert got == key(pairs_from_store(spark, "mh_store_gen_ref").collect())
+    # and a previously-tombstoned id appends cleanly post-rebuild
+    write_minhash_store(
+        corpus.join(F.broadcast(doomed), "doc_id", "left_anti"),
+        "mh_store_gen",
+        buckets=4,
+    )
+    append_minhash_shard(
+        corpus.join(F.broadcast(doomed), "doc_id", "left_semi"),
+        "mh_store_gen",
+    )

@@ -409,6 +409,28 @@ def test_language_consistency_hand_cases(spark):
     assert out[3].consistency == pytest.approx(0.5)
 
 
+def test_language_consistency_sep_is_literal(spark):
+    """sep is documented as a LITERAL separator: '|' (a regex
+    metachar) must split on pipes, not between every character."""
+    from polars_text_spark.operators.quality import language_consistency
+
+    docs = spark.createDataFrame(
+        [(1, "the cat is a pet|it was the end of it|le la les et est")],
+        "doc_id long, text string",
+    )
+    out = language_consistency(docs, sep="|").collect()[0]
+    assert out.n_segments == 3
+    assert out.dominant_lang == "en"
+    assert out.consistency == pytest.approx(2 / 3)
+    # '.' would previously split between every character too
+    dotted = spark.createDataFrame(
+        [(1, "der und die das ist.the of and to is it")],
+        "doc_id long, text string",
+    )
+    row = language_consistency(dotted, sep=".").collect()[0]
+    assert row.n_segments == 2
+
+
 def test_language_consistency_no_global_window(spark):
     """The ranking windows must be partitioned by the doc id — never a
     corpus-wide single task."""

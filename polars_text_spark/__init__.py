@@ -38,6 +38,7 @@ from polars_text_spark.functions import (
     tokenize,
     word_count,
 )
+from polars_text_spark.functions.dict_cache import prefetch_dictionary
 from polars_text_spark.models import (
     LINDERA_MODELS_BY_LANGUAGE,
     PREDEFINED_MODEL_LABELS,
@@ -213,6 +214,7 @@ __all__ = [
     "link_stats",
     "url_domains",
     "predefined_model_records",
+    "prefetch_dictionary",
     "prefetch_model",
     "chunk_dup_stats",
     "dup_ngram_coverage",

@@ -26,6 +26,10 @@ from polars_text_spark.functions.analysis import (
     ws_token_array,
 )
 from polars_text_spark.functions.concordance import concordance
+from polars_text_spark.functions.dict_cache import (
+    ensure_dict,
+    prefetch_dictionary,
+)
 from polars_text_spark.functions.embedding import embedding
 from polars_text_spark.functions.scalar import (
     char_count,
@@ -44,6 +48,8 @@ __all__ = [
     "concordance",
     "detect_language",
     "doc_fingerprint",
+    "ensure_dict",
+    "prefetch_dictionary",
     "dup_word_frac",
     "line_stats",
     "mojibake_signals",

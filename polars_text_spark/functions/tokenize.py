@@ -206,6 +206,10 @@ class _JapaneseMorpheme(_Backend):
     deviation as :class:`_Jieba`. The three ja dict ids bind whatever
     dictionary the installed analyzer ships (ipadic / unidic-lite /
     sudachi core), mirroring the id surface, not the dictionary build.
+    The reference's versioned dict download/cache/lock protocol itself
+    IS implemented (:mod:`polars_text_spark.functions.dict_cache`,
+    ``prefetch_dictionary``) — what remains gated is binding a
+    downloaded Lindera dict build into an installed analyzer.
     """
 
     case_aware = False

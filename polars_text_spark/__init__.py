@@ -88,6 +88,7 @@ from polars_text_spark.operators.sampling import (
 from polars_text_spark.operators.chunks import (
     chunk_dup_stats,
     explode_chunks,
+    strip_common_lines,
     strip_duplicate_chunks,
 )
 from polars_text_spark.operators.interval import interval_join
@@ -230,6 +231,7 @@ __all__ = [
     "quantize_vec",
     "redact_pii",
     "salted_join",
+    "strip_common_lines",
     "strip_duplicate_chunks",
     "strip_duplicate_spans",
     "with_l2_normalized",

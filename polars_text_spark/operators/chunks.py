@@ -22,7 +22,12 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["explode_chunks", "chunk_dup_stats", "strip_duplicate_chunks"]
+__all__ = [
+    "explode_chunks",
+    "chunk_dup_stats",
+    "strip_duplicate_chunks",
+    "strip_common_lines",
+]
 
 
 def explode_chunks(
@@ -31,11 +36,14 @@ def explode_chunks(
     id_col: str = "doc_id",
     *,
     sep: str = "\n\n",
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """One row per non-blank chunk: ``(id_col, chunk_idx, chunk)``.
-    Chunks are trimmed; ``chunk_idx`` is the 0-based position among
-    the KEPT (non-blank) chunks, so downstream slice bookkeeping is
-    dense. NULL text yields no rows.
+    """One row per non-blank chunk: ``(id_col, *carry, chunk_idx,
+    chunk)``. Chunks are trimmed; ``chunk_idx`` is the 0-based
+    position among the KEPT (non-blank) chunks, so downstream slice
+    bookkeeping is dense. NULL text yields no rows. ``carry`` names
+    extra per-document columns to replicate onto every chunk row
+    (e.g. a grouping key) without a join-back.
 
     ``sep`` is a LITERAL separator (it is regex-escaped before the
     split, since :func:`strip_duplicate_chunks` rejoins with it
@@ -55,7 +63,11 @@ def explode_chunks(
     # the nested variant of this was a >50x slowdown).
     return (
         df.filter(F.col(text_col).isNotNull())
-        .select(id_col, F.posexplode_outer(kept).alias("chunk_idx", "chunk"))
+        .select(
+            id_col,
+            *(carry or []),
+            F.posexplode_outer(kept).alias("chunk_idx", "chunk"),
+        )
         .filter(F.col("chunk").isNotNull())
     )
 
@@ -149,6 +161,88 @@ def strip_duplicate_chunks(
         ).alias(text_col)
     )
     all_docs = chunks.select(id_col).distinct()
+    return all_docs.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
+def strip_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """Rebuild each document with COMMON lines removed — the CCNet /
+    site-template strip: a (trimmed, non-blank) line is boilerplate
+    when it appears in at least ``min_docs`` DISTINCT documents of its
+    ``group_col`` group (a web domain, a crawl source; ``None`` =
+    corpus-wide), and additionally in at least ``min_doc_frac`` of the
+    group's documents when set. ALL copies of a boilerplate line are
+    dropped (nav menus and cookie banners carry no information worth
+    keeping once), unlike :func:`strip_duplicate_chunks`'s
+    keep-first-occurrence contract for content paragraphs.
+
+    Distinct-DOC counting (not occurrence counting) is what makes
+    this a template detector: a line repeated 50 times inside ONE doc
+    is repetition, not boilerplate, and survives here (repetition has
+    its own signal, ``dup_word_frac``/``repetition_signals``).
+
+    Returns ``(id_col, text)`` for every doc that had at least one
+    non-blank line; a doc stripped to nothing keeps an empty string.
+
+    Scale shape: line text is fingerprinted in the scan projection;
+    the (group, fingerprint, doc) frame deduplicates and counts with
+    map-side partial aggregation (a viral template line never lands
+    on one straggler — no per-fingerprint window), and the decision
+    comes back as a LEFT ANTI join against only the boilerplate
+    fingerprints — a frame with one row per distinct template line
+    per group, orders smaller than the corpus, which AQE broadcasts
+    when it fits. The rebuild shuffles surviving line text once on
+    the doc id, the unavoidable reconstruction cost.
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    if min_doc_frac is not None and not (0.0 < min_doc_frac <= 1.0):
+        raise ValueError("min_doc_frac must be in (0, 1]")
+    carry = [group_col] if group_col else []
+    lines = explode_chunks(df, text_col, id_col, sep=sep, carry=carry).withColumn(
+        "__fp", F.sha2(F.col("chunk"), 256)
+    )
+    key = [*carry, "__fp"]
+    # distinct docs per line: pre-dedup (key, doc) so the count is a
+    # plain aggregate with map-side combine, never count(DISTINCT)
+    per_doc = lines.select(*key, id_col).distinct()
+    freq = per_doc.groupBy(*key).agg(F.count(F.lit(1)).alias("__ndocs"))
+    boiler = freq.filter(F.col("__ndocs") >= min_docs)
+    if min_doc_frac is not None:
+        totals_key = carry or []
+        base = df.filter(F.col(text_col).isNotNull())
+        if totals_key:
+            totals = base.groupBy(*totals_key).agg(
+                F.count(F.lit(1)).alias("__gdocs")
+            )
+            boiler = boiler.join(totals, totals_key)
+        else:
+            totals = base.agg(F.count(F.lit(1)).alias("__gdocs"))
+            boiler = boiler.crossJoin(F.broadcast(totals))
+        boiler = boiler.filter(
+            F.col("__ndocs") >= F.col("__gdocs") * F.lit(min_doc_frac)
+        )
+    survivors = lines.join(boiler.select(*key), key, "left_anti")
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    all_docs = lines.select(id_col).distinct()
     return all_docs.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )

@@ -3278,6 +3278,65 @@ def q_strip_duplicate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strip_common_lines",
+    """
+    WITH docs AS (
+      SELECT doc_id, coalesce(source, '') AS src,
+             'NAV ' || coalesce(source, '') || chr(10) ||
+             regexp_replace(text, ' the ', chr(10), 'g') || chr(10) ||
+             'Copyright ' || coalesce(source, '') AS text
+      FROM documents WHERE text IS NOT NULL),
+    t AS (
+      SELECT doc_id, src, list_filter(list_transform(
+               string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS l
+      FROM docs),
+    pos AS (
+      SELECT doc_id, src, unnest(generate_series(1, len(l))) AS i, l
+      FROM t WHERE len(l) > 0),
+    c2 AS (SELECT doc_id, src, i - 1 AS idx, l[i] AS line FROM pos),
+    freq AS (
+      SELECT src, line, count(DISTINCT doc_id) AS ndocs
+      FROM c2 GROUP BY 1, 2),
+    kept AS (
+      SELECT c.* FROM c2 c JOIN freq f USING (src, line)
+      WHERE f.ndocs < 2)
+    SELECT d.doc_id,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text
+    FROM (SELECT DISTINCT doc_id FROM c2) d
+    LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def q_strip_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet site-template strip: rebuild every doc with lines
+    that appear in >= 2 DISTINCT docs of the same source removed (ALL
+    copies — nav/cookie boilerplate keeps nothing), in-doc repetition
+    untouched. The corpus is enriched with deterministic per-source
+    NAV/Copyright template lines so the strip is exercised for real
+    on every source, plus whatever natural cross-doc line repeats the
+    ' the '-split produces. Full rebuilt TEXT is hash-compared, not
+    just counts. Decision side shuffles (src, fingerprint, doc) —
+    never text; verdict returns as a left-anti join against the small
+    template-line set."""
+    from polars_text_spark.operators.chunks import strip_common_lines
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    src = F.coalesce(F.col("source"), F.lit(""))
+    synth = docs.select(
+        "doc_id",
+        src.alias("src"),
+        F.concat(
+            F.lit("NAV "), src, F.lit("\n"),
+            F.regexp_replace(F.col("text"), " the ", "\n"),
+            F.lit("\n"), F.lit("Copyright "), src,
+        ).alias("text"),
+    )
+    return strip_common_lines(
+        synth, "text", "doc_id", "src", sep="\n", min_docs=2
+    )
+
+
+@query(
     "salted_order_priority_revenue",
     """
     SELECT o_orderpriority,
@@ -5349,6 +5408,7 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
+    "strip_common_lines",
     "topic_projector",
     "ann_store_delete",
     "link_stats",

@@ -105,3 +105,93 @@ def test_strip_duplicate_chunks_max_occurrences(spark):
     assert got[3] == "boiler\n\nboiler"
     with pytest.raises(ValueError, match="max_occurrences"):
         strip_duplicate_chunks(_df(spark), max_occurrences=0)
+
+
+def _tmpl_df(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.createDataFrame(
+        [
+            (1, "a", "Home | About\ncontent one\nCopyright 2026"),
+            (2, "a", "Home | About\ncontent two\nCopyright 2026"),
+            (3, "a", "unique page\ncontent three"),
+            (4, "b", "Home | About\nother domain content"),
+            (5, "b", "rep\nrep\nrep"),
+            (6, "a", None),
+            (7, "a", "Home | About\nCopyright 2026"),
+        ],
+        "doc_id long, src string, text string",
+    )
+
+
+def test_strip_common_lines_group_scoped(spark):
+    from polars_text_spark.operators.chunks import strip_common_lines
+
+    got = {
+        r.doc_id: r.text
+        for r in strip_common_lines(
+            _tmpl_df(spark), "text", "doc_id", "src", min_docs=2
+        ).collect()
+    }
+    # template lines stripped within group 'a' (3 and 2 of its 4 docs)
+    assert got[1] == "content one"
+    assert got[2] == "content two"
+    assert got[3] == "unique page\ncontent three"
+    # same line in group 'b' appears in only ONE doc there -> survives
+    assert got[4] == "Home | About\nother domain content"
+    # in-doc repetition is not boilerplate (distinct-doc counting)
+    assert got[5] == "rep\nrep\nrep"
+    # null text yields no row; fully-templated doc keeps empty string
+    assert 6 not in got and got[7] == ""
+
+
+def test_strip_common_lines_corpus_wide_and_frac(spark):
+    from polars_text_spark.operators.chunks import strip_common_lines
+
+    got = {
+        r.doc_id: r.text
+        for r in strip_common_lines(
+            _tmpl_df(spark), "text", "doc_id", None, min_docs=2
+        ).collect()
+    }
+    # corpus-wide: the 'b'-group copy is stripped too
+    assert got[4] == "other domain content"
+    # frac gate: 'Home | About' is in 3/4 of group-a docs < 0.9 -> kept
+    kept = {
+        r.doc_id: r.text
+        for r in strip_common_lines(
+            _tmpl_df(spark),
+            "text",
+            "doc_id",
+            "src",
+            min_docs=2,
+            min_doc_frac=0.9,
+        ).collect()
+    }
+    assert kept[1] == "Home | About\ncontent one\nCopyright 2026"
+
+
+def test_strip_common_lines_validates_params(spark):
+    import pytest as _pytest
+
+    from polars_text_spark.operators.chunks import strip_common_lines
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        strip_common_lines(_tmpl_df(spark), min_docs=0)
+    with _pytest.raises(ValueError, match="min_doc_frac"):
+        strip_common_lines(_tmpl_df(spark), min_doc_frac=1.5)
+
+
+def test_strip_common_lines_no_fingerprint_window(spark):
+    """The boilerplate decision must be aggregate+anti-join — no
+    window partitioned by the line fingerprint (hot-template straggler
+    at scale)."""
+    from polars_text_spark.operators.chunks import strip_common_lines
+    from polars_text_spark.plans import explain_str
+
+    plan = explain_str(
+        strip_common_lines(_tmpl_df(spark), "text", "doc_id", "src"),
+        "formatted",
+    )
+    assert "Window" not in plan
+    assert "LeftAnti" in plan

@@ -13,13 +13,19 @@ from polars_text_spark.streaming.events import (
     read_events_stream,
     windowed_event_counts,
 )
+from polars_text_spark.streaming.ingest import (
+    minhash_ingest_batch,
+    stream_into_minhash_store,
+)
 from polars_text_spark.streaming.sessions import (
     sessionize_batch,
     sessionize_stream,
 )
 
 __all__ = [
+    "minhash_ingest_batch",
     "read_events_stream",
+    "stream_into_minhash_store",
     "sessionize_batch",
     "sessionize_stream",
     "windowed_event_counts",

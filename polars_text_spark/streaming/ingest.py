@@ -1,0 +1,184 @@
+"""Continuous crawl ingest into the bucketed MinHash store
+(Structured Streaming ``foreachBatch`` + the incremental-append
+protocol of ``operators/dedup_store.py``).
+
+The production shape at 100 TB: a crawler drops document shards into
+a directory all day; the dedup store must grow with them so tonight's
+near-dup pass (or the next shard's incremental pairing) sees this
+morning's crawl. Running ``write_minhash_store`` nightly re-shingles
+and re-shuffles the whole standing corpus; micro-batch appends cost
+O(new shard) each.
+
+Delivery semantics: ``foreachBatch`` is at-least-once — a batch can
+be REDELIVERED after a driver restart, and a crawl stream can also
+redeliver the same document in two different batches. The batch-raise
+contract of ``append_minhash_shard`` (duplicate id = caller bug) is
+therefore wrong here; instead every batch is filtered to its NOVEL
+ids (anti-join against the store) and only the remainder appends —
+redelivery becomes a no-op, not a poison pill.
+
+Crash-window ordering: bands are appended FIRST, shingles LAST, and
+novelty is decided on the SHINGLES table. A failure between the two
+writes leaves band rows whose ids are still "novel"; the redelivered
+batch re-appends them — duplicate BAND rows are harmless
+(``pairs_from_store`` dropDuplicates the candidate pairs and
+compaction rewrites files), while duplicate SHINGLE rows would
+double-count every verified pair, which this ordering makes
+impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["minhash_ingest_batch", "stream_into_minhash_store"]
+
+
+def minhash_ingest_batch(
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    buckets: int = 8,
+):
+    """A ``foreachBatch`` function ``(batch_df, batch_id) -> None``
+    that grows the MinHash store ``name`` by the batch's novel ids.
+
+    First batch ever bootstraps the store with the given signature
+    parameters; every later batch reads the recorded meta (parameters
+    can never drift mid-stream). Ids already in the store — from a
+    previous batch, a redelivered batch, or a duplicate document in
+    the crawl — are dropped, so the sink is idempotent under
+    at-least-once delivery.
+    """
+    from polars_text_spark.operators.dedup import _banded_signatures
+    from polars_text_spark.operators.dedup import token_shingles
+    from polars_text_spark.operators.dedup_store import (
+        _minhash_meta,
+        write_minhash_store,
+    )
+    from polars_text_spark.sources.bucketing import (
+        read_bucketed,
+        read_tombstones,
+        write_bucketed,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.filter(F.col(text_col).isNotNull())
+            # a batch can carry the same doc twice (crawl re-fetch);
+            # keep one deterministically before the novelty filter
+            .dropDuplicates([id_col])
+        )
+        # bootstrap gate = the META table, which write_minhash_store
+        # writes LAST: a crash mid-bootstrap leaves no meta, so the
+        # redelivered first batch re-bootstraps over the partial
+        # tables instead of trusting them
+        meta = _minhash_meta(spark, name)
+        if meta is None:
+            write_minhash_store(
+                batch,
+                name,
+                text_col=text_col,
+                id_col=id_col,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_n=shingle_n,
+                buckets=buckets,
+            )
+            return
+        m_perm, m_bands, m_shingle, m_buckets = meta
+        # novelty: the shard probes the id-bucketed shingles table
+        # (shuffle-free on the store side, nothing store-sized
+        # broadcast) plus the pending-tombstone set — a tombstoned id
+        # would be silently swallowed by the read-time anti-join, so
+        # it is NOT novel until purged
+        standing = read_bucketed(spark, f"{name}_shingles").select("id")
+        novel = batch.join(
+            standing.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+        ts = read_tombstones(spark, name)
+        if ts is not None:
+            novel = novel.join(
+                F.broadcast(ts.withColumnRenamed("id", id_col)),
+                id_col,
+                "left_anti",
+            )
+        # materialize: (a) one pass over the batch text for both
+        # projections, (b) the shingles append below must not re-read
+        # the shingles table its own plan anti-joined against
+        novel = novel.localCheckpoint(eager=True)
+        if not novel.take(1):
+            return
+        banded = _banded_signatures(
+            novel, text_col, id_col, "id",
+            num_perm=m_perm, bands=m_bands, shingle_n=m_shingle,
+        ).select(
+            "id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        write_bucketed(
+            banded,
+            f"{name}_bands",
+            bucket_by=["band", "bucket"],
+            buckets=m_buckets,
+            sort_by=["band", "bucket"],
+            mode="append",
+        )
+        shingles = novel.select(
+            F.col(id_col).alias("id"),
+            token_shingles(text_col, m_shingle, hashed=True).alias("sh"),
+        )
+        write_bucketed(
+            shingles,
+            f"{name}_shingles",
+            bucket_by="id",
+            buckets=m_buckets,
+            sort_by="id",
+            mode="append",
+        )
+
+    return ingest
+
+
+def stream_into_minhash_store(
+    docs: DataFrame,
+    name: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    buckets: int = 8,
+    available_now: bool = False,
+):
+    """Attach the ingest sink to a streaming document frame and start
+    it. ``available_now=True`` drains everything currently in the
+    source and stops — the catch-up / backfill mode; the default runs
+    continuously as new shards land. Returns the StreamingQuery."""
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            minhash_ingest_batch(
+                name,
+                text_col=text_col,
+                id_col=id_col,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_n=shingle_n,
+                buckets=buckets,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

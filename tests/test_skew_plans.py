@@ -148,3 +148,25 @@ def test_cosine_topk_has_partial_rank_limit_before_shuffle(spark, sf_dir):
     assert ex and pt
     assert max(pt) > max(ex), "no WindowGroupLimit below the shuffle"
     assert ", Partial" in plan and ", Final" in plan
+
+
+@pytest.mark.parametrize("variant", ["quantized", "lsh_sha", "ivf"])
+def test_topk_variants_keep_partial_rank_limit(spark, sf_dir, variant):
+    """Every top-k family shares the `row_number <= k` shape, so the
+    SPARK-37099 partial WindowGroupLimit must appear below the final
+    per-query Exchange in ALL of them, not just the exact path — a
+    refactor of one variant's rank filter silently loses the map-side
+    k-row cap for that family only."""
+    from polars_text_spark.operators import similarity as sim
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 3)
+    if variant == "quantized":
+        df = sim.cosine_topk_quantized(vecs, qs, k=5)
+    elif variant == "lsh_sha":
+        df = sim.cosine_topk_lsh_sha(vecs, qs, k=5, dim=64)
+    else:
+        df = sim.cosine_topk_ivf(vecs, qs, k=5)
+    plan = explain_str(df, "formatted")
+    assert "WindowGroupLimit" in plan, plan
+    assert ", Partial" in plan and ", Final" in plan

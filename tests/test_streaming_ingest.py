@@ -1,0 +1,107 @@
+"""Continuous MinHash-store ingest (streaming/ingest.py): micro-batch
+appends under availableNow must build the SAME store as one batch
+write over the union corpus, stay idempotent under full redelivery,
+and respect pending tombstones."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.dedup_store import (
+    delete_ids,
+    pairs_from_store,
+    write_minhash_store,
+)
+from polars_text_spark.streaming.dedup import read_docs_stream
+from polars_text_spark.streaming.ingest import stream_into_minhash_store
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.current_timestamp().alias("ingest_ts"),
+        )
+        .limit(120)
+    )
+
+
+def _pairs(spark, name):
+    return {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, name).collect()
+    }
+
+
+def _drain(spark, src_dir, ckpt, name, **kw):
+    q = stream_into_minhash_store(
+        read_docs_stream(spark, src_dir, max_files_per_trigger=1),
+        name,
+        checkpoint_dir=ckpt,
+        buckets=4,
+        available_now=True,
+        **kw,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def test_stream_ingest_matches_batch_store(spark, corpus, tmp_path):
+    src = str(tmp_path / "drops")
+    # three shard drops appended as FLAT part files (the file stream
+    # source does not recurse); the third REDELIVERS some shard-one
+    # docs (crawl re-fetch) — the sink must drop them, not raise or
+    # duplicate
+    for shard in (
+        corpus.filter(F.col("doc_id") % 3 == 0),
+        corpus.filter(F.col("doc_id") % 3 == 1),
+        corpus.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 6 == 0)),
+    ):
+        shard.repartition(1).write.mode("append").parquet(src)
+
+    _drain(spark, src, str(tmp_path / "ck1"), "mh_stream")
+    write_minhash_store(corpus, "mh_stream_ref", buckets=4)
+    got = _pairs(spark, "mh_stream")
+    assert got == _pairs(spark, "mh_stream_ref")
+    assert got, "parity on an empty pair set is vacuous"
+
+    # full redelivery (fresh checkpoint, same source) is a no-op
+    _drain(spark, src, str(tmp_path / "ck2"), "mh_stream")
+    assert _pairs(spark, "mh_stream") == got
+    n = spark.table("mh_stream_shingles").count()
+    assert n == corpus.count()
+
+
+def test_stream_ingest_skips_tombstoned_ids(spark, corpus, tmp_path):
+    src = str(tmp_path / "drops")
+    base = corpus.filter(F.col("doc_id") % 2 == 0)
+    late = corpus.filter(F.col("doc_id") % 2 == 1)
+    base.repartition(1).write.mode("append").parquet(src)
+    _drain(spark, src, str(tmp_path / "ck1"), "mh_stream_ts")
+
+    doomed = base.select("doc_id").limit(5)
+    delete_ids(doomed, "mh_stream_ts")
+    # the next drop redelivers the tombstoned docs plus new ones; a
+    # tombstoned id must NOT re-enter before purge (read-time
+    # anti-join would silently swallow it)
+    late.unionByName(
+        base.join(F.broadcast(doomed), "doc_id", "left_semi")
+    ).repartition(1).write.mode("append").parquet(src)
+    _drain(spark, src, str(tmp_path / "ck2"), "mh_stream_ts")
+
+    stored = {
+        r.id for r in spark.table("mh_stream_ts_shingles").select("id").collect()
+    }
+    dead = {r.doc_id for r in doomed.collect()}
+    assert dead <= stored  # physically present until purge
+    live_pairs = _pairs(spark, "mh_stream_ts")
+    assert all(
+        a not in dead and b not in dead for a, b, _ in live_pairs
+    )

@@ -14,7 +14,9 @@ from polars_text_spark.streaming.events import (
     windowed_event_counts,
 )
 from polars_text_spark.streaming.ingest import (
+    ann_ingest_batch,
     minhash_ingest_batch,
+    stream_into_ann_store,
     stream_into_minhash_store,
 )
 from polars_text_spark.streaming.sessions import (
@@ -23,7 +25,9 @@ from polars_text_spark.streaming.sessions import (
 )
 
 __all__ = [
+    "ann_ingest_batch",
     "minhash_ingest_batch",
+    "stream_into_ann_store",
     "read_events_stream",
     "stream_into_minhash_store",
     "sessionize_batch",

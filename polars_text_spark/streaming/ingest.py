@@ -1,6 +1,6 @@
-"""Continuous crawl ingest into the bucketed MinHash store
+"""Continuous crawl ingest into the bucketed MinHash and ANN stores
 (Structured Streaming ``foreachBatch`` + the incremental-append
-protocol of ``operators/dedup_store.py``).
+protocols of ``operators/dedup_store.py`` / ``operators/ann_store.py``).
 
 The production shape at 100 TB: a crawler drops document shards into
 a directory all day; the dedup store must grow with them so tonight's
@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["minhash_ingest_batch", "stream_into_minhash_store"]
+__all__ = [
+    "ann_ingest_batch",
+    "minhash_ingest_batch",
+    "stream_into_ann_store",
+    "stream_into_minhash_store",
+]
 
 
 def minhash_ingest_batch(
@@ -175,6 +180,137 @@ def stream_into_minhash_store(
                 num_perm=num_perm,
                 bands=bands,
                 shingle_n=shingle_n,
+                buckets=buckets,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ann_ingest_batch(
+    name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int,
+    num_planes: int = 16,
+    bands: int = 4,
+    buckets: int = 8,
+):
+    """``foreachBatch`` sink growing the ANN store ``name`` by each
+    batch's novel ids — the vector twin of
+    :func:`minhash_ingest_batch`, same at-least-once contract.
+
+    Crash-window ordering here: BANDS first, VECTORS last, novelty
+    decided on the vectors table — candidate band collisions are
+    dropDuplicates'd by every read path, but a duplicated row in the
+    unit-vector table would duplicate (query, neighbor) rows in the
+    exact re-rank, so the harmful table is the one whose append
+    commits the batch. Dimensionality is validated per batch (a
+    wrong-dim drop would null-pad into degenerate band keys: silent
+    recall 0)."""
+    from polars_text_spark.operators.ann_store import (
+        _assert_vec_dim,
+        _shard_projections,
+        _store_meta,
+        write_ann_store,
+    )
+    from polars_text_spark.sources.bucketing import (
+        read_bucketed,
+        read_tombstones,
+        write_bucketed,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.filter(F.col(vec_col).isNotNull())
+            .dropDuplicates([id_col])
+        )
+        if not spark.catalog.tableExists(f"{name}_meta"):
+            write_ann_store(
+                batch,
+                name,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                num_planes=num_planes,
+                bands=bands,
+                buckets=buckets,
+            )
+            return
+        m_dim, m_planes, m_bands, m_buckets = _store_meta(spark, name)
+        _assert_vec_dim(batch, vec_col, m_dim)
+        standing = read_bucketed(spark, f"{name}_vectors").select("id")
+        novel = batch.join(
+            standing.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+        ts = read_tombstones(spark, name)
+        if ts is not None:
+            novel = novel.join(
+                F.broadcast(ts.withColumnRenamed("id", id_col)),
+                id_col,
+                "left_anti",
+            )
+        novel = novel.localCheckpoint(eager=True)
+        if not novel.take(1):
+            return
+        banded, unit = _shard_projections(
+            novel,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=m_dim,
+            num_planes=m_planes,
+            bands=m_bands,
+        )
+        write_bucketed(
+            banded,
+            f"{name}_bands",
+            bucket_by="band_key",
+            buckets=m_buckets,
+            sort_by="band_key",
+            mode="append",
+        )
+        write_bucketed(
+            unit,
+            f"{name}_vectors",
+            bucket_by="id",
+            buckets=m_buckets,
+            sort_by="id",
+            mode="append",
+        )
+
+    return ingest
+
+
+def stream_into_ann_store(
+    vectors: DataFrame,
+    name: str,
+    *,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int,
+    num_planes: int = 16,
+    bands: int = 4,
+    buckets: int = 8,
+    available_now: bool = False,
+):
+    """Attach the ANN ingest sink to a streaming vector frame and
+    start it (see :func:`stream_into_minhash_store`)."""
+    writer = (
+        vectors.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            ann_ingest_batch(
+                name,
+                vec_col=vec_col,
+                id_col=id_col,
+                dim=dim,
+                num_planes=num_planes,
+                bands=bands,
                 buckets=buckets,
             )
         )

@@ -105,3 +105,63 @@ def test_stream_ingest_skips_tombstoned_ids(spark, corpus, tmp_path):
     assert all(
         a not in dead and b not in dead for a, b, _ in live_pairs
     )
+
+
+def test_ann_stream_ingest_matches_batch_store(spark, sf_dir, tmp_path):
+    from pyspark.sql import types as T
+
+    from polars_text_spark.operators.ann_store import (
+        topk_from_store,
+        write_ann_store,
+    )
+    from polars_text_spark.streaming.ingest import stream_into_ann_store
+
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .limit(100)
+    )
+    src = str(tmp_path / "vecdrops")
+    # second drop redelivers part of the first (at-least-once)
+    vecs.filter(F.col("vec_id") % 2 == 0).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    vecs.filter(
+        (F.col("vec_id") % 2 == 1) | (F.col("vec_id") % 4 == 0)
+    ).repartition(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_ann_store(
+        stream.select("vec_id", "embedding"),
+        "ann_stream",
+        checkpoint_dir=str(tmp_path / "ck"),
+        dim=64,
+        buckets=4,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    write_ann_store(vecs, "ann_stream_ref", dim=64, buckets=4)
+    qs = vecs.filter(F.col("vec_id") % 7 == 1).limit(4)
+    key = lambda rows: {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9)) for r in rows
+    }
+    got = key(topk_from_store(spark, "ann_stream", qs, k=8, dim=64).collect())
+    ref = key(
+        topk_from_store(spark, "ann_stream_ref", qs, k=8, dim=64).collect()
+    )
+    assert got and got == ref
+    # redelivered ids were dropped, not duplicated
+    n = spark.table("ann_stream_vectors").count()
+    assert n == vecs.count()

@@ -105,6 +105,8 @@ from polars_text_spark.operators.ann_store import (
     write_ann_store,
 )
 from polars_text_spark.operators.web import (
+    canonical_url_frequencies,
+    canonicalize_url,
     domain_frequencies,
     extract_urls,
     link_stats,
@@ -210,6 +212,8 @@ __all__ = [
     "topk_against_shard",
     "topk_from_store",
     "write_ann_store",
+    "canonical_url_frequencies",
+    "canonicalize_url",
     "domain_frequencies",
     "extract_urls",
     "link_stats",

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "DOMAIN_PATTERN",
+    "TRACKING_PARAM_PATTERN",
     "URL_PATTERN",
+    "canonical_url_frequencies",
+    "canonicalize_url",
     "domain_frequencies",
     "extract_urls",
     "link_stats",
@@ -111,6 +114,91 @@ def domain_frequencies(
         F.count(F.lit(1)).alias("__cnt")
     )
     return per_doc.groupBy("domain").agg(
+        F.sum("__cnt").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# query params that identify a CLICK, not a resource — the standard
+# normalization list (utm_* campaign tags + the big ad/social click
+# ids). Anchored: the filter must match the whole `key=value` token.
+TRACKING_PARAM_PATTERN = (
+    "^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)"
+    "(=.*)?$"
+)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL column — the normalization pass before
+    URL-keyed exact dedup or recrawl scheduling, where
+    ``https://Ex.COM:443/p?utm_source=x&id=1#frag`` and
+    ``https://ex.com/p?id=1`` must collide:
+
+    - scheme and host lower-cased (path/query case is PRESERVED —
+      it is significant on most servers);
+    - default port stripped (``:80`` for http, ``:443`` for https);
+    - fragment dropped (never sent to the server);
+    - tracking params (:data:`TRACKING_PARAM_PATTERN`) dropped, other
+      params kept in their original order (reordering would merge
+      URLs whose servers are order-sensitive — out of scope);
+    - empty path normalized to ``/``.
+
+    Pure Catalyst built-ins (regexp extract/replace + array filter),
+    map-only, engine-portable (no replacement backrefs — Spark's
+    ``$1`` vs RE2's ``\\1`` can never diverge because no replacement
+    uses a group). Non-URL input (no ``http(s)://`` prefix) passes
+    through unchanged; null in, null out."""
+    u = _col(col)
+    scheme = F.lower(F.regexp_extract(u, "^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^https?://([^/?#]*)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).otherwise(F.regexp_replace(hostport, ":443$", ""))
+    rest = u.substr(
+        F.length(F.regexp_extract(u, "^https?://[^/?#]*", 0)) + F.lit(1),
+        F.length(u),
+    )
+    nofrag = F.regexp_replace(rest, "#.*$", "")
+    path = F.regexp_extract(nofrag, "^([^?]*)", 1)
+    query = F.regexp_extract(nofrag, "^[^?]*\\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qstr = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(qstr == "", F.lit("")).otherwise(F.concat(F.lit("?"), qstr)),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt).alias("canonical_url")
+
+
+def canonical_url_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus URL table ``(url, n_urls, n_docs)`` keyed on the
+    CANONICAL form — the URL-level twin of :func:`domain_frequencies`
+    (same two-phase aggregation shape: per-(url, doc) map-side
+    collapse, then the url-keyed merge of the already-collapsed
+    frame). Feeding a recrawl queue from raw URLs double-counts every
+    click-tagged share of the same page; canonicalizing first is what
+    makes the counts mean "this resource"."""
+    mentions = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(extract_urls(text_col)).alias("raw"),
+        )
+        .select("__doc", canonicalize_url(F.col("raw")).alias("url"))
+        .filter(F.col("url") != "")
+    )
+    per_doc = mentions.groupBy("url", "__doc").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return per_doc.groupBy("url").agg(
         F.sum("__cnt").alias("n_urls"),
         F.count(F.lit(1)).alias("n_docs"),
     )

@@ -2788,6 +2788,94 @@ def q_domain_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_frequencies(enriched, "t", "doc_id")
 
 
+def _url_canon_enrich_spark(docs: DataFrame) -> DataFrame:
+    # URLs that exercise EVERY canonicalization rule: mixed-case
+    # scheme+host, default ports (:443 / :80), tracking params mixed
+    # with real ones, fragments — identical construction in
+    # _url_canon_oracle_sql
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://EX"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example.com:443/a/"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit("?utm_source=x&id="),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit("&utm_campaign=y#sec plus HTTP://site"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.org:80/p?gclid=abc end"),
+        ).alias("t"),
+    )
+
+
+def _url_canon_oracle_sql() -> str:
+    from polars_text_spark.operators.web import (
+        TRACKING_PARAM_PATTERN,
+        URL_PATTERN,
+    )
+
+    upat = URL_PATTERN.replace("'", "''")
+    tpat = TRACKING_PARAM_PATTERN.replace("'", "''")
+    enrich = (
+        "text || ' https://EX' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.Example.com:443/a/' || CAST(doc_id % 11 AS VARCHAR)"
+        " || '?utm_source=x&id=' || CAST(doc_id % 4 AS VARCHAR)"
+        " || '&utm_campaign=y#sec plus HTTP://site'"
+        " || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.example.org:80/p?gclid=abc end'"
+    )
+    return (
+        "WITH enriched AS (SELECT doc_id, " + enrich + " AS t"
+        " FROM documents WHERE text IS NOT NULL),"
+        " urls AS (SELECT doc_id,"
+        f" unnest(regexp_extract_all(t, '{upat}')) AS u FROM enriched),"
+        " parts AS (SELECT doc_id,"
+        " lower(regexp_extract(u, '^(https?)://', 1)) AS scheme,"
+        " lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS hostport,"
+        " substr(u, length(regexp_extract(u, '^https?://[^/?#]*', 0)) + 1)"
+        "   AS rest"
+        " FROM urls),"
+        " p2 AS (SELECT doc_id, scheme,"
+        " CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')"
+        "      ELSE regexp_replace(hostport, ':443$', '') END AS host,"
+        " regexp_replace(rest, '#.*$', '') AS nofrag"
+        " FROM parts),"
+        " p3 AS (SELECT doc_id, scheme, host,"
+        " regexp_extract(nofrag, '^([^?]*)', 1) AS path,"
+        " regexp_extract(nofrag, '^[^?]*\\?(.*)$', 1) AS query"
+        " FROM p2),"
+        " p4 AS (SELECT doc_id, scheme || '://' || host ||"
+        " CASE WHEN path = '' THEN '/' ELSE path END ||"
+        " CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS url"
+        " FROM (SELECT *, array_to_string(list_filter("
+        "   string_split(query, '&'),"
+        f"   p -> p <> '' AND NOT regexp_matches(p, '{tpat}')), '&')"
+        "   AS qstr FROM p3)),"
+        " perdoc AS (SELECT url, doc_id, count(*) AS c FROM p4"
+        " WHERE url <> '' GROUP BY 1, 2)"
+        " SELECT url, CAST(sum(c) AS BIGINT) AS n_urls,"
+        " CAST(count(*) AS BIGINT) AS n_docs"
+        " FROM perdoc GROUP BY url"
+    )
+
+
+@query("url_canonical_freq", _url_canon_oracle_sql())
+def q_url_canonical_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL frequency table under the driver hash: the
+    oracle replays every normalization rule (scheme/host lower-fold,
+    default-port strip, fragment drop, tracking-param filter with
+    order-preserving rejoin, empty-path -> '/') from the shared
+    pattern constants, plus both aggregation levels. The enrichment
+    guarantees every rule fires on every document."""
+    from polars_text_spark.operators.web import canonical_url_frequencies
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = _url_canon_enrich_spark(docs)
+    return canonical_url_frequencies(enriched, "t", "doc_id")
+
+
 @query(
     "quality_weighted_sample",
     f"""
@@ -5409,6 +5497,7 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "strip_common_lines",
+    "url_canonical_freq",
     "topic_projector",
     "ann_store_delete",
     "link_stats",

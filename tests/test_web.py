@@ -81,3 +81,50 @@ def test_domain_frequencies_counts(spark):
         for r in domain_frequencies(df).collect()
     }
     assert got == {"a.com": (3, 2), "b.com": (1, 1)}
+
+
+def test_canonicalize_url_hand_cases(spark):
+    from polars_text_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Ex.COM:443/p?utm_source=x&id=1#frag"),
+            (2, "http://HOST.net:80/"),
+            (3, "http://host.net:8080/a?gclid=z"),  # non-default port kept
+            (4, "https://a.com"),  # empty path -> '/'
+            (5, "https://a.com/?x=1&utm_campaign=c&y=2"),  # order kept
+            (6, "https://a.com/CaseSensitive/Path?Q=V"),  # path case kept
+            (7, "not a url"),  # pass-through
+            (8, None),
+        ],
+        "i long, u string",
+    )
+    got = {r.i: r.c for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
+    assert got[1] == "https://ex.com/p?id=1"
+    assert got[2] == "http://host.net/"
+    assert got[3] == "http://host.net:8080/a"
+    assert got[4] == "https://a.com/"
+    assert got[5] == "https://a.com/?x=1&y=2"
+    assert got[6] == "https://a.com/CaseSensitive/Path?Q=V"
+    assert got[7] == "not a url"
+    assert got[8] is None
+
+
+def test_canonical_url_frequencies_collapses_variants(spark):
+    from polars_text_spark.operators.web import canonical_url_frequencies
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.com/p?utm_source=t and https://a.com:443/p"),
+            (2, "ref https://a.com/p#top"),
+            (3, "other https://b.com/q"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.url: (r.n_urls, r.n_docs)
+        for r in canonical_url_frequencies(df).collect()
+    }
+    # three byte-different spellings of the same resource collapse
+    assert got["https://a.com/p"] == (3, 2)
+    assert got["https://b.com/q"] == (1, 1)

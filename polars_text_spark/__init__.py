@@ -77,6 +77,7 @@ from polars_text_spark.operators.packing import (
 from polars_text_spark.operators.quality import (
     bigram_surprisal,
     doc_bigrams,
+    quantile_buckets,
     unigram_frequencies,
     unigram_surprisal,
 )
@@ -220,6 +221,7 @@ __all__ = [
     "url_domains",
     "predefined_model_records",
     "prefetch_dictionary",
+    "quantile_buckets",
     "prefetch_model",
     "chunk_dup_stats",
     "dup_ngram_coverage",

@@ -35,6 +35,7 @@ __all__ = [
     "heaps_law_fit",
     "heavy_hitters_audit",
     "length_outlier_report",
+    "quantile_buckets",
     "quantile_sketch_audit",
     "oov_rate",
     "source_kl_divergence",
@@ -880,4 +881,89 @@ def language_consistency(
                 "consistency"
             ),
         )
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    *,
+    n_buckets: int = 3,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Discrete-quantile bucket labels 0..``n_buckets``-1 per row —
+    the CCNet head/middle/tail split (perplexity terciles per
+    language) generalized: bucket ``b`` holds the rows whose value is
+    at or below the group's ``(b+1)/n``-th discrete quantile.
+
+    Exactness contract: thresholds are ACTUAL data values chosen by
+    integer arithmetic (smallest value whose cumulative count
+    satisfies ``cum * n_buckets >= k * total``) — no interpolation,
+    no float quantile math, so a SQL oracle reproduces every label
+    bit-for-bit. Ties share a value and therefore a bucket; buckets
+    are only approximately equal-sized under heavy ties (the discrete
+    quantile definition, same as DuckDB's ``quantile_disc``).
+
+    Scale shape: one hash aggregation builds the per-group VALUE
+    HISTOGRAM, so the cumulative window runs over distinct values,
+    not rows — its size is set by value granularity, not corpus size
+    (pre-round the value column to pick the granularity; 6 decimals
+    of a bounded score keeps it ~1e5 rows). The threshold table is
+    |groups| rows, broadcast back; assignment is map-only. Rows with
+    a null value (or a group absent from the thresholds) get a null
+    bucket, never a silent top-bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    keys = [by] if by else []
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    cum = hist.select(
+        *keys, value_col, F.sum("__n").over(w).alias("__cum")
+    )
+    if keys:
+        totals = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__tot"))
+        )
+        joined = cum.join(totals, keys)
+    else:
+        totals = df.filter(F.col(value_col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("__tot")
+        )
+        joined = cum.crossJoin(F.broadcast(totals))
+    th = joined.groupBy(*keys).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * n_buckets >= k * F.col("__tot"),
+                    F.col(value_col),
+                )
+            ).alias(f"__t{k}")
+            for k in range(1, n_buckets)
+        ]
+    )
+    out = (
+        df.join(F.broadcast(th), keys, "left")
+        if keys
+        else df.crossJoin(F.broadcast(th))
+    )
+    bucket = None
+    for k in range(1, n_buckets):
+        cond = F.col(value_col) <= F.col(f"__t{k}")
+        bucket = (
+            F.when(cond, k - 1) if bucket is None else bucket.when(cond, k - 1)
+        )
+    bucket = bucket.otherwise(n_buckets - 1)
+    bucket = F.when(
+        F.col(value_col).isNull() | F.col("__t1").isNull(), F.lit(None)
+    ).otherwise(bucket)
+    return out.withColumn(bucket_col, bucket.cast("int")).drop(
+        *[f"__t{k}" for k in range(1, n_buckets)]
     )

@@ -2026,6 +2026,66 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "surprisal_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id, round(avg(-log2(f.cnt / tot.total)), 6) AS s
+      FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id),
+    docs AS (
+      SELECT d.doc_id, coalesce(d.lang, '') AS lang, sc.s
+      FROM documents d JOIN scored sc USING (doc_id)),
+    hist AS (SELECT lang, s, count(*) AS n FROM docs GROUP BY lang, s),
+    cum AS (
+      SELECT lang, s, sum(n) OVER (PARTITION BY lang ORDER BY s) AS c
+      FROM hist),
+    totals AS (SELECT lang, count(*) AS t FROM docs GROUP BY lang),
+    th AS (
+      SELECT c.lang,
+             min(CASE WHEN c.c * 3 >= 1 * tt.t THEN c.s END) AS t1,
+             min(CASE WHEN c.c * 3 >= 2 * tt.t THEN c.s END) AS t2
+      FROM cum c JOIN totals tt USING (lang) GROUP BY c.lang)
+    SELECT d.doc_id, d.lang, d.s AS avg_surprisal,
+           CAST(CASE WHEN d.s <= th.t1 THEN 0
+                     WHEN d.s <= th.t2 THEN 1
+                     ELSE 2 END AS INT) AS bucket
+    FROM docs d JOIN th USING (lang)
+    """,
+)
+def q_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split: per-language terciles of
+    mean unigram surprisal, with thresholds picked by INTEGER
+    cumulative-count arithmetic over the 6-decimal-rounded score
+    histogram — actual data values, no quantile interpolation, so the
+    oracle reproduces every label exactly. Surprisal is pre-rounded
+    so both engines bucket an identical multiset."""
+    from polars_text_spark.operators.quality import (
+        quantile_buckets,
+        unigram_surprisal,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = unigram_surprisal(docs, "text", "doc_id").select(
+        "doc_id", F.round("avg_surprisal", 6).alias("avg_surprisal")
+    )
+    labeled = scored.join(
+        docs.select("doc_id", F.coalesce("lang", F.lit("")).alias("lang")),
+        "doc_id",
+    )
+    return quantile_buckets(
+        labeled, "avg_surprisal", "lang", n_buckets=3
+    ).select("doc_id", "lang", "avg_surprisal", "bucket")
+
+
+@query(
     "bigram_surprisal",
     """
     WITH t AS (
@@ -5498,6 +5558,7 @@ _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "strip_common_lines",
     "url_canonical_freq",
+    "surprisal_buckets",
     "topic_projector",
     "ann_store_delete",
     "link_stats",

@@ -442,3 +442,53 @@ def test_language_consistency_no_global_window(spark):
     )
     plan = explain_str(language_consistency(docs), "formatted")
     assert "windowspecdefinition(specifiedwindowframe" not in plan
+
+
+def test_quantile_buckets_hand_cases(spark):
+    from polars_text_spark.operators.quality import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(9)]
+        + [(100 + i, "fr", float(i % 2)) for i in range(4)]
+        + [(200, "de", None), (201, None, 1.0)],
+        "doc_id long, lang string, v double",
+    )
+    got = {
+        r.doc_id: r.bucket
+        for r in quantile_buckets(df, "v", "lang").collect()
+    }
+    # en: 9 evenly spread values -> exact terciles
+    assert [got[i] for i in range(9)] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # fr: binary values, ties share a bucket (discrete quantiles)
+    assert got[100] == got[102] == 0 and got[101] == got[103] == 1
+    # null value and null-group rows get a NULL bucket, never top
+    assert got[200] is None and got[201] is None
+    # corpus-wide (by=None) and parameter guard
+    flat = {
+        r.doc_id: r.bucket
+        for r in quantile_buckets(
+            df.filter("v IS NOT NULL AND lang = 'en'"), "v", n_buckets=2
+        ).collect()
+    }
+    assert [flat[i] for i in range(9)] == [0, 0, 0, 0, 0, 1, 1, 1, 1]
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_buckets(df, "v", n_buckets=1)
+
+
+def test_quantile_buckets_windows_run_over_histogram(spark):
+    """The cumulative window must consume the aggregated value
+    histogram (distinct values), never the row stream — the plan
+    shows the Window above a HashAggregate, and the threshold join
+    back to the rows is a broadcast."""
+    from polars_text_spark.operators.quality import quantile_buckets
+    from polars_text_spark.plans import explain_str
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i % 7)) for i in range(50)],
+        "doc_id long, lang string, v double",
+    )
+    plan = explain_str(quantile_buckets(df, "v", "lang"), "formatted")
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+    tree = plan.split("\n\n")[0].splitlines()
+    w = next(i for i, l in enumerate(tree) if "Window" in l)
+    assert any("HashAggregate" in l for l in tree[w:]), plan

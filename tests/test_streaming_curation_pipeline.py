@@ -159,3 +159,55 @@ def test_streaming_link_stats_matches_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM web_stream").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_url_canonicalization_matches_batch(spark, sf_dir, tmp_path):
+    """canonicalize_url is a map-only projection — stream output under
+    availableNow must equal the batch row set exactly (stream-safety
+    proof for the canonicalizer; the frequency AGGREGATE is the batch
+    half, like link top-k)."""
+    from polars_text_spark.operators.web import canonicalize_url, extract_urls
+
+    def transform(docs):
+        return (
+            docs.where(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.explode(
+                    extract_urls(
+                        F.concat(
+                            F.col("text"),
+                            F.lit(" https://EX"),
+                            (F.col("doc_id") % 5).cast("string"),
+                            F.lit(".com:443/p?utm_source=x&id=1#f"),
+                        )
+                    )
+                ).alias("raw"),
+            )
+            .select("doc_id", canonicalize_url(F.col("raw")).alias("url"))
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {tuple(r) for r in transform(docs).collect()}
+    assert batch
+
+    drop_dir = tmp_path / "udrops"
+    docs.repartition(3).write.parquet(str(drop_dir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("urlcanon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM urlcanon_stream").collect()
+    }
+    assert streamed == batch

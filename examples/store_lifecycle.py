@@ -13,6 +13,10 @@ state machine a 100 TB corpus store lives in:
                   ->  query again (anti-joined reads)
                   ->  purge_deleted (compaction folds tombstones)
                   ->  compact (undo append fragmentation)
+
+plus the CONTINUOUS shape: a foreachBatch stream drops document
+shards into the MinHash store as they land (at-least-once redelivery
+is a no-op — the sink appends only novel ids).
 """
 
 from __future__ import annotations
@@ -76,6 +80,40 @@ def main() -> None:
     print(f"post-purge compaction: {n_files} band files")
     print(f"top-k after purge+compact: "
           f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
+
+    print("== continuous ingest (streaming) ==")
+    import tempfile
+
+    from polars_text_spark.streaming.dedup import read_docs_stream
+    from polars_text_spark.streaming.ingest import stream_into_minhash_store
+
+    tmp = tempfile.mkdtemp()
+    drops = (
+        docs.select(
+            "doc_id", "text", "lang", "source",
+            F.current_timestamp().alias("ingest_ts"),
+        )
+    )
+    # two shard drops; the second REDELIVERS half of the first
+    drops.filter(F.col("doc_id") % 2 == 0).repartition(1).write.mode(
+        "append"
+    ).parquet(f"{tmp}/drops")
+    drops.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0)
+    ).repartition(1).write.mode("append").parquet(f"{tmp}/drops")
+    q = stream_into_minhash_store(
+        read_docs_stream(spark, f"{tmp}/drops", max_files_per_trigger=1),
+        "demo_mh_stream",
+        checkpoint_dir=f"{tmp}/ck",
+        buckets=4,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    n = spark.table("demo_mh_stream_shingles").count()
+    print(f"streamed store holds {n} docs "
+          f"(= corpus {drops.count()}: redelivered ids were dropped)")
+    print(f"pairs over streamed store: "
+          f"{dedup_store.pairs_from_store(spark, 'demo_mh_stream').count()}")
 
 
 if __name__ == "__main__":

@@ -77,7 +77,10 @@ def minhash_ingest_batch(
         batch = (
             batch_df.filter(F.col(text_col).isNotNull())
             # a batch can carry the same doc twice (crawl re-fetch);
-            # keep one deterministically before the novelty filter
+            # keep one — arbitrary among copies, which is fine for
+            # identical re-fetches; an id re-crawled with DIFFERENT
+            # text must be resolved upstream (this sink never
+            # overwrites standing rows)
             .dropDuplicates([id_col])
         )
         # bootstrap gate = the META table, which write_minhash_store

@@ -53,7 +53,10 @@ from polars_text_spark.operators.components import (
     connected_components,
     duplicate_clusters,
 )
-from polars_text_spark.operators.decontam import ngram_contamination
+from polars_text_spark.operators.decontam import (
+    embedding_contamination,
+    ngram_contamination,
+)
 from polars_text_spark.operators.dedup import (
     containment_pairs,
     dedup_threshold_sweep,
@@ -203,6 +206,7 @@ __all__ = [
     "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
     "models",
+    "embedding_contamination",
     "ngram_contamination",
     "ngram_jaccard_pairs",
     "fim_transform",

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_ngrams", "ngram_contamination"]
+__all__ = ["token_ngrams", "ngram_contamination", "embedding_contamination"]
 
 
 def token_ngrams(text: Column, n: int) -> Column:
@@ -84,4 +84,66 @@ def ngram_contamination(
     return hits.groupBy(id_col).agg(
         F.countDistinct("_sh").alias("n_shared_shingles"),
         F.countDistinct("_bench_id").alias("n_bench_docs"),
+    )
+
+
+def embedding_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination — the n-gram method's blind spot is a
+    paraphrased benchmark item (no 13-gram collision, same content);
+    this flags training rows whose embedding is near-parallel to ANY
+    eval-set embedding: ``(id_col, max_eval_cosine, contaminated)``.
+
+    Scale shape mirrors :func:`ngram_contamination`: the eval side is
+    small by construction (a benchmark, not a corpus) and rides in as
+    a broadcast; the training side streams through one scan, scores
+    every (train, eval) pair map-side, and the only shuffle is the
+    per-train-row max — one row per training doc after map-side
+    partial aggregation. Train rows with a null vector are absent
+    (nothing to compare); an EMPTY eval set yields max_eval_cosine
+    null / contaminated false for every row rather than an empty
+    result (an accidentally-empty benchmark must not silently pass
+    the whole corpus).
+    """
+    from polars_text_spark.operators.similarity import (
+        dot,
+        with_l2_normalized,
+    )
+
+    t = with_l2_normalized(
+        train.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__tid"), vec_col
+        ),
+        vec_col,
+        "__tvec",
+    ).select("__tid", "__tvec")
+    e = with_l2_normalized(
+        eval_df.where(F.col(vec_col).isNotNull()).select(vec_col),
+        vec_col,
+        "__evec",
+    ).select("__evec")
+    scored = t.crossJoin(F.broadcast(e)).select(
+        "__tid", dot(F.col("__tvec"), F.col("__evec")).alias("__c")
+    )
+    agg = scored.groupBy("__tid").agg(
+        F.max("__c").alias("max_eval_cosine")
+    )
+    # left join back so an empty eval set keeps every train row
+    return (
+        t.select("__tid")
+        .join(agg, "__tid", "left")
+        .select(
+            F.col("__tid").alias(id_col),
+            "max_eval_cosine",
+            F.coalesce(
+                F.col("max_eval_cosine") >= F.lit(float(threshold)),
+                F.lit(False),
+            ).alias("contaminated"),
+        )
     )

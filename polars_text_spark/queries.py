@@ -2165,6 +2165,49 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_semantic",
+    """
+    WITH ev AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 25 = 0 AND embedding IS NOT NULL),
+    train AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 25 <> 0 AND embedding IS NOT NULL),
+    scored AS (
+      SELECT t.vec_id,
+             max(list_cosine_similarity(t.v, ev.v)) AS mc
+      FROM train t CROSS JOIN ev
+      GROUP BY t.vec_id)
+    SELECT t.vec_id,
+           round(s.mc, 6) AS max_eval_cosine,
+           coalesce(round(s.mc, 6) >= 0.3, false) AS contaminated
+    FROM train t LEFT JOIN scored s USING (vec_id)
+    """,
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (the paraphrase blind spot of n-gram
+    collision checks): training vectors whose max cosine against the
+    held-out slice crosses the threshold. Eval side broadcast, one
+    scan of the training side, per-row max via map-side partial
+    aggregation. Both engines compare the ROUNDED cosine to the
+    threshold so a last-ulp engine difference can never flip the
+    verdict."""
+    from polars_text_spark.operators.decontam import embedding_contamination
+
+    vecs = _tbl(spark, sf_dir, "embeddings")
+    ev = vecs.filter(F.col("vec_id") % 25 == 0)
+    tr = vecs.filter(F.col("vec_id") % 25 != 0)
+    out = embedding_contamination(tr, ev, threshold=0.3)
+    return out.select(
+        "vec_id",
+        F.round("max_eval_cosine", 6).alias("max_eval_cosine"),
+        F.coalesce(
+            F.round("max_eval_cosine", 6) >= 0.3, F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
+@query(
     "pack_sequences",
     """
     WITH toks AS (
@@ -5559,6 +5602,7 @@ _DRIVER_PRIORITY = [
     "strip_common_lines",
     "url_canonical_freq",
     "surprisal_buckets",
+    "decontaminate_semantic",
     "topic_projector",
     "ann_store_delete",
     "link_stats",

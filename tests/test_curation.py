@@ -112,3 +112,51 @@ def test_cardinality_report_single_aggregate_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one logical aggregate: no join of separately-computed branches
     assert "Join" not in plan
+
+
+def test_embedding_contamination_hand_cases(spark):
+    from polars_text_spark.operators.decontam import embedding_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # parallel to eval -> 1.0
+            (2, [0.9, 0.1]),   # near-parallel
+            (3, [0.0, 1.0]),   # orthogonal
+            (4, None),         # no vector -> absent
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(10, [2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r
+        for r in embedding_contamination(train, ev, threshold=0.95).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1].contaminated and got[2].contaminated
+    assert not got[3].contaminated
+    assert got[1].max_eval_cosine == pytest.approx(1.0)
+    # empty eval set: every row kept, nothing contaminated, null max
+    empty = ev.filter("vec_id < 0")
+    kept = {
+        r.vec_id: r for r in embedding_contamination(train, empty).collect()
+    }
+    assert set(kept) == {1, 2, 3}
+    assert all(not r.contaminated and r.max_eval_cosine is None
+               for r in kept.values())
+
+
+def test_embedding_contamination_broadcasts_eval_side(spark):
+    from polars_text_spark.operators.decontam import embedding_contamination
+    from polars_text_spark.plans import explain_str
+
+    train = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    ev = train.limit(2)
+    plan = explain_str(embedding_contamination(train, ev), "formatted")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the training side must not be broadcast or re-shuffled for scoring
+    assert "CartesianProduct" not in plan

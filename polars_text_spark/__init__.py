@@ -108,10 +108,12 @@ from polars_text_spark.operators.ann_store import (
     topk_from_store,
     write_ann_store,
 )
+from polars_text_spark.operators.graph import pagerank
 from polars_text_spark.operators.web import (
     canonical_url_frequencies,
     canonicalize_url,
     domain_frequencies,
+    domain_link_edges,
     extract_urls,
     link_stats,
     url_domains,
@@ -220,8 +222,10 @@ __all__ = [
     "canonical_url_frequencies",
     "canonicalize_url",
     "domain_frequencies",
+    "domain_link_edges",
     "extract_urls",
     "link_stats",
+    "pagerank",
     "url_domains",
     "predefined_model_records",
     "prefetch_dictionary",

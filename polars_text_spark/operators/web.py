@@ -28,6 +28,7 @@ __all__ = [
     "canonical_url_frequencies",
     "canonicalize_url",
     "domain_frequencies",
+    "domain_link_edges",
     "extract_urls",
     "link_stats",
     "url_domains",
@@ -201,4 +202,35 @@ def canonical_url_frequencies(
     return per_doc.groupBy("url").agg(
         F.sum("__cnt").alias("n_urls"),
         F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def domain_link_edges(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-level link edge list ``(src, dst)`` from a corpus: one
+    edge per (page domain, linked domain) pair that occurs anywhere in
+    the corpus — ``src`` is the document's own host (``domain_col``),
+    ``dst`` each host mentioned in its text. Self-links and duplicate
+    edges are collapsed (``distinct``): at domain granularity an edge
+    means "site A endorses site B", not "how many times".
+
+    This is the input :func:`polars_text_spark.operators.graph.
+    pagerank` consumes. Scale: one explode of the per-doc domain
+    arrays, then the distinct's hash aggregation — map-side combine
+    collapses the heavy repeat edges (navigation links repeated on
+    every page of a site) before the shuffle, so the exchange carries
+    edges, not mentions."""
+    return (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(domain_col).isNotNull()
+        )
+        .select(
+            F.lower(F.col(domain_col)).alias("src"),
+            F.explode(url_domains(text_col)).alias("dst"),
+        )
+        .filter((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
     )

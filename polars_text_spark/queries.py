@@ -2979,6 +2979,111 @@ def q_url_canonical_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_url_frequencies(enriched, "t", "doc_id")
 
 
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled fixed-point PageRank replay: DuckDB re-derives the
+    edge list from the shared URL/DOMAIN patterns, then every
+    iteration's integer shares, dangling redistribution and damping
+    update — bit-identical BIGINT ranks (the fixed-point design in
+    operators/graph.py exists exactly so this oracle can be exact)."""
+    from polars_text_spark.operators.web import DOMAIN_PATTERN, URL_PATTERN
+
+    upat = URL_PATTERN.replace("'", "''")
+    dpat = DOMAIN_PATTERN.replace("'", "''")
+    sql = (
+        "WITH enriched AS (SELECT doc_id,"
+        " 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'"
+        " AS domain,"
+        " text || ' see https://ex' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+        " || ' and http://Mirror' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.example.NET/x'"
+        " || CASE WHEN doc_id % 10 < 3 THEN"
+        " ' plus https://hub.example.com/' ELSE '' END AS t"
+        " FROM documents WHERE text IS NOT NULL),"
+        " urls AS (SELECT lower(domain) AS src,"
+        f" unnest(regexp_extract_all(t, '{upat}')) AS u FROM enriched),"
+        " edges AS (SELECT DISTINCT src,"
+        f" lower(regexp_extract(u, '{dpat}', 1)) AS dst FROM urls"
+        f" WHERE lower(regexp_extract(u, '{dpat}', 1)) <> ''"
+        f" AND src <> lower(regexp_extract(u, '{dpat}', 1))),"
+        " nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),"
+        " nc AS (SELECT COUNT(*) AS n FROM nodes),"
+        " outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges"
+        " GROUP BY src),"
+        " r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr"
+        " FROM nodes)"
+    )
+    for k in range(1, iters + 1):
+        sql += (
+            f", s{k} AS (SELECT e.dst AS node,"
+            f" SUM(r.pr // o.odeg) AS inflow"
+            f" FROM edges e JOIN r{k - 1} r ON r.node = e.src"
+            " JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+            f", d{k} AS (SELECT COALESCE(SUM(r.pr), 0) AS dang"
+            f" FROM r{k - 1} r LEFT JOIN outdeg o ON o.src = r.node"
+            " WHERE o.src IS NULL)"
+            f", r{k} AS (SELECT n.node,"
+            " CAST((15000000000 + 85 * (COALESCE(s.inflow, 0)"
+            " + (d.dang // nc.n))) // 100 AS BIGINT) AS pr"
+            f" FROM nodes n LEFT JOIN s{k} s ON s.node = n.node"
+            f" CROSS JOIN d{k} d CROSS JOIN nc)"
+        )
+    return (
+        sql
+        + " SELECT node AS domain, pr AS rank,"
+        f" round(pr / 1000000000.0, 6) AS score FROM r{iters}"
+    )
+
+
+@query("domain_pagerank", _pagerank_oracle_sql())
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the corpus's own domain link graph —
+    the crawl-frontier / spam-prior centrality signal (Common Crawl
+    publishes exactly this table for its domain graph). Enrichment
+    gives every doc a site{0..4} host plus links to ex{0..6}, a
+    mirror{0..2} host and (3 of 10 docs) a hub — hub and the dangling
+    targets get DIFFERENT in-flows, so the test graph exercises varied
+    out-degrees, the dangling-mass term and the teleport floor. The
+    oracle replays edge extraction from the shared patterns and all
+    three integer iterations; ranks are BIGINT-exact (no float
+    summation anywhere), which is what makes a distributed graph
+    metric hash-checkable across engines."""
+    from polars_text_spark.operators.graph import pagerank
+    from polars_text_spark.operators.web import domain_link_edges
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://Mirror"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.NET/x"),
+            F.when(
+                F.col("doc_id") % 10 < 3,
+                F.lit(" plus https://hub.example.com/"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    edges = domain_link_edges(enriched, "domain", "t")
+    pr = pagerank(edges, iterations=3)
+    return pr.select(
+        F.col("node").alias("domain"),
+        "rank",
+        F.round(F.col("rank") / F.lit(1000000000.0), 6).alias("score"),
+    )
+
+
 @query(
     "quality_weighted_sample",
     f"""
@@ -5599,6 +5704,7 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
+    "domain_pagerank",
     "strip_common_lines",
     "url_canonical_freq",
     "surprisal_buckets",

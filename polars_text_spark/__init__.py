@@ -110,10 +110,12 @@ from polars_text_spark.operators.ann_store import (
 )
 from polars_text_spark.operators.graph import pagerank
 from polars_text_spark.operators.web import (
+    blocklist_verdict,
     canonical_url_frequencies,
     canonicalize_url,
     domain_frequencies,
     domain_link_edges,
+    domain_suffixes,
     extract_urls,
     link_stats,
     url_domains,
@@ -219,10 +221,12 @@ __all__ = [
     "topk_against_shard",
     "topk_from_store",
     "write_ann_store",
+    "blocklist_verdict",
     "canonical_url_frequencies",
     "canonicalize_url",
     "domain_frequencies",
     "domain_link_edges",
+    "domain_suffixes",
     "extract_urls",
     "link_stats",
     "pagerank",

@@ -25,10 +25,12 @@ __all__ = [
     "DOMAIN_PATTERN",
     "TRACKING_PARAM_PATTERN",
     "URL_PATTERN",
+    "blocklist_verdict",
     "canonical_url_frequencies",
     "canonicalize_url",
     "domain_frequencies",
     "domain_link_edges",
+    "domain_suffixes",
     "extract_urls",
     "link_stats",
     "url_domains",
@@ -233,4 +235,65 @@ def domain_link_edges(
         )
         .filter((F.col("dst") != "") & (F.col("src") != F.col("dst")))
         .distinct()
+    )
+
+
+def domain_suffixes(col: Column | str) -> Column:
+    """All label-aligned dot-suffixes of a (lower-folded) domain:
+    ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com]``. Label-aligned by construction — ``notexample.biz`` yields
+    ``[notexample.biz, biz]``, never ``example.biz`` — which is the
+    matching rule a domain blocklist needs (an entry blocks the
+    domain and every subdomain, nothing else). Map-only higher-order
+    built-ins; null in, null out."""
+    parts = F.split(F.lower(_col(col)), "\\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    ).alias("domain_suffixes")
+
+
+def blocklist_verdict(
+    df: DataFrame,
+    blocklist: DataFrame,
+    *,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """``df`` plus a ``blocked`` boolean: true iff any label-aligned
+    suffix of the row's domain equals a blocklist ``pattern_col``
+    entry (so ``example.com`` in the list blocks ``example.com`` AND
+    ``sub.example.com``; patterns are lower-folded to match the
+    suffix fold). The standard URL-filter gate (UT1/adult blocklists,
+    tracker/ad domain lists) applied at corpus scale.
+
+    Scale: suffix explode is bounded by the domain's label count
+    (~4-6), the blocklist join is a BROADCAST semi probe (blocklists
+    are config-sized — 10^2..10^6 rows), and the verdict rejoins the
+    corpus as a broadcast of the DISTINCT matched-id set. The one
+    honest ceiling: the matched-id broadcast assumes blocked rows are
+    a minority (the normal case — a blocklist that kills half the
+    corpus is a corpus bug, not a filter); if a workload ever blocks
+    corpus-scale row counts, swap the final broadcast for a plain
+    left join — same semantics, one extra shuffle."""
+    pat = blocklist.select(
+        F.lower(F.col(pattern_col)).alias("__pat")
+    ).distinct()
+    hits = (
+        df.select(
+            F.col(id_col).alias("__hid"),
+            F.explode(domain_suffixes(domain_col)).alias("__sfx"),
+        )
+        .join(F.broadcast(pat), F.col("__sfx") == F.col("__pat"), "semi")
+        .select("__hid")
+        .distinct()
+    )
+    out = df.join(
+        F.broadcast(hits), df[id_col] == hits["__hid"], "left"
+    )
+    return out.select(
+        *[df[c] for c in df.columns],
+        F.col("__hid").isNotNull().alias("blocked"),
     )

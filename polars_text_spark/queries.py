@@ -3036,6 +3036,65 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     )
 
 
+@query(
+    "blocklist_gate",
+    """
+    WITH d AS (SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'ads.tracker' || CAST(doc_id % 3 AS VARCHAR) || '.net'
+        WHEN 1 THEN 'sub.deep.example.biz'
+        WHEN 2 THEN 'notexample.biz'
+        ELSE 'spam.example.org' END AS domain
+      FROM documents WHERE text IS NOT NULL),
+    bl AS (SELECT lower(pattern) AS pat FROM (VALUES ('tracker0.net'),
+      ('tracker1.net'), ('example.biz'), ('Spam.Example.ORG'))
+      t(pattern)),
+    sfx AS (SELECT doc_id, unnest(list_transform(
+              generate_series(1, len(p)),
+              i -> array_to_string(list_slice(p, i, len(p)), '.'))) AS s
+            FROM (SELECT doc_id, string_split(lower(domain), '.') AS p
+                  FROM d)),
+    hits AS (SELECT DISTINCT sfx.doc_id FROM sfx JOIN bl ON s = pat)
+    SELECT d.doc_id, d.domain, (h.doc_id IS NOT NULL) AS blocked
+    FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate (the UT1/tracker-list URL filter shape)
+    with label-aligned suffix semantics under the driver hash. The
+    enrichment exercises every matching rule: a parameterized tracker
+    family where only 2 of 3 members are listed, a depth-2 subdomain
+    blocked via its registered parent, a label-misaligned near-miss
+    (``notexample.biz`` must NOT match ``example.biz``), and a
+    mixed-case blocklist entry (pattern lower-fold). The oracle
+    replays suffix generation, both folds, the distinct-hit set and
+    the left-join verdict."""
+    from polars_text_spark.operators.web import blocklist_verdict
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("ads.tracker"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".net"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("sub.deep.example.biz"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("notexample.biz"))
+        .otherwise(F.lit("spam.example.org"))
+        .alias("domain"),
+    )
+    bl = spark.createDataFrame(
+        [("tracker0.net",), ("tracker1.net",), ("example.biz",),
+         ("Spam.Example.ORG",)],
+        "pattern string",
+    )
+    return blocklist_verdict(d, bl, domain_col="domain", id_col="doc_id")
+
+
 @query("domain_pagerank", _pagerank_oracle_sql())
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the corpus's own domain link graph —
@@ -5705,6 +5764,7 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "domain_pagerank",
+    "blocklist_gate",
     "strip_common_lines",
     "url_canonical_freq",
     "surprisal_buckets",

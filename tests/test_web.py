@@ -128,3 +128,75 @@ def test_canonical_url_frequencies_collapses_variants(spark):
     # three byte-different spellings of the same resource collapse
     assert got["https://a.com/p"] == (3, 2)
     assert got["https://b.com/q"] == (1, 1)
+
+
+def test_domain_suffixes_label_aligned(spark):
+    from polars_text_spark.operators.web import domain_suffixes
+
+    df = spark.createDataFrame(
+        [("a.B.Example.com",), ("notexample.biz",), (None,)],
+        "d string",
+    )
+    got = [r[0] for r in df.select(domain_suffixes("d")).collect()]
+    assert got[0] == [
+        "a.b.example.com", "b.example.com", "example.com", "com",
+    ]
+    # label alignment: 'example.biz' is NOT a suffix of notexample.biz
+    assert got[1] == ["notexample.biz", "biz"]
+    assert got[2] is None
+
+
+def _bl_fixture(spark):
+    from polars_text_spark.operators.web import blocklist_verdict
+
+    df = spark.createDataFrame(
+        [
+            (1, "Sub.Example.COM"),   # blocked via parent + case fold
+            (2, "example.com"),       # blocked exactly
+            (3, "notexample.com"),    # label misalignment -> kept
+            (4, "other.org"),         # kept
+            (5, "a.b.ads.net"),       # blocked via deep parent
+        ],
+        "doc_id int, domain string",
+    )
+    bl = spark.createDataFrame(
+        [("Example.COM",), ("ads.net",)], "pattern string"
+    )
+    return df, blocklist_verdict(df, bl)
+
+
+def test_blocklist_verdict_semantics(spark):
+    df, out = _bl_fixture(spark)
+    got = {r.doc_id: r.blocked for r in out.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
+    # row multiplicity preserved (a domain matching SEVERAL patterns
+    # must not duplicate): sub.example.com also matches nothing else,
+    # so simply pin the total
+    assert out.count() == df.count()
+
+
+def test_blocklist_verdict_multi_match_no_duplication(spark):
+    from polars_text_spark.operators.web import blocklist_verdict
+
+    df = spark.createDataFrame(
+        [(1, "a.b.example.com")], "doc_id int, domain string"
+    )
+    bl = spark.createDataFrame(
+        [("b.example.com",), ("example.com",), ("com",)],
+        "pattern string",
+    )
+    out = blocklist_verdict(df, bl)
+    assert out.count() == 1 and out.collect()[0].blocked
+
+
+def test_blocklist_joins_are_broadcast(spark):
+    import re
+
+    _, out = _bl_fixture(spark)
+    plan = explain_str(out)
+    # both the pattern probe and the matched-id rejoin must build
+    # broadcast sides: the corpus never shuffles on its own keys
+    # (formatted explain prints each node twice — tree + detail —
+    # so count the numbered detail headers)
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert "SortMergeJoin" not in plan

@@ -15,6 +15,7 @@ from polars_text_spark.functions.analysis import (
     detect_language,
     doc_fingerprint,
     dup_word_frac,
+    license_signals,
     line_stats,
     mojibake_signals,
     normalize_text,
@@ -51,6 +52,7 @@ __all__ = [
     "ensure_dict",
     "prefetch_dictionary",
     "dup_word_frac",
+    "license_signals",
     "line_stats",
     "mojibake_signals",
     "embedding",

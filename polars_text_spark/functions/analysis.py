@@ -28,6 +28,8 @@ __all__ = [
     "doc_fingerprint",
     "dup_word_frac",
     "hashed_classifier_score",
+    "license_signals",
+    "LICENSE_PATTERNS",
     "line_stats",
     "mojibake_signals",
     "normalize_text",
@@ -609,3 +611,69 @@ def doc_fingerprint(col: Column | str) -> Column:
     SHA-256 content hashes, src/cache.rs:23-27)."""
     c = _col(col)
     return F.sha2(clean_text(c), 256).alias("fingerprint")
+
+
+# License-marker patterns, one per family. Module constants: the
+# oracle SQL is BUILT from these strings, so Spark (Java regex) and
+# DuckDB (RE2) are character-identical by construction — (?i), \b and
+# plain alternation are portable across both engines (no backrefs, no
+# lookaround).
+LICENSE_PATTERNS = {
+    # CC family incl. the short "CC BY(-SA/NC/ND)" forms and the
+    # license-chooser URL
+    "n_creative_commons": (
+        "(?i)creative commons|creativecommons\\.org"
+        "|\\bCC[ -]BY(?:[ -](?:SA|NC|ND))*\\b"
+    ),
+    "n_public_domain": "(?i)public domain|\\bCC0\\b|\\bunlicense\\b",
+    "n_permissive": (
+        "(?i)\\bMIT Licen[cs]e\\b|\\bApache Licen[cs]e\\b"
+        "|\\bBSD (?:[23]-Clause )?Licen[cs]e\\b|\\bISC Licen[cs]e\\b"
+    ),
+    "n_copyleft": (
+        "(?i)GNU (?:Lesser |Affero )?General Public Licen[cs]e"
+        "|\\b[LA]?GPL(?:v[23]|-[23]\\.[01])?\\b"
+        "|Mozilla Public Licen[cs]e"
+    ),
+    "n_rights_reserved": "(?i)all rights reserved",
+}
+
+
+def license_signals(col: Column | str) -> Column:
+    """License-marker scan as a struct of per-family match counts plus
+    a ``verdict`` — the training-data governance gate: a corpus built
+    from crawled text needs to KNOW which documents carry explicit
+    license declarations before a usage decision can exist (the same
+    reason code-LM pipelines like The Stack publish per-file license
+    tags and filter on them).
+
+    Families (:data:`LICENSE_PATTERNS`): Creative Commons, public
+    domain / CC0, permissive code licenses (MIT/Apache/BSD/ISC),
+    copyleft (GPL/LGPL/AGPL/MPL), and "all rights reserved".
+    ``verdict`` is the most restrictive family present, in the fixed
+    priority ``copyleft > rights_reserved > permissive >
+    creative_commons > public_domain > none`` — a marker SCAN, not
+    legal analysis: it flags declarations for a downstream policy to
+    act on.
+
+    Pure Catalyst ``regexp_count``, map-only, fused into the scan;
+    identical pattern strings replay in any RE2/Java-regex engine.
+    Null in, null fields out."""
+    c = _col(col)
+    counts = {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in LICENSE_PATTERNS.items()
+    }
+    verdict = (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(counts["n_copyleft"] > 0, F.lit("copyleft"))
+        .when(counts["n_rights_reserved"] > 0, F.lit("rights_reserved"))
+        .when(counts["n_permissive"] > 0, F.lit("permissive"))
+        .when(counts["n_creative_commons"] > 0, F.lit("creative_commons"))
+        .when(counts["n_public_domain"] > 0, F.lit("public_domain"))
+        .otherwise(F.lit("none"))
+    )
+    return F.struct(
+        *[col_.alias(name) for name, col_ in counts.items()],
+        verdict.alias("verdict"),
+    ).alias("license_signals")

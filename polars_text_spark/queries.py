@@ -3036,6 +3036,92 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     )
 
 
+def _license_oracle_sql() -> str:
+    from polars_text_spark.functions.analysis import LICENSE_PATTERNS
+
+    counts = " ".join(
+        f", CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in LICENSE_PATTERNS.items()
+    )
+    return (
+        "WITH enriched AS (SELECT doc_id, text || CASE doc_id % 5"
+        " WHEN 0 THEN ' Licensed under the MIT License.'"
+        " WHEN 1 THEN ' This work is licensed under a Creative"
+        " Commons Attribution (CC BY-SA) license.'"
+        " WHEN 2 THEN ' Portions under the MIT License. Copyright:"
+        " All Rights Reserved.'"
+        " WHEN 3 THEN ' Distributed under the GNU General Public"
+        " License, or later GPLv3.'"
+        " ELSE '' END AS t FROM documents WHERE text IS NOT NULL),"
+        " c AS (SELECT doc_id" + counts + " FROM enriched)"
+        " SELECT doc_id, n_creative_commons, n_public_domain,"
+        " n_permissive, n_copyleft, n_rights_reserved,"
+        " CASE WHEN n_copyleft > 0 THEN 'copyleft'"
+        " WHEN n_rights_reserved > 0 THEN 'rights_reserved'"
+        " WHEN n_permissive > 0 THEN 'permissive'"
+        " WHEN n_creative_commons > 0 THEN 'creative_commons'"
+        " WHEN n_public_domain > 0 THEN 'public_domain'"
+        " ELSE 'none' END AS verdict FROM c"
+    )
+
+
+@query("license_scan", _license_oracle_sql())
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-marker governance scan under the driver hash: the
+    enrichment plants one license family per doc-id class — MIT
+    (permissive), CC BY-SA (two distinct CC markers), a MIXED doc
+    (MIT + all-rights-reserved, pinning the most-restrictive-wins
+    verdict priority), GPL prose + the GPLv3 short form, and an
+    untouched class (verdict 'none'). The oracle replays every family
+    count from the shared LICENSE_PATTERNS constants and the verdict
+    CASE. Map-only regexp_count fused into the scan."""
+    from polars_text_spark.functions.analysis import license_signals
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" Licensed under the MIT License."),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.lit(
+                    " This work is licensed under a Creative Commons"
+                    " Attribution (CC BY-SA) license."
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.lit(
+                    " Portions under the MIT License. Copyright:"
+                    " All Rights Reserved."
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.lit(
+                    " Distributed under the GNU General Public"
+                    " License, or later GPLv3."
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = enriched.select("doc_id", license_signals("t").alias("s"))
+    return out.select(
+        "doc_id",
+        F.col("s.n_creative_commons").alias("n_creative_commons"),
+        F.col("s.n_public_domain").alias("n_public_domain"),
+        F.col("s.n_permissive").alias("n_permissive"),
+        F.col("s.n_copyleft").alias("n_copyleft"),
+        F.col("s.n_rights_reserved").alias("n_rights_reserved"),
+        F.col("s.verdict").alias("verdict"),
+    )
+
+
 @query(
     "blocklist_gate",
     """
@@ -5765,6 +5851,7 @@ _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "domain_pagerank",
     "blocklist_gate",
+    "license_scan",
     "strip_common_lines",
     "url_canonical_freq",
     "surprisal_buckets",

@@ -141,3 +141,47 @@ def test_compression_ratio_separates_boilerplate_from_noise(spark):
         assert rows[i].n_compressed == len(zlib.compress(raw, 6))
     assert rows[3].ratio is None and rows[3].n_bytes is None
     assert rows[4] == (0, 0, 0.0)
+
+
+def test_license_signals_hand_cases(spark):
+    from polars_text_spark.functions.analysis import license_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "code under the MIT Licence and the Apache License 2.0"),
+            (2, "released into the Public Domain (CC0)"),
+            (3, "GNU Lesser General Public License; also AGPLv3"),
+            (4, "Creative Commons CC BY-NC-SA terms"),
+            (5, "Copyright 2021. all rights reserved."),
+            # priority: copyleft beats everything else present
+            (6, "MIT License text, All Rights Reserved, see GPL-3.0"),
+            (7, "no markers here, CC0123 is a part number"),
+            (8, None),
+        ],
+        "id int, text string",
+    )
+    rows = {
+        r.id: r.s
+        for r in df.select("id", license_signals("text").alias("s")).collect()
+    }
+    assert rows[1].n_permissive == 2 and rows[1].verdict == "permissive"
+    assert rows[2].n_public_domain == 2  # "Public Domain" + "CC0"
+    assert rows[2].verdict == "public_domain"
+    assert rows[3].n_copyleft == 2 and rows[3].verdict == "copyleft"
+    assert rows[4].n_creative_commons == 2  # prose + CC BY-NC-SA
+    assert rows[4].verdict == "creative_commons"
+    assert rows[5].n_rights_reserved == 1  # case-insensitive
+    assert rows[5].verdict == "rights_reserved"
+    assert rows[6].verdict == "copyleft"  # most restrictive wins
+    # \bCC0\b must not fire inside CC0123
+    assert rows[7].verdict == "none" and rows[7].n_public_domain == 0
+    assert rows[8].verdict is None
+
+
+def test_license_signals_map_only(spark, sf_dir):
+    from polars_text_spark.functions.analysis import license_signals
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(docs.select("doc_id", license_signals("text")))
+    assert "Exchange" not in plan

@@ -108,6 +108,7 @@ from polars_text_spark.operators.ann_store import (
     topk_from_store,
     write_ann_store,
 )
+from polars_text_spark.operators.bpe import bpe_learn, bpe_segment
 from polars_text_spark.operators.graph import pagerank
 from polars_text_spark.operators.web import (
     blocklist_verdict,
@@ -222,6 +223,8 @@ __all__ = [
     "topk_from_store",
     "write_ann_store",
     "blocklist_verdict",
+    "bpe_learn",
+    "bpe_segment",
     "canonical_url_frequencies",
     "canonicalize_url",
     "domain_frequencies",

@@ -3036,6 +3036,62 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     )
 
 
+def _bpe_oracle_sql(k: int = 5) -> str:
+    """Unrolled BPE replay: k CTE rounds of pair counting (positional
+    list zip), (freq desc, a, b) argmax and the double-space literal
+    replace — byte-identical merge application in both engines
+    because the separator trick needs only literal ``replace``."""
+    sql = (
+        "WITH toks AS (SELECT unnest(" + _SQL_WS_TOKS + ") AS w"
+        " FROM documents WHERE text IS NOT NULL),"
+        " w0 AS (SELECT w, COUNT(*) AS cnt,"
+        " ' ' || array_to_string(list_transform("
+        "generate_series(1, length(w)), i -> substring(w, i, 1)),"
+        " '  ') || ' ' AS s"
+        " FROM toks GROUP BY w)"
+    )
+    pair_struct = "{'a': syms[i], 'b': syms[i+1]}"
+    for r in range(1, k + 1):
+        sql += (
+            f", p{r} AS (SELECT pr.a AS a, pr.b AS b,"
+            " SUM(cnt) AS freq FROM ("
+            " SELECT cnt, unnest(list_transform("
+            "generate_series(1, len(syms)-1),"
+            f" i -> {pair_struct})) AS pr"
+            " FROM (SELECT cnt, string_split(trim(s), '  ') AS syms"
+            f" FROM w{r - 1})) GROUP BY 1, 2)"
+            f", m{r} AS (SELECT a, b, freq FROM p{r}"
+            " ORDER BY freq DESC, a, b LIMIT 1)"
+            f", w{r} AS (SELECT w, cnt, replace(s,"
+            " ' ' || m.a || '  ' || m.b || ' ',"
+            " ' ' || m.a || m.b || ' ') AS s"
+            f" FROM w{r - 1} CROSS JOIN m{r} m)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged,"
+        f" CAST(freq AS BIGINT) AS freq FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return sql + " " + selects
+
+
+@query("bpe_merges", _bpe_oracle_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016)
+    under the driver hash: 5 merge rounds learned from the corpus's
+    whitespace-token TYPE frame — the corpus is aggregated once, each
+    round is a map-only pair projection + one (a, b) sum + a top-1
+    TakeOrdered, and the merge applies as a literal double-space
+    replace. The oracle replays all five rounds end to end (pair
+    counts, argmax tie-break, merge application), so the learned
+    merge TABLE — not just its shape — is engine-exact."""
+    from polars_text_spark.operators.bpe import bpe_learn
+
+    docs = _docs(spark, sf_dir)
+    return bpe_learn(docs, "text", num_merges=5)
+
+
 def _license_oracle_sql() -> str:
     from polars_text_spark.functions.analysis import LICENSE_PATTERNS
 
@@ -5850,6 +5906,7 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "domain_pagerank",
+    "bpe_merges",
     "blocklist_gate",
     "license_scan",
     "strip_common_lines",

@@ -211,3 +211,73 @@ def test_streaming_url_canonicalization_matches_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM urlcanon_stream").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_license_and_suffixes_match_batch(spark, sf_dir, tmp_path):
+    """license_signals and domain_suffixes are map-only projections —
+    a file stream under availableNow must yield exactly the batch row
+    set (stream-safety proof for the governance scan: a license gate
+    that only works in batch can't guard a continuously-ingesting
+    corpus)."""
+    from polars_text_spark.functions.analysis import license_signals
+    from polars_text_spark.operators.web import domain_suffixes
+
+    def transform(docs):
+        t = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" Released under the MIT License."),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.lit(" All rights reserved."),
+            )
+            .otherwise(F.lit("")),
+        )
+        dom = F.concat(
+            F.lit("a.b"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.com"),
+        )
+        return (
+            docs.where(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                license_signals(t).alias("lic"),
+                domain_suffixes(dom).alias("sfx"),
+            )
+            .select(
+                "doc_id",
+                F.col("lic.verdict").alias("verdict"),
+                F.col("lic.n_permissive").alias("n_permissive"),
+                F.concat_ws(",", "sfx").alias("sfx"),
+            )
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {tuple(r) for r in transform(docs).collect()}
+    assert batch and {r[1] for r in batch} >= {
+        "permissive", "rights_reserved", "none",
+    }
+
+    drop_dir = tmp_path / "licdrops"
+    docs.repartition(3).write.parquet(str(drop_dir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("lic_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM lic_stream").collect()
+    }
+    assert streamed == batch

@@ -109,6 +109,11 @@ from polars_text_spark.operators.ann_store import (
     write_ann_store,
 )
 from polars_text_spark.operators.bpe import bpe_learn, bpe_segment
+from polars_text_spark.operators.dsir import (
+    dsir_fit,
+    dsir_log_weights,
+    dsir_sample,
+)
 from polars_text_spark.operators.graph import pagerank
 from polars_text_spark.operators.web import (
     blocklist_verdict,
@@ -201,6 +206,9 @@ __all__ = [
     "cosine_topk_lsh",
     "cosine_topk_quantized",
     "deterministic_sample",
+    "dsir_fit",
+    "dsir_log_weights",
+    "dsir_sample",
     "duplicate_clusters",
     "embedding",
     "containment_pairs",

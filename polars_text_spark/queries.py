@@ -3318,6 +3318,108 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR (Xie et al. 2023) shared oracle CTEs: hashed uni+bigram feature
+# stream, add-1-smoothed bucket log-ratios (target = English docs, the
+# high-quality stand-in), per-doc summed log importance weights. The
+# 60-bit sha bucket hash is the repo recipe, so Spark and DuckDB bin
+# every n-gram identically; log_weight is rounded to 6 dp on both
+# sides BEFORE the select query's keep-probability so the sampled SET
+# compares exactly.
+_DSIR_B = 2048
+_DSIR_CTES = f"""
+    t AS (
+      SELECT doc_id, lang, {_SQL_WS_TOKS} AS tk
+      FROM documents WHERE text IS NOT NULL),
+    feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(sha256(g), 1, 15))::BIGINT % {_DSIR_B} AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest(tk) AS g FROM t
+        UNION ALL
+        SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS g
+        FROM (SELECT doc_id, lang,
+                     unnest(generate_series(1, len(tk) - 1)) AS i, tk
+              FROM t WHERE len(tk) >= 2))),
+    r_cnt AS (SELECT bucket, count(*) AS rc FROM feats GROUP BY 1),
+    t_cnt AS (SELECT bucket, count(*) AS tc FROM feats
+              WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(rc) FROM r_cnt)::DOUBLE AS rt,
+                   (SELECT coalesce(sum(tc), 0) FROM t_cnt)::DOUBLE AS tt),
+    lr AS (
+      SELECT r.bucket,
+             ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + {_DSIR_B}))
+             - ln((r.rc + 1.0) / (tot.rt + {_DSIR_B})) AS log_ratio
+      FROM r_cnt r LEFT JOIN t_cnt t USING (bucket) CROSS JOIN tot),
+    wts AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_features,
+             round(sum(lr.log_ratio), 6) AS log_weight
+      FROM feats f JOIN lr USING (bucket)
+      GROUP BY 1)
+"""
+
+
+@query(
+    "dsir_weights",
+    f"WITH {_DSIR_CTES} SELECT doc_id, n_features, log_weight FROM wts",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, arXiv:2302.03169): fit hashed uni+bigram bucket
+    distributions for the full corpus (raw) and its English documents
+    (target stand-in), then score every document with its summed
+    bucket log-ratio. The oracle re-derives the hash, the smoothing,
+    and every per-doc sum — the full fit+score chain is value-checked,
+    not just row counts."""
+    from polars_text_spark.operators.dsir import dsir_fit, dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    ratio = dsir_fit(docs, target, buckets=_DSIR_B)
+    out = dsir_log_weights(docs, ratio, buckets=_DSIR_B)
+    return out.select(
+        "doc_id", "n_features", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+@query(
+    "dsir_select",
+    f"""
+    WITH {_DSIR_CTES},
+    sel AS (
+      SELECT doc_id,
+             least(1.0, exp(4.0 * (log_weight / n_features))) AS p
+      FROM wts)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN sel USING (doc_id)
+    WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'ds'), 1, 15))
+            ::BIGINT / 1152921504606846976.0 < p
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR expectation-mode resampling on top of :func:`dsir_weights`:
+    keep a doc with probability ``min(1, exp(beta * avg_log_ratio))``
+    (beta=4 sharpens toward the English target) under the content-keyed
+    sha draw. Map-only after the weights join; the oracle replays
+    weight, keep-probability, AND draw, so the kept row SET must match
+    exactly. Weights are rounded to 6 dp on both engines before the
+    exponent so summation-order ulps can't flip a boundary draw."""
+    from polars_text_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    ratio = dsir_fit(docs, target, buckets=_DSIR_B)
+    weights = dsir_log_weights(docs, ratio, buckets=_DSIR_B).withColumn(
+        "log_weight", F.round("log_weight", 6)
+    )
+    kept = dsir_sample(docs, weights, beta=4.0, salt="ds")
+    return kept.select("doc_id", "lang")
+
+
 # Mojibake enrichment strings, built from explicit code points so the
 # Spark literal and the DuckDB chr() chain are character-identical by
 # construction (raw artifact literals in source are one bad editor
@@ -5905,6 +6007,8 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
+    "dsir_weights",
+    "dsir_select",
     "domain_pagerank",
     "bpe_merges",
     "blocklist_gate",

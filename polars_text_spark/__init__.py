@@ -114,6 +114,11 @@ from polars_text_spark.operators.dsir import (
     dsir_log_weights,
     dsir_sample,
 )
+from polars_text_spark.operators.phash import (
+    chunk_hamming_pairs,
+    dhash_pairs,
+    with_dhash,
+)
 from polars_text_spark.operators.graph import pagerank
 from polars_text_spark.operators.web import (
     blocklist_verdict,
@@ -205,6 +210,9 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "cosine_topk_quantized",
+    "chunk_hamming_pairs",
+    "dhash_pairs",
+    "with_dhash",
     "deterministic_sample",
     "dsir_fit",
     "dsir_log_weights",

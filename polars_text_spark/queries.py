@@ -3420,6 +3420,84 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+@query(
+    "media_dhash_dups",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, encode(text) AS b
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      UNION ALL
+      SELECT doc_id + 1000000, encode(substr(text, 1, length(text) - 1) || 'z')
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+    hx AS (SELECT id, hex(b) AS h, octet_length(b) AS n FROM m
+           WHERE octet_length(b) > 0),
+    px AS (SELECT id,
+                  [('0x' || substr(h, 2 * ((i * n) // 72) + 1, 2))::INT
+                   FOR i IN generate_series(0, 71)] AS p
+           FROM hx),
+    bits AS (SELECT id,
+                    [CASE WHEN p[(j // 8) * 9 + (j % 8) + 1]
+                             > p[(j // 8) * 9 + (j % 8) + 2]
+                          THEN 1 ELSE 0 END
+                     FOR j IN generate_series(0, 63)] AS bt
+             FROM px),
+    sig AS (SELECT id,
+                   [list_sum([bt[16 * k + t + 1] * (1 << (15 - t))
+                              FOR t IN generate_series(0, 15)])::INT
+                    FOR k IN generate_series(0, 3)] AS s
+            FROM bits),
+    blocked AS (
+      SELECT id, s, ci, s[ci + 1] AS cv
+      FROM (SELECT id, s, unnest(generate_series(0, 3)) AS ci FROM sig)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM blocked a JOIN blocked b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             list_sum([bit_count(xor(sa.s[k+1]::BIGINT, sb.s[k+1]::BIGINT))
+                       FOR k IN generate_series(0, 3)]) AS hamming
+      FROM cand c JOIN sig sa ON sa.id = c.id_a
+                  JOIN sig sb ON sb.id = c.id_b)
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def q_media_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (dHash) media near-dup pairs over binary payloads —
+    the image-dedup shape with the stub byte-grid backend so the
+    oracle can replay EVERY stage: 72-sample pixel grid from the hex
+    bytes, 64 dHash comparison bits, 4x16-bit chunk signature,
+    pigeonhole chunk-banded candidate join, exact Hamming verify.
+    Media = utf-8 bytes of each document plus a tail-byte-perturbed
+    twin (same char length), which yields hamming-0 pairs for long
+    payloads (the flipped tail byte falls between grid samples) and
+    small positive distances for short ones — both branches
+    value-checked. Gated Pillow backend swaps in real decode+resize
+    with no plumbing change (operators/phash.py)."""
+    from polars_text_spark.operators.phash import dhash_pairs
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    base = docs.select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("media")
+    )
+    variant = docs.select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.encode(
+            F.concat(
+                F.expr("substring(text, 1, length(text) - 1)"), F.lit("z")
+            ),
+            "UTF-8",
+        ).alias("media"),
+    )
+    media = base.unionByName(variant)
+    return dhash_pairs(media, "media", "id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # Mojibake enrichment strings, built from explicit code points so the
 # Spark literal and the DuckDB chr() chain are character-identical by
 # construction (raw artifact literals in source are one bad editor
@@ -6009,6 +6087,7 @@ _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "dsir_weights",
     "dsir_select",
+    "media_dhash_dups",
     "domain_pagerank",
     "bpe_merges",
     "blocklist_gate",

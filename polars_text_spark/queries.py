@@ -3421,6 +3421,67 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "windowed_drift",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + (doc_id % 360) * INTERVAL 1 MINUTE AS ts
+      FROM documents WHERE text IS NOT NULL),
+    ref AS (
+      SELECT tok AS token, count(*) AS cnt
+      FROM (SELECT unnest({_SQL_WS_TOKS}) AS tok FROM documents
+            WHERE text IS NOT NULL AND lang = 'en')
+      GROUP BY 1),
+    den AS (SELECT ((SELECT sum(cnt) FROM ref)
+                    + (SELECT count(*) FROM ref) + 1)::DOUBLE AS dn),
+    toks AS (
+      SELECT date_trunc('hour', ts) AS ws, unnest({_SQL_WS_TOKS}) AS token
+      FROM d),
+    cnts AS (SELECT ws, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    scored AS (
+      SELECT ws, c,
+             ln((coalesce(ref.cnt, 0) + 1.0) / den.dn) AS logq
+      FROM cnts LEFT JOIN ref USING (token) CROSS JOIN den)
+    SELECT ws AS window_start,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(sum(c * (ln(c) - logq)) / sum(c) - ln(sum(c)), 6) AS kl_nats
+    FROM scored GROUP BY 1
+    """,
+)
+def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed token-distribution drift (the streaming monitor's
+    batch twin, streaming/drift.py — the SAME transform runs on a
+    readStream with chained stateful aggregations, stream==batch
+    proven in tests/test_streaming_drift.py): per event-time hour,
+    KL(window || smoothed English-reference unigram model) in nats.
+    Synthetic deterministic timestamps (doc_id minutes past midnight)
+    spread the corpus over six hourly windows; the oracle replays the
+    reference fit, the add-1 smoothing, the OOV slot, and the
+    two-sum KL identity per window."""
+    from polars_text_spark.operators.quality import unigram_frequencies
+    from polars_text_spark.streaming.drift import windowed_token_drift
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    timed = docs.withColumn(
+        "ts",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval("
+            "0, 0, 0, 0, 0, CAST(doc_id % 360 AS INT), 0)"
+        ),
+    )
+    ref = unigram_frequencies(docs.filter(F.col("lang") == "en"), "text")
+    out = windowed_token_drift(timed, ref, window="1 hour")
+    return out.select(
+        "window_start",
+        "n_tokens",
+        "n_distinct",
+        F.round("kl_nats", 6).alias("kl_nats"),
+    )
+
+
+@query(
     "media_dhash_dups",
     """
     WITH m AS (
@@ -6088,6 +6149,7 @@ _DRIVER_PRIORITY = [
     "dsir_weights",
     "dsir_select",
     "media_dhash_dups",
+    "windowed_drift",
     "domain_pagerank",
     "bpe_merges",
     "blocklist_gate",

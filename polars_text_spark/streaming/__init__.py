@@ -9,6 +9,7 @@ This package adds the event-stream aggregation patterns a pipeline
 needs on top (watermarked windows over the ``events`` table shape).
 """
 
+from polars_text_spark.streaming.drift import windowed_token_drift
 from polars_text_spark.streaming.events import (
     read_events_stream,
     windowed_event_counts,
@@ -33,4 +34,5 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "windowed_event_counts",
+    "windowed_token_drift",
 ]

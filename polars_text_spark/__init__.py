@@ -109,6 +109,7 @@ from polars_text_spark.operators.ann_store import (
     write_ann_store,
 )
 from polars_text_spark.operators.bpe import bpe_learn, bpe_segment
+from polars_text_spark.operators.budget import apply_epoch_plan, epoch_plan
 from polars_text_spark.operators.dsir import (
     dsir_fit,
     dsir_log_weights,
@@ -210,6 +211,8 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "cosine_topk_quantized",
+    "apply_epoch_plan",
+    "epoch_plan",
     "chunk_hamming_pairs",
     "dhash_pairs",
     "with_dhash",

@@ -3421,6 +3421,67 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "epoch_mixture",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE text IS NOT NULL AND lang IN ('de', 'en', 'es', 'fr')
+      GROUP BY 1),
+    b AS (SELECT CAST(trunc(1.5 * sum(n)) AS BIGINT) AS bt FROM c),
+    plan AS (SELECT lang, (bt * 0.25) / n AS r FROM c CROSS JOIN b),
+    -- join BEFORE the unnest: DuckDB's binder hits an internal
+    -- assertion ("Failed to bind column reference") when a filter
+    -- references an unnest alias produced in the same block as a
+    -- JOIN; unnesting from a plain pre-joined CTE binds fine
+    dd AS (
+      SELECT d.doc_id, d.lang, p.r
+      FROM documents d JOIN plan p USING (lang)
+      WHERE d.text IS NOT NULL),
+    ex AS (
+      SELECT doc_id, lang, r,
+             unnest(generate_series(1, CAST(ceil(r) AS INT))) AS epoch
+      FROM dd)
+    SELECT doc_id, lang, CAST(epoch AS INT) AS epoch
+    FROM ex
+    WHERE epoch <= floor(r)
+       OR ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(epoch AS VARCHAR) || 'ep'),
+                          1, 15))::BIGINT / 1152921504606846976.0
+          < r - floor(r)
+    """,
+)
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch mixing (data-constrained pretraining,
+    arXiv:2305.16264): plan per-language repetition factors for a
+    budget of 1.5x the corpus under a uniform 4-language target
+    (Chinese deliberately unplanned — dropped rows are part of the
+    contract), then materialize (doc, epoch) rows — integer epochs
+    unconditional, the fractional epoch via the content-keyed sha
+    draw. The oracle re-derives counts, budget, factors, explode, and
+    every fractional-draw decision; the query's parameters are chosen
+    so no source hits the repetition cap (solver iteration is pure
+    driver arithmetic, exercised in tests/test_budget.py — capped
+    plans replay identically once the factors are fixed)."""
+    from polars_text_spark.operators.budget import apply_epoch_plan, epoch_plan
+
+    langs = ["de", "en", "es", "fr"]
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    counts = {
+        r[0]: r[1]
+        for r in docs.filter(F.col("lang").isin(langs))
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    budget = int(1.5 * sum(counts.values()))
+    plan = epoch_plan(
+        counts, {lang: 0.25 for lang in langs}, budget, max_epochs=3.0
+    )
+    out = apply_epoch_plan(docs, plan, "lang", "doc_id", salt="ep")
+    return out.select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+@query(
     "windowed_drift",
     f"""
     WITH d AS (
@@ -6150,6 +6211,7 @@ _DRIVER_PRIORITY = [
     "dsir_select",
     "media_dhash_dups",
     "windowed_drift",
+    "epoch_mixture",
     "domain_pagerank",
     "bpe_merges",
     "blocklist_gate",

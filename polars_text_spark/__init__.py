@@ -114,6 +114,7 @@ from polars_text_spark.operators.dsir import (
     dsir_fit,
     dsir_log_weights,
     dsir_sample,
+    dsir_topk,
 )
 from polars_text_spark.operators.phash import (
     chunk_hamming_pairs,
@@ -220,6 +221,7 @@ __all__ = [
     "dsir_fit",
     "dsir_log_weights",
     "dsir_sample",
+    "dsir_topk",
     "duplicate_clusters",
     "embedding",
     "containment_pairs",

@@ -57,6 +57,7 @@ __all__ = [
     "dsir_fit",
     "dsir_log_weights",
     "dsir_sample",
+    "dsir_topk",
     "hashed_ngram_bucket",
     "hashed_ngram_counts",
 ]
@@ -245,4 +246,48 @@ def dsir_sample(
     )
     return scored.filter(key_uniform(F.col(id_col), salt) < keep_p).drop(
         "n_features", "log_weight"
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    *,
+    beta: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """The paper's EXACT-size selection: Gumbel top-k over the
+    importance weights — ``key_i = beta * avg_log_ratio_i + G_i``
+    with ``G_i = -ln(-ln(u_i))`` and the content-keyed uniform
+    ``u_i``, so the n rows with the largest keys are a without-
+    replacement sample with inclusion probability proportional to the
+    (tempered) importance weight. Deterministic given (ids, salt).
+
+    Top-n runs as ``orderBy(...).limit(n)`` — Spark's
+    TakeOrderedAndProject keeps n rows per partition and merges on
+    the driver, so this is the MODEST-n path (n x partitions driver
+    rows); for corpus-sized selections use :func:`dsir_sample`, whose
+    expectation-mode filter is map-only (the documented trade in the
+    module header). Ties (astronomically unlikely with 60-bit draws)
+    break on the id for full determinism."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    require_free_columns(df, ("n_features", "log_weight"), "dsir_topk")
+    scored = df.join(weights, id_col)
+    u = key_uniform(F.col(id_col), salt)
+    # u in [0, 1): guard the u == 0 edge (-ln(-ln 0) undefined) with
+    # the smallest representable draw instead
+    safe_u = F.greatest(u, F.lit(1.0 / (1 << 60)))
+    gumbel = -F.log(-F.log(safe_u))
+    key = (
+        F.lit(float(beta)) * (F.col("log_weight") / F.col("n_features"))
+        + gumbel
+    )
+    return (
+        scored.withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__gk", "n_features", "log_weight")
     )

@@ -175,3 +175,45 @@ def test_scoring_join_is_broadcast_and_text_stays_out_of_shuffle(spark, frames):
     # the text column must never appear in an Exchange's output row
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
         assert "text" not in m.group(0)
+
+
+def test_gumbel_topk_exact_size_and_determinism(spark, frames):
+    from polars_text_spark.operators.dsir import dsir_topk
+
+    raw, tgt = frames
+    ratio = dsir_fit(raw, tgt, buckets=4096)
+    weights = dsir_log_weights(raw, ratio, buckets=4096)
+    k1 = sorted(r["doc_id"] for r in dsir_topk(raw, weights, 3).collect())
+    k2 = sorted(r["doc_id"] for r in dsir_topk(raw, weights, 3).collect())
+    assert len(k1) == 3 and k1 == k2
+    # sharpened beta makes the target-verbatim docs (2, 4) near-certain
+    sharp = sorted(
+        r["doc_id"] for r in dsir_topk(raw, weights, 2, beta=50.0).collect()
+    )
+    assert sharp == [2, 4]
+    with pytest.raises(ValueError, match="n must be"):
+        dsir_topk(raw, weights, 0)
+
+
+def test_gumbel_topk_matches_python_reference(spark, frames):
+    from polars_text_spark.operators.dsir import dsir_topk
+
+    raw, tgt = frames
+    ratio = dsir_fit(raw, tgt, buckets=4096)
+    weights = dsir_log_weights(raw, ratio, buckets=4096)
+    w = {
+        r["doc_id"]: r["log_weight"] / r["n_features"]
+        for r in weights.collect()
+    }
+
+    def key(doc_id: int) -> float:
+        h = hashlib.sha256(str(doc_id).encode()).hexdigest()
+        u = max(int(h[:15], 16) / float(1 << 60), 1.0 / (1 << 60))
+        return 2.0 * w[doc_id] + -math.log(-math.log(u))
+
+    exp = sorted(w, key=lambda d: (-key(d), d))[:4]
+    got = [
+        r["doc_id"]
+        for r in dsir_topk(raw, weights, 4, beta=2.0).collect()
+    ]
+    assert sorted(got) == sorted(exp)

@@ -3421,6 +3421,48 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_topk",
+    f"""
+    WITH {_DSIR_CTES},
+    keyed AS (
+      SELECT doc_id,
+             2.0 * (log_weight / n_features)
+               + -ln(-ln(greatest(
+                   ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'gk'),
+                            1, 15))::BIGINT / 1152921504606846976.0,
+                   1.0 / 1152921504606846976.0))) AS gk
+      FROM wts)
+    SELECT d.doc_id, d.lang
+    FROM keyed k JOIN documents d USING (doc_id)
+    ORDER BY k.gk DESC, d.doc_id ASC
+    LIMIT 100
+    """,
+)
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's exact-size selection (the paper's Gumbel top-k): the 100
+    documents with the largest ``beta * avg_log_ratio + Gumbel(u)``
+    keys, ``u`` the content-keyed sha draw — a without-replacement
+    sample proportional to the tempered importance weight, fully
+    deterministic. The oracle replays weights, Gumbel keys, and the
+    ranked cut. Weights are rounded to 6 dp on both engines before
+    the key so summation-order ulps can't reorder a boundary rank."""
+    from polars_text_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+        dsir_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    ratio = dsir_fit(docs, target, buckets=_DSIR_B)
+    weights = dsir_log_weights(docs, ratio, buckets=_DSIR_B).withColumn(
+        "log_weight", F.round("log_weight", 6)
+    )
+    kept = dsir_topk(docs, weights, 100, beta=2.0, salt="gk")
+    return kept.select("doc_id", "lang")
+
+
+@query(
     "epoch_mixture",
     """
     WITH c AS (
@@ -6209,6 +6251,7 @@ _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "dsir_weights",
     "dsir_select",
+    "dsir_topk",
     "media_dhash_dups",
     "windowed_drift",
     "epoch_mixture",

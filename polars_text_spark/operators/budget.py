@@ -113,14 +113,19 @@ def apply_epoch_plan(
 
     Map-only: an explode over ``ceil(r_s)`` literals and a filter; no
     shuffle, no driver state beyond the literal plan."""
-    sources = list(plan.keys())
-    if not sources:
+    if not plan:
         raise ValueError("plan is empty; nothing to materialize")
-    rate = F.lit(None).cast("double")
     for s, r in plan.items():
         if r < 0:
             raise ValueError(f"negative epoch factor for {s!r}: {r}")
-        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    # flat literal map, not a nested CASE chain: a per-domain plan can
+    # carry thousands of sources, and element_at on a literal map stays
+    # one expression node deep where stacked whens blow up codegen
+    entries = []
+    for s, r in plan.items():
+        entries.append(F.lit(s))
+        entries.append(F.lit(float(r)))
+    rate = F.element_at(F.create_map(*entries), F.col(source_col))
     d = df.withColumn("__epochs", rate).filter(F.col("__epochs").isNotNull())
     d = d.withColumn(
         epoch_col,

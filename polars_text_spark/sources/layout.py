@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "read_partitioned"]
+__all__ = [
+    "write_partitioned",
+    "read_partitioned",
+    "write_training_shards",
+]
 
 
 def write_partitioned(
@@ -70,3 +74,52 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a hive-partitioned corpus; filters on partition columns
     become directory pruning (PartitionFilters), not data reads."""
     return spark.read.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    n_shards: int,
+    salt: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the training order
+    (:func:`~polars_text_spark.operators.splits.shard_assignment`
+    semantics) as ``path/shard=K/`` parquet dirs whose single file
+    holds that shard's rows in ``shard_pos`` order — what a training
+    loader streams sequentially, with no RNG state to keep.
+
+    ONE shuffle total, no self-join: the shard id and position are
+    computed inline, and the position window's required clustering
+    (hash on ``shard``) + sort (``shard, hash, key``) ARE the write
+    layout — every shard lives wholly in one task with its rows
+    already contiguous and ordered, so the partitioned write emits
+    exactly one ordered file per shard directory with no extra
+    repartition. Content-keyed end to end: re-running the write (or
+    another engine) produces byte-identical shard membership and
+    order."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    from polars_text_spark.operators._cols import require_free_columns
+
+    require_free_columns(
+        df, ("__sh_h", "shard", "shard_pos"), "write_training_shards"
+    )
+    h = F.sha2(F.concat(F.col(key_col).cast("string"), F.lit(salt)), 256)
+    shard = (
+        F.conv(F.substring("__sh_h", 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__sh_h"), F.col(key_col))
+    (
+        df.withColumn("__sh_h", h)
+        .withColumn("shard", shard)
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__sh_h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

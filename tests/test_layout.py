@@ -41,3 +41,54 @@ def test_files_per_partition_bound(spark, sf_dir, tmp_path):
     for d in glob.glob(out + "/lang=*"):
         files = [f for f in glob.glob(d + "/*.parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+def test_training_shards_write_order_and_parity(spark, sf_dir, tmp_path):
+    """write_training_shards: shard membership + order must equal
+    shard_assignment's (same hash recipe, no join), each shard dir
+    holds exactly ONE parquet file whose physical row order is the
+    shard_pos order, and a rewrite is byte-stable."""
+    import os
+
+    from polars_text_spark.operators.splits import shard_assignment
+    from polars_text_spark.sources.layout import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    out = tmp_path / "shards"
+    write_training_shards(docs, str(out), "doc_id", n_shards=8, salt="tr")
+
+    expected = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shard_assignment(
+            docs, "doc_id", n_shards=8, salt="tr"
+        ).collect()
+    }
+
+    total = 0
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard="):
+            continue
+        k = int(d.split("=")[1])
+        files = [f for f in os.listdir(out / d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected 1 ordered file, got {files}"
+        # physical row order in the single file == shard_pos order
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(str(out / d / files[0]))
+        pos = tbl.column("shard_pos").to_pylist()
+        ids = tbl.column("doc_id").to_pylist()
+        assert pos == list(range(len(pos)))
+        for doc_id, p in zip(ids, pos):
+            assert expected[doc_id] == (k, p)
+        total += len(ids)
+    assert total == len(expected) == docs.count()
+
+    # rewrite determinism: same membership + order
+    write_training_shards(docs, str(out), "doc_id", n_shards=8, salt="tr")
+    again = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert again == {(i, s, p) for i, (s, p) in expected.items()}

@@ -32,6 +32,7 @@ from polars_text_spark.functions.dict_cache import (
     prefetch_dictionary,
 )
 from polars_text_spark.functions.embedding import embedding
+from polars_text_spark.functions.html import extract_html_text, html_hrefs
 from polars_text_spark.functions.scalar import (
     char_count,
     clean_text,
@@ -52,6 +53,8 @@ __all__ = [
     "ensure_dict",
     "prefetch_dictionary",
     "dup_word_frac",
+    "extract_html_text",
+    "html_hrefs",
     "license_signals",
     "line_stats",
     "mojibake_signals",

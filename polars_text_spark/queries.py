@@ -6232,6 +6232,87 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): HTML -> text extraction — the step upstream of every
+# web-curation pass. The synthetic docs are plain text, so the query
+# WRAPS each document in deterministic HTML (tags, script, comment,
+# entities, two links) with the identical expression in the oracle, so
+# the extractor is genuinely exercised end to end, not vacuously.
+# ---------------------------------------------------------------------------
+
+_HTML_W1 = (
+    "<html><head><title>t</title><style>p{margin:0}</style></head>"
+    "<body><h1>Doc "
+)
+_HTML_W2 = "</h1><!-- src:"
+_HTML_W3 = " --><p>"
+_HTML_W4 = (
+    '</p><script>var u = "</p>";</script>'
+    "<ul><li>a&amp;b</li><li>&lt;i&gt; &amp;lt;e</li></ul>"
+    '<a href="https://ex.org/d/'
+)
+_HTML_W5 = '">x</a> <a href="/rel?q=1">y</a></body></html>'
+
+
+def _html_oracle_sql() -> str:
+    from polars_text_spark.functions.html import HREF_PATTERN, html_text_sql
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html = (
+        f"{q(_HTML_W1)} || CAST(doc_id AS VARCHAR) || {q(_HTML_W2)}"
+        f" || source || {q(_HTML_W3)} || text || {q(_HTML_W4)}"
+        f" || CAST(doc_id AS VARCHAR) || {q(_HTML_W5)}"
+    )
+    ext = html_text_sql("html")
+    href = f"regexp_extract_all(html, {q(HREF_PATTERN)}, 1)"
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id, {html} AS html
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, {ext} AS extracted_text,
+           CAST(len({href}) AS INT) AS n_hrefs,
+           {href}[1] AS href_first
+    FROM enriched
+    """
+
+
+@query("html_extract", _html_oracle_sql())
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/html.py): drop script/style/
+    comments whole, block tags -> newline, inline tags -> space,
+    single-pass entity decode (&amp; last), whitespace normalize —
+    all regexp_replace/replace built-ins fused into the scan (map-only,
+    zero Exchange above the spread). The oracle rebuilds the identical
+    enriched HTML and replays the extraction chain from the SAME
+    pattern constants, hash-matching the FULL extracted text plus the
+    href accounting."""
+    from polars_text_spark.functions.html import extract_html_text, html_hrefs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_HTML_W1),
+        did,
+        F.lit(_HTML_W2),
+        F.col("source"),
+        F.lit(_HTML_W3),
+        F.col("text"),
+        F.lit(_HTML_W4),
+        did,
+        F.lit(_HTML_W5),
+    )
+    d = docs.select("doc_id", html.alias("html"))
+    hrefs = html_hrefs("html")
+    return d.select(
+        "doc_id",
+        extract_html_text("html"),
+        F.size(hrefs).cast("int").alias("n_hrefs"),
+        F.element_at(hrefs, 1).alias("href_first"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6249,6 +6330,7 @@ def q_node_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
+    "html_extract",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

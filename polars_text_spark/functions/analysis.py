@@ -20,9 +20,11 @@ from polars_text_spark.functions.scalar import clean_text
 
 __all__ = [
     "compression_ratio",
+    "CODE_PATTERNS",
     "STOPWORDS",
     "char_class_ratios",
     "char_entropy",
+    "code_signals",
     "dehyphenate",
     "detect_language",
     "doc_fingerprint",
@@ -602,6 +604,97 @@ def mojibake_signals(col: Column | str) -> Column:
         n_art.cast("long").alias("n_artifacts"),
         score.alias("score"),
     ).alias("mojibake_signals")
+
+
+# Code-vs-prose patterns. Module constants: the oracle SQL is BUILT
+# from these strings (the LICENSE_PATTERNS precedent), so Spark (Java
+# regex) and DuckDB (RE2) are character-identical by construction —
+# (?m), \b and plain alternation are portable; no backrefs/lookaround.
+CODE_PATTERNS = {
+    # markdown/forum code fences
+    "n_fences": "```",
+    # reserved words across the mainstream languages; a HEURISTIC
+    # ("class", "return" occur in prose) — hence a score, not a verdict
+    "n_keywords": (
+        "\\b(?:def|return|import|function|var|const|class|void|static"
+        "|lambda|elif|printf|include|struct|typedef|async|await"
+        "|foreach|endif|nullptr|bool)\\b"
+    ),
+    # structural symbols rare in running prose
+    "n_symbols": "[{}\\[\\]();<>=#|&$]",
+    # snake_case / camelCase identifiers
+    "n_identifiers": (
+        "\\b[a-z]+(?:_[a-z0-9]+)+\\b|\\b[a-z]+[A-Z][A-Za-z0-9]*\\b"
+    ),
+    # lines opening with a tab or 4+ spaces (code indentation)
+    "n_indented": "(?m)^(?:\\t| {4})",
+}
+
+
+def code_signals(col: Column | str) -> Column:
+    """Code-vs-prose heuristics as a struct ``(n_chars, n_lines,
+    n_indented, n_fences, n_keywords, n_symbols, n_identifiers,
+    symbol_frac, indent_frac, score)`` — the mixture-curation signal
+    that routes a crawl document toward the code or prose bucket (and
+    catches code-in-prose contamination like pasted stack traces
+    inflating a "books" source).
+
+    ``score`` is a bounded weighted blend: indentation fraction,
+    structural-symbol density, keyword+identifier density per ~word
+    (chars/5), plus a fence bonus when a fenced block is plausibly
+    open+closed (two fences). Weights are fixed constants so the score
+    is engine-replayable, NOT a learned classifier — threshold on it,
+    or feed the raw counts to :func:`hashed_classifier_score`.
+
+    Pure Catalyst (``regexp_count``), map-only, fused into the scan;
+    the identical patterns run in any RE2/Java-regex engine. Null in,
+    null fields out; empty string scores 0.0.
+    """
+    c = _col(col)
+    n = F.length(c)
+    n_lines = F.when(n == 0, F.lit(0)).otherwise(
+        F.regexp_count(c, F.lit("\n")) + 1
+    )
+    cnt = {
+        k: F.regexp_count(c, F.lit(p)) for k, p in CODE_PATTERNS.items()
+    }
+    symbol_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        cnt["n_symbols"].cast("double") / n.cast("double")
+    )
+    indent_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        cnt["n_indented"].cast("double") / n_lines.cast("double")
+    )
+    dens = F.when(n == 0, F.lit(0.0)).otherwise(
+        (cnt["n_keywords"] + cnt["n_identifiers"]).cast("double")
+        * F.lit(5.0)
+        / n.cast("double")
+    )
+    fence_bonus = F.when(cnt["n_fences"] >= 2, F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
+    # least() skips nulls (both engines), so an unguarded null input
+    # would "score" 1.0 — gate on the null length explicitly instead.
+    score = F.when(n.isNull(), F.lit(None).cast("double")).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.lit(0.35) * indent_frac
+            + F.lit(2.0) * symbol_frac
+            + F.lit(0.5) * dens
+            + fence_bonus,
+        )
+    )
+    return F.struct(
+        n.cast("long").alias("n_chars"),
+        n_lines.cast("long").alias("n_lines"),
+        cnt["n_indented"].cast("long").alias("n_indented"),
+        cnt["n_fences"].cast("long").alias("n_fences"),
+        cnt["n_keywords"].cast("long").alias("n_keywords"),
+        cnt["n_symbols"].cast("long").alias("n_symbols"),
+        cnt["n_identifiers"].cast("long").alias("n_identifiers"),
+        symbol_frac.alias("symbol_frac"),
+        indent_frac.alias("indent_frac"),
+        score.alias("score"),
+    ).alias("code_signals")
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -6313,6 +6313,115 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): code-vs-prose mixture signal. The synthetic docs are
+# prose-only, so the query appends deterministic code snippets (fenced
+# python for doc_id%3==0, braced JS for %3==1) with the identical
+# expression in the oracle — the fence/keyword/indent machinery is
+# genuinely exercised on both code-bearing and clean rows.
+# ---------------------------------------------------------------------------
+
+_CODE_SNIP_PY = "\n```\ndef func_util(x):\n    return x + 1\n```\n"
+_CODE_SNIP_JS = "\nvar myVal = {a: 1};\n\tconsole.log(my_val);\n"
+
+
+def _sql_text_lit(s: str) -> str:
+    """DuckDB expression for a Python string, non-printables (newline,
+    tab) emitted as chr() so the SQL source stays single-line-safe and
+    editor-round-trip-proof (the mojibake-literal precedent)."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ch in ("\n", "\t", "\r") or ord(ch) > 126:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _code_prose_oracle_sql() -> str:
+    from polars_text_spark.functions.analysis import CODE_PATTERNS
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def cnt(key: str) -> str:
+        return f"len(regexp_extract_all(t, {q(CODE_PATTERNS[key])}))"
+
+    sym = f"CAST({cnt('n_symbols')} AS DOUBLE) / length(t)"
+    ind = (
+        f"CAST({cnt('n_indented')} AS DOUBLE)"
+        f" / (len(regexp_extract_all(t, chr(10))) + 1)"
+    )
+    dens = (
+        f"CAST({cnt('n_keywords')} + {cnt('n_identifiers')} AS DOUBLE)"
+        f" * 5.0 / length(t)"
+    )
+    fence = f"CASE WHEN {cnt('n_fences')} >= 2 THEN 0.25 ELSE 0.0 END"
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 3 = 0 THEN {_sql_text_lit(_CODE_SNIP_PY)}
+               WHEN doc_id % 3 = 1 THEN {_sql_text_lit(_CODE_SNIP_JS)}
+               ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(t, chr(10))) + 1 AS BIGINT)
+             AS n_lines,
+           CAST({cnt('n_indented')} AS BIGINT) AS n_indented,
+           CAST({cnt('n_fences')} AS BIGINT) AS n_fences,
+           CAST({cnt('n_keywords')} AS BIGINT) AS n_keywords,
+           CAST({cnt('n_symbols')} AS BIGINT) AS n_symbols,
+           CAST({cnt('n_identifiers')} AS BIGINT) AS n_identifiers,
+           round({sym}, 6) AS symbol_frac,
+           round({ind}, 6) AS indent_frac,
+           round(least(1.0, 0.35 * ({ind}) + 2.0 * ({sym})
+                       + 0.5 * ({dens}) + {fence}), 6) AS score
+    FROM enriched
+    """
+
+
+@query("code_prose_signals", _code_prose_oracle_sql())
+def q_code_prose_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal (functions/analysis.py
+    code_signals): fences, reserved words, structural-symbol density,
+    snake/camel identifiers, indented-line fraction, blended into a
+    bounded score — all regexp_count built-ins fused into the scan
+    (map-only). The oracle rebuilds the identical enriched text and
+    replays every count and the score arithmetic from the SAME
+    pattern constants."""
+    from polars_text_spark.functions.analysis import code_signals
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_CODE_SNIP_PY))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_CODE_SNIP_JS))
+        .otherwise(F.lit("")),
+    )
+    s = code_signals(t)
+    return docs.select(
+        "doc_id",
+        s["n_chars"].alias("n_chars"),
+        s["n_lines"].alias("n_lines"),
+        s["n_indented"].alias("n_indented"),
+        s["n_fences"].alias("n_fences"),
+        s["n_keywords"].alias("n_keywords"),
+        s["n_symbols"].alias("n_symbols"),
+        s["n_identifiers"].alias("n_identifiers"),
+        F.round(s["symbol_frac"], 6).alias("symbol_frac"),
+        F.round(s["indent_frac"], 6).alias("indent_frac"),
+        F.round(s["score"], 6).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6331,6 +6440,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "html_extract",
+    "code_prose_signals",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

@@ -185,3 +185,54 @@ def test_license_signals_map_only(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = explain_str(docs.select("doc_id", license_signals("text")))
     assert "Exchange" not in plan
+
+
+def test_code_signals_hand_cases(spark):
+    from polars_text_spark.functions.analysis import code_signals
+
+    py_snip = (
+        "Intro prose.\n```\ndef parse_args(argv):\n"
+        "    return argv[1:]\n```\ntrailing prose"
+    )
+    prose = (
+        "The quiet afternoon settled over the valley and nothing in"
+        " the village stirred except the slow river."
+    )
+    df = spark.createDataFrame(
+        [
+            (1, py_snip),
+            (2, prose),
+            (3, "var x = {a: 1};\n\tconsole.log(myVal);"),
+            (4, ""),
+            (5, None),
+        ],
+        "id int, text string",
+    )
+    rows = {
+        r.id: r.s
+        for r in df.select("id", code_signals("text").alias("s")).collect()
+    }
+    # fenced python: fences paired, keyword + indented line + symbols
+    assert rows[1].n_fences == 2
+    assert rows[1].n_keywords >= 2  # def, return
+    assert rows[1].n_indented == 1
+    assert rows[1].score > 0.3
+    # clean prose scores near zero, far below any code row
+    assert rows[2].n_keywords == 0 and rows[2].n_symbols == 0
+    assert rows[2].score < 0.05 < rows[3].score
+    # JS-ish line: var keyword, camelCase identifier, tab indent
+    assert rows[3].n_keywords >= 1
+    assert rows[3].n_identifiers >= 1  # myVal
+    assert rows[3].n_indented == 1
+    # empty -> zeros, null -> null fields
+    assert rows[4].n_chars == 0 and rows[4].score == 0.0
+    assert rows[5].score is None
+
+
+def test_code_signals_map_only(spark, sf_dir):
+    from polars_text_spark.functions.analysis import code_signals
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(docs.select("doc_id", code_signals("text")))
+    assert "Exchange" not in plan

@@ -16,6 +16,7 @@ expressions — at 100 TB this is a filter fused into the scan.
 
 from __future__ import annotations
 
+import math
 from typing import Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -29,6 +30,8 @@ __all__ = [
     "sample_predicate",
     "deterministic_sample",
     "stratified_sample",
+    "temperature_rates",
+    "temperature_rebalance",
     "weighted_sample",
 ]
 
@@ -185,6 +188,70 @@ def mixture_rebalance(
         if r[0] is not None
     }
     rates = mixture_rates(counts, weights)
+    return stratified_sample(
+        df, rates, stratum_col, key_col, default_rate=0.0, salt=salt
+    )
+
+
+def temperature_rates(
+    counts: Mapping[str, int], alpha: float
+) -> dict[str, float]:
+    """Per-stratum keep-rates for temperature-scaled sampling: the
+    multilingual-pretraining knob where stratum ``s`` is drawn with
+    probability proportional to ``n_s^alpha`` (``alpha < 1`` flattens
+    the distribution toward low-resource strata; ``alpha = 1`` is the
+    natural mixture, i.e. keep everything).
+
+    Derivation: targeting ``w_s ∝ n_s^alpha`` under the keep-the-most
+    policy of :func:`mixture_rates` reduces in closed form to
+    ``rate_s = (n_min / n_s)^(1 - alpha)`` — the smallest stratum is
+    kept whole and every larger one is downsampled by its size ratio
+    raised to ``1 - alpha``. The closed form matters beyond elegance:
+    it has NO sums (a normalizing total would be fp-order-sensitive
+    across engines), and at ``alpha = 0.5`` the power is a square
+    root, which IEEE requires to be CORRECTLY rounded — so Python,
+    Spark, and DuckDB produce bit-identical rates and the hash
+    predicate is engine-replayable exactly. Other alphas go through
+    ``pow``, which libms only round faithfully (a last-ulp divergence
+    between engines is possible, though it only matters if a key's
+    hash lands exactly on the 8-hex-digit threshold boundary).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    pos = {s: n for s, n in counts.items() if s is not None and n > 0}
+    if not pos:
+        raise ValueError("counts must contain at least one positive stratum")
+    n_min = min(pos.values())
+    if alpha == 0.5:
+        return {s: math.sqrt(n_min / n) for s, n in pos.items()}
+    return {
+        s: min(1.0, (n_min / n) ** (1.0 - alpha)) for s, n in pos.items()
+    }
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample ``df`` to a temperature-scaled
+    stratum mixture (surviving composition ∝ ``n_s^alpha``) — the
+    standard way to keep low-resource languages visible in a
+    web-crawl training mix without physically upsampling anything.
+
+    Same execution shape as :func:`mixture_rebalance`: one tiny
+    groupBy-count action fixes the rates as literals (|strata| rows to
+    the driver), then a single content-keyed scan filter does the
+    rebalance — no shuffle of the data itself, pushdown-compatible."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+        if r[0] is not None
+    }
+    rates = temperature_rates(counts, alpha)
     return stratified_sample(
         df, rates, stratum_col, key_col, default_rate=0.0, salt=salt
     )

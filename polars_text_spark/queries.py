@@ -6422,6 +6422,48 @@ def q_code_prose_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): temperature-scaled mixture — the multilingual
+# alpha-sampling knob (survivors' composition ∝ n_lang^alpha). The
+# closed-form keep-rate sqrt(n_min/n_s) at alpha=0.5 is correctly
+# rounded by IEEE in every engine, so the oracle recomputes the exact
+# same rates from the data and must select the exact same rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_temperature",
+    """
+    WITH cnts AS (SELECT lang, count(*) AS n FROM documents
+                  WHERE lang IS NOT NULL GROUP BY lang),
+    mn AS (SELECT min(n) AS n_min FROM cnts),
+    rates AS (SELECT lang,
+                     sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+              FROM cnts CROSS JOIN mn)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE r.rate >= 1.0
+       OR substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x',
+                   least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
+                         4294967295))
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalance at alpha=0.5 (operators/sampling.py
+    temperature_rebalance): the smallest language is kept whole,
+    every larger one hash-downsampled by sqrt(n_min/n_s) — one tiny
+    groupBy-count fixes the rates as literals, then a content-keyed
+    filter fused into the scan. sqrt is IEEE-correctly-rounded, so
+    Python (rate literals), Spark (hash predicate) and DuckDB (oracle
+    replay) agree bit-for-bit — no sums, no pow, no fp-order hazard."""
+    from polars_text_spark.operators.sampling import temperature_rebalance
+
+    docs = _docs(spark, sf_dir)
+    out = temperature_rebalance(docs, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6441,6 +6483,7 @@ _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "html_extract",
     "code_prose_signals",
+    "mixture_temperature",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

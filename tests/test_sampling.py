@@ -246,3 +246,52 @@ def test_round8_map_only_ops_have_zero_exchange(spark):
              dehyphenate("fim_text"))
     plan = explain_str(composed, "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_temperature_rates_closed_form():
+    import math
+
+    import pytest
+
+    from polars_text_spark.operators.sampling import temperature_rates
+
+    counts = {"en": 1600, "de": 400, "fr": 100}
+    r = temperature_rates(counts, 0.5)
+    # smallest stratum kept whole; larger ones by sqrt(n_min/n)
+    assert r["fr"] == 1.0
+    assert r["de"] == math.sqrt(100 / 400)
+    assert r["en"] == math.sqrt(100 / 1600)
+    # alpha=1 is the natural mixture: keep everything
+    assert set(temperature_rates(counts, 1.0).values()) == {1.0}
+    # flatter alpha upsamples the tail harder (relative to the head)
+    r_flat = temperature_rates(counts, 0.3)
+    assert r_flat["en"] < r["en"]
+    # surviving composition is proportional to n^alpha
+    kept = {s: counts[s] * r[s] for s in counts}
+    ratio = {s: kept[s] / counts[s] ** 0.5 for s in counts}
+    assert max(ratio.values()) == pytest.approx(min(ratio.values()))
+    # null strata and invalid alphas rejected
+    assert "x" not in temperature_rates({"x": 0, "y": 5}, 0.5)
+    with pytest.raises(ValueError):
+        temperature_rates(counts, 0.0)
+    with pytest.raises(ValueError):
+        temperature_rates({"x": 0}, 0.5)
+
+
+def test_temperature_rebalance_is_scan_filter(spark, sf_dir):
+    from polars_text_spark.operators.sampling import temperature_rebalance
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_rebalance(docs, "lang", "doc_id", alpha=0.5)
+    # content-keyed filter fused into the scan: no Exchange at all
+    assert "Exchange" not in explain_str(out)
+    # deterministic: identical rerun selects the identical rows
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in temperature_rebalance(docs, "lang", "doc_id", alpha=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0

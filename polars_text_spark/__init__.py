@@ -87,6 +87,7 @@ from polars_text_spark.operators.quality import (
 from polars_text_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
+    temperature_rebalance,
     weighted_sample,
 )
 from polars_text_spark.operators.chunks import (
@@ -109,6 +110,10 @@ from polars_text_spark.operators.ann_store import (
     write_ann_store,
 )
 from polars_text_spark.operators.bpe import bpe_learn, bpe_segment
+from polars_text_spark.operators.contrastive import (
+    contrastive_triplets,
+    hard_negatives,
+)
 from polars_text_spark.operators.budget import apply_epoch_plan, epoch_plan
 from polars_text_spark.operators.dsir import (
     dsir_fit,
@@ -208,6 +213,7 @@ __all__ = [
     "clean_text",
     "concordance",
     "connected_components",
+    "contrastive_triplets",
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
@@ -268,6 +274,7 @@ __all__ = [
     "incremental_pairs_from_store",
     "kmeans_assign",
     "semantic_dup_pairs",
+    "hard_negatives",
     "interval_join",
     "pii_counts",
     "quantize_vec",
@@ -287,6 +294,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "stratified_sample",
+    "temperature_rebalance",
     "weighted_sample",
     "token_frequencies",
     "token_frequency_stats",

@@ -29,6 +29,7 @@ from polars_text_spark.persist import track_persist
 
 __all__ = [
     "ann_recall_report",
+    "banded_scored_candidates",
     "cosine",
     "cosine_topk",
     "cosine_topk_ivf",
@@ -629,21 +630,23 @@ def rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _banded_topk(
+def banded_scored_candidates(
     vectors: DataFrame,
     queries: DataFrame,
     keys_fn,
     *,
-    k: int,
     id_col: str,
     vec_col: str,
     exclude_self: bool,
 ) -> DataFrame:
-    """Shared banding-OR-construction ANN: explode band keys on both
-    sides (``keys_fn(vec Column) -> array<string>``), equi-join on the
-    key, dedup, exact-cosine re-rank. Null vectors are dropped on BOTH
-    sides (a null vector has no meaningful signature and its cosine is
-    null)."""
+    """Shared banding-OR-construction candidate stage: explode band
+    keys on both sides (``keys_fn(vec Column) -> array<string>``),
+    equi-join on the key, dedup, exact cosine per surviving pair —
+    ``(query_id, neighbor_id, cosine)``. Null vectors are dropped on
+    BOTH sides (a null vector has no meaningful signature and its
+    cosine is null). Consumed by the ANN top-k tail
+    (:func:`rank_topk`) and by the contrastive-triplet miner, which
+    derives positives AND hard negatives from ONE candidate shuffle."""
     v = with_l2_normalized(
         vectors.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"), vec_col
@@ -661,10 +664,32 @@ def _banded_topk(
     cands = v.join(q, "band_key").dropDuplicates(["query_id", "neighbor_id"])
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cands.select(
+    return cands.select(
         "query_id",
         "neighbor_id",
         dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    )
+
+
+def _banded_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    keys_fn,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Banding-OR-construction ANN: the shared candidate stage plus
+    the exact-cosine re-rank tail."""
+    scored = banded_scored_candidates(
+        vectors,
+        queries,
+        keys_fn,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
     )
     return rank_topk(scored, k)
 

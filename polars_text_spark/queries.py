@@ -6464,6 +6464,83 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): contrastive-triplet mining — (anchor, positive,
+# hard_negative) training data for embedding models, both legs derived
+# from ONE sha-banded LSH candidate pass so the oracle can replay
+# every signature bit, candidate, cosine, and selection.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contrastive_triplets",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e)),
+    bk AS (
+      SELECT e.vec_id, unnest({{keys}}) AS band_key
+      FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM bk q JOIN bk n ON q.band_key = n.band_key
+      WHERE n.vec_id <> q.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(uq.u)),
+                  i -> uq.u[i] * un.u[i]), (a, b) -> a + b) AS cos
+      FROM cand c
+      JOIN unit uq ON uq.vec_id = c.query_id
+      JOIN unit un ON un.vec_id = c.neighbor_id),
+    pos AS (
+      SELECT query_id AS anchor_id, neighbor_id AS positive_id,
+             cos AS pos_cosine
+      FROM scored WHERE cos >= 0.35),
+    neg AS (
+      SELECT query_id AS anchor_id, neighbor_id AS negative_id,
+             cos AS neg_cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored WHERE cos < 0.2)
+    SELECT p.anchor_id, p.positive_id,
+           round(p.pos_cosine, 6) AS pos_cosine,
+           n.negative_id, round(n.neg_cosine, 6) AS neg_cosine
+    FROM pos p JOIN (SELECT * FROM neg WHERE rn = 1) n
+      ON n.anchor_id = p.anchor_id
+    """.replace("{keys}", _lsh_sha_keys_sql("e")),
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplets (operators/contrastive.py): positives are
+    banded-LSH candidates at cosine >= 0.35, each anchor's hard
+    negative is its best candidate below 0.2 (the [0.2, 0.35) gap is
+    the excluded ambiguity margin), selected via a map-side-combining
+    max(struct) aggregate, not a window. The oracle replays the
+    sha-hyperplane signatures, the band-key self-join, every cosine,
+    and the argmax tie-break."""
+    from polars_text_spark.operators.contrastive import contrastive_triplets
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = contrastive_triplets(
+        vecs, dim=64, pos_threshold=0.35, neg_ceiling=0.2
+    )
+    return out.select(
+        "anchor_id",
+        "positive_id",
+        F.round("pos_cosine", 6).alias("pos_cosine"),
+        "negative_id",
+        F.round("neg_cosine", 6).alias("neg_cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6484,6 +6561,7 @@ _DRIVER_PRIORITY = [
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",
+    "contrastive_triplets",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from polars_text_spark.functions.tokenize import tokenize
 
-__all__ = ["token_frequencies", "token_frequency_stats"]
+__all__ = [
+    "token_frequencies",
+    "token_frequency_stats",
+    "tokenizer_fertility",
+]
 
 STATS_COLUMNS = [
     "token",
@@ -190,3 +194,64 @@ def token_frequency_stats(corpus_0: DataFrame, corpus_1: DataFrame) -> DataFrame
         }
     )
     return df.select(*STATS_COLUMNS)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    *,
+    model: str,
+) -> DataFrame:
+    """Tokenizer-QA metric table per ``group_col`` (typically
+    language): fertility (subword tokens per whitespace word), chars
+    per token, and bytes per token — the standard diagnostics for
+    whether a tokenizer under-serves a language (high fertility on a
+    language means its documents burn more sequence length per word,
+    skewing any token-budgeted mixture toward it).
+
+    Returns ``(group, n_docs, n_words, n_tokens, n_chars, n_bytes,
+    fertility, chars_per_token, bytes_per_token)``. Ratio columns are
+    null when the denominator is 0 (e.g. a group whose docs tokenize
+    to nothing).
+
+    Execution: NO explode — per-doc token counts are ``size(tokenize)``
+    in the scan projection, so the only movement is the map-side
+    combining groupBy on the handful of group keys. The counts are
+    exact longs; the ratios divide exact sums, so any SQL engine
+    replays them bit-for-bit.
+    """
+    from polars_text_spark.functions.analysis import token_count_ws
+
+    c = F.col(text_col)
+    per_doc = df.where(c.isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.size(tokenize(text_col, model=model)).alias("toks"),
+        token_count_ws(text_col).alias("words"),
+        F.length(c).alias("chars"),
+        F.octet_length(c).alias("bytes"),
+    )
+    agg = per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+    )
+    def ratio(num, den):
+        return F.when(
+            F.col(den) > 0,
+            F.col(num).cast("double") / F.col(den).cast("double"),
+        ).otherwise(F.lit(None))
+
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        ratio("n_tokens", "n_words").alias("fertility"),
+        ratio("n_chars", "n_tokens").alias("chars_per_token"),
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
+    )

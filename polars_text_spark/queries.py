@@ -6541,6 +6541,71 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): tokenizer fertility — the tokenizer-QA table that
+# decides whether a tokenizer under-serves a language (fertility =
+# subword tokens per whitespace word; high fertility burns sequence
+# budget). Counts are exact longs, ratios divide exact sums — any SQL
+# engine replays them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             len({_SQL_TOKENS}) AS toks,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> x <> '')) AS words,
+             length(text) AS chars,
+             strlen(text) AS bytes
+      FROM documents WHERE text IS NOT NULL)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(bytes) AS BIGINT) AS n_bytes,
+           round(CASE WHEN sum(words) > 0
+             THEN CAST(sum(toks) AS DOUBLE) / sum(words) END, 6)
+             AS fertility,
+           round(CASE WHEN sum(toks) > 0
+             THEN CAST(sum(chars) AS DOUBLE) / sum(toks) END, 6)
+             AS chars_per_token,
+           round(CASE WHEN sum(toks) > 0
+             THEN CAST(sum(bytes) AS DOUBLE) / sum(toks) END, 6)
+             AS bytes_per_token
+    FROM per GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility / chars-per-token /
+    bytes-per-token through the full tokenize UDF (operators/
+    token_frequencies.py tokenizer_fertility). NO explode — per-doc
+    token counts are size(tokenize) in the scan projection, so the
+    only movement is the map-side-combining groupBy on the language
+    keys."""
+    from polars_text_spark.operators.token_frequencies import (
+        tokenizer_fertility,
+    )
+
+    out = tokenizer_fertility(
+        _docs(spark, sf_dir), "text", "lang", model=NATIVE_MODEL
+    )
+    return out.select(
+        F.col("group").alias("lang"),
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.round("fertility", 6).alias("fertility"),
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+        F.round("bytes_per_token", 6).alias("bytes_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6562,6 +6627,7 @@ _DRIVER_PRIORITY = [
     "code_prose_signals",
     "mixture_temperature",
     "contrastive_triplets",
+    "tokenizer_fertility",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

@@ -73,3 +73,52 @@ def test_stats_columns_and_hand_computed_math(spark):
     assert w.relative_risk is None and w.log_ratio is None and w.odds_ratio is None
     t = rows["there"]  # absent from corpus 0
     assert t.freq_corpus_0 == 0 and t.percent_corpus_0 == 0.0
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    from polars_text_spark.operators.token_frequencies import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "don't stop" -> ws words 2; native tokens: don, t, stop
+            (1, "en", "don't stop"),
+            (2, "en", "café ok"),  # é is 2 bytes in UTF-8
+            (3, "xx", "   "),      # tokenizes to nothing
+            (4, None, "x"),        # null group still aggregates
+            (5, "en", None),       # null text dropped
+        ],
+        "id int, lang string, text string",
+    )
+    rows = {
+        r.group: r
+        for r in tokenizer_fertility(
+            df, "text", "lang", model="native:plain_words_en"
+        ).collect()
+    }
+    en = rows["en"]
+    assert en.n_docs == 2 and en.n_words == 4
+    assert en.n_tokens == 5  # don / t / stop / café / ok
+    assert en.n_bytes == en.n_chars + 1  # the é
+    assert en.fertility == 5 / 4
+    # a group with zero tokens gets null ratios, not a crash
+    xx = rows["xx"]
+    assert xx.n_tokens == 0 and xx.fertility is None
+    assert xx.chars_per_token is None
+    assert rows[None].n_docs == 1
+
+
+def test_tokenizer_fertility_no_explode_single_shuffle(spark, sf_dir):
+    from polars_text_spark.operators.token_frequencies import (
+        tokenizer_fertility,
+    )
+    from polars_text_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tokenizer_fertility(docs, "text", "lang", model="native:plain_words_en")
+    plan = explain_str(out, "formatted")
+    import re
+
+    assert "Generate" not in plan  # no explode of the token arrays
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # only the groupBy

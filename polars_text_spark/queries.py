@@ -6613,7 +6613,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
 # keep their original order behind them. Round 9 (VERDICT r8 item 2):
-# the 2 round-9 additions, then the 12 r6-signed entries the r8
+# the round-9 additions, then the 12 r6-signed entries the r8
 # front-list displaced (oldest signatures in the registry), then all
 # 50 r7-signed queries — oldest-signature-first, so after this round
 # no query's latest driver row is older than r7. The r7 entries past

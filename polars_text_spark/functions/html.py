@@ -28,6 +28,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "ANCHOR_PATTERN",
     "BLOCK_TAG_PATTERN",
     "COMMENT_PATTERN",
     "ENTITY_REPLACEMENTS",
@@ -36,6 +37,7 @@ __all__ = [
     "SCRIPT_PATTERN",
     "STYLE_PATTERN",
     "extract_html_text",
+    "html_anchors",
     "html_hrefs",
     "html_text_sql",
 ]
@@ -121,6 +123,33 @@ def html_hrefs(col: Column | str) -> Column:
     return F.regexp_extract_all(_col(col), F.lit(HREF_PATTERN), 1).alias(
         "hrefs"
     )
+
+
+# Full <a> elements: group 1 = href value, group 2 = inner HTML.
+# Lazy inner match, no lookaround (RE2-portable); nested anchors are
+# invalid HTML and out of heuristic scope.
+ANCHOR_PATTERN = (
+    r"(?is)<a\s[^>]*href\s*=\s*\"([^\"]*)\"[^>]*>(.*?)</a\s*>"
+)
+
+
+def html_anchors(col: Column | str) -> Column:
+    """All links of an HTML column as ``array<struct<href,
+    anchor_html>>`` in document order — the raw material for an
+    anchor-text table (the web-search-style signal: what OTHER pages'
+    link text says a URL is about). ``anchor_html`` is the raw inner
+    HTML; run :func:`extract_html_text` over it after exploding to get
+    clean anchor text (inline markup and entities are common inside
+    anchors). Alignment of the two legs is structural: both
+    ``regexp_extract_all`` calls run the SAME pattern, so index i of
+    each array comes from the same match."""
+    c = _col(col)
+    return F.arrays_zip(
+        F.regexp_extract_all(c, F.lit(ANCHOR_PATTERN), 1).alias("href"),
+        F.regexp_extract_all(c, F.lit(ANCHOR_PATTERN), 2).alias(
+            "anchor_html"
+        ),
+    ).alias("anchors")
 
 
 def _sql_str(s: str) -> str:

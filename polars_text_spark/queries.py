@@ -6606,6 +6606,94 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): anchor-text table — what OTHER pages' link text says
+# a URL is about (the web-search-style relevance signal, and the
+# natural companion of the domain link graph). Anchors are enriched
+# with inline markup + an entity so the inner-HTML cleanup is
+# genuinely exercised.
+# ---------------------------------------------------------------------------
+
+_ANC_W1 = "<p>"
+_ANC_W2 = '</p><a href="https://ex.org/d/'
+_ANC_W3 = '"><b>Doc &amp; '
+_ANC_W4 = '</b></a> <a class="x" href="/rel/'
+_ANC_W5 = '">plain '
+_ANC_W6 = "</a>"
+
+
+def _anchor_oracle_sql() -> str:
+    from polars_text_spark.functions.html import (
+        ANCHOR_PATTERN,
+        html_text_sql,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html = (
+        f"{q(_ANC_W1)} || text || {q(_ANC_W2)}"
+        " || CAST(doc_id AS VARCHAR)"
+        f" || {q(_ANC_W3)} || CAST(doc_id AS VARCHAR) || {q(_ANC_W4)}"
+        f" || CAST(doc_id AS VARCHAR) || {q(_ANC_W5)} || source"
+        f" || {q(_ANC_W6)}"
+    )
+    pat = q(ANCHOR_PATTERN)
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id, {html} AS html
+      FROM documents WHERE text IS NOT NULL),
+    arrs AS (
+      SELECT doc_id,
+             regexp_extract_all(html, {pat}, 1) AS h,
+             regexp_extract_all(html, {pat}, 2) AS t
+      FROM enriched),
+    ex AS (
+      SELECT doc_id, h[i] AS href, t[i] AS ah
+      FROM arrs, UNNEST(range(1, len(h) + 1)) AS u(i))
+    SELECT doc_id, href, {html_text_sql('ah')} AS anchor_text
+    FROM ex
+    """
+
+
+@query("anchor_text_table", _anchor_oracle_sql())
+def q_anchor_text_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text edges (functions/html.py html_anchors): one row per
+    <a> element — (doc_id, href, anchor_text), anchors captured by a
+    single shared pattern on both legs so href/inner alignment is
+    structural, inner HTML reduced to clean text by the same
+    extraction chain the oracle replays. Map-only + one Generate
+    (the explode); no shuffle."""
+    from polars_text_spark.functions.html import (
+        extract_html_text,
+        html_anchors,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_ANC_W1),
+        F.col("text"),
+        F.lit(_ANC_W2),
+        did,
+        F.lit(_ANC_W3),
+        did,
+        F.lit(_ANC_W4),
+        did,
+        F.lit(_ANC_W5),
+        F.col("source"),
+        F.lit(_ANC_W6),
+    )
+    ex = docs.select("doc_id", html.alias("html")).select(
+        "doc_id", F.explode(html_anchors("html")).alias("a")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("a.href").alias("href"),
+        extract_html_text(F.col("a.anchor_html")).alias("anchor_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6628,6 +6716,7 @@ _DRIVER_PRIORITY = [
     "mixture_temperature",
     "contrastive_triplets",
     "tokenizer_fertility",
+    "anchor_text_table",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

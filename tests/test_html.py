@@ -95,3 +95,30 @@ def test_extraction_is_map_only(spark):
         df.select(extract_html_text("h"), html_hrefs("h")), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_html_anchors_alignment_and_cleanup(spark):
+    from polars_text_spark.functions.html import html_anchors
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '<a href="https://a.org"><b>Bold &amp; nested</b></a>'
+                ' text <a class="c" href="/rel">plain</a>'
+                '<a name="no-href-anchor">skip</a>',
+            ),
+            (2, "no links"),
+        ],
+        "i int, h string",
+    )
+    ex = df.select("i", F.explode(html_anchors("h")).alias("a")).select(
+        "i",
+        F.col("a.href").alias("href"),
+        extract_html_text(F.col("a.anchor_html")).alias("txt"),
+    )
+    rows = [(r.i, r.href, r.txt) for r in ex.collect()]
+    assert rows == [
+        (1, "https://a.org", "Bold & nested"),
+        (1, "/rel", "plain"),
+    ]

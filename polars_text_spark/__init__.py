@@ -110,6 +110,11 @@ from polars_text_spark.operators.ann_store import (
     write_ann_store,
 )
 from polars_text_spark.operators.bpe import bpe_learn, bpe_segment
+from polars_text_spark.operators.chat import (
+    chat_stats,
+    parse_chat,
+    render_chat,
+)
 from polars_text_spark.operators.contrastive import (
     contrastive_triplets,
     hard_negatives,
@@ -213,6 +218,7 @@ __all__ = [
     "clean_text",
     "concordance",
     "connected_components",
+    "chat_stats",
     "contrastive_triplets",
     "cosine_topk",
     "cosine_topk_ivf",
@@ -260,6 +266,7 @@ __all__ = [
     "extract_urls",
     "link_stats",
     "pagerank",
+    "parse_chat",
     "url_domains",
     "predefined_model_records",
     "prefetch_dictionary",
@@ -279,6 +286,7 @@ __all__ = [
     "pii_counts",
     "quantize_vec",
     "redact_pii",
+    "render_chat",
     "salted_join",
     "strip_common_lines",
     "strip_duplicate_chunks",

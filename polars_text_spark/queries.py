@@ -6694,6 +6694,167 @@ def q_anchor_text_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): conversation (SFT/chat) lint + render. The corpus
+# has no conversations, so the query builds JSON deterministically
+# from doc fields — four shapes per doc_id%4: valid 3-turn with
+# system, adjacent-role violation, empty assistant content, valid
+# 4-turn — with the identical expression in the oracle, so every lint
+# rule fires on real rows in both directions.
+# ---------------------------------------------------------------------------
+
+
+def _chat_oracle_sql() -> str:
+    clean = "substr(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 40)"
+    did = "CAST(doc_id AS VARCHAR)"
+    j0 = (
+        "'[{\"role\":\"system\",\"content\":\"be concise\"},"
+        "{\"role\":\"user\",\"content\":\"' || " + clean + " || '\"},"
+        "{\"role\":\"assistant\",\"content\":\"ok ' || " + did + " || '\"}]'"
+    )
+    j1 = (
+        "'[{\"role\":\"user\",\"content\":\"' || " + clean + " || '\"},"
+        "{\"role\":\"user\",\"content\":\"again\"},"
+        "{\"role\":\"assistant\",\"content\":\"ok\"}]'"
+    )
+    j2 = (
+        "'[{\"role\":\"user\",\"content\":\"' || " + clean + " || '\"},"
+        "{\"role\":\"assistant\",\"content\":\"\"}]'"
+    )
+    j3 = (
+        "'[{\"role\":\"user\",\"content\":\"a\"},"
+        "{\"role\":\"assistant\",\"content\":\"b\"},"
+        "{\"role\":\"user\",\"content\":\"' || " + clean + " || '\"},"
+        "{\"role\":\"assistant\",\"content\":\"d ' || " + did + " || '\"}]'"
+    )
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id, CASE doc_id % 4
+               WHEN 0 THEN {j0} WHEN 1 THEN {j1}
+               WHEN 2 THEN {j2} ELSE {j3} END AS convo
+      FROM documents WHERE text IS NOT NULL),
+    parsed AS (
+      SELECT doc_id,
+             CAST(json_transform(convo,
+               '[{{"role":"VARCHAR","content":"VARCHAR"}}]')
+               AS STRUCT(role VARCHAR, content VARCHAR)[]) AS a
+      FROM enriched),
+    r AS (
+      SELECT doc_id, a,
+             list_transform(a, x -> coalesce(x.role, '')) AS rs,
+             len(a) AS n
+      FROM parsed)
+    SELECT doc_id,
+           TRUE AS parsed_ok,
+           CAST(n AS BIGINT) AS n_turns,
+           CAST(len(list_filter(rs, x -> x = 'system')) AS BIGINT)
+             AS n_system,
+           CAST(len(list_filter(rs, x -> x = 'user')) AS BIGINT)
+             AS n_user,
+           CAST(len(list_filter(rs, x -> x = 'assistant')) AS BIGINT)
+             AS n_assistant,
+           CAST(len(list_filter(a,
+                x -> x.content IS NULL OR x.content = '')) AS BIGINT)
+             AS n_empty_content,
+           CASE WHEN n = 0 THEN FALSE
+                WHEN rs[1] = 'system' THEN n >= 2 AND rs[2] = 'user'
+                ELSE rs[1] = 'user' END AS starts_ok,
+           len(list_filter(range(2, n + 1), i -> rs[i] = rs[i - 1])) = 0
+             AND n > 0 AS adjacent_ok,
+           len(list_filter(range(2, n + 1), i -> rs[i] = 'system')) = 0
+             AS system_at_head_only,
+           n > 0 AND rs[n] = 'assistant' AS ends_with_assistant,
+           (CASE WHEN n = 0 THEN FALSE
+                 WHEN rs[1] = 'system' THEN n >= 2 AND rs[2] = 'user'
+                 ELSE rs[1] = 'user' END)
+             AND len(list_filter(range(2, n + 1),
+                                 i -> rs[i] = rs[i - 1])) = 0 AND n > 0
+             AND len(list_filter(range(2, n + 1),
+                                 i -> rs[i] = 'system')) = 0
+             AND n > 0 AND rs[n] = 'assistant'
+             AND len(list_filter(a,
+                  x -> x.content IS NULL OR x.content = '')) = 0
+             AS valid,
+           CASE WHEN n = 0 THEN '' ELSE
+             list_reduce(list_transform(a,
+               x -> '<|' || coalesce(x.role, '') || '|>'
+                    || coalesce(x.content, '') || chr(10)),
+               (x, y) -> x || y) END AS rendered
+    FROM r
+    """
+
+
+@query("chat_lint", _chat_oracle_sql())
+def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation lint + render (operators/chat.py): from_json
+    parse, role-alternation/system-placement/empty-content checks as
+    higher-order array expressions (no explode, no UDF), and the
+    chat-template fold — all map-only, every field and the FULL
+    rendered text hash-matched against the JSON-list oracle."""
+    from polars_text_spark.operators.chat import (
+        chat_stats,
+        parse_chat,
+        render_chat,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    clean = F.substring(
+        F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 40
+    )
+    did = F.col("doc_id").cast("string")
+    j0 = F.concat(
+        F.lit('[{"role":"system","content":"be concise"},'
+              '{"role":"user","content":"'),
+        clean,
+        F.lit('"},{"role":"assistant","content":"ok '),
+        did,
+        F.lit('"}]'),
+    )
+    j1 = F.concat(
+        F.lit('[{"role":"user","content":"'),
+        clean,
+        F.lit('"},{"role":"user","content":"again"},'
+              '{"role":"assistant","content":"ok"}]'),
+    )
+    j2 = F.concat(
+        F.lit('[{"role":"user","content":"'),
+        clean,
+        F.lit('"},{"role":"assistant","content":""}]'),
+    )
+    j3 = F.concat(
+        F.lit('[{"role":"user","content":"a"},'
+              '{"role":"assistant","content":"b"},'
+              '{"role":"user","content":"'),
+        clean,
+        F.lit('"},{"role":"assistant","content":"d '),
+        did,
+        F.lit('"}]'),
+    )
+    convo = (
+        F.when(F.col("doc_id") % 4 == 0, j0)
+        .when(F.col("doc_id") % 4 == 1, j1)
+        .when(F.col("doc_id") % 4 == 2, j2)
+        .otherwise(j3)
+    )
+    parsed = docs.select("doc_id", parse_chat(convo).alias("a"))
+    s = chat_stats(F.col("a"))
+    return parsed.select(
+        "doc_id",
+        s["parsed_ok"].alias("parsed_ok"),
+        s["n_turns"].alias("n_turns"),
+        s["n_system"].alias("n_system"),
+        s["n_user"].alias("n_user"),
+        s["n_assistant"].alias("n_assistant"),
+        s["n_empty_content"].alias("n_empty_content"),
+        s["starts_ok"].alias("starts_ok"),
+        s["adjacent_ok"].alias("adjacent_ok"),
+        s["system_at_head_only"].alias("system_at_head_only"),
+        s["ends_with_assistant"].alias("ends_with_assistant"),
+        s["valid"].alias("valid"),
+        render_chat(F.col("a")).alias("rendered"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6717,6 +6878,7 @@ _DRIVER_PRIORITY = [
     "contrastive_triplets",
     "tokenizer_fertility",
     "anchor_text_table",
+    "chat_lint",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

@@ -109,6 +109,7 @@ from polars_text_spark.operators.ann_store import (
     topk_from_store,
     write_ann_store,
 )
+from polars_text_spark.operators.bitext import bitext_mine
 from polars_text_spark.operators.bpe import bpe_learn, bpe_segment
 from polars_text_spark.operators.chat import (
     chat_stats,
@@ -218,6 +219,7 @@ __all__ = [
     "clean_text",
     "concordance",
     "connected_components",
+    "bitext_mine",
     "chat_stats",
     "contrastive_triplets",
     "cosine_topk",

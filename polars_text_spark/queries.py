@@ -6855,6 +6855,106 @@ def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 (cont.): margin-based bitext mining (LASER/CCMatrix shape) —
+# mutual-best cross-corpus neighbors with the Artetxe-Schwenk ratio
+# margin. The embeddings table's label parity stands in for the two
+# corpora; sha signatures, ranks, canonical-order k-NN means, and the
+# margin arithmetic are all replayed by the oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitext_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e)),
+    sides AS (SELECT vec_id, label % 2 AS side
+              FROM embeddings WHERE embedding IS NOT NULL),
+    bk AS (
+      SELECT e.vec_id, unnest({keys}) AS band_key
+      FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM bk q JOIN bk n ON q.band_key = n.band_key
+      JOIN sides sq ON sq.vec_id = q.vec_id
+      JOIN sides sn ON sn.vec_id = n.vec_id
+      WHERE sq.side = 0 AND sn.side = 1),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(uq.u)),
+                  i -> uq.u[i] * un.u[i]), (a, b) -> a + b) AS cos
+      FROM cand c
+      JOIN unit uq ON uq.vec_id = c.query_id
+      JOIN unit un ON un.vec_id = c.neighbor_id),
+    lr AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored),
+    rl AS (
+      SELECT neighbor_id AS rq, query_id AS rn_id, cos,
+             row_number() OVER (PARTITION BY neighbor_id
+                                ORDER BY cos DESC, query_id ASC) AS rn
+      FROM scored),
+    avg_l AS (
+      SELECT query_id,
+             list_reduce(list_sort(list(cos)), (a, b) -> a + b)
+               / count(*) AS avg_l
+      FROM lr WHERE rn <= 4 GROUP BY query_id),
+    avg_r AS (
+      SELECT rq,
+             list_reduce(list_sort(list(cos)), (a, b) -> a + b)
+               / count(*) AS avg_r
+      FROM rl WHERE rn <= 4 GROUP BY rq),
+    best_lr AS (SELECT query_id AS left_id, neighbor_id AS right_id, cos
+                FROM lr WHERE rn = 1),
+    best_rl AS (SELECT rq AS right_id, rn_id AS left_id
+                FROM rl WHERE rn = 1)
+    SELECT b.left_id, b.right_id, round(b.cos, 6) AS cosine,
+           round(b.cos / ((al.avg_l + ar.avg_r) / 2.0), 6) AS margin
+    FROM best_lr b
+    JOIN best_rl m ON m.left_id = b.left_id AND m.right_id = b.right_id
+    JOIN avg_l al ON al.query_id = b.left_id
+    JOIN avg_r ar ON ar.rq = b.right_id
+    WHERE al.avg_l + ar.avg_r > 0
+      AND b.cos / ((al.avg_l + ar.avg_r) / 2.0) >= 1.1
+    """.replace("{keys}", _lsh_sha_keys_sql("e")),
+)
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (operators/bitext.py): label parity splits the
+    embedding corpus into two 'languages'; pairs must be mutual-best
+    cross-corpus neighbors with ratio margin >= 1.1 over their top-4
+    neighborhood averages (canonical ascending-order fold, so the
+    nonassociative double sum hash-matches across engines)."""
+    from polars_text_spark.operators.bitext import bitext_mine
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = bitext_mine(
+        vecs.filter(F.col("label") % 2 == 0),
+        vecs.filter(F.col("label") % 2 == 1),
+        dim=64,
+        k=4,
+        margin_threshold=1.1,
+    )
+    return out.select(
+        "left_id",
+        "right_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
@@ -6879,6 +6979,7 @@ _DRIVER_PRIORITY = [
     "tokenizer_fertility",
     "anchor_text_table",
     "chat_lint",
+    "bitext_pairs",
     "dsir_weights",
     "dsir_select",
     "dsir_topk",

@@ -9,7 +9,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_text_spark.functions.analysis import code_signals
-from polars_text_spark.functions.html import extract_html_text, html_hrefs
+from polars_text_spark.functions.html import (
+    extract_html_text,
+    html_anchors,
+    html_hrefs,
+)
+from polars_text_spark.operators.chat import (
+    chat_stats,
+    parse_chat,
+    render_chat,
+)
 from polars_text_spark.operators.sampling import (
     stratified_sample,
     temperature_rates,
@@ -39,13 +48,22 @@ def test_web_curation_stream_matches_batch(spark, sf_dir, tmp_path):
             F.col("doc_id").cast("string"), F.lit('">l</a>'),
         )
         sig = code_signals("text")
+        convo = F.concat(
+            F.lit('[{"role":"user","content":"q'),
+            F.col("doc_id").cast("string"),
+            F.lit('"},{"role":"assistant","content":"a"}]'),
+        )
+        parsed = parse_chat(convo)
         return kept.select(
             "doc_id",
             "lang",
             extract_html_text(html).alias("extracted"),
             F.size(html_hrefs(html)).alias("n_hrefs"),
+            F.size(html_anchors(html)).alias("n_anchors"),
             sig["n_symbols"].alias("n_symbols"),
             F.round(sig["score"], 6).alias("code_score"),
+            chat_stats(parsed)["valid"].alias("chat_valid"),
+            render_chat(parsed).alias("rendered"),
         )
 
     batch = {tuple(r) for r in transform(docs).collect()}

@@ -661,14 +661,24 @@ def banded_scored_candidates(
         vec_col,
         "__qvec",
     ).select("query_id", "__qvec", F.explode(keys_fn(F.col(vec_col))).alias("band_key"))
-    cands = v.join(q, "band_key").dropDuplicates(["query_id", "neighbor_id"])
+    # Score in the JOIN PROJECTION, dedup the slim frame after: a pair
+    # colliding in several bands recomputes its (cheap, codegen'd) dot
+    # per collision, but the dropDuplicates exchange then moves 3
+    # scalars per row instead of two dim-sized vectors — at corpus
+    # scale the vector-carrying dedup shuffle is ~dim*16/24 x heavier
+    # and was the OOM in the sf0.1 full-corpus self-joins (contrastive
+    # / bitext). Duplicate rows agree exactly (the dot is a
+    # deterministic expression of the pair), so keeping any one is
+    # sound.
+    cands = v.join(q, "band_key")
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    return cands.select(
+    scored = cands.select(
         "query_id",
         "neighbor_id",
         dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
     )
+    return scored.dropDuplicates(["query_id", "neighbor_id"])
 
 
 def _banded_topk(

@@ -1,0 +1,222 @@
+"""Broadcast Bloom-bitset membership prefilter — the map-side prune
+for reference sets too large to broadcast as rows.
+
+Beyond-reference scale operator. The repo's decontamination and
+membership joins broadcast the small side as (key, id) ROWS
+(operators/decontam.py); that works to ~10^7 keys, after which the
+broadcast itself is the bottleneck (a 10^8-shingle eval suite at
+~40 bytes/shingle is multiple GB per executor). A Bloom filter
+compresses membership to ``m`` BITS — ~1.2 GB/10^9 keys at 1% false
+positives versus ~40 GB as rows — restoring the broadcast path.
+
+Spark-first shape:
+
+- **fit** is one pass over the reference side: explode each key into
+  its ``k`` bit indices, ``groupBy(word)`` + ``bit_or`` builds the
+  set words distributedly (map-side partial OR, shuffle carries at
+  most ``m/64`` rows), and the dense ``array<long>`` is assembled on
+  the driver — bounded by the bitset size, which must fit in a
+  broadcast anyway.
+- **probe** is pure map-side JVM: the 1-row bitset frame rides a
+  ``crossJoin(broadcast(...))`` (the repo's standard tiny-frame
+  pattern) and each row tests ``k`` bits with
+  ``getbit(element_at(bits, idx>>6), idx&63)`` — no UDF, no shuffle,
+  fused into the scan.
+- **exactness**: a Bloom filter has false POSITIVES only. Every
+  composed operator here therefore runs an exact confirm join on the
+  survivors, so the Bloom is invisible to the RESULT — it only
+  shapes the plan (the confirm join's input shrinks from the whole
+  corpus-side key stream to the ~matching + fpp fraction). Oracle
+  queries replay the exact join alone and must hash-match.
+
+Hashing is Kirsch-Mitzenmacher double hashing over ``xxhash64``
+(public Spark built-in): ``idx_i = (h1 + i*h2) mod m`` with
+``h1 = xxhash64(key, seed) mod m`` and
+``h2 = xxhash64(key, seed+1) mod (m-1) + 1`` (never 0, so the probe
+sequence cannot collapse onto one slot). Every term is mod-reduced
+before the multiply-add, so the arithmetic stays far from int64
+overflow — Spark 4 runs ANSI mode where overflow THROWS rather than
+wraps.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators._cols import require_free_columns
+from polars_text_spark.plans.exprs import let
+
+__all__ = [
+    "bloom_params",
+    "bloom_fit",
+    "bloom_might_contain",
+    "bloom_semi_join",
+]
+
+_BITS = "__bloom_bits"
+_META = ("__bloom_m", "__bloom_k", "__bloom_seed")
+
+
+def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Classic sizing: bits ``m = ceil(-n ln p / (ln 2)^2)`` (rounded
+    up to a multiple of 64 so the word array is dense) and hash count
+    ``k = round((m/n) ln 2)``, clamped to [1, 16]."""
+    if n_items <= 0:
+        return 64, 1
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, min(16, round(m / n_items * math.log(2))))
+    return m, k
+
+
+def _bit_indices(c: Column, m_bits: int, n_hashes: int, seed: int) -> Column:
+    """``array<long>`` of the ``n_hashes`` bit slots for one key.
+    Shared by fit and probe — a single code path means the filter
+    cannot have false negatives by construction."""
+    h1 = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(c, F.lit(seed + 1)), F.lit(m_bits - 1)) + F.lit(1)
+    # let-bind both hashes: referenced per probe inside the lambda,
+    # and Catalyst would otherwise inline the xxhash64 subtree k times
+    # (plans/exprs.py).
+    return let(
+        h1,
+        lambda a: let(
+            h2,
+            lambda b: F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.pmod(a + i.cast("long") * b, F.lit(m_bits)),
+            ),
+        ),
+    )
+
+
+def bloom_fit(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int,
+    n_hashes: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Build the filter over every non-null value of ``df[col]``.
+
+    Returns a 1-row DataFrame ``(__bloom_bits array<long>, __bloom_m,
+    __bloom_k, __bloom_seed)``. The meta columns travel WITH the bits
+    so probes read the parameters from the filter itself — they
+    cannot drift from the fit (the ann_store meta lesson: a
+    parameter mismatch here is a silent false-negative machine).
+
+    No ``distinct()`` before the explode: ``bit_or`` is idempotent,
+    so duplicate keys cost duplicate map-side rows but never an extra
+    shuffle. The driver assembly collects at most ``m_bits/64`` set
+    words (the bitset must fit in one broadcast regardless).
+    """
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not (1 <= n_hashes <= 64):
+        raise ValueError(f"n_hashes must be in [1, 64], got {n_hashes}")
+    idx = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                _bit_indices(F.col(col), m_bits, n_hashes, seed)
+            ).alias("__i")
+        )
+    )
+    words = (
+        idx.select(
+            F.shiftright("__i", 6).alias("__w"),
+            F.col("__i").bitwiseAND(F.lit(63)).cast("int").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __b)")).alias(
+                "__bits"
+            )
+        )
+    )
+    n_words = m_bits // 64
+    dense = [0] * n_words
+    for r in words.collect():
+        dense[int(r["__w"])] = int(r["__bits"])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(dense, m_bits, n_hashes, seed)],
+        schema=(
+            f"{_BITS} array<bigint>, {_META[0]} bigint, "
+            f"{_META[1]} int, {_META[2]} bigint"
+        ),
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, col: str, bloom: DataFrame, *, out_col: str = "might_contain"
+) -> DataFrame:
+    """Append boolean ``out_col``: true iff every probe bit for
+    ``df[col]`` is set (i.e. the value MIGHT be in the fitted set;
+    false means definitely absent). Null keys probe as the hash of
+    null — callers decide null semantics upstream.
+
+    Map-side only: the bits frame is a broadcast 1-row crossJoin, the
+    ``k`` ``getbit`` tests evaluate inside the scan's projection, and
+    the hashes are let-bound so ``xxhash64`` runs twice per row, not
+    ``2k`` times."""
+    require_free_columns(df, (_BITS, *_META), "bloom_might_contain")
+    meta = bloom.select(*_META).first()
+    m_bits, n_hashes, seed = int(meta[0]), int(meta[1]), int(meta[2])
+    probed = df.crossJoin(F.broadcast(bloom.select(_BITS)))
+    test = F.forall(
+        _bit_indices(F.col(col), m_bits, n_hashes, seed),
+        lambda i: (
+            F.getbit(
+                F.element_at(
+                    F.col(_BITS), F.shiftright(i, 6).cast("int") + F.lit(1)
+                ),
+                i.bitwiseAND(F.lit(63)),
+            )
+            == F.lit(1)
+        ),
+    )
+    return probed.withColumn(out_col, test).drop(_BITS)
+
+
+def bloom_semi_join(
+    df: DataFrame,
+    col: str,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    fpp: float = 0.01,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT semi join ``df`` ⋉ ``keys`` with a Bloom prefilter: fit
+    on the key side, map-side prune ``df``, then confirm the
+    survivors with a real (broadcast-eligible) semi join against the
+    distinct keys. The result is bit-identical to
+    ``df.join(keys, on, "left_semi")`` — the Bloom only cuts the rows
+    entering the confirm join to matches + the fpp fraction.
+
+    Sizing comes from one ``count()`` over the (small) key side. When
+    the distinct key set is ALSO too big to broadcast as rows the
+    confirm join falls back to shuffle — the prefilter then matters
+    most, because only the pruned sliver of the big side shuffles.
+    """
+    k = keys.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__bloom_key")
+    )
+    n_items = k.count()
+    m_bits, n_hashes = bloom_params(n_items, fpp)
+    bloom = bloom_fit(k, "__bloom_key", m_bits=m_bits, n_hashes=n_hashes, seed=seed)
+    pruned = (
+        bloom_might_contain(df, col, bloom, out_col="__bloom_hit")
+        .where(F.col("__bloom_hit"))
+        .drop("__bloom_hit")
+    )
+    return pruned.join(
+        k.distinct(), on=pruned[col] == F.col("__bloom_key"), how="left_semi"
+    )

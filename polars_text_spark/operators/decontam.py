@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_ngrams", "ngram_contamination", "embedding_contamination"]
+__all__ = [
+    "token_ngrams",
+    "ngram_contamination",
+    "bloom_ngram_contamination",
+    "embedding_contamination",
+]
 
 
 def token_ngrams(text: Column, n: int) -> Column:
@@ -81,6 +86,68 @@ def ngram_contamination(
         .distinct()
     )
     hits = cand.join(F.broadcast(bench), "_sh")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("_sh").alias("n_shared_shingles"),
+        F.countDistinct("_bench_id").alias("n_bench_docs"),
+    )
+
+
+def bloom_ngram_contamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 4,
+    fpp: float = 0.01,
+    seed: int = 0,
+) -> DataFrame:
+    """:func:`ngram_contamination` with a Bloom-bitset prefilter on
+    the candidate shingle stream — bit-identical output, different
+    plan for the regime where the benchmark shingle set outgrows a
+    row broadcast (a full eval SUITE at 13-grams is 10^8+ shingles,
+    multi-GB as rows, tens of MB as bits — operators/bloom.py).
+
+    Candidate shingles that fail the Bloom probe (definitely not in
+    the benchmark) drop map-side inside the scan stage; only matches
+    plus the ``fpp`` sliver reach the exact confirm join, which keeps
+    the result exact — oracle queries replay the plain join and must
+    hash-match."""
+    from polars_text_spark.operators.bloom import (
+        bloom_fit,
+        bloom_might_contain,
+        bloom_params,
+    )
+
+    cand = (
+        candidates.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
+    )
+    bench = (
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_bench_id"),
+            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
+        .distinct()
+    )
+    # Size from the distinct (shingle, bench_id) count — an upper
+    # bound on distinct shingles, so the realized fpp only improves.
+    m_bits, n_hashes = bloom_params(bench.count(), fpp)
+    bloom = bloom_fit(
+        bench, "_sh", m_bits=m_bits, n_hashes=n_hashes, seed=seed
+    )
+    pruned = (
+        bloom_might_contain(cand, "_sh", bloom, out_col="__bloom_hit")
+        .where(F.col("__bloom_hit"))
+        .drop("__bloom_hit")
+    )
+    hits = pruned.join(F.broadcast(bench), "_sh")
     return hits.groupBy(id_col).agg(
         F.countDistinct("_sh").alias("n_shared_shingles"),
         F.countDistinct("_bench_id").alias("n_bench_docs"),

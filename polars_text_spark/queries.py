@@ -2165,6 +2165,48 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontam",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+3], ' ')
+                         for i in generate_series(1, len(t)-3)])
+                    END) AS s
+      FROM toks WHERE len(t) > 0),
+    bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id % 7 = 0)
+    SELECT a.doc_id,
+           CAST(count(DISTINCT a.s) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM sh a JOIN bench b ON a.s = b.s
+    WHERE a.doc_id % 7 <> 0
+    GROUP BY a.doc_id
+    """,
+)
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: same exact result as the
+    row-broadcast path (`decontaminate_ngrams`, here with a %7 bench
+    split), but candidate shingles are pruned MAP-SIDE against a
+    broadcast Bloom bitset before the confirm join — the plan for
+    when the benchmark shingle set outgrows a row broadcast
+    (operators/bloom.py). The oracle replays only the exact join: a
+    Bloom false NEGATIVE (the one failure a Bloom cannot have, pinned
+    by construction via the shared fit/probe bit-index expression)
+    would surface here as a missing row."""
+    from polars_text_spark.operators.decontam import bloom_ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    cand = docs.filter(F.col("doc_id") % 7 != 0)
+    return bloom_ngram_contamination(cand, bench, "text", "doc_id", n=4)
+
+
+@query(
     "decontaminate_semantic",
     """
     WITH ev AS (
@@ -6972,6 +7014,7 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
+    "bloom_decontam",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

@@ -1,0 +1,112 @@
+"""Broadcast Bloom-bitset prefilter (operators/bloom.py).
+
+Pins the two properties that make the Bloom SAFE to put in front of
+an exact join: zero false negatives (fit and probe share one
+bit-index expression) and a realized false-positive rate near the
+sized ``fpp``; plus the composition law — Bloom-prefiltered operators
+return bit-identical results to their plain-join twins.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.bloom import (
+    bloom_fit,
+    bloom_might_contain,
+    bloom_params,
+    bloom_semi_join,
+)
+from polars_text_spark.plans import explain_str
+
+
+def test_bloom_params_sizing():
+    m, k = bloom_params(1000, 0.01)
+    # textbook: ~9.6 bits/item and ~7 hashes at 1%
+    assert 9 * 1000 <= m <= 11 * 1000 and m % 64 == 0
+    assert 6 <= k <= 8
+    # degenerate inputs stay valid
+    assert bloom_params(0, 0.01) == (64, 1)
+    m2, k2 = bloom_params(10, 0.5)
+    assert m2 % 64 == 0 and 1 <= k2 <= 16
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    keys = spark.createDataFrame(
+        [(f"member-{i:05d}",) for i in range(2000)], ["k"]
+    )
+    m, k = bloom_params(2000, 0.01)
+    bl = bloom_fit(keys, "k", m_bits=m, n_hashes=k)
+    probe = spark.createDataFrame(
+        [(f"member-{i:05d}",) for i in range(2000)]
+        + [(f"absent-{i:05d}",) for i in range(2000)],
+        ["v"],
+    )
+    hits = {
+        r["v"]: r["hit"]
+        for r in bloom_might_contain(probe, "v", bl, out_col="hit").collect()
+    }
+    misses = [i for i in range(2000) if not hits[f"member-{i:05d}"]]
+    assert misses == [], "Bloom false negative — fit/probe hashing diverged"
+    fp = sum(1 for i in range(2000) if hits[f"absent-{i:05d}"])
+    # sized for 1%; allow generous slack for hash variance
+    assert fp / 2000 < 0.05
+
+
+def test_bloom_meta_travels_with_bits(spark):
+    """Probe parameters come from the filter frame itself — a fit
+    with unusual (m, k, seed) must probe correctly with no parameters
+    repeated at the call site."""
+    keys = spark.createDataFrame([(f"x{i}",) for i in range(50)], ["k"])
+    bl = bloom_fit(keys, "k", m_bits=1024, n_hashes=3, seed=99)
+    got = bloom_might_contain(keys.withColumnRenamed("k", "v"), "v", bl)
+    assert all(r["might_contain"] for r in got.collect())
+
+
+def test_bloom_semi_join_exact(spark):
+    big = spark.createDataFrame([(i, f"u{i % 700}") for i in range(3000)], ["i", "u"])
+    keys = spark.createDataFrame([(f"u{i}",) for i in range(0, 700, 3)], ["ku"])
+    got = sorted(
+        map(tuple, bloom_semi_join(big, "u", keys, "ku").collect())
+    )
+    want = sorted(
+        map(tuple, big.join(keys, big["u"] == keys["ku"], "left_semi").collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_contamination_matches_plain(spark, sf_dir):
+    from polars_text_spark.operators.decontam import (
+        bloom_ngram_contamination,
+        ngram_contamination,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    cand = docs.filter(F.col("doc_id") % 7 != 0)
+    plain = sorted(map(tuple, ngram_contamination(cand, bench).collect()))
+    bloomed = sorted(
+        map(tuple, bloom_ngram_contamination(cand, bench).collect())
+    )
+    assert bloomed == plain and len(plain) > 0
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The probe stage must add NO shuffle: the bitset rides a
+    broadcast join and every bit test evaluates in the scan's
+    projection. A shuffle Exchange appearing here means the 1-row
+    crossJoin regressed to a real join."""
+    df = spark.range(100).select(F.concat(F.lit("v"), "id").alias("v"))
+    keys = spark.range(10).select(F.concat(F.lit("v"), "id").alias("k"))
+    bl = bloom_fit(keys, "k", m_bits=1024, n_hashes=4)
+    plan = explain_str(bloom_might_contain(df, "v", bl), "formatted")
+    shuffles = [
+        l
+        for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l) and "Broadcast" not in l
+    ]
+    assert shuffles == [], f"unexpected shuffle in probe plan: {shuffles}"

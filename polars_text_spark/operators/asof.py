@@ -23,7 +23,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "gapfill_locf"]
 
 
 def asof_join(
@@ -103,3 +103,90 @@ def asof_join(
     proj = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     proj += [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols]
     return out.select(*proj)
+
+
+def gapfill_locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    *,
+    step: str = "1 hour",
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Densify a pre-bucketed time series and fill gaps by carrying
+    the last observation forward (the hypertable
+    ``time_bucket_gapfill + locf`` shape).
+
+    ``df`` holds at most one row per (``keys``, ``ts_col``) tick;
+    the output has exactly one row per key per ``step`` tick from
+    that key's first to last observed tick, with every ``value_cols``
+    entry LOCF-filled (a null observation is skipped, carrying the
+    previous non-null — matching ``last_value(x IGNORE NULLS)``) and
+    ``gap_col`` true on ticks that had NO observed row (a row whose
+    value is null is an observation, not a gap).
+
+    Spark-first shape, same family as :func:`asof_join`: the grid is
+    built by a per-key min/max aggregate + ``sequence``/``explode``
+    (never a driver-side calendar), grid and data rows are UNIONED,
+    and one window partitioned by ``keys`` ordered by
+    (tick, grid-last) carries values forward — one small aggregate
+    shuffle plus ONE main shuffle on the keys, no range join, no
+    per-tick self-join. Running-frame windows stream each key group
+    in order, so a key's cost is its tick span / ``step`` (document
+    the span bound when bucketing upstream; a decade at 1-second
+    ticks is 3×10^8 grid rows for that key and wants a coarser step
+    or a sub-key).
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    interval = F.expr(f"INTERVAL {step}")
+    data = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__grid"),
+        *[F.col(c) for c in value_cols],
+    )
+    vtypes = {f.name: f.dataType for f in data.schema.fields}
+    grid = (
+        df.groupBy(*keys)
+        .agg(F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx"))
+        .select(
+            *keys,
+            F.explode(F.sequence("__mn", "__mx", interval)).alias("__ts"),
+            F.lit(1).alias("__grid"),
+            *[
+                F.lit(None).cast(vtypes[c]).alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    u = data.unionByName(grid)
+    # Data (0) sorts before grid (1) at the same tick, so a grid row
+    # sees that tick's own observation as "last".
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *keys,
+        "__ts",
+        "__grid",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last(
+            F.when(F.col("__grid") == 0, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__obs_ts"),
+    )
+    return (
+        filled.filter(F.col("__grid") == 1)
+        .withColumn(
+            gap_col,
+            F.col("__obs_ts").isNull() | (F.col("__obs_ts") != F.col("__ts")),
+        )
+        .select(*keys, F.col("__ts").alias(ts_col), *value_cols, gap_col)
+    )

@@ -1912,6 +1912,51 @@ def q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gapfill",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             round(avg(value), 6) AS avg_value, true AS present
+      FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+    r AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+          FROM b GROUP BY 1),
+    g AS (SELECT event_type,
+                 unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+          FROM r),
+    j AS (SELECT g.event_type, g.bucket, b.avg_value, b.present
+          FROM g LEFT JOIN b
+            ON g.event_type = b.event_type AND g.bucket = b.bucket)
+    SELECT event_type, bucket,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+           present IS NULL AS is_gap
+    FROM j
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill + LOCF: hourly per-type average
+    event value over a sparse user slice, densified to every hour
+    between each type's first and last observation with the last
+    value carried across the gaps. The Spark plan is the union +
+    running-window form (operators/asof.py gapfill_locf — grid via
+    sequence/explode, ONE keys shuffle, no range join); the oracle
+    replays it with generate_series + last_value IGNORE NULLS.
+    Rounding happens at the bucket stage on BOTH sides, so carried
+    values are bit-equal."""
+    from polars_text_spark.operators.asof import gapfill_locf
+    from polars_text_spark.sources.catalog import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    return gapfill_locf(
+        buckets, ["event_type"], "bucket", ["avg_value"], step="1 hour"
+    )
+
+
+@query(
     "repetition_signals",
     """
     WITH t AS (
@@ -7015,6 +7060,7 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "bloom_decontam",
+    "events_gapfill",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

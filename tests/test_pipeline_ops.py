@@ -87,6 +87,60 @@ def test_asof_single_shuffle_no_join(spark, asof_frames):
 
 
 # ---------------------------------------------------------------------------
+# gapfill_locf
+# ---------------------------------------------------------------------------
+
+
+def _hr(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+def test_gapfill_locf_fills_and_flags(spark):
+    from polars_text_spark.operators.asof import gapfill_locf
+
+    rows = [
+        # key a: observations at 00, 03 (null value), 05 — gaps 01, 02, 04
+        ("a", _hr(0), 10.0),
+        ("a", _hr(3), None),
+        ("a", _hr(5), 50.0),
+        # key b: single observation — grid is one tick, no gaps
+        ("b", _hr(7), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    out = {
+        (r["k"], r["bucket"].hour): (r["v"], r["is_gap"])
+        for r in gapfill_locf(df, ["k"], "bucket", ["v"]).collect()
+    }
+    # dense grid from min to max per key
+    assert sorted(h for k, h in out if k == "a") == [0, 1, 2, 3, 4, 5]
+    assert sorted(h for k, h in out if k == "b") == [7]
+    # LOCF: gaps carry 10.0; the NULL OBSERVATION at 03 is not a gap
+    # but still carries the previous non-null (IGNORE NULLS)
+    assert out[("a", 0)] == (10.0, False)
+    assert out[("a", 1)] == (10.0, True)
+    assert out[("a", 2)] == (10.0, True)
+    assert out[("a", 3)] == (10.0, False)
+    assert out[("a", 4)] == (10.0, True)
+    assert out[("a", 5)] == (50.0, False)
+    assert out[("b", 7)] == (7.0, False)
+
+
+def test_gapfill_locf_no_join_one_main_shuffle(spark):
+    """Union + running window, never a grid-to-data join; the only
+    non-broadcast Exchanges are the per-key min/max aggregate and the
+    keys window — a range-join regression shows up as a Join node."""
+    from polars_text_spark.operators.asof import gapfill_locf
+
+    df = spark.createDataFrame(
+        [("a", _hr(0), 1.0), ("a", _hr(4), 2.0)], ["k", "bucket", "v"]
+    )
+    out = gapfill_locf(df, ["k"], "bucket", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
 

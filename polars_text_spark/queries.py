@@ -3749,6 +3749,65 @@ def q_media_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wav_pcm_stats",
+    """
+    WITH s AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    samp AS (
+      SELECT doc_id, n,
+             unnest([((doc_id * 7919 + t * 104729) % 65536) - 32768
+                     FOR t IN generate_series(0, n - 1)]) AS v
+      FROM s)
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           16000 AS sample_rate,
+           round(sqrt(sum(v * v)::DOUBLE / any_value(n)), 6) AS rms,
+           CAST(max(abs(v)) AS INT) AS peak,
+           round(sum(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END)::DOUBLE
+                 / any_value(n), 6) AS clip_ratio
+    FROM samp GROUP BY doc_id
+    """,
+)
+def q_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end engine-replayed: per doc a
+    deterministic PCM16 sample train is packed into actual RIFF/WAVE
+    bytes JVM-side (synth_wav_pcm16 — hex assembly + unhex, no UDF),
+    then DECODED by the numpy PCM reader (wav_pcm_stats) into
+    loudness/clipping stats. The oracle recomputes the stats from
+    the sample formula alone — it never sees the bytes — so a header
+    layout, endianness, or two's-complement bug on EITHER the encode
+    or decode side breaks the hash. sample_rate=16000 round-trips
+    through the actual fmt chunk, pinning the header path too."""
+    from polars_text_spark.operators.multimodal import (
+        synth_wav_pcm16,
+        wav_pcm_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = F.lit(64) + F.col("doc_id") % 64
+    samples = F.transform(
+        F.sequence(F.lit(0), (n - 1).cast("int")),
+        lambda t: (
+            F.pmod(
+                F.col("doc_id") * 7919 + t.cast("long") * 104729,
+                F.lit(65536),
+            )
+            - 32768
+        ).cast("int"),
+    )
+    wav = docs.select("doc_id", synth_wav_pcm16(samples, 16000).alias("wav"))
+    return wav.select(
+        "doc_id", wav_pcm_stats("wav").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.n_samples").alias("n_samples"),
+        F.col("s.sample_rate").alias("sample_rate"),
+        F.round("s.rms", 6).alias("rms"),
+        F.col("s.peak").alias("peak"),
+        F.round("s.clip_ratio", 6).alias("clip_ratio"),
+    )
+
+
 # Mojibake enrichment strings, built from explicit code points so the
 # Spark literal and the DuckDB chr() chain are character-identical by
 # construction (raw artifact literals in source are one bad editor
@@ -7061,6 +7120,7 @@ _DRIVER_PRIORITY = [
     # round-9 additions (driver has never seen these)
     "bloom_decontam",
     "events_gapfill",
+    "wav_pcm_stats",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

@@ -276,3 +276,111 @@ def test_av_backend_round_trips_keyframes(spark):  # pragma: no cover
     ).collect()
     assert len(row.frames) == 2
     assert row.frames[0].digest != row.frames[1].digest
+
+
+# ---------------------------------------------------------------------------
+# PCM16 WAV encode/decode round-trip (real decode, no codec library)
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    """Hand-rolled reference WAV writer (stdlib only) — independent of
+    the JVM-side synth under test."""
+    import struct as st
+
+    data = b"".join(st.pack("<h", s) for s in samples)
+    block = 2 * channels
+    return (
+        b"RIFF"
+        + st.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + st.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data"
+        + st.pack("<I", len(data))
+        + data
+    )
+
+
+def test_synth_wav_matches_reference_writer(spark):
+    """The JVM hex-assembly encoder must produce byte-identical WAV
+    files to a stdlib struct.pack writer — including negative-sample
+    two's complement and the little-endian header fields."""
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.operators.multimodal import synth_wav_pcm16
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    df = spark.createDataFrame([(samples,)], "s array<int>")
+    (row,) = df.select(synth_wav_pcm16(F.col("s"), 8000).alias("w")).collect()
+    assert bytes(row.w) == _wav_bytes(samples, 8000)
+
+
+def test_wav_pcm_stats_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.operators.multimodal import (
+        synth_wav_pcm16,
+        wav_pcm_stats,
+    )
+
+    samples = [100, -200, 32767, -32768, 0, 5000]
+    df = spark.createDataFrame([(samples,)], "s array<int>")
+    (row,) = (
+        df.select(synth_wav_pcm16(F.col("s"), 44100).alias("w"))
+        .select(wav_pcm_stats("w").alias("p"))
+        .collect()
+    )
+    import math as m
+
+    assert row.p.n_samples == 6
+    assert row.p.sample_rate == 44100
+    assert row.p.peak == 32768
+    assert row.p.clip_ratio == 2 / 6
+    want = m.sqrt(sum(s * s for s in samples) / 6)
+    assert abs(row.p.rms - want) < 1e-9
+
+
+def test_wav_pcm_stats_stereo_counts_interleaved(spark):
+    from polars_text_spark.operators.multimodal import wav_pcm_stats
+
+    wav = _wav_bytes([1000, -1000, 2000, -2000], rate=8000, channels=2)
+    df = spark.createDataFrame([(wav,)], "w binary")
+    (row,) = df.select(wav_pcm_stats("w").alias("p")).collect()
+    assert row.p.n_samples == 4  # 2 frames x 2 channels, interleaved
+    assert row.p.peak == 2000
+
+
+def test_wav_pcm_stats_rejects_non_pcm_and_garbage(spark):
+    import struct as st
+
+    from polars_text_spark.operators.multimodal import wav_pcm_stats
+
+    # float-format WAV (audio_format=3): real container, not PCM16
+    float_wav = (
+        b"RIFF" + st.pack("<I", 40) + b"WAVE" + b"fmt "
+        + st.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + st.pack("<I", 4) + b"\x00" * 4
+    )
+    rows = [(1, float_wav), (2, b"not a wav at all"), (3, None)]
+    df = spark.createDataFrame(rows, "id int, w binary")
+    got = {
+        r.id: r.p.n_samples
+        for r in df.select("id", wav_pcm_stats("w").alias("p")).collect()
+    }
+    assert got == {1: None, 2: None, 3: None}
+
+
+def test_wav_pcm_stats_truncated_payload_clips(spark):
+    """A data chunk header promising more bytes than the file holds
+    decodes what is actually there (dropping any odd trailing byte)
+    instead of erroring — the defensive posture every header parser
+    in this module takes against adversarial bytes."""
+    from polars_text_spark.operators.multimodal import wav_pcm_stats
+
+    full = _wav_bytes([100, 200, 300], rate=8000)
+    truncated = full[:-3]  # loses sample 3 and half of sample 2's bytes
+    df = spark.createDataFrame([(truncated,)], "w binary")
+    (row,) = df.select(wav_pcm_stats("w").alias("p")).collect()
+    assert row.p.n_samples == 1
+    assert row.p.peak == 100

@@ -37,6 +37,7 @@ __all__ = [
     "containment_pairs",
     "count_join_jaccard_pairs",
     "exact_dedup",
+    "minhash_band_plan",
     "embedding_dup_pairs",
     "bottomk_sketch",
     "bottomk_sketch_pairs",
@@ -320,6 +321,51 @@ def bottomk_sketch_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def minhash_band_plan(
+    threshold: float, num_perm: int = 64
+) -> tuple[int, int]:
+    """Choose ``(bands, rows_per_band)`` for a target Jaccard
+    ``threshold`` — the datasketch-style planner: the LSH collision
+    curve is ``P(s) = 1 - (1 - s^r)^b``; pick the integer split of
+    ``num_perm`` minimizing the weighted false-positive area
+    (``∫₀ᵗ P``) + false-negative area (``∫ₜ¹ (1-P)``), evaluated by
+    fixed-step quadrature. Guessing (b, r) by hand routinely places
+    the curve's S-bend far from the threshold — the default 16x4
+    bends near s≈0.5, so at t=0.7 it floods the verify stage with
+    ~0.5-similar candidates; the planner returns 8x8 there (bend
+    ≈0.77).
+
+    Driver-side pure arithmetic over at most ``d(num_perm)`` integer
+    splits — call it once and pass the result to
+    :func:`minhash_lsh_pairs` / the dedup store writers. Returns the
+    steepest valid plan on ties (fewer, wider bands — cheaper: fewer
+    band keys shuffle)."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    steps = 500
+    best = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp + fn) / steps
+        # strict improvement only: ties keep the smallest b seen
+        # first (fewer bands -> fewer shuffled keys)
+        if best is None or err < best[0] - 1e-12:
+            best = (err, b, r)
+    return best[1], best[2]
 
 
 def minhash_signatures(

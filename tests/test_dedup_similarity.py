@@ -364,3 +364,46 @@ def test_lsh_sha_recall_and_portable_keys(spark, sf_dir):
         return "1" if s >= 0 else "0"
     expect = [f"{b}:" + "".join(bit(4 * b + i) for i in range(4)) for b in range(4)]
     assert list(row["keys"]) == expect
+
+
+# ---------------------------------------------------------------------------
+# minhash_band_plan
+# ---------------------------------------------------------------------------
+
+
+def test_band_plan_bend_tracks_threshold():
+    """The chosen plan's collision-curve midpoint (1/b)^(1/r) must
+    land near the requested threshold — the whole point of planning
+    over guessing."""
+    from polars_text_spark.operators.dedup import minhash_band_plan
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        b, r = minhash_band_plan(t, 64)
+        assert b * r == 64
+        bend = (1.0 / b) ** (1.0 / r)
+        assert abs(bend - t) < 0.2, (t, b, r, bend)
+
+
+def test_band_plan_monotone_rows():
+    """Higher thresholds need steeper curves: rows-per-band never
+    decreases as the threshold rises."""
+    from polars_text_spark.operators.dedup import minhash_band_plan
+
+    rows = [minhash_band_plan(t, 128)[1] for t in (0.2, 0.4, 0.6, 0.8, 0.95)]
+    assert rows == sorted(rows)
+
+
+def test_band_plan_validates_inputs():
+    import pytest as _pytest
+
+    from polars_text_spark.operators.dedup import minhash_band_plan
+
+    with _pytest.raises(ValueError):
+        minhash_band_plan(0.0)
+    with _pytest.raises(ValueError):
+        minhash_band_plan(1.0)
+    with _pytest.raises(ValueError):
+        minhash_band_plan(0.5, 0)
+    # prime num_perm still returns a valid (if degenerate) split
+    b, r = minhash_band_plan(0.5, 13)
+    assert b * r == 13

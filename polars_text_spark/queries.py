@@ -3808,6 +3808,90 @@ def q_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "warc_ingest",
+    """
+    WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+    env AS (
+      SELECT doc_id, text,
+             'HTTP/1.1 200 OK' || c ||
+             'Content-Type: text/plain; charset=utf-8' || c ||
+             'Content-Length: ' || octet_length(encode(text))::VARCHAR ||
+             c || c || text AS http
+      FROM documents, crlf WHERE text IS NOT NULL)
+    SELECT '<urn:uuid:00000000-0000-0000-0000-' ||
+             lpad(doc_id::VARCHAR, 12, '0') || '>' AS record_id,
+           'https://example.org/doc/' || doc_id AS target_uri,
+           CAST(octet_length(encode(http)) AS BIGINT) AS content_length,
+           200 AS http_status,
+           'text/plain; charset=utf-8' AS content_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+           text AS body_text
+    FROM env
+    """,
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round-trip, end-to-end engine-replayed: each document is
+    wrapped JVM-side into a spec-shaped WARC response record (WARC
+    headers + HTTP envelope, Content-Length framing at both layers),
+    then the REAL record parser (sources/warc.py — the Common Crawl
+    reader's core, Content-Length-driven, never delimiter-split)
+    sweeps the bytes back apart. The oracle re-derives every parsed
+    field from the raw documents without ever seeing the container —
+    a framing, header-casing, or byte-length bug on either side
+    breaks the hash. body_text round-trips the full payload, CRLFs
+    included."""
+    from polars_text_spark.sources.warc import parse_warc_records
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    body_len = F.octet_length("text")
+    http = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/plain; charset=utf-8\r\n"
+            "Content-Length: "
+        ),
+        body_len.cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+    )
+    rid = F.concat(
+        F.lit("<urn:uuid:00000000-0000-0000-0000-"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lit(">"),
+    )
+    uri = F.concat(
+        F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "),
+        rid,
+        F.lit("\r\nWARC-Target-URI: "),
+        uri,
+        F.lit(
+            "\r\nContent-Type: application/http; msgtype=response"
+            "\r\nContent-Length: "
+        ),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    blob = docs.select(F.encode(warc, "UTF-8").alias("b"))
+    return (
+        blob.select(F.explode(parse_warc_records("b")).alias("r"))
+        .select(
+            F.col("r.record_id").alias("record_id"),
+            F.col("r.target_uri").alias("target_uri"),
+            F.col("r.content_length").alias("content_length"),
+            F.col("r.http_status").alias("http_status"),
+            F.col("r.content_type").alias("content_type"),
+            F.length("r.payload").cast("bigint").alias("n_body_bytes"),
+            F.decode("r.payload", "UTF-8").alias("body_text"),
+        )
+    )
+
+
 # Mojibake enrichment strings, built from explicit code points so the
 # Spark literal and the DuckDB chr() chain are character-identical by
 # construction (raw artifact literals in source are one bad editor
@@ -7121,6 +7205,7 @@ _DRIVER_PRIORITY = [
     "bloom_decontam",
     "events_gapfill",
     "wav_pcm_stats",
+    "warc_ingest",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

@@ -17,11 +17,20 @@ Spark-first shape:
   most ``m/64`` rows), and the dense ``array<long>`` is assembled on
   the driver — bounded by the bitset size, which must fit in a
   broadcast anyway.
-- **probe** is pure map-side JVM: the 1-row bitset frame rides a
-  ``crossJoin(broadcast(...))`` (the repo's standard tiny-frame
-  pattern) and each row tests ``k`` bits with
-  ``getbit(element_at(bits, idx>>6), idx&63)`` — no UDF, no shuffle,
-  fused into the scan.
+- **probe** is pure map-side JVM: the bitset is embedded as ONE
+  ``array<long>`` Literal (``F.lit(words)``) and each row tests
+  ``k`` bits with ``getbit(element_at(bits, idx>>6), idx&63)`` — no
+  UDF, no join, no shuffle, fused into the scan. The literal is
+  deliberate: the repo's usual 1-row ``crossJoin(broadcast(...))``
+  carrier is WRONG here, because a join materializes output
+  UnsafeRows and therefore memcpys the whole bitset into EVERY
+  probed row — measured 11 s for a 44 KB bitset over 219 k rows at
+  sf0.1 (~10 GB of copying) versus sub-second as a literal, which
+  codegen references once per task. The 1-row-crossJoin pattern is
+  for SCALAR totals; payload columns must never ride a join. The
+  literal ships in the task binary: comfortable to ~10^8 bits
+  (~12 MB); past that, shard the reference set and union several
+  filters, or gate with the rows-broadcast join instead.
 - **exactness**: a Bloom filter has false POSITIVES only. Every
   composed operator here therefore runs an exact confirm join on the
   survivors, so the Bloom is invisible to the RESULT — it only
@@ -46,7 +55,6 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from polars_text_spark.operators._cols import require_free_columns
 from polars_text_spark.plans.exprs import let
 
 __all__ = [
@@ -74,13 +82,25 @@ def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _bit_indices(c: Column, m_bits: int, n_hashes: int, seed: int) -> Column:
-    """``array<long>`` of the ``n_hashes`` bit slots for one key.
-    Shared by fit and probe — a single code path means the filter
-    cannot have false negatives by construction."""
+def _hashes(c: Column, m_bits: int, seed: int) -> tuple[Column, Column]:
+    """The double-hash pair (h1 in [0, m), h2 in [1, m)) — the ONE
+    definition both fit and probe build their slots from."""
     h1 = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(m_bits))
     h2 = F.pmod(F.xxhash64(c, F.lit(seed + 1)), F.lit(m_bits - 1)) + F.lit(1)
-    # let-bind both hashes: referenced per probe inside the lambda,
+    return h1, h2
+
+
+def _slot(h1: Column, h2: Column, i: Column, m_bits: int) -> Column:
+    """Bit slot ``(h1 + i*h2) mod m`` — shared fit/probe formula, so
+    the filter cannot have false negatives by construction."""
+    return F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits))
+
+
+def _bit_indices(c: Column, m_bits: int, n_hashes: int, seed: int) -> Column:
+    """``array<long>`` of the ``n_hashes`` bit slots for one key (the
+    FIT side's explode input)."""
+    h1, h2 = _hashes(c, m_bits, seed)
+    # let-bind both hashes: referenced per slot inside the lambda,
     # and Catalyst would otherwise inline the xxhash64 subtree k times
     # (plans/exprs.py).
     return let(
@@ -89,7 +109,7 @@ def _bit_indices(c: Column, m_bits: int, n_hashes: int, seed: int) -> Column:
             h2,
             lambda b: F.transform(
                 F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.pmod(a + i.cast("long") * b, F.lit(m_bits)),
+                lambda i: _slot(a, b, i, m_bits),
             ),
         ),
     )
@@ -162,27 +182,37 @@ def bloom_might_contain(
     false means definitely absent). Null keys probe as the hash of
     null — callers decide null semantics upstream.
 
-    Map-side only: the bits frame is a broadcast 1-row crossJoin, the
-    ``k`` ``getbit`` tests evaluate inside the scan's projection, and
-    the hashes are let-bound so ``xxhash64`` runs twice per row, not
-    ``2k`` times."""
-    require_free_columns(df, (_BITS, *_META), "bloom_might_contain")
-    meta = bloom.select(*_META).first()
-    m_bits, n_hashes, seed = int(meta[0]), int(meta[1]), int(meta[2])
-    probed = df.crossJoin(F.broadcast(bloom.select(_BITS)))
-    test = F.forall(
-        _bit_indices(F.col(col), m_bits, n_hashes, seed),
-        lambda i: (
+    Map-side only, join-free: the bitset words become a single
+    ``array<long>`` Literal (one object per task — see the module
+    docstring for why a 1-row broadcast join would memcpy the bitset
+    into every row), and the ``k`` bit tests are an UNROLLED
+    ``AND`` chain of scalar expressions rather than a ``forall``
+    over the slot array: higher-order functions are CodegenFallback
+    (interpreted per row, always materializing all k slots), while
+    the scalar chain stays inside whole-stage codegen, short-circuits
+    on the first clear bit — the fate of almost every true negative
+    — and codegen's subexpression elimination evaluates the two
+    ``xxhash64`` calls once. Parameters and bits come from the
+    filter frame itself (one 1-row collect) so probe and fit cannot
+    drift; the slot formula is shared with the fit (``_slot``)."""
+    row = bloom.select(_BITS, *_META).first()
+    bits = F.lit(list(row[0]))
+    m_bits, n_hashes, seed = int(row[1]), int(row[2]), int(row[3])
+    h1, h2 = _hashes(F.col(col), m_bits, seed)
+    test = None
+    for i in range(n_hashes):
+        idx = _slot(h1, h2, F.lit(i), m_bits)
+        bit_set = (
             F.getbit(
                 F.element_at(
-                    F.col(_BITS), F.shiftright(i, 6).cast("int") + F.lit(1)
+                    bits, F.shiftright(idx, 6).cast("int") + F.lit(1)
                 ),
-                i.bitwiseAND(F.lit(63)),
+                idx.bitwiseAND(F.lit(63)),
             )
             == F.lit(1)
-        ),
-    )
-    return probed.withColumn(out_col, test).drop(_BITS)
+        )
+        test = bit_set if test is None else (test & bit_set)
+    return df.withColumn(out_col, test)
 
 
 def bloom_semi_join(

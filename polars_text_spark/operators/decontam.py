@@ -136,6 +136,15 @@ def bloom_ngram_contamination(
         .filter(F.col("_sh").isNotNull())
         .distinct()
     )
+    # The bench shingle frame feeds THREE consumers (sizing count,
+    # bloom fit, exact confirm join) — persist it once instead of
+    # re-running the explode+distinct per consumer. It is the SMALL
+    # side by contract (a benchmark, not a corpus), so caching it is
+    # bounded by the same budget that lets the confirm join
+    # broadcast it.
+    from polars_text_spark.persist import track_persist
+
+    bench = track_persist(bench.persist())
     # Size from the distinct (shingle, bench_id) count — an upper
     # bound on distinct shingles, so the realized fpp only improves.
     m_bits, n_hashes = bloom_params(bench.count(), fpp)

@@ -2224,18 +2224,18 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for i in generate_series(1, len(t)-3)])
                     END) AS s
       FROM toks WHERE len(t) > 0),
-    bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id % 7 = 0)
+    bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id % 23 = 0)
     SELECT a.doc_id,
            CAST(count(DISTINCT a.s) AS BIGINT) AS n_shared_shingles,
            CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
     FROM sh a JOIN bench b ON a.s = b.s
-    WHERE a.doc_id % 7 <> 0
+    WHERE a.doc_id % 23 <> 0
     GROUP BY a.doc_id
     """,
 )
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination: same exact result as the
-    row-broadcast path (`decontaminate_ngrams`, here with a %7 bench
+    row-broadcast path (`decontaminate_ngrams`, here with a %23 bench
     split), but candidate shingles are pruned MAP-SIDE against a
     broadcast Bloom bitset before the confirm join — the plan for
     when the benchmark shingle set outgrows a row broadcast
@@ -2246,8 +2246,8 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_text_spark.operators.decontam import bloom_ngram_contamination
 
     docs = _docs(spark, sf_dir)
-    bench = docs.filter(F.col("doc_id") % 7 == 0)
-    cand = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cand = docs.filter(F.col("doc_id") % 23 != 0)
     return bloom_ngram_contamination(cand, bench, "text", "doc_id", n=4)
 
 

@@ -95,18 +95,20 @@ def test_bloom_contamination_matches_plain(spark, sf_dir):
     assert bloomed == plain and len(plain) > 0
 
 
-def test_bloom_probe_is_map_side(spark):
-    """The probe stage must add NO shuffle: the bitset rides a
-    broadcast join and every bit test evaluates in the scan's
-    projection. A shuffle Exchange appearing here means the 1-row
-    crossJoin regressed to a real join."""
+def test_bloom_probe_is_join_free_map_side(spark):
+    """The probe must add NO join and NO shuffle: the bitset is an
+    array Literal referenced once per task, and every bit test
+    evaluates in the scan's projection. A Join node here means the
+    bitset regressed to a row-carried payload — which memcpys the
+    whole bitset into every probed row (the measured 10 GB-of-copies
+    failure mode documented in operators/bloom.py)."""
     df = spark.range(100).select(F.concat(F.lit("v"), "id").alias("v"))
     keys = spark.range(10).select(F.concat(F.lit("v"), "id").alias("k"))
     bl = bloom_fit(keys, "k", m_bits=1024, n_hashes=4)
     plan = explain_str(bloom_might_contain(df, "v", bl), "formatted")
-    shuffles = [
+    bad = [
         l
         for l in plan.splitlines()
-        if re.search(r"\bExchange\b", l) and "Broadcast" not in l
+        if re.search(r"\bExchange\b|Join", l)
     ]
-    assert shuffles == [], f"unexpected shuffle in probe plan: {shuffles}"
+    assert bad == [], f"probe plan must be join/shuffle-free: {bad}"

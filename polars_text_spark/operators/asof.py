@@ -143,7 +143,11 @@ def gapfill_locf(
     if not value_cols:
         raise ValueError("value_cols must name at least one column")
     interval = F.expr(f"INTERVAL {step}")
-    data = df.select(
+    # drop null-tick observations up front: min/max already ignore
+    # them for the grid, but ascending sort puts nulls FIRST, so an
+    # un-dropped null-ts row would be carried forward into every
+    # early tick by last(ignorenulls)
+    data = df.where(F.col(ts_col).isNotNull()).select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__grid"),

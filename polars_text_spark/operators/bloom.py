@@ -196,7 +196,11 @@ def bloom_might_contain(
     filter frame itself (one 1-row collect) so probe and fit cannot
     drift; the slot formula is shared with the fit (``_slot``)."""
     row = bloom.select(_BITS, *_META).first()
-    bits = F.lit(list(row[0]))
+    # explicit cast: lit(list) infers element type from the VALUES,
+    # and words that all fit 32 bits (e.g. the all-zero bitset of an
+    # empty key set) would come out array<int>, making getbit reject
+    # bit positions >= 32 at runtime
+    bits = F.lit(list(row[0])).cast("array<bigint>")
     m_bits, n_hashes, seed = int(row[1]), int(row[2]), int(row[3])
     h1, h2 = _hashes(F.col(col), m_bits, seed)
     test = None
@@ -236,9 +240,15 @@ def bloom_semi_join(
     confirm join falls back to shuffle — the prefilter then matters
     most, because only the pruned sliver of the big side shuffles.
     """
+    from polars_text_spark.persist import track_persist
+
     k = keys.where(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("__bloom_key")
     )
+    # three consumers (sizing count, fit pass, confirm join) — pin
+    # the key frame once instead of re-running its upstream lineage
+    # per consumer (same rationale as bloom_ngram_contamination)
+    k = track_persist(k.persist())
     n_items = k.count()
     m_bits, n_hashes = bloom_params(n_items, fpp)
     bloom = bloom_fit(k, "__bloom_key", m_bits=m_bits, n_hashes=n_hashes, seed=seed)

@@ -263,11 +263,13 @@ def synth_wav_pcm16(samples: Column, sample_rate: int = 16000) -> Column:
 
 
 def _wav_pcm16_array(data: bytes | None):
-    """Decode the PCM16 payload of a RIFF/WAVE binary to an int16
-    numpy array, or None when the bytes aren't uncompressed 16-bit
-    PCM (compressed codecs, truncated/garbage headers). Data bytes
-    beyond the container are clipped; an odd trailing byte is
-    dropped."""
+    """Decode the PCM16 payload of a RIFF/WAVE binary to
+    ``(int16 numpy array, sample_rate)``, or None when the bytes
+    aren't uncompressed 16-bit PCM (compressed codecs,
+    truncated/garbage headers). Data bytes beyond the container are
+    clipped; an odd trailing byte is dropped. The sample rate comes
+    from the fmt chunk already unpacked here — the stats path must
+    not re-sweep (or re-hash) the blob through the metadata parser."""
     import numpy as np
 
     if data is None or len(data) < 12:
@@ -289,11 +291,14 @@ def _wav_pcm16_array(data: bytes | None):
         i += 8 + chunk_size + (chunk_size % 2)
     if fmt is None or payload is None:
         return None
-    audio_format, _, _, _, _, bits = fmt
+    audio_format, _, rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         return None
     off, size = payload
-    return np.frombuffer(data, dtype="<i2", count=size // 2, offset=off)
+    return (
+        np.frombuffer(data, dtype="<i2", count=size // 2, offset=off),
+        int(rate),
+    )
 
 
 def wav_pcm_stats(col: Column | str) -> Column:
@@ -314,16 +319,16 @@ def wav_pcm_stats(col: Column | str) -> Column:
     import numpy as np
 
     def stats(data: bytes | None) -> dict:
-        arr = _wav_pcm16_array(data)
-        if arr is None or len(arr) == 0:
+        decoded = _wav_pcm16_array(data)
+        if decoded is None or len(decoded[0]) == 0:
             return dict(_NULL_PCM)
-        meta = _parse_wav_header(data) or {}
+        arr, rate = decoded
         s = arr.astype(np.int64)
         n = len(s)
         ss = int((s * s).sum())
         return {
             "n_samples": n,
-            "sample_rate": meta.get("sample_rate"),
+            "sample_rate": rate,
             "rms": float(math.sqrt(ss / n)),
             "peak": int(np.abs(s).max()),
             "clip_ratio": float(int((np.abs(s) >= 32767).sum()) / n),

@@ -78,7 +78,9 @@ def _parse_warc_bytes(data: bytes | None) -> list[dict]:
             # gzip handles concatenated members (the per-record
             # compression WARC prescribes) transparently
             data = gzip.decompress(data)
-        except OSError:
+        except (OSError, EOFError):
+            # EOFError is NOT an OSError: a shard truncated
+            # mid-member must degrade, not kill the job
             return []
     records: list[dict] = []
     i = 0

@@ -112,3 +112,13 @@ def test_bloom_probe_is_join_free_map_side(spark):
         if re.search(r"\bExchange\b|Join", l)
     ]
     assert bad == [], f"probe plan must be join/shuffle-free: {bad}"
+
+
+def test_bloom_empty_key_set(spark):
+    """An empty reference set must yield an empty (not crashing)
+    semi join: the all-zero bitset's words fit 32 bits, and an
+    uncast lit() literal would come out array<int>, blowing up
+    getbit on positions >= 32."""
+    big = spark.range(50).select(F.concat(F.lit("v"), "id").alias("v"))
+    empty = spark.createDataFrame([], "ku string")
+    assert bloom_semi_join(big, "v", empty, "ku").count() == 0

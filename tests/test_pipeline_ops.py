@@ -140,6 +140,24 @@ def test_gapfill_locf_no_join_one_main_shuffle(spark):
     assert "Window" in plan
 
 
+def test_gapfill_locf_ignores_null_tick_observations(spark):
+    """A row with a null timestamp must not be carried into early
+    grid ticks (ascending sort puts nulls first): hr0 has a null
+    VALUE observation, so its LOCF output is null, not the
+    null-tick row's 99.0."""
+    from polars_text_spark.operators.asof import gapfill_locf
+
+    df = spark.createDataFrame(
+        [("a", None, 99.0), ("a", _hr(0), None), ("a", _hr(1), 5.0)],
+        "k string, bucket timestamp, v double",
+    )
+    out = {
+        r["bucket"].hour: (r["v"], r["is_gap"])
+        for r in gapfill_locf(df, ["k"], "bucket", ["v"]).collect()
+    }
+    assert out == {0: (None, False), 1: (5.0, False)}
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------

@@ -122,3 +122,10 @@ def test_parse_warc_records_column_form(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 0}  # null bytes -> empty record array
+
+
+def test_truncated_gzip_member_degrades_not_dies():
+    """EOFError from a mid-member cut is not an OSError — it must be
+    swallowed like any other structural damage."""
+    cut = gzip.compress(_record(b"payload"))[:-5]
+    assert _parse_warc_bytes(cut) == []

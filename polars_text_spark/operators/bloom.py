@@ -58,10 +58,13 @@ from pyspark.sql import functions as F
 from polars_text_spark.plans.exprs import let
 
 __all__ = [
+    "append_bloom_shard",
     "bloom_params",
     "bloom_fit",
     "bloom_might_contain",
     "bloom_semi_join",
+    "read_bloom_store",
+    "write_bloom_store",
 ]
 
 _BITS = "__bloom_bits"
@@ -136,6 +139,16 @@ def bloom_fit(
     shuffle. The driver assembly collects at most ``m_bits/64`` set
     words (the bitset must fit in one broadcast regardless).
     """
+    words = _word_frame(df, col, m_bits, n_hashes, seed)
+    return _assemble(df.sparkSession, words, m_bits, n_hashes, seed)
+
+
+def _word_frame(
+    df: DataFrame, col: str, m_bits: int, n_hashes: int, seed: int
+) -> DataFrame:
+    """The distributed half of a fit: ``(word, bits)`` rows holding
+    every set 64-bit word of the bitset (at most ``m_bits/64`` rows
+    after the map-side-combining ``bit_or``)."""
     if m_bits < 64 or m_bits % 64:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     if not (1 <= n_hashes <= 64):
@@ -148,23 +161,30 @@ def bloom_fit(
             ).alias("__i")
         )
     )
-    words = (
+    return (
         idx.select(
-            F.shiftright("__i", 6).alias("__w"),
+            F.shiftright("__i", 6).alias("word"),
             F.col("__i").bitwiseAND(F.lit(63)).cast("int").alias("__b"),
         )
-        .groupBy("__w")
+        .groupBy("word")
         .agg(
             F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __b)")).alias(
-                "__bits"
+                "bits"
             )
         )
     )
+
+
+def _assemble(
+    spark, words: DataFrame, m_bits: int, n_hashes: int, seed: int
+) -> DataFrame:
+    """Collect a (word, bits) frame into the dense 1-row filter
+    frame. Bounded by ``m_bits/64`` rows — the broadcast budget the
+    bitset must fit anyway."""
     n_words = m_bits // 64
     dense = [0] * n_words
     for r in words.collect():
-        dense[int(r["__w"])] = int(r["__bits"])
-    spark = df.sparkSession
+        dense[int(r["word"])] |= int(r["bits"])
     return spark.createDataFrame(
         [(dense, m_bits, n_hashes, seed)],
         schema=(
@@ -260,3 +280,80 @@ def bloom_semi_join(
     return pruned.join(
         k.distinct(), on=pruned[col] == F.col("__bloom_key"), how="left_semi"
     )
+
+
+def write_bloom_store(
+    df: DataFrame,
+    col: str,
+    name: str,
+    *,
+    m_bits: int,
+    n_hashes: int,
+    seed: int = 0,
+) -> None:
+    """Persist the filter as catalog tables — the incremental
+    "seen keys" shape (crawl-frontier URL dedup, processed-id
+    ledgers): write once over the standing set, ``append_bloom_shard``
+    per new batch, ``read_bloom_store`` to probe.
+
+    Layout: ``<name>_words(word, bits)`` (sparse set words — at most
+    ``m_bits/64`` rows per generation) + ``<name>_meta``. Parameters
+    ride with the store (the ann/dedup-store meta pattern): a shard
+    hashed under different (m, k, seed) would silently never collide,
+    so appends read them back instead of trusting the caller.
+
+    Unlike the MinHash/ANN stores there is no tombstone path — a
+    Bloom filter cannot unset a bit (that is the price of 10
+    bits/key); deletion means re-writing the store from the filtered
+    authority set. No compaction either: appends add at most
+    ``m_bits/64`` rows each and the read-time ``bit_or`` merge keeps
+    the probe exact, so the table stays trivially small relative to
+    any corpus."""
+    from polars_text_spark.sources.bucketing import clear_table
+
+    spark = df.sparkSession
+    words = _word_frame(df, col, m_bits, n_hashes, seed)
+    clear_table(spark, f"{name}_words")
+    words.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{name}_words"
+    )
+    meta = spark.createDataFrame(
+        [(int(m_bits), int(n_hashes), int(seed))],
+        "m_bits bigint, n_hashes int, seed bigint",
+    )
+    clear_table(spark, f"{name}_meta")
+    meta.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{name}_meta"
+    )
+
+
+def _bloom_meta(spark, name: str) -> tuple[int, int, int]:
+    m = spark.table(f"{name}_meta").collect()[0]
+    return int(m["m_bits"]), int(m["n_hashes"]), int(m["seed"])
+
+
+def append_bloom_shard(df: DataFrame, col: str, name: str) -> None:
+    """O(shard) ingest: hash the shard under the STORE's recorded
+    parameters and append its set words. Duplicate keys (already in
+    the store) are harmless — ``bit_or`` is idempotent — so unlike
+    the id-keyed stores there is no disjointness contract to
+    enforce."""
+    spark = df.sparkSession
+    m_bits, n_hashes, seed = _bloom_meta(spark, name)
+    words = _word_frame(df, col, m_bits, n_hashes, seed)
+    words.write.format("parquet").mode("append").saveAsTable(
+        f"{name}_words"
+    )
+
+
+def read_bloom_store(spark, name: str) -> DataFrame:
+    """The dense 1-row filter frame (compatible with
+    :func:`bloom_might_contain`), OR-merging every generation +
+    appended shard at read time."""
+    m_bits, n_hashes, seed = _bloom_meta(spark, name)
+    merged = (
+        spark.table(f"{name}_words")
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return _assemble(spark, merged, m_bits, n_hashes, seed)

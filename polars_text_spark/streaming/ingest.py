@@ -34,8 +34,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "ann_ingest_batch",
+    "bloom_ingest_batch",
     "minhash_ingest_batch",
     "stream_into_ann_store",
+    "stream_into_bloom_store",
     "stream_into_minhash_store",
 ]
 
@@ -315,6 +317,80 @@ def stream_into_ann_store(
                 num_planes=num_planes,
                 bands=bands,
                 buckets=buckets,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bloom_ingest_batch(
+    name: str,
+    *,
+    key_col: str = "text",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    seed: int = 0,
+):
+    """A ``foreachBatch`` function growing the Bloom store ``name``
+    by each batch's keys — the streaming "seen keys" ledger (crawl
+    frontier, processed-id gate).
+
+    First batch bootstraps the store with the given parameters; every
+    later batch appends under the RECORDED meta (parameters cannot
+    drift mid-stream). Idempotence under at-least-once delivery is
+    structural here, stronger than the id-keyed stores' dedup logic:
+    re-delivering a batch re-ORs exactly the same bits, so no clash
+    probe is needed at all.
+    """
+    from polars_text_spark.operators.bloom import (
+        append_bloom_shard,
+        write_bloom_store,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(f"{name}_meta"):
+            write_bloom_store(
+                batch_df,
+                key_col,
+                name,
+                m_bits=m_bits,
+                n_hashes=n_hashes,
+                seed=seed,
+            )
+        else:
+            append_bloom_shard(batch_df, key_col, name)
+
+    return ingest
+
+
+def stream_into_bloom_store(
+    docs: DataFrame,
+    name: str,
+    *,
+    checkpoint_dir: str,
+    key_col: str = "text",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    seed: int = 0,
+    available_now: bool = False,
+):
+    """Attach the Bloom ingest sink to a streaming frame and start
+    it. Size ``m_bits`` for the EVENTUAL key count (a Bloom cannot
+    grow; over-filling raises the realized fpp, never breaks
+    correctness — no false negatives regardless)."""
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            bloom_ingest_batch(
+                name,
+                key_col=key_col,
+                m_bits=m_bits,
+                n_hashes=n_hashes,
+                seed=seed,
             )
         )
     )

@@ -122,3 +122,41 @@ def test_bloom_empty_key_set(spark):
     big = spark.range(50).select(F.concat(F.lit("v"), "id").alias("v"))
     empty = spark.createDataFrame([], "ku string")
     assert bloom_semi_join(big, "v", empty, "ku").count() == 0
+
+
+def test_bloom_store_lifecycle(spark):
+    """write + append must be bit-identical to one fit over the
+    union (bit_or merge is exact), parameters must come from the
+    store meta, and probes through the merged read must keep the
+    zero-false-negative guarantee for BOTH generations."""
+    from polars_text_spark.operators.bloom import (
+        append_bloom_shard,
+        read_bloom_store,
+        write_bloom_store,
+    )
+
+    base = spark.createDataFrame([(f"seen-{i}",) for i in range(300)], ["k"])
+    shard = spark.createDataFrame(
+        [(f"seen-{i}",) for i in range(300, 400)]
+        + [("seen-5",)],  # overlap: appends have no disjointness contract
+        ["k"],
+    )
+    write_bloom_store(base, "k", "bloomstore_t", m_bits=4096, n_hashes=5)
+    append_bloom_shard(shard, "k", "bloomstore_t")
+    merged = read_bloom_store(spark, "bloomstore_t")
+    direct = bloom_fit(
+        base.unionByName(shard), "k", m_bits=4096, n_hashes=5
+    )
+    assert merged.first()[0] == direct.first()[0]  # bit-identical
+    probe = spark.createDataFrame(
+        [(f"seen-{i}",) for i in range(400)]
+        + [(f"never-{i}",) for i in range(100)],
+        ["v"],
+    )
+    hits = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(probe, "v", merged).collect()
+    }
+    assert all(hits[f"seen-{i}"] for i in range(400))
+    # sized generously (4096 bits / 401 keys): most absentees clear
+    assert sum(hits[f"never-{i}"] for i in range(100)) < 20

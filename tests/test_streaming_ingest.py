@@ -165,3 +165,45 @@ def test_ann_stream_ingest_matches_batch_store(spark, sf_dir, tmp_path):
     # redelivered ids were dropped, not duplicated
     n = spark.table("ann_stream_vectors").count()
     assert n == vecs.count()
+
+
+def test_bloom_stream_ingest_matches_batch_fit(spark, corpus, tmp_path):
+    """Draining shard drops through the Bloom sink must produce a
+    filter bit-identical to one batch fit over the corpus, and a
+    full redelivery (fresh checkpoint, same source) must be a
+    structural no-op — bit_or re-ORs the same bits."""
+    from polars_text_spark.operators.bloom import (
+        bloom_fit,
+        read_bloom_store,
+    )
+    from polars_text_spark.streaming.ingest import stream_into_bloom_store
+
+    src = str(tmp_path / "bloom_drops")
+    for shard in (
+        corpus.filter(F.col("doc_id") % 3 == 0),
+        corpus.filter(F.col("doc_id") % 3 == 1),
+        # overlap with shard one: re-fetches are harmless for a Bloom
+        corpus.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 6 == 0)),
+    ):
+        shard.repartition(1).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        q = stream_into_bloom_store(
+            read_docs_stream(spark, src, max_files_per_trigger=1),
+            "bloom_stream",
+            checkpoint_dir=ckpt,
+            key_col="text",
+            m_bits=65536,
+            n_hashes=5,
+            available_now=True,
+        )
+        assert q.awaitTermination(180)
+        assert not q.isActive
+
+    drain(str(tmp_path / "bck1"))
+    got = read_bloom_store(spark, "bloom_stream").first()[0]
+    want = bloom_fit(corpus, "text", m_bits=65536, n_hashes=5).first()[0]
+    assert got == want
+
+    drain(str(tmp_path / "bck2"))
+    assert read_bloom_store(spark, "bloom_stream").first()[0] == want

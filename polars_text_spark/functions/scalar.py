@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["char_count", "clean_text", "sentence_count", "word_count"]
+__all__ = [
+    "char_count",
+    "clean_text",
+    "sentence_count",
+    "sentence_segments",
+    "word_count",
+]
 
 # ASCII punctuation (the four ASCII ranges) + ASCII digits, as one Java
 # regex character class. Mirrors Rust `is_ascii_punctuation() ||
@@ -99,3 +105,34 @@ def sentence_count(col: Column | str) -> Column:
     segments = F.split(c, _SENTENCE_TERMINATORS)
     n = F.size(F.filter(segments, lambda s: s.rlike(r"[^\p{IsWhite_Space}]")))
     return F.coalesce(n.cast("long"), F.lit(0).cast("long")).alias("sentence_count")
+
+
+def sentence_segments(col: Column | str) -> Column:
+    """``array<string>`` of sentences: maximal runs of non-terminator
+    text plus their closing terminator run, space-trimmed, with
+    content-free pieces (only terminators/blank) dropped — so
+    ``size(sentence_segments(x)) == sentence_count(x)`` by
+    construction (pinned in tests). The splitting op
+    :func:`sentence_count` only counts; pipelines that CHUNK by
+    sentence (bitext alignment, context-window packing, per-sentence
+    quality) need the segments themselves.
+
+    Portability is deliberate: the pattern is one alternation of
+    explicit character classes (same terminator set as
+    ``sentence_count``) with leftmost-first alternation semantics,
+    which Java regex and RE2 share — a DuckDB oracle replays the
+    exact segmentation. No lookarounds (RE2 has none), no ``\\s``
+    (ASCII-only in Java, Unicode in RE2): the content filter spells
+    its whitespace characters out."""
+    c = _col(col)
+    pat = r"[^.!?。！？۔؟।॥]*[.!?。！？۔؟।॥]+|[^.!?。！？۔؟।॥]+"
+    segs = F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+    # unary lambda, NOT bare F.trim: transform also passes the element
+    # index, which trim would silently take as its trim-CHARACTER set
+    segs = F.transform(segs, lambda s: F.trim(s))
+    segs = F.filter(
+        segs, lambda s: s.rlike(r"[^.!?。！？۔؟।॥ \t\r\n]")
+    )
+    return F.coalesce(
+        segs, F.array().cast("array<string>")
+    ).alias("sentence_segments")

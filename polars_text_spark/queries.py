@@ -155,6 +155,46 @@ def scalar_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sentence_segments",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_extract_all(text,
+                   '[^.!?。！？۔؟।॥]*[.!?。！？۔؟।॥]+|[^.!?。！？۔؟।॥]+'),
+                 x -> trim(x)),
+               s -> regexp_matches(s, '[^.!?。！？۔؟।॥ \\t\\r\\n]')) AS l
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(generate_subscripts(l, 1) - 1 AS INT) AS seg_idx,
+           unnest(l) AS sentence,
+           CAST(length(unnest(l)) AS BIGINT) AS n_chars
+    FROM segs
+    """,
+)
+def q_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence SEGMENTATION (not just the count): each doc exploded
+    into its ordered sentences — the chunking primitive for bitext
+    alignment and per-sentence quality. The pattern is one
+    lookaround-free alternation with leftmost-first semantics, which
+    Java regex and DuckDB's RE2 share, so the oracle replays the
+    exact segmentation including trim and the content filter."""
+    from polars_text_spark.functions.scalar import sentence_segments
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        F.posexplode(sentence_segments("text")).alias("seg_idx", "sentence"),
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        "sentence",
+        F.length("sentence").cast("bigint").alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # tokenize (#5) + token_frequencies (#9) — UDF tokens vs regex-SQL oracle.
 # ---------------------------------------------------------------------------
@@ -7206,6 +7246,7 @@ _DRIVER_PRIORITY = [
     "events_gapfill",
     "wav_pcm_stats",
     "warc_ingest",
+    "sentence_segments",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

@@ -105,3 +105,44 @@ def test_scalar_ops_are_codegen_friendly(spark, sf_dir):
     # out of whole-stage codegen, but it is still JVM-side columnar.)
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
     assert "Scan parquet" in plan
+
+
+def test_sentence_segments_hand_cases(spark):
+    from polars_text_spark.functions.scalar import sentence_segments
+
+    rows = [
+        ("Hi!! Bye. ok",),
+        ("a.b",),
+        (" . .",),          # terminator-only pieces are content-free
+        ("abc",),           # trailing unterminated sentence kept
+        ("",),
+        (None,),
+        ("第一句。第二句！tail",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r["s"] for r in df.select(sentence_segments("text").alias("s")).collect()]
+    assert got == [
+        ["Hi!!", "Bye.", "ok"],
+        ["a.", "b"],
+        [],
+        ["abc"],
+        [],
+        [],
+        ["第一句。", "第二句！", "tail"],
+    ]
+
+
+def test_sentence_segments_size_equals_sentence_count(spark, sf_dir):
+    """The documented invariant: segmentation and the reference's
+    counting op agree on every real document."""
+    from polars_text_spark.functions.scalar import (
+        sentence_count,
+        sentence_segments,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.select(
+        F.size(sentence_segments("text")).cast("long").alias("a"),
+        sentence_count("text").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert bad.count() == 0

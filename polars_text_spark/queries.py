@@ -156,6 +156,75 @@ def scalar_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_store_gate",
+    """
+    SELECT d.doc_id,
+           d.text IN (SELECT text FROM documents
+                      WHERE doc_id % 3 = 0 AND text IS NOT NULL)
+             AS in_reference
+    FROM documents d WHERE d.text IS NOT NULL
+    """,
+)
+def q_bloom_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom STORE lifecycle under the driver hash: the reference set
+    is built in two increments (write %6==0, append %6==3 — together
+    the %3==0 slice), read back with the OR-merge, and every doc is
+    gated bloom-first with an exact confirm join on the survivors.
+    Unlike `bloom_decontam`, the store is LOAD-BEARING here: lost
+    words, drifted meta parameters, or a broken merge produce false
+    negatives, which skip the confirm join and flip `in_reference`
+    to false — the oracle's plain IN-subquery replay catches it."""
+    import atexit
+    import os
+    import shutil
+
+    from polars_text_spark.operators.bloom import (
+        append_bloom_shard,
+        bloom_might_contain,
+        bloom_params,
+        read_bloom_store,
+        write_bloom_store,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    name = f"bloomgate_{os.getpid()}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for suffix in ("_words", "_meta"):
+        atexit.register(
+            shutil.rmtree, os.path.join(warehouse, name + suffix), True
+        )
+    m_bits, n_hashes = bloom_params(ref.count(), 0.01)
+    write_bloom_store(
+        docs.filter(F.col("doc_id") % 6 == 0),
+        "text",
+        name,
+        m_bits=m_bits,
+        n_hashes=n_hashes,
+    )
+    append_bloom_shard(docs.filter(F.col("doc_id") % 6 == 3), "text", name)
+    bloom = read_bloom_store(spark, name)
+    probed = bloom_might_contain(docs, "text", bloom, out_col="__maybe")
+    ref_texts = ref.select(F.col("text").alias("__rt")).distinct()
+    hits = (
+        probed.where(F.col("__maybe"))
+        .join(
+            F.broadcast(ref_texts),
+            probed["text"] == F.col("__rt"),
+            "left_semi",
+        )
+        .select("doc_id", F.lit(True).alias("__in"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("__in"), F.lit(False)).alias("in_reference")
+    )
+
+
+@query(
     "sentence_segments",
     """
     WITH segs AS (
@@ -7247,6 +7316,7 @@ _DRIVER_PRIORITY = [
     "wav_pcm_stats",
     "warc_ingest",
     "sentence_segments",
+    "bloom_store_gate",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

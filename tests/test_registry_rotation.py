@@ -1,0 +1,49 @@
+"""Driver-window rotation sanity (queries.py::_DRIVER_PRIORITY).
+
+The driver signs only the first ~50 registry entries per round; the
+priority list exists so every query eventually gets a signed row. A
+typo'd name in the list — or a new query that never enters it —
+fails SILENTLY (the query just never gets signed), so pin both
+properties here.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from polars_text_spark import queries as Q
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_priority_names_all_exist():
+    missing = [n for n in Q._DRIVER_PRIORITY if n not in Q.QUERIES]
+    assert missing == [], f"typo'd names in _DRIVER_PRIORITY: {missing}"
+
+
+def test_registry_front_matches_priority_order():
+    front = list(Q.QUERIES)[: len(Q._DRIVER_PRIORITY)]
+    assert front == [n for n in Q._DRIVER_PRIORITY if n in Q.QUERIES]
+
+
+def test_never_signed_queries_sit_inside_the_driver_window():
+    """Every query with NO driver-signed row in any CORRECTNESS_r*.json
+    must sit within the first 50 registry entries, or it cannot get
+    one this round either."""
+    signed: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            signed |= set(json.load(open(path)))
+        except Exception:
+            pass
+    if not signed:  # fresh clone without driver artifacts
+        return
+    unsigned = [n for n in Q.QUERIES if n not in signed]
+    window = set(list(Q.QUERIES)[:50])
+    stranded = [n for n in unsigned if n not in window]
+    assert stranded == [], (
+        f"never-driver-signed queries outside the 50-row window: "
+        f"{stranded} — move them into _DRIVER_PRIORITY's front block"
+    )

@@ -3996,7 +3996,11 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.http_status").alias("http_status"),
             F.col("r.content_type").alias("content_type"),
             F.length("r.payload").cast("bigint").alias("n_body_bytes"),
-            F.decode("r.payload", "UTF-8").alias("body_text"),
+            # replace-on-malformed like warc_text_documents (identity
+            # on this valid-UTF-8 synth, so the oracle is unaffected)
+            F.make_valid_utf8(F.col("r.payload").cast("string")).alias(
+                "body_text"
+            ),
         )
     )
 

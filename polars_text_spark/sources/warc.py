@@ -181,8 +181,13 @@ def warc_text_documents(
             | F.col("content_type").contains("html")
         )
     )
+    # NOT F.decode: under Spark 4's ANSI default, decode THROWS on
+    # malformed UTF-8 (MALFORMED_CHARACTER_CODING) — and a real crawl
+    # guarantees malformed bytes. binary->string cast copies the
+    # bytes unvalidated; make_valid_utf8 then substitutes U+FFFD,
+    # i.e. errors='replace'.
     return textual.select(
         "target_uri",
         "content_type",
-        F.decode("payload", "UTF-8").alias("text"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
     )

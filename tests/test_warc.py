@@ -129,3 +129,14 @@ def test_truncated_gzip_member_degrades_not_dies():
     swallowed like any other structural damage."""
     cut = gzip.compress(_record(b"payload"))[:-5]
     assert _parse_warc_bytes(cut) == []
+
+
+def test_warc_text_documents_survives_malformed_utf8(spark, tmp_path):
+    """A real crawl guarantees malformed bytes; the decode must
+    substitute U+FFFD (errors='replace'), never throw — under Spark
+    4's ANSI default, F.decode raises MALFORMED_CHARACTER_CODING."""
+    p = tmp_path / "bad.warc"
+    p.write_bytes(_record(b"latin1 caf\xe9 bytes", uri="https://x.example/"))
+    docs = warc_text_documents(read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 1
+    assert "caf� bytes" in docs[0]["text"]

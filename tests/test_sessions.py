@@ -79,11 +79,30 @@ def test_sessionize_stream_matches_batch_closed_sessions(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = {
-        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
-        for r in spark.sql("SELECT * FROM sessions_out").collect()
-    }
+    # NOT awaitTermination / processAllAvailable: a stateful
+    # applyInPandasWithState query with processing-time timeouts keeps
+    # scheduling state-flush batches and neither call returns promptly
+    # even under availableNow (the old unchecked 120 s wait "passed"
+    # by accident and leaked the running query). Poll the sink for
+    # the expected CLOSED session with a hard deadline, then stop the
+    # query explicitly.
+    got = {}
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            got = {
+                (r.user_id, r.session_start): (
+                    r.session_end,
+                    r.n_events,
+                    r.sum_value,
+                )
+                for r in spark.sql("SELECT * FROM sessions_out").collect()
+            }
+            if (1, _ts(0)) in got:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
     # user 1's first session is closed by the 40-min gap inside the data;
     # the open tail sessions remain in state (flushed by timeout in a
     # long-running stream).

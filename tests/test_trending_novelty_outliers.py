@@ -43,7 +43,7 @@ def test_trending_stream_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     streamed = spark.sql("SELECT * FROM trend_counts")
     stream_top = {
         (r["window_start"], r["key"], r["n_events"], r["rank"])

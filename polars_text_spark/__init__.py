@@ -35,6 +35,7 @@ from polars_text_spark.functions import (
     concordance,
     embedding,
     sentence_count,
+    sentence_segments,
     tokenize,
     word_count,
 )
@@ -48,7 +49,13 @@ from polars_text_spark.models import (
     predefined_model_records,
     prefetch_model,
 )
-from polars_text_spark.operators.asof import asof_join
+from polars_text_spark.operators.asof import asof_join, gapfill_locf
+from polars_text_spark.operators.bloom import (
+    bloom_fit,
+    bloom_might_contain,
+    bloom_params,
+    bloom_semi_join,
+)
 from polars_text_spark.operators.components import (
     connected_components,
     duplicate_clusters,
@@ -207,6 +214,12 @@ __all__ = [
     "PREDEFINED_MODELS",
     "PREDEFINED_MODEL_LABELS",
     "asof_join",
+    "gapfill_locf",
+    "bloom_fit",
+    "bloom_might_contain",
+    "bloom_params",
+    "bloom_semi_join",
+    "sentence_segments",
     "available_features",
     "bm25_scores",
     "bigram_surprisal",

@@ -37,6 +37,7 @@ from polars_text_spark.functions.scalar import (
     char_count,
     clean_text,
     sentence_count,
+    sentence_segments,
     word_count,
 )
 from polars_text_spark.functions.tokenize import tokenize
@@ -64,6 +65,7 @@ __all__ = [
     "quality_score",
     "readability",
     "sentence_count",
+    "sentence_segments",
     "token_count_bpe",
     "token_count_ws",
     "tokenize",

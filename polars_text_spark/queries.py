@@ -225,6 +225,96 @@ def q_bloom_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "robots_gate",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'd' || (doc_id % 5) || '.example' AS domain,
+             CASE doc_id % 3
+               WHEN 0 THEN '/open/p' || doc_id
+               WHEN 1 THEN '/private/p' || doc_id
+               ELSE '/private/public/p' || doc_id
+             END AS path
+      FROM documents)
+    SELECT doc_id, domain, path,
+           CASE WHEN (doc_id % 5) % 2 = 1 THEN false
+                WHEN doc_id % 3 = 1 THEN false
+                ELSE true END AS allowed,
+           CASE WHEN (doc_id % 5) % 2 = 1 THEN '/'
+                WHEN doc_id % 3 = 1 THEN '/private/'
+                WHEN doc_id % 3 = 2 THEN '/private/public/'
+                ELSE NULL END AS matched_prefix
+    FROM u
+    """,
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance gate, end-to-end engine-replayed: five
+    synthetic domains carry real robots.txt files (the odd ones add a
+    multi-User-agent strict group naming the collecting agent), one
+    URL per document lands on an open / disallowed / allow-override
+    path, and the verdict runs the FULL chain — group parsing,
+    agent-vs-* fallback, longest-match with the allow tie-break.
+    The oracle never parses anything: it states the expected verdict
+    analytically from the synth formula, so any parsing or matching
+    bug on the Spark side breaks the hash (the wav_pcm_stats /
+    warc_ingest pinning pattern)."""
+    from polars_text_spark.operators.robots import (
+        parse_robots,
+        robots_verdict,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    domain = F.concat(
+        F.lit("d"), (F.col("doc_id") % 5).cast("string"), F.lit(".example")
+    )
+    path = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/open/p"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("/private/p"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/private/public/p"), F.col("doc_id").cast("string")
+            )
+        )
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), domain, path).alias("url")
+    )
+    base = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public/\n"
+    )
+    strict = (
+        "# odd domains refuse this collector outright\n"
+        "User-agent: strictbot\n"
+        "User-agent: gptbot\n"
+        "Disallow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [
+            (f"d{i}.example", base + (strict if i % 2 else ""))
+            for i in range(5)
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    out = robots_verdict(urls, rules, agent="gptbot")
+    return out.select(
+        "doc_id",
+        "domain",
+        "path",
+        "allowed",
+        "matched_prefix",
+    )
+
+
+@query(
     "sentence_segments",
     """
     WITH segs AS (
@@ -7321,6 +7411,7 @@ _DRIVER_PRIORITY = [
     "warc_ingest",
     "sentence_segments",
     "bloom_store_gate",
+    "robots_gate",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

@@ -50,6 +50,10 @@ from polars_text_spark.models import (
     prefetch_model,
 )
 from polars_text_spark.operators.asof import asof_join, gapfill_locf
+from polars_text_spark.operators.robots import (
+    parse_robots,
+    robots_verdict,
+)
 from polars_text_spark.operators.bloom import (
     bloom_fit,
     bloom_might_contain,
@@ -220,6 +224,8 @@ __all__ = [
     "bloom_params",
     "bloom_semi_join",
     "sentence_segments",
+    "parse_robots",
+    "robots_verdict",
     "available_features",
     "bm25_scores",
     "bigram_surprisal",

@@ -51,6 +51,26 @@ _CJK_CLASS = (
 # stop/question + Devanagari danda/double danda (src/expressions.rs:163-172).
 _SENTENCE_TERMINATORS = "[.!?。！？۔؟।॥]"
 
+# The full Unicode White_Space=Yes set, spelled as explicit code
+# points: Java's \p{IsWhite_Space} matches exactly these 25 chars,
+# but RE2 (the DuckDB oracle) has no White_Space property — an
+# explicit class is the only form BOTH engines read identically.
+UNICODE_WHITESPACE = "".join(
+    chr(c)
+    for c in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
+
+# "has sentence content": at least one char that is neither Unicode
+# whitespace nor a terminator. Shared (via import) with the DuckDB
+# oracle SQL so the two engines cannot drift.
+SENTENCE_CONTENT_CLASS = (
+    "[^" + UNICODE_WHITESPACE + ".!?。！？۔؟।॥]"
+)
+
 
 def _col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -121,18 +141,18 @@ def sentence_segments(col: Column | str) -> Column:
     explicit character classes (same terminator set as
     ``sentence_count``) with leftmost-first alternation semantics,
     which Java regex and RE2 share — a DuckDB oracle replays the
-    exact segmentation. No lookarounds (RE2 has none), no ``\\s``
-    (ASCII-only in Java, Unicode in RE2): the content filter spells
-    its whitespace characters out."""
+    exact segmentation. No lookarounds (RE2 has none), no ``\\s`` or
+    ``\\p{IsWhite_Space}`` (engine-divergent): the content filter
+    spells out the complete Unicode White_Space set
+    (``SENTENCE_CONTENT_CLASS``), keeping the count invariant true
+    on NBSP/ideographic-space-laden web text too."""
     c = _col(col)
     pat = r"[^.!?。！？۔؟।॥]*[.!?。！？۔؟।॥]+|[^.!?。！？۔؟।॥]+"
     segs = F.regexp_extract_all(c, F.lit(pat), F.lit(0))
     # unary lambda, NOT bare F.trim: transform also passes the element
     # index, which trim would silently take as its trim-CHARACTER set
     segs = F.transform(segs, lambda s: F.trim(s))
-    segs = F.filter(
-        segs, lambda s: s.rlike(r"[^.!?。！？۔؟।॥ \t\r\n]")
-    )
+    segs = F.filter(segs, lambda s: s.rlike(SENTENCE_CONTENT_CLASS))
     return F.coalesce(
         segs, F.array().cast("array<string>")
     ).alias("sentence_segments")

@@ -28,11 +28,11 @@ Semantics follow the Google/RFC 9309 interpretation:
 
 Scale shape: parsing is per-domain local (posexplode + two
 domain-partitioned windows over files that are KBs each — bounded
-group state, no global window); the gate is one broadcast equi-join
-on the domain (the rule table is tiny relative to any crawl) with
-the pattern match evaluated in the join projection and a per-URL
-``max(struct(len, is_allow))`` aggregate — map-side combinable, one
-shuffle on the URL keys.
+group state, no global window); the gate computes verdicts on the
+DISTINCT (domain, path) key frame only — broadcast rule join,
+pattern match in the join projection, ``max(struct(len, is_allow))``
+aggregate — then joins back, so URL payload columns cross exactly
+one shuffle and never enter a grouping key.
 """
 
 from __future__ import annotations
@@ -66,12 +66,23 @@ def parse_robots(
     lower-cased; a group with multiple ``User-agent`` lines emits
     its rules once per agent."""
     lines = robots.select(
-        F.col(domain_col).alias("domain"),
+        F.lower(F.col(domain_col)).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    # strip comments, classify fields; unrecognized/blank lines drop
-    # out BEFORE grouping (RFC 9309: they do not break a group)
-    cleaned = F.regexp_replace(F.col("line"), r"#.*$", "")
+    # strip comments AND BOM/zero-width junk (a UTF-8 BOM before the
+    # first User-agent line is common in the wild; unstripped it
+    # makes the field regex miss the line and the WHOLE file parses
+    # empty — a silent fail-open for the compliance gate), then
+    # classify fields; unrecognized/blank lines drop out BEFORE
+    # grouping (RFC 9309: they do not break a group)
+    cleaned = F.regexp_replace(
+        # code-point escapes, not literal invisible chars in source
+        # (the mojibake-fixture lesson: raw BOM literals are one bad
+        # editor round-trip from silent divergence)
+        F.regexp_replace(F.col("line"), "[\ufeff\u200b]", ""),
+        r"#.*$",
+        "",
+    )
     parsed = lines.select(
         "domain",
         "pos",
@@ -103,28 +114,38 @@ def parse_robots(
         F.col("field").alias("rule_type"),
         F.col("value").alias("path_prefix"),
     )
-    return agents.join(rules, ["domain", "block"]).select(
+    # LEFT join: a group whose only rules had empty values (the
+    # common 'Disallow:' allow-all idiom) must still EXIST — it is
+    # carried as a null-rule row, because group PRESENCE drives the
+    # agent-vs-* fallback. An inner join here silently erased such
+    # groups and sent their agents to the '*' rules (fail-closed for
+    # an allow-all group, the exact inversion of the site's intent).
+    return agents.join(rules, ["domain", "block"], "left").select(
         "domain", "agent", "rule_type", "path_prefix"
     )
 
 
 def _pattern_regex(prefix: Column) -> Column:
-    """Java-regex equivalent of a robots path pattern: literal spans
-    ``\\Q..\\E``-quoted, ``*`` -> ``.*``, trailing ``$`` -> end
-    anchor, anchored at the start."""
+    """Java-regex equivalent of a robots path pattern: regex
+    metacharacters escaped character-by-character, ``*`` -> ``.*``,
+    trailing ``$`` -> end anchor, anchored at the start.
+
+    Deliberately NOT ``\\Q..\\E`` quoting: a pattern containing the
+    two characters ``\\E`` would terminate the quote and inject live
+    regex — a single hostile/garbage robots line could then throw
+    ``PatternSyntaxException`` inside the join projection and abort
+    the whole crawl-gate job. Per-character escaping has no such
+    escape hatch."""
     anchored = prefix.endswith("$")
     body = F.when(
         anchored, prefix.substr(F.lit(1), F.length(prefix) - 1)
     ).otherwise(prefix)
+    escaped = F.regexp_replace(
+        body, r"[\\^$.|?+()\[\]{}]", r"\\$0"
+    )
     return F.concat(
         F.lit("^"),
-        F.array_join(
-            F.transform(
-                F.split(body, r"\*", -1),
-                lambda s: F.concat(F.lit(r"\Q"), s, F.lit(r"\E")),
-            ),
-            ".*",
-        ),
+        F.regexp_replace(escaped, r"\*", ".*"),
         F.when(anchored, F.lit("$")).otherwise(F.lit("")),
     )
 
@@ -139,14 +160,27 @@ def robots_verdict(
     """Gate every URL row against parsed rules: appends ``(domain,
     path, allowed, matched_prefix)``. Group selection, longest-match
     and the allow tie-break follow the module contract; URLs whose
-    domain has no robots entry (or no applicable group) pass."""
+    domain has no robots entry (or no applicable group) pass. Input
+    row multiplicity is preserved (duplicate URL rows stay
+    duplicate).
+
+    Plan shape: the verdict is computed once per DISTINCT
+    (domain, path) over a slim key frame — the broadcast rule join,
+    per-row pattern regex, and the ``max(struct)`` aggregate all run
+    on keys only — then joined back, so the URL frame's payload
+    columns cross exactly ONE shuffle (the join) and never enter a
+    grouping key."""
     require_free_columns(
-        urls, ("domain", "__path", "__m", "__best"), "robots_verdict"
+        urls,
+        ("domain", "__path", "path", "allowed", "matched_prefix"),
+        "robots_verdict",
     )
     a = agent.lower()
     if a == "*":
         chosen = rules.filter(F.col("agent") == "*")
     else:
+        # group presence (incl. null-rule allow-all groups) decides
+        # the fallback; null rules then drop below as never-matching
         specific = (
             rules.filter(F.col("agent") == a).select("domain").distinct()
         )
@@ -155,13 +189,21 @@ def robots_verdict(
                 specific, "domain", "left_anti"
             )
         )
-    u = urls.withColumn(
-        "domain",
+    # host lower-cased (DNS names are case-insensitive; rules are
+    # lower-cased at parse) and userinfo skipped — an un-normalized
+    # 'https://A.Example/..' missing the join would silently pass
+    host = F.lower(
         F.regexp_extract(
-            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1
-        ),
-    ).withColumn("__path", url_path(F.col(url_col)))
-    cand = u.join(F.broadcast(chosen), "domain", "left")
+            F.col(url_col),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)",
+            1,
+        )
+    )
+    u = urls.withColumn("domain", host).withColumn(
+        "__path", url_path(F.col(url_col))
+    )
+    keys = u.select("domain", "__path").distinct()
+    cand = keys.join(F.broadcast(chosen), "domain", "left")
     # rlike with a PER-ROW pattern needs the SQL form (the Column API
     # wrapper requires a literal regex)
     matched = F.col("path_prefix").isNotNull() & F.expr(
@@ -184,10 +226,11 @@ def robots_verdict(
             ),
         ),
     )
-    best = scored.groupBy(*urls.columns, "domain", "__path").agg(
+    verdicts = scored.groupBy("domain", "__path").agg(
         F.max("__m").alias("__best")
     )
-    return best.select(
+    out = u.join(verdicts, ["domain", "__path"], "left")
+    return out.select(
         *urls.columns,
         "domain",
         F.col("__path").alias("path"),

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from polars_text_spark.functions.scalar import UNICODE_WHITESPACE
 from polars_text_spark.functions import (
     char_count,
     clean_text,
@@ -316,7 +317,7 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sentence_segments",
-    """
+    f"""
     WITH segs AS (
       SELECT doc_id,
              list_filter(
@@ -324,7 +325,8 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  regexp_extract_all(text,
                    '[^.!?。！？۔؟।॥]*[.!?。！？۔؟।॥]+|[^.!?。！？۔؟।॥]+'),
                  x -> trim(x)),
-               s -> regexp_matches(s, '[^.!?。！？۔؟।॥ \\t\\r\\n]')) AS l
+               s -> regexp_matches(s,
+                    '[^{UNICODE_WHITESPACE}.!?。！？۔؟।॥]')) AS l
       FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
            CAST(generate_subscripts(l, 1) - 1 AS INT) AS seg_idx,

@@ -132,3 +132,74 @@ def test_verdict_gate_is_broadcast_no_rule_shuffle(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_allow_all_group_survives_and_blocks_fallback(spark):
+    """'Disallow:' (empty) = allow-everything. The group must still
+    EXIST so its agent does NOT fall back to the '*' rules — an
+    inner agents-rules join erased it and wrongly excluded the whole
+    site."""
+    rb = spark.createDataFrame(
+        [("e.example", "User-agent: gptbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n")],
+        ["domain", "robots_txt"],
+    )
+    urls = spark.createDataFrame([("https://e.example/any/page",)], ["url"])
+    rules = parse_robots(rb)
+    (gpt,) = robots_verdict(urls, rules, agent="gptbot").collect()
+    assert gpt.allowed is True and gpt.matched_prefix is None
+    (star,) = robots_verdict(urls, rules, agent="*").collect()
+    assert star.allowed is False
+
+
+def test_bom_prefixed_file_still_parses(spark):
+    rb = spark.createDataFrame(
+        # chr()-built BOM — no invisible literal in source
+        [("f.example", chr(0xFEFF) + "User-agent: *\nDisallow: /\n")],
+        ["domain", "robots_txt"],
+    )
+    urls = spark.createDataFrame([("https://f.example/x",)], ["url"])
+    (r,) = robots_verdict(urls, parse_robots(rb), agent="*").collect()
+    assert r.allowed is False, "BOM swallowed the whole file (fail-open)"
+
+
+def test_host_case_and_userinfo_normalized(spark):
+    urls = spark.createDataFrame(
+        [("https://A.Example/private/x",), ("https://u:p@a.example/private/y",)],
+        ["url"],
+    )
+    got = [r.allowed for r in robots_verdict(urls, _rules(spark), agent="*").collect()]
+    assert got == [False, False]
+
+
+def test_hostile_pattern_chars_never_throw(spark):
+    r"""Regex metacharacters (incl. a \E quote-breaker) in rule
+    values must match literally, not crash the gate or inject
+    semantics."""
+    rb = spark.createDataFrame(
+        [("g.example", "User-agent: *\nDisallow: /a\\E(\nDisallow: /b.+x\n")],
+        ["domain", "robots_txt"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://g.example/a\\E(",),   # literal match -> disallowed
+            ("https://g.example/b.+xz",),   # literal '.+' -> disallowed
+            ("https://g.example/bZZxz",),   # would match if .+ were live
+        ],
+        ["url"],
+    )
+    got = {
+        r.url: r.allowed
+        for r in robots_verdict(urls, parse_robots(rb), agent="*").collect()
+    }
+    assert got["https://g.example/a\\E("] is False
+    assert got["https://g.example/b.+xz"] is False
+    assert got["https://g.example/bZZxz"] is True
+
+
+def test_duplicate_url_rows_preserved(spark):
+    urls = spark.createDataFrame(
+        [("https://a.example/private/x", 1), ("https://a.example/private/x", 2)],
+        ["url", "fetch"],
+    )
+    out = robots_verdict(urls, _rules(spark), agent="*").collect()
+    assert len(out) == 2 and all(not r.allowed for r in out)

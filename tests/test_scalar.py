@@ -146,3 +146,31 @@ def test_sentence_segments_size_equals_sentence_count(spark, sf_dir):
         sentence_count("text").alias("b"),
     ).filter(F.col("a") != F.col("b"))
     assert bad.count() == 0
+
+
+def test_sentence_segments_unicode_whitespace(spark):
+    """NBSP / ideographic-space pieces are content-free: the filter
+    uses the full Unicode White_Space set (explicit code points so
+    the RE2 oracle reads the identical class), keeping the count
+    invariant on real web text. Strings are chr()-built — no
+    invisible literals in source."""
+    from polars_text_spark.functions.scalar import (
+        sentence_count,
+        sentence_segments,
+    )
+
+    nbsp, ideo, lsep = chr(0xA0), chr(0x3000), chr(0x2028)
+    rows = [
+        ("Hello." + nbsp,),          # NBSP-only tail piece -> dropped
+        ("A." + ideo + lsep + "B",), # exotic WS between sentences
+        (nbsp + ideo + lsep,),       # whitespace-only doc -> empty
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(
+        sentence_segments("text").alias("s"), sentence_count("text").alias("n")
+    ).collect()
+    for r in out:
+        assert len(r.s) == r.n, (r.s, r.n)
+    assert out[0].s == ["Hello."]
+    assert len(out[1].s) == 2
+    assert out[2].s == []

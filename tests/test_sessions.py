@@ -106,6 +106,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(
     # user 1's first session is closed by the 40-min gap inside the data;
     # the open tail sessions remain in state (flushed by timeout in a
     # long-running stream).
+    assert (1, _ts(0)) in got, "session not closed within the poll deadline"
     assert got[(1, _ts(0))] == (_ts(5), 2, 3.0)
 
 

@@ -6,11 +6,11 @@ Runs at sf0.001 in ~1 min:
 
 Stages: synthesize a mini WARC crawl on disk (documents wrapped as
 HTML pages — stands in for Common Crawl shards) -> read_warc ->
-textual-response filter -> HTML text extraction -> language +
-quality signals -> Bloom-prefiltered benchmark decontamination ->
-MinHash near-dedup -> funnel report. Every stage is the same
-operator the driver queries exercise; this script shows them
-composed end to end from raw bytes.
+textual-response filter -> robots.txt compliance gate -> HTML text
+extraction -> language + quality signals -> Bloom-prefiltered
+benchmark decontamination -> MinHash near-dedup -> funnel report.
+Every stage is the same operator the driver queries exercise; this
+script shows them composed end to end from raw bytes.
 """
 
 from __future__ import annotations
@@ -30,6 +30,7 @@ from polars_text_spark.functions.analysis import detect_language
 from polars_text_spark.functions.html import extract_html_text
 from polars_text_spark.operators.decontam import bloom_ngram_contamination
 from polars_text_spark.operators.dedup import minhash_band_plan, minhash_lsh_pairs
+from polars_text_spark.operators.robots import parse_robots, robots_verdict
 from polars_text_spark.sources.warc import read_warc, warc_text_documents
 
 
@@ -86,6 +87,24 @@ def main() -> None:
         print(f"WARC records: {records.count()}")
 
         pages = warc_text_documents(records)
+
+        # crawl-compliance: the site's robots.txt gates what may
+        # enter the corpus (here: /private/ paths are disallowed —
+        # every synthesized URL is open, so the gate is a pass-through
+        # proof of plumbing, not a filter of convenience)
+        robots = spark.createDataFrame(
+            [("crawl.example", "User-agent: *\nDisallow: /private/\n")],
+            ["domain", "robots_txt"],
+        )
+        gated = robots_verdict(
+            pages, parse_robots(robots), agent="*", url_col="target_uri"
+        )
+        n_blocked = gated.filter(~F.col("allowed")).count()
+        print(f"robots-disallowed pages dropped: {n_blocked}")
+        pages = gated.filter(F.col("allowed")).select(
+            "target_uri", "content_type", "text"
+        )
+
         corpus = pages.select(
             F.abs(F.xxhash64("target_uri")).alias("doc_id"),
             "target_uri",

@@ -226,6 +226,82 @@ def q_bloom_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "classifier_train",
+    """
+    WITH lab AS (
+      SELECT doc_id, text,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      FROM documents WHERE text IS NOT NULL),
+    tl AS (
+      SELECT doc_id, y,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM lab),
+    tn AS (SELECT doc_id, y, len(tk) AS n, unnest(tk) AS t
+           FROM tl WHERE len(tk) > 0),
+    feats AS (
+      SELECT doc_id, y,
+             ('0x' || substr(sha256('b:' || t), 1, 15))::BIGINT % 4096
+               AS bucket,
+             (count(*) * 1000000) // any_value(n) AS xq
+      FROM tn GROUP BY doc_id, y, bucket),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM feats),
+    -- round 1: zero weights, every doc misclassified
+    w1 AS (
+      SELECT bucket,
+             (s - ((s % nn.n + nn.n) % nn.n)) // nn.n AS w
+      FROM (SELECT bucket, sum(y * xq) AS s FROM feats GROUP BY bucket),
+           nn),
+    -- round 2: margins under w1, update from the still-misclassified
+    m2 AS (
+      SELECT f.doc_id, any_value(f.y) AS y,
+             sum(f.xq * coalesce(w1.w, 0)) AS m
+      FROM feats f LEFT JOIN w1 USING (bucket)
+      GROUP BY f.doc_id),
+    e2 AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+    s2 AS (SELECT bucket, sum(y * xq) AS s
+           FROM feats JOIN e2 USING (doc_id) GROUP BY bucket),
+    w2 AS (
+      SELECT w1.bucket,
+             w1.w + CASE WHEN s2.s IS NULL THEN 0
+                         ELSE (s2.s - ((s2.s % nn.n + nn.n) % nn.n))
+                              // nn.n END AS w
+      FROM w1 LEFT JOIN s2 USING (bucket), nn)
+    SELECT f.doc_id,
+           CAST(sum(f.xq * coalesce(w2.w, 0)) AS BIGINT) AS margin,
+           sum(f.xq * coalesce(w2.w, 0)) > 0 AS keep
+    FROM feats f LEFT JOIN w2 USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier TRAINING under the driver hash: a 2-round integer
+    perceptron learns en-vs-other weights over hashed token features,
+    and every trained doc is scored with the learned vector. The
+    oracle replays BOTH training rounds (feature quantization, the
+    all-misclassified first update, round-2 margins/error set/second
+    update) plus the final margins — floor divisions via the
+    exactly-divisible pmod form so negative sums floor identically in
+    both engines. Integer arithmetic makes the weights independent of
+    partition/summation order (operators/classifier.py; the PageRank
+    determinism pattern applied to learning)."""
+    from polars_text_spark.operators.classifier import (
+        integer_classifier_margins,
+        train_hashed_perceptron,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(
+        F.col("lang").isNull() | (F.col("lang") != "en")
+    )
+    w = train_hashed_perceptron(pos, neg, rounds=2)
+    return integer_classifier_margins(docs, w).select(
+        "doc_id", F.col("margin").cast("bigint").alias("margin"), "keep"
+    )
+
+
+@query(
     "robots_gate",
     """
     WITH u AS (
@@ -7414,6 +7490,7 @@ _DRIVER_PRIORITY = [
     "sentence_segments",
     "bloom_store_gate",
     "robots_gate",
+    "classifier_train",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

@@ -72,3 +72,85 @@ def test_weights_length_validated(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         df.select(hashed_classifier_score("text", weights=[0.1, 0.2]))
+
+
+# ---------------------------------------------------------------------------
+# integer perceptron training (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def _toy(spark):
+    pos = spark.createDataFrame(
+        [(i, f"alpha beta shared{i % 3} alpha") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(1000 + i, f"gamma delta shared{i % 3} gamma") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    return pos, neg
+
+
+def test_perceptron_separates_toy_corpus(spark):
+    from polars_text_spark.operators.classifier import (
+        integer_classifier_margins,
+        train_hashed_perceptron,
+    )
+
+    pos, neg = _toy(spark)
+    w = train_hashed_perceptron(pos, neg, rounds=2)
+    res = {
+        r.doc_id: (r.margin, r.keep)
+        for r in integer_classifier_margins(pos.unionByName(neg), w).collect()
+    }
+    assert all(res[i][1] for i in range(40))
+    assert not any(res[1000 + i][1] for i in range(40))
+    # keep is exactly margin > 0
+    assert all((m > 0) == k for m, k in res.values())
+
+
+def test_perceptron_weights_partition_independent(spark):
+    """Integer sums are exactly associative/commutative — the trained
+    weights must be bit-identical however the input is partitioned
+    (the float-gradient failure mode this design exists to avoid)."""
+    from polars_text_spark.operators.classifier import train_hashed_perceptron
+
+    pos, neg = _toy(spark)
+    a = sorted(map(tuple, train_hashed_perceptron(pos, neg).collect()))
+    b = sorted(
+        map(
+            tuple,
+            train_hashed_perceptron(
+                pos.repartition(7), neg.repartition(3)
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_perceptron_rejects_empty_training_set(spark):
+    import pytest as _pytest
+
+    from polars_text_spark.operators.classifier import train_hashed_perceptron
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    blank = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        train_hashed_perceptron(empty, blank)
+
+
+def test_margins_drop_tokenless_docs(spark):
+    from polars_text_spark.operators.classifier import (
+        integer_classifier_margins,
+        train_hashed_perceptron,
+    )
+
+    pos, neg = _toy(spark)
+    w = train_hashed_perceptron(pos, neg)
+    scored = integer_classifier_margins(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, ""), (3, None)], ["doc_id", "text"]
+        ),
+        w,
+    )
+    assert [r.doc_id for r in scored.collect()] == [1]

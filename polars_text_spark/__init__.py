@@ -50,6 +50,10 @@ from polars_text_spark.models import (
     prefetch_model,
 )
 from polars_text_spark.operators.asof import asof_join, gapfill_locf
+from polars_text_spark.operators.classifier import (
+    integer_classifier_margins,
+    train_hashed_perceptron,
+)
 from polars_text_spark.operators.robots import (
     parse_robots,
     robots_verdict,
@@ -226,6 +230,8 @@ __all__ = [
     "sentence_segments",
     "parse_robots",
     "robots_verdict",
+    "integer_classifier_margins",
+    "train_hashed_perceptron",
     "available_features",
     "bm25_scores",
     "bigram_surprisal",

@@ -225,9 +225,10 @@ def q_bloom_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "classifier_train",
-    """
+# Shared 2-round integer-perceptron training CTEs (classifier_train +
+# classifier_pr_sweep replay the identical training; only the final
+# SELECT differs) — the _DSIR_CTES sharing pattern.
+_CLF_CTES = """
     WITH lab AS (
       SELECT doc_id, text,
              CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
@@ -266,7 +267,13 @@ def q_bloom_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              w1.w + CASE WHEN s2.s IS NULL THEN 0
                          ELSE (s2.s - ((s2.s % nn.n + nn.n) % nn.n))
                               // nn.n END AS w
-      FROM w1 LEFT JOIN s2 USING (bucket), nn)
+      FROM w1 LEFT JOIN s2 USING (bucket), nn)"""
+
+
+@query(
+    "classifier_train",
+    f"""
+    {_CLF_CTES}
     SELECT f.doc_id,
            CAST(sum(f.xq * coalesce(w2.w, 0)) AS BIGINT) AS margin,
            sum(f.xq * coalesce(w2.w, 0)) > 0 AS keep
@@ -298,6 +305,77 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = train_hashed_perceptron(pos, neg, rounds=2)
     return integer_classifier_margins(docs, w).select(
         "doc_id", F.col("margin").cast("bigint").alias("margin"), "keep"
+    )
+
+
+@query(
+    "classifier_pr_sweep",
+    f"""
+    {_CLF_CTES},
+    m3 AS (
+      SELECT f.doc_id, any_value(f.y) AS y,
+             sum(f.xq * coalesce(w2.w, 0)) AS margin
+      FROM feats f LEFT JOIN w2 USING (bucket)
+      GROUP BY f.doc_id),
+    th AS (SELECT unnest([-1000000000000, -100000000000, -10000000000,
+                          0, 10000000000, 100000000000,
+                          1000000000000]) AS threshold)
+    SELECT th.threshold,
+           CAST(sum(CASE WHEN m3.margin > th.threshold AND m3.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN m3.margin > th.threshold AND m3.y = -1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN m3.margin <= th.threshold AND m3.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN m3.margin <= th.threshold AND m3.y = -1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM th, m3
+    GROUP BY th.threshold
+    """,
+)
+def q_classifier_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier EVALUATION: the confusion matrix of the
+    2-round perceptron at a fixed threshold ladder — the
+    pick-your-operating-point artifact every model-based quality
+    gate ships with. One explode of the scored frame over the
+    literal thresholds, one groupBy; the oracle replays training,
+    margins, and every cell count. Counts only (precision/recall are
+    driver-side arithmetic) so the hash stays integer-exact."""
+    from polars_text_spark.operators.classifier import (
+        integer_classifier_margins,
+        train_hashed_perceptron,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang").isNull() | (F.col("lang") != "en"))
+    w = train_hashed_perceptron(pos, neg, rounds=2)
+    scored = integer_classifier_margins(docs, w).join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("__y"),
+        ),
+        "doc_id",
+    )
+    thresholds = [
+        -(10**12), -(10**11), -(10**10), 0, 10**10, 10**11, 10**12
+    ]
+    swept = scored.select(
+        "margin",
+        "__y",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in thresholds])
+        ).alias("threshold"),
+    )
+    hit = F.col("margin") > F.col("threshold")
+    pos_y = F.col("__y") == 1
+    return swept.groupBy("threshold").agg(
+        F.sum((hit & pos_y).cast("long")).alias("tp"),
+        F.sum((hit & ~pos_y).cast("long")).alias("fp"),
+        F.sum((~hit & pos_y).cast("long")).alias("fn"),
+        F.sum((~hit & ~pos_y).cast("long")).alias("tn"),
     )
 
 
@@ -7491,6 +7569,7 @@ _DRIVER_PRIORITY = [
     "bloom_store_gate",
     "robots_gate",
     "classifier_train",
+    "classifier_pr_sweep",
     "html_extract",
     "code_prose_signals",
     "mixture_temperature",

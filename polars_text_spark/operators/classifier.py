@@ -48,6 +48,7 @@ from polars_text_spark.operators._cols import require_free_columns
 
 __all__ = [
     "classifier_features",
+    "trained_float_weights",
     "integer_classifier_margins",
     "train_hashed_perceptron",
 ]
@@ -203,3 +204,20 @@ def integer_classifier_margins(
         )
         .select(id_col, "margin", (F.col("margin") > 0).alias("keep"))
     )
+
+
+def trained_float_weights(
+    weights: DataFrame, *, n_buckets: int = 4096, scale: int = SCALE
+) -> list[float]:
+    """Densify a trained weight table into the ``weights=`` vector
+    ``hashed_classifier_score`` deploys (float ``w/scale`` per
+    bucket, absent buckets 0.0) — the train-here, score-anywhere
+    bridge. Driver collect bounded by ``n_buckets`` rows (the
+    k-means-centroids precedent). The float scorer's MEAN-weight
+    margin equals ``integer margin / scale`` up to per-token floor
+    quantization (< n_tokens ulps of 1/scale), so decisions agree
+    everywhere except razor-thin boundary margins."""
+    dense = [0.0] * n_buckets
+    for r in weights.collect():
+        dense[int(r["bucket"])] = int(r["w"]) / float(scale)
+    return dense

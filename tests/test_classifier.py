@@ -154,3 +154,32 @@ def test_margins_drop_tokenless_docs(spark):
         w,
     )
     assert [r.doc_id for r in scored.collect()] == [1]
+
+
+def test_trained_weights_deploy_into_float_scorer(spark):
+    """The train -> deploy bridge: integer weights densified via
+    trained_float_weights must drive hashed_classifier_score to the
+    same separation on the toy corpus — training here, scoring with
+    the map-only literal-weights plan there."""
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.functions.analysis import hashed_classifier_score
+    from polars_text_spark.operators.classifier import (
+        train_hashed_perceptron,
+        trained_float_weights,
+    )
+
+    pos, neg = _toy(spark)
+    w = train_hashed_perceptron(pos, neg, rounds=2)
+    vec = trained_float_weights(w)
+    assert len(vec) == 4096 and any(v != 0.0 for v in vec)
+    scored = (
+        pos.unionByName(neg)
+        .select(
+            "doc_id", hashed_classifier_score("text", weights=vec).alias("s")
+        )
+        .select("doc_id", F.col("s.keep").alias("keep"))
+    )
+    res = {r.doc_id: r.keep for r in scored.collect()}
+    assert all(res[i] for i in range(40))
+    assert not any(res[1000 + i] for i in range(40))

@@ -108,16 +108,30 @@ def train_hashed_perceptron(
     n_buckets: int = 4096,
     rounds: int = 2,
     scale: int = SCALE,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Learn integer weights ``(bucket, w)`` separating ``positives``
     (label +1) from ``negatives`` (label -1). Deterministic: zero
     init, fixed round count, integer arithmetic — the same corpus
     always yields the same weights, bit for bit, on any engine.
 
+    Labeled ids must be UNIQUE across (and within) the two frames:
+    an id in both would merge two documents' token streams into one
+    feature group whose length normalizer is partition-order
+    dependent — the exact nondeterminism this design exists to
+    prevent — so overlap raises instead.
+
+    ``features`` optionally passes a precomputed
+    :func:`classifier_features` frame covering the labeled ids
+    (same ``n_buckets``/``scale``), so a pipeline that also SCORES
+    the same corpus builds features once.
+
     Returns the weight table (only buckets seen in training; absent
     buckets are implicitly 0). Feed the per-doc margins through
-    :func:`integer_classifier_margins`, or divide by ``scale`` for a
-    float vector compatible with ``hashed_classifier_score``."""
+    :func:`integer_classifier_margins`, or densify via
+    :func:`trained_float_weights` for ``hashed_classifier_score``."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     labeled = positives.select(
         F.col(id_col), F.col(text_col), F.lit(1).alias("__y")
     ).unionByName(
@@ -125,9 +139,22 @@ def train_hashed_perceptron(
             F.col(id_col), F.col(text_col), F.lit(-1).alias("__y")
         )
     )
-    feats = classifier_features(
-        labeled, text_col, id_col, n_buckets=n_buckets, scale=scale
-    ).join(labeled.select(id_col, "__y"), id_col)
+    stats = labeled.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.countDistinct(id_col).alias("__ids"),
+    ).first()
+    if int(stats["__rows"]) != int(stats["__ids"]):
+        raise ValueError(
+            "labeled ids must be unique across positives+negatives "
+            f"({int(stats['__rows'])} rows, {int(stats['__ids'])} "
+            "distinct ids) — overlap merges documents' features "
+            "nondeterministically"
+        )
+    if features is None:
+        features = classifier_features(
+            labeled, text_col, id_col, n_buckets=n_buckets, scale=scale
+        )
+    feats = features.join(labeled.select(id_col, "__y"), id_col)
     from polars_text_spark.persist import track_persist
 
     feats = track_persist(feats.persist())
@@ -185,13 +212,17 @@ def integer_classifier_margins(
     *,
     n_buckets: int = 4096,
     scale: int = SCALE,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents with trained integer weights:
-    ``(id_col, margin long, keep boolean)``, ``keep = margin > 0``.
-    Same feature builder as training; docs with no tokens are absent
-    (an unscorable doc never passes a model-based quality gate)."""
+    ``(id_col, margin long, keep boolean)``, ``keep = margin > 0``
+    (zero evidence — e.g. an all-out-of-vocabulary doc — REJECTS:
+    a quality gate does not pass documents it knows nothing about).
+    Same feature builder as training; docs with no tokens are absent.
+    ``features`` reuses a precomputed :func:`classifier_features`
+    frame (must cover ``df``'s ids, same ``n_buckets``/``scale``)."""
     require_free_columns(df, ("margin", "keep"), "integer_classifier_margins")
-    feats = classifier_features(
+    feats = features if features is not None else classifier_features(
         df, text_col, id_col, n_buckets=n_buckets, scale=scale
     )
     return (
@@ -213,11 +244,26 @@ def trained_float_weights(
     ``hashed_classifier_score`` deploys (float ``w/scale`` per
     bucket, absent buckets 0.0) — the train-here, score-anywhere
     bridge. Driver collect bounded by ``n_buckets`` rows (the
-    k-means-centroids precedent). The float scorer's MEAN-weight
-    margin equals ``integer margin / scale`` up to per-token floor
-    quantization (< n_tokens ulps of 1/scale), so decisions agree
-    everywhere except razor-thin boundary margins."""
+    k-means-centroids precedent). ``n_buckets`` MUST equal the
+    training value: a mismatch re-buckets every token, which is
+    silently-garbage scores in one direction and an IndexError in
+    the other — so out-of-range buckets raise here.
+
+    Decision parity: the integer gate rejects at margin <= 0, while
+    ``hashed_classifier_score``'s default keeps ``margin >= 0.0``
+    after 6-dp rounding — deploy with ``threshold=1e-6`` to preserve
+    the reject-on-zero-evidence semantics (an all-OOV doc scores
+    exactly 0.0 and must not pass). Decisions can still differ for
+    float margins within 5e-7 of zero (the rounding grid); anything
+    outside that band agrees."""
     dense = [0.0] * n_buckets
     for r in weights.collect():
-        dense[int(r["bucket"])] = int(r["w"]) / float(scale)
+        b = int(r["bucket"])
+        if not (0 <= b < n_buckets):
+            raise ValueError(
+                f"bucket {b} outside n_buckets={n_buckets} — the "
+                "weight table was trained with a different bucket "
+                "count; pass the training n_buckets"
+            )
+        dense[b] = int(r["w"]) / float(scale)
     return dense

@@ -297,13 +297,20 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_hashed_perceptron,
     )
 
+    from polars_text_spark.operators.classifier import classifier_features
+    from polars_text_spark.persist import track_persist
+
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(
         F.col("lang").isNull() | (F.col("lang") != "en")
     )
-    w = train_hashed_perceptron(pos, neg, rounds=2)
-    return integer_classifier_margins(docs, w).select(
+    # the scoring population IS the training population: build the
+    # feature frame once and share it (the explode+groupBy is the
+    # expensive stage; without sharing both queries paid it twice)
+    feats = track_persist(classifier_features(docs).persist())
+    w = train_hashed_perceptron(pos, neg, rounds=2, features=feats)
+    return integer_classifier_margins(docs, w, features=feats).select(
         "doc_id", F.col("margin").cast("bigint").alias("margin"), "keep"
     )
 
@@ -346,11 +353,15 @@ def q_classifier_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_hashed_perceptron,
     )
 
+    from polars_text_spark.operators.classifier import classifier_features
+    from polars_text_spark.persist import track_persist
+
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang").isNull() | (F.col("lang") != "en"))
-    w = train_hashed_perceptron(pos, neg, rounds=2)
-    scored = integer_classifier_margins(docs, w).join(
+    feats = track_persist(classifier_features(docs).persist())
+    w = train_hashed_perceptron(pos, neg, rounds=2, features=feats)
+    scored = integer_classifier_margins(docs, w, features=feats).join(
         docs.select(
             "doc_id",
             F.when(F.col("lang") == "en", F.lit(1))

@@ -176,10 +176,36 @@ def test_trained_weights_deploy_into_float_scorer(spark):
     scored = (
         pos.unionByName(neg)
         .select(
-            "doc_id", hashed_classifier_score("text", weights=vec).alias("s")
+            "doc_id",
+            # threshold=1e-6 preserves the integer gate's
+            # reject-on-zero-evidence semantics (see
+            # trained_float_weights docstring)
+            hashed_classifier_score(
+                "text", weights=vec, threshold=1e-6
+            ).alias("s"),
         )
         .select("doc_id", F.col("s.keep").alias("keep"))
     )
     res = {r.doc_id: r.keep for r in scored.collect()}
     assert all(res[i] for i in range(40))
     assert not any(res[1000 + i] for i in range(40))
+
+
+def test_trainer_rejects_overlapping_ids_and_bad_rounds(spark):
+    import pytest as _pytest
+
+    from polars_text_spark.operators.classifier import (
+        train_hashed_perceptron,
+        trained_float_weights,
+    )
+
+    pos, neg = _toy(spark)
+    overlap = neg.withColumn("doc_id", F.col("doc_id") - 1000)  # ids collide
+    with _pytest.raises(ValueError, match="unique"):
+        train_hashed_perceptron(pos, overlap)
+    with _pytest.raises(ValueError, match="rounds"):
+        train_hashed_perceptron(pos, neg, rounds=0)
+    # bucket-count mismatch at densify time fails loudly
+    w = train_hashed_perceptron(pos, neg, n_buckets=4096)
+    with _pytest.raises(ValueError, match="bucket"):
+        trained_float_weights(w, n_buckets=4)

@@ -126,7 +126,11 @@ def apply_epoch_plan(
         entries.append(F.lit(s))
         entries.append(F.lit(float(r)))
     rate = F.element_at(F.create_map(*entries), F.col(source_col))
-    d = df.withColumn("__epochs", rate).filter(F.col("__epochs").isNotNull())
+    # __epochs > 0 (not just non-null): sequence(1, ceil(0)) yields the
+    # DESCENDING array [1, 0], and the epoch-0 row would pass the
+    # `epoch <= floor(0)` keep filter — a zero-rate plan entry must
+    # drop the source, exactly like an absent one.
+    d = df.withColumn("__epochs", rate).filter(F.col("__epochs") > 0)
     d = d.withColumn(
         epoch_col,
         F.explode(

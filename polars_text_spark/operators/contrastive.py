@@ -43,19 +43,22 @@ def hard_negatives(
     cosine)`` candidate frame: the max-cosine candidate strictly below
     ``neg_ceiling``, ties to the smaller neighbor_id.
 
-    ``max(struct(cosine, -neighbor_id, neighbor_id))`` instead of a
-    per-anchor window: struct ordering is lexicographic, so the
-    aggregate IS the deterministic argmax, and a plain ``max`` does
+    ``min(struct(-cosine, neighbor_id))`` instead of a per-anchor
+    window: struct ordering is lexicographic, so the aggregate IS the
+    deterministic argmax (min of the negated cosine = max cosine, ties
+    fall through to the smaller neighbor_id), and a plain ``min`` does
     partial (map-side) aggregation — k rows per mapper cross the
-    anchor shuffle, where a window would move every candidate."""
+    anchor shuffle, where a window would move every candidate. The
+    sign flip lives on the always-numeric cosine, NOT the id: ids are
+    a generic parameter (strings for doc/URL ids are common), and
+    negating a string id would throw CAST_INVALID_INPUT under ANSI."""
     best = (
         scored.filter(F.col("cosine") < F.lit(neg_ceiling))
         .groupBy("query_id")
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col("cosine").alias("c"),
-                    (-F.col("neighbor_id")).alias("inv"),
+                    (-F.col("cosine")).alias("negc"),
                     F.col("neighbor_id").alias("neighbor_id"),
                 )
             ).alias("b")
@@ -64,7 +67,7 @@ def hard_negatives(
     return best.select(
         "query_id",
         F.col("b.neighbor_id").alias("negative_id"),
-        F.col("b.c").alias("neg_cosine"),
+        (-F.col("b.negc")).alias("neg_cosine"),
     )
 
 

@@ -156,7 +156,12 @@ def bloom_ngram_contamination(
         .where(F.col("__bloom_hit"))
         .drop("__bloom_hit")
     )
-    hits = pruned.join(F.broadcast(bench), "_sh")
+    # No broadcast hint on the confirm join: this operator exists for
+    # the regime where the bench shingle frame outgrows a row
+    # broadcast, so forcing one would OOM exactly when the Bloom
+    # prefilter matters. AQE picks broadcast when bench is small and
+    # falls back to shuffle when it isn't (bloom_semi_join precedent).
+    hits = pruned.join(bench, "_sh")
     return hits.groupBy(id_col).agg(
         F.countDistinct("_sh").alias("n_shared_shingles"),
         F.countDistinct("_bench_id").alias("n_bench_docs"),

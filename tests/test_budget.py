@@ -97,6 +97,19 @@ def test_apply_drops_unplanned_sources_and_integer_epochs_exact(spark):
         apply_epoch_plan(df, {"a": -1.0}, "source", "doc_id")
 
 
+def test_apply_zero_rate_drops_source(spark):
+    """An explicit 0.0 plan entry must drop the source entirely —
+    sequence(1, ceil(0)) yields the DESCENDING [1, 0] and the epoch-0
+    row would otherwise pass the `epoch <= floor(0)` keep filter."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "doc_id long, source string"
+    )
+    out = apply_epoch_plan(
+        df, {"a": 1.0, "b": 0.0}, "source", "doc_id"
+    ).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == [(1, 1)]
+
+
 def test_apply_is_map_only(spark):
     from polars_text_spark.plans.explain import explain_str
 

@@ -37,6 +37,24 @@ def test_hard_negatives_argmax_and_tiebreak(spark):
     assert 3 not in rows
 
 
+def test_hard_negatives_string_ids(spark):
+    """id_col is a generic parameter — string ids (doc/URL ids) must
+    work. The tie-break negates the cosine, not the id: negating a
+    string id would throw CAST_INVALID_INPUT under ANSI."""
+    scored = spark.createDataFrame(
+        [
+            ("q1", "doc-b", 0.15),
+            ("q1", "doc-a", 0.15),  # tie -> lexicographically smaller
+            ("q1", "doc-c", 0.05),
+        ],
+        "query_id string, neighbor_id string, cosine double",
+    )
+    rows = hard_negatives(scored, neg_ceiling=0.2).collect()
+    assert len(rows) == 1
+    assert rows[0].negative_id == "doc-a"
+    assert rows[0].neg_cosine == 0.15
+
+
 def test_triplets_invariants_on_corpus(spark, sf_dir):
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("embedding").isNotNull()

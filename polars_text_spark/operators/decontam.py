@@ -175,6 +175,7 @@ def embedding_contamination(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_eval_rows: int = 65536,
 ) -> DataFrame:
     """SEMANTIC decontamination — the n-gram method's blind spot is a
     paraphrased benchmark item (no 13-gram collision, same content);
@@ -182,21 +183,34 @@ def embedding_contamination(
     eval-set embedding: ``(id_col, max_eval_cosine, contaminated)``.
 
     Scale shape mirrors :func:`ngram_contamination`: the eval side is
-    small by construction (a benchmark, not a corpus) and rides in as
-    a broadcast; the training side streams through one scan, scores
-    every (train, eval) pair map-side, and the only shuffle is the
-    per-train-row max — one row per training doc after map-side
-    partial aggregation. Train rows with a null vector are absent
-    (nothing to compare); an EMPTY eval set yields max_eval_cosine
-    null / contaminated false for every row rather than an empty
-    result (an accidentally-empty benchmark must not silently pass
-    the whole corpus).
+    small by construction (a benchmark, not a corpus) and ships to
+    every task inside the scorer closure (the broadcast budget made
+    explicit via ``max_eval_rows``); the training side streams through
+    ONE scan where an Arrow-batched numpy pass scores every (train,
+    eval) pair and takes the per-row max in place — the densest loop
+    in the decontamination suite stays out of interpreted expression
+    eval (the old ``zip_with/aggregate`` pair dot was CodegenFallback,
+    ~7 us/pair; see SCALING.md) AND nothing pair-shaped is ever
+    materialized as rows. The fold runs in the engine's exact
+    left-fold order, so every cosine — and therefore the max — is
+    bit-identical to the SQL oracle's replay. The only shuffle is the
+    per-id max (one row per training doc, map-side combined), kept so
+    duplicate train ids keep their documented groupwise-max semantics.
+    Train rows with a null vector are absent (nothing to compare); an
+    EMPTY eval set yields max_eval_cosine null / contaminated false
+    for every row rather than an empty result (an accidentally-empty
+    benchmark must not silently pass the whole corpus).
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from polars_text_spark.operators.similarity import (
-        dot,
+        _collect_query_side,
+        _fold_dot_batch,
         with_l2_normalized,
     )
 
+    tid_type = train.schema[id_col].dataType
     t = with_l2_normalized(
         train.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("__tid"), vec_col
@@ -209,11 +223,45 @@ def embedding_contamination(
         vec_col,
         "__evec",
     ).select("__evec")
-    scored = t.crossJoin(F.broadcast(e)).select(
-        "__tid", dot(F.col("__tvec"), F.col("__evec")).alias("__c")
+    erows = _collect_query_side(e, max_eval_rows, "embedding_contamination eval")
+    evecs = [None if r["__evec"] is None else list(r["__evec"]) for r in erows]
+
+    from polars_text_spark.operators.similarity import _SCORE_CHUNK_CELLS
+
+    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, len(evecs)))
+
+    def fn(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                vals = part["__tvec"].to_numpy()
+                if not evecs:
+                    mx = [None] * len(vals)
+                else:
+                    import numpy as np
+
+                    acc, valid = _fold_dot_batch(
+                        vals, evecs, exact_fold=True
+                    )
+                    best = np.where(valid, acc, -np.inf).max(axis=1)
+                    any_valid = valid.any(axis=1)
+                    mx = [
+                        float(b) if ok else None
+                        for b, ok in zip(best, any_valid)
+                    ]
+                yield pd.DataFrame({"__tid": part["__tid"], "__rowmax": mx})
+
+    dotted = t.mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("__tid", tid_type),
+                T.StructField("__rowmax", T.DoubleType()),
+            ]
+        ),
     )
-    agg = scored.groupBy("__tid").agg(
-        F.max("__c").alias("max_eval_cosine")
+    agg = dotted.groupBy("__tid").agg(
+        F.max("__rowmax").alias("max_eval_cosine")
     )
     # left join back so an empty eval set keeps every train row
     return (

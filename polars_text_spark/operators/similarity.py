@@ -47,7 +47,20 @@ __all__ = [
 
 
 def dot(a, b):
-    """Dot product of two array<double> columns (zip_with + aggregate)."""
+    """Dot product of two array<double> columns (zip_with + aggregate).
+
+    zip_with/aggregate are CodegenFallback — interpreted per row with
+    an intermediate array allocation (~7 us/pair at dim 64, measured)
+    — so this form belongs on CANDIDATES-ONLY paths (LSH/IVF
+    re-ranks), where the per-pair cost is bounded by the banding.
+    Dense O(rows x vectors) scoring loops use the Arrow-batched
+    fold-exact numpy scorer (:func:`_fold_dot_batch`) instead. An
+    unrolled 64-term scalar-sum expression was tried and REJECTED:
+    it does enter whole-stage codegen, but the generated method blows
+    HotSpot's huge-method JIT limit and runs in the bytecode
+    interpreter — 2.3x SLOWER than this interpreted HOF (254 s vs
+    109 s over 15.4M pairs; 16/32-term unrolls JIT fine at ~5 s, the
+    cliff sits between 32 and 64 terms). See SCALING.md."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -125,6 +138,117 @@ def with_quantized(
     return d.drop("__ptx_u", "__ptx_mx")
 
 
+def _fold_dot_batch(vals, qlist, *, exact_fold: bool = True):
+    """Dot products of a batch of vectors against a fixed query list,
+    vectorized across rows: returns ``(acc, valid)`` — an (n x Q)
+    float64 matrix and its validity mask.
+
+    ``exact_fold=True`` replays the engine's LEFT FOLD bit-for-bit:
+    the dim loop runs ``acc = acc + V[:, i] * q[i]`` — per element the
+    exact same IEEE multiply-then-add sequence as
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` and as the DuckDB
+    oracles' ``list_reduce`` replay, just vectorized across the PAIR
+    axis instead of the dim axis — so downstream hashes cannot move by
+    an ulp. ``exact_fold=False`` uses one BLAS matmul per dim group —
+    reordered accumulation, only for INTEGER-VALUED inputs where every
+    intermediate is exact (int8 products <= 16129, sums << 2^53), i.e.
+    associativity makes any order bit-identical.
+
+    Entries are invalid (null) where either side is null or the dims
+    differ — matching zip_with's null padding, whose null product
+    nullifies the whole fold. Rows/queries are grouped by length so
+    ragged inputs stay correct without per-row Python."""
+    n = len(vals)
+    lens = np.fromiter(
+        ((-1 if v is None else len(v)) for v in vals), dtype=np.int64, count=n
+    )
+    qlens = [(-1 if q is None else len(q)) for q in qlist]
+    acc = np.zeros((n, len(qlist)), dtype=np.float64)
+    valid = np.zeros((n, len(qlist)), dtype=bool)
+    for dj in np.unique(lens):
+        if dj < 0:
+            continue
+        cols = [j for j, ql in enumerate(qlens) if ql == dj]
+        if not cols:
+            continue
+        ridx = np.flatnonzero(lens == dj)
+        V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in ridx])
+        QT = np.stack([np.asarray(qlist[j], dtype=np.float64) for j in cols])
+        if exact_fold:
+            a = np.zeros((len(ridx), len(cols)), dtype=np.float64)
+            for i in range(dj):
+                a = a + V[:, i : i + 1] * QT[:, i][None, :]
+        else:
+            a = V @ QT.T
+        acc[np.ix_(ridx, cols)] = a
+        valid[np.ix_(ridx, cols)] = True
+    return acc, valid
+
+
+_SCORE_CHUNK_CELLS = 4_000_000  # peak (rows x queries) f64 cells per slice
+
+
+def _dots_map_fn(
+    qvecs,
+    out_dots_col: str,
+    *,
+    exact_fold: bool,
+    as_long: bool,
+    extra_cols: tuple[str, ...] = (),
+):
+    """mapInPandas function: ``(__id, __vec, *extra_cols)`` batches ->
+    ``(neighbor_id, *extra_cols, <out_dots_col>: array of per-query
+    dots)``. Row-chunked so the (rows x Q) score matrix stays bounded
+    no matter how wide the query side is."""
+    import pandas as pd
+
+    q_count = len(qvecs)
+    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, q_count))
+
+    def fn(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                vals = part["__vec"].to_numpy()
+                acc, valid = _fold_dot_batch(
+                    vals, qvecs, exact_fold=exact_fold
+                )
+                if as_long:
+                    acc = acc.astype(np.int64)
+                if valid.all():
+                    dots = acc.tolist()
+                else:
+                    dots = [
+                        [
+                            ((int(a) if as_long else float(a)) if ok else None)
+                            for a, ok in zip(arow, vrow)
+                        ]
+                        for arow, vrow in zip(acc, valid)
+                    ]
+                out = {"neighbor_id": part["__id"]}
+                for c in extra_cols:
+                    out[c] = part[c]
+                out[out_dots_col] = dots
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def _collect_query_side(df: DataFrame, max_rows: int, what: str):
+    """Bounded driver collect of the (small-by-contract) query/eval
+    side — the same budget that let the pre-Arrow plans broadcast it,
+    made explicit. One job: collect limit(max+1) and raise on
+    overflow instead of counting first."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what} side exceeds {max_rows} rows; it must be small "
+            "enough to ship to every task (benchmark/query-set sized). "
+            "Raise the cap explicitly if that is genuinely intended."
+        )
+    return rows
+
+
 def cosine(a, b):
     """Cosine similarity of two array<float/double> columns, as a
     built-in expression (zip_with + aggregate)."""
@@ -144,35 +268,73 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Exact top-k neighbors for every query row.
 
     Returns ``(query_id, neighbor_id, cosine, rank)``. Deterministic
     tie-break: higher cosine first, then smaller neighbor id.
-    """
-    # Normalize each side ONCE before the join; cosine becomes a plain
-    # dot per pair (norms n times, not n^2 times).
+
+    Scale shape: both sides L2-normalize ONCE (norms n times, not
+    n^2); the query side — small by contract, the same bound that
+    made the pre-Arrow plan broadcast it — ships to every task inside
+    the scorer closure; the O(N x Q) dense dots run as ONE
+    Arrow-batched numpy pass per scan partition (vectorized across
+    pairs, exact left-fold order per pair, so results are
+    bit-identical to the zip_with/aggregate expression and to the
+    DuckDB oracle replay — measured ~45x over the interpreted HOF
+    expression, which is CodegenFallback; the unrolled-expression
+    alternative loses to HotSpot's huge-method JIT limit, see
+    SCALING.md). Each scan row emits its Q dots as one array, exploded
+    JVM-side in the SAME stage — nothing dim- or Q-sized ever crosses
+    the shuffle; the per-query Exchange ships 3-scalar rows already
+    capped at k by the partial WindowGroupLimit."""
+    from pyspark.sql import types as T
+
+    spark = vectors.sparkSession
+    qid_type = queries.schema[id_col].dataType
+    vid_type = vectors.schema[id_col].dataType
     q = with_l2_normalized(
         queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "__qvec"
     ).select("query_id", "__qvec")
+    qrows = _collect_query_side(q, max_query_rows, "cosine_topk query")
+    out_fields = [
+        T.StructField("query_id", qid_type),
+        T.StructField("neighbor_id", vid_type),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.IntegerType(), nullable=False),
+    ]
+    if not qrows:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    qvecs = [None if r["__qvec"] is None else list(r["__qvec"]) for r in qrows]
     v = with_l2_normalized(
         vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__vvec"
-    ).select("neighbor_id", "__vvec")
-    pairs = v.crossJoin(F.broadcast(q))
-    if exclude_self:
-        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
+    ).select(F.col("neighbor_id").alias("__id"), F.col("__vvec").alias("__vec"))
+    dotted = v.mapInPandas(
+        _dots_map_fn(qvecs, "dots", exact_fold=True, as_long=False),
+        schema=T.StructType(
+            [
+                T.StructField("neighbor_id", vid_type),
+                T.StructField("dots", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    # pos -> query_id through a constant-folded array Literal (the
+    # bloom lesson: a literal, never a join-carried payload), cast so
+    # int-fitting ids don't narrow to array<int>
+    qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows]).cast(
+        T.ArrayType(qid_type)
+    )
+    scored = dotted.select(
+        "neighbor_id", F.posexplode("dots").alias("pos", "cosine")
+    ).select(
+        F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
         "neighbor_id",
-        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+        "cosine",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    return rank_topk(scored, k)
 
 
 def quantize_vec(a, *, levels: int = 127):
@@ -219,6 +381,7 @@ def cosine_topk_quantized(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     levels: int = 127,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Brute-force top-k over int8-QUANTIZED vectors — the
     memory-bound scale path: at 100 TB the ANN working set is the
@@ -233,32 +396,90 @@ def cosine_topk_quantized(
     Returns ``(query_id, neighbor_id, score, rank)`` where score
     approximates cosine. Deterministic: integer dots are exact, ties
     break on smaller neighbor id.
-    """
+
+    The integer dots run as ONE float64 BLAS matmul per Arrow batch —
+    EXACT because int8 products (<= levels^2) and dim-bounded sums sit
+    far below 2^53, and integer addition is associative, so BLAS's
+    reordered accumulation is bit-identical to the SQL oracle's fold.
+    Same stage shape as :func:`cosine_topk`: query side in the scorer
+    closure, per-row dot array exploded before anything reaches a
+    shuffle, scale multiplies `(idot * qscale) * vscale` kept in the
+    oracle's association order."""
+    from pyspark.sql import types as T
+
     def _side(df: DataFrame, out_id: str, out_z: str) -> DataFrame:
         d = df.select(F.col(id_col).alias(out_id), vec_col)
         d = with_l2_normalized(d, vec_col, "__unit")
         d = with_quantized(d, "__unit", out_z, levels=levels)
         return d.select(out_id, out_z)
 
+    spark = vectors.sparkSession
+    qid_type = queries.schema[id_col].dataType
+    vid_type = vectors.schema[id_col].dataType
     qs = _side(queries, "query_id", "__zq")
-    vs = _side(vectors, "neighbor_id", "__zv")
-    pairs = vs.crossJoin(F.broadcast(qs))
-    if exclude_self:
-        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    idot = F.aggregate(
-        F.zip_with(
-            F.col("__zq.q"), F.col("__zv.q"), lambda x, y: (x * y).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    qrows = _collect_query_side(
+        qs, max_query_rows, "cosine_topk_quantized query"
     )
-    scored = pairs.select(
-        "query_id",
+    out_fields = [
+        T.StructField("query_id", qid_type),
+        T.StructField("neighbor_id", vid_type),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType(), nullable=False),
+    ]
+    if not qrows:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    qvecs = [
+        None if r["__zq"] is None or r["__zq"]["q"] is None
+        else list(r["__zq"]["q"])
+        for r in qrows
+    ]
+    vs = _side(vectors, "neighbor_id", "__zv").select(
+        F.col("neighbor_id").alias("__id"),
+        F.col("__zv.q").alias("__vec"),
+        F.col("__zv.scale").alias("__vscale"),
+    )
+    dotted = vs.mapInPandas(
+        _dots_map_fn(
+            qvecs,
+            "idots",
+            exact_fold=False,
+            as_long=True,
+            extra_cols=("__vscale",),
+        ),
+        schema=T.StructType(
+            [
+                T.StructField("neighbor_id", vid_type),
+                T.StructField("__vscale", T.DoubleType()),
+                T.StructField("idots", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+    qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows]).cast(
+        T.ArrayType(qid_type)
+    )
+    qscale_arr = F.array(
+        *[
+            F.lit(
+                None if r["__zq"] is None else r["__zq"]["scale"]
+            ).cast("double")
+            for r in qrows
+        ]
+    )
+    scored = dotted.select(
         "neighbor_id",
-        (idot.cast("double") * F.col("__zq.scale") * F.col("__zv.scale")).alias(
-            "score"
-        ),
+        "__vscale",
+        F.posexplode("idots").alias("pos", "idot"),
+    ).select(
+        F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+        "neighbor_id",
+        (
+            F.col("idot").cast("double")
+            * F.element_at(qscale_arr, F.col("pos") + 1)
+            * F.col("__vscale")
+        ).alias("score"),
     )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

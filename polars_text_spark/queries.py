@@ -1243,8 +1243,11 @@ def q_near_dedup_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k (broadcast queries, JVM-side
-    zip_with/aggregate arithmetic — no Python in the loop)."""
+    """Exact brute-force cosine top-k: the query side rides in the
+    Arrow scorer's closure and the O(N x Q) dense dots run as one
+    vectorized numpy pass per scan partition in the engine's exact
+    left-fold order — bit-identical to the zip_with/aggregate fold
+    the oracle replays, without its interpreted per-pair eval."""
     from polars_text_spark.operators.similarity import cosine_topk
 
     vecs = _tbl(spark, sf_dir, "embeddings")

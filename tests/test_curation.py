@@ -147,7 +147,13 @@ def test_embedding_contamination_hand_cases(spark):
                for r in kept.values())
 
 
-def test_embedding_contamination_broadcasts_eval_side(spark):
+def test_embedding_contamination_scores_in_one_scan_pass(spark):
+    """The eval side rides in the Arrow scorer's closure, so the plan
+    must contain NO pairwise join of any kind — the dense (train x
+    eval) scoring happens inside one mapInPandas pass over the train
+    scan, and the only join left is the N-row max join-back. A
+    BroadcastNestedLoopJoin/CartesianProduct reappearing here means
+    the O(N x E) pair frame is being materialized as rows again."""
     from polars_text_spark.operators.decontam import embedding_contamination
     from polars_text_spark.plans import explain_str
 
@@ -157,6 +163,11 @@ def test_embedding_contamination_broadcasts_eval_side(spark):
     )
     ev = train.limit(2)
     plan = explain_str(embedding_contamination(train, ev), "formatted")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the training side must not be broadcast or re-shuffled for scoring
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    # raises rather than collecting an unbounded eval side
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds 1 rows"):
+        embedding_contamination(train, ev, max_eval_rows=1)

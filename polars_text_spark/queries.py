@@ -7561,72 +7561,34 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
-# ``queries()`` iteration order. With 70+ queries, some never get a
+# ``queries()`` iteration order. With 140+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 9 (VERDICT r8 item 2):
-# the round-9 additions, then the 12 r6-signed entries the r8
-# front-list displaced (oldest signatures in the registry), then all
-# 50 r7-signed queries — oldest-signature-first, so after this round
-# no query's latest driver row is older than r7. The r7 entries past
-# the ~50-row window (tail of the r7 block) rotate first next round
-# together with the 44 r8-signed queries.
+# keep their original order behind them. Round 10: the four
+# no-oracle/sha twin PAIRS first (adjacent, so a fast-path regression
+# is always signed alongside its hash-checked twin), then the 46
+# remaining r7-signed queries — oldest signatures in the registry.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-9 additions (driver has never seen these)
-    "bloom_decontam",
-    "events_gapfill",
-    "wav_pcm_stats",
-    "warc_ingest",
-    "sentence_segments",
-    "bloom_store_gate",
-    "robots_gate",
-    "classifier_train",
-    "classifier_pr_sweep",
-    "html_extract",
-    "code_prose_signals",
-    "mixture_temperature",
-    "contrastive_triplets",
-    "tokenizer_fertility",
-    "anchor_text_table",
-    "chat_lint",
-    "bitext_pairs",
-    "dsir_weights",
-    "dsir_select",
-    "dsir_topk",
-    "media_dhash_dups",
-    "windowed_drift",
-    "epoch_mixture",
-    "domain_pagerank",
-    "bpe_merges",
-    "blocklist_gate",
-    "license_scan",
-    "strip_common_lines",
-    "url_canonical_freq",
-    "surprisal_buckets",
-    "decontaminate_semantic",
-    "topic_projector",
-    "ann_store_delete",
-    "link_stats",
-    "domain_frequencies",
-    "lang_consistency",
-    # r6-signed tail the r8 front-list displaced (oldest signatures)
-    "event_sessions",
-    "events_props_json",
-    "events_asof_clicks",
-    "repetition_signals",
-    "unigram_surprisal",
-    "bigram_surprisal",
-    "decontaminate_ngrams",
-    "pack_sequences",
-    "sequence_manifest",
-    "stratified_sample",
-    "bm25_search",
-    "length_quantiles",
-    # the 50 r7-signed queries (r8's window covered none of them)
-    "vocab_oov",
-    "source_divergence",
+    # Round 10 (VERDICT r9 items 3+4). FIRST: every no-oracle fast
+    # path sits ADJACENT to its fully-oracle-replayed sha twin, so a
+    # fast-path regression can never be signed in a window that
+    # excludes the hash-checked twin (adjacency pinned by
+    # tests/test_registry_rotation.py::test_no_oracle_fast_paths_adjacent_to_sha_twins).
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_sha",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_sha",
+    "near_dedup_simhash",
+    "near_dedup_simhash_sha",
+    "embedding_docs",
+    "embedding_docs_sha",
+    # THEN: the block whose latest driver signature is r7 — the oldest
+    # in the registry (every other query is r8/r9-signed). The lsh/ivf
+    # sha twins above are themselves r7-signed, so they serve double
+    # duty. With a ~50-row window the last ~4 entries here may slip to
+    # r11; they rotate first next round.
     "zipf_by_lang",
     "mixture_rebalance",
     "pii_scan",
@@ -7643,7 +7605,6 @@ _DRIVER_PRIORITY = [
     "dup_span_coverage",
     "gopher_filter",
     "strip_duplicate_spans",
-    "similarity_topk_ivf_sha",
     "tokenize_cached",
     "topic_chunks",
     "train_val_split",
@@ -7673,7 +7634,6 @@ _DRIVER_PRIORITY = [
     "language_confusion",
     "embedding_norms",
     "curation_funnel",
-    "similarity_topk_lsh_sha",
     "node_collocates",
 ]
 

@@ -47,3 +47,32 @@ def test_never_signed_queries_sit_inside_the_driver_window():
         f"never-driver-signed queries outside the 50-row window: "
         f"{stranded} — move them into _DRIVER_PRIORITY's front block"
     )
+
+
+# every no-oracle fast path and the sha variant whose DuckDB-replayed
+# hash vouches for it — the pair must be signed in the SAME driver
+# window, so adjacency in registry order is required
+_NO_ORACLE_TWINS = {
+    "similarity_topk_lsh": "similarity_topk_lsh_sha",
+    "similarity_topk_ivf": "similarity_topk_ivf_sha",
+    "near_dedup_simhash": "near_dedup_simhash_sha",
+    "embedding_docs": "embedding_docs_sha",
+}
+
+
+def test_no_oracle_fast_paths_adjacent_to_sha_twins():
+    """A regression in a seeded fast path (no oracle hash by design)
+    must never be driver-signed in a window that excludes its
+    hash-checked sha twin: each pair sits ADJACENT in registry order,
+    inside the 50-row window."""
+    order = list(Q.QUERIES)
+    window = set(order[:50])
+    for fast, twin in _NO_ORACLE_TWINS.items():
+        assert fast in Q.QUERIES and twin in Q.QUERIES
+        i, j = order.index(fast), order.index(twin)
+        assert abs(i - j) == 1, (
+            f"{fast} (pos {i}) not adjacent to {twin} (pos {j})"
+        )
+        assert fast in window and twin in window, (
+            f"twin pair {fast}/{twin} not inside the 50-row window"
+        )

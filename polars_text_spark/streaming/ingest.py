@@ -39,6 +39,8 @@ __all__ = [
     "stream_into_ann_store",
     "stream_into_bloom_store",
     "stream_into_minhash_store",
+    "stream_web_gated_corpus",
+    "web_gate_batch",
 ]
 
 
@@ -317,6 +319,98 @@ def stream_into_ann_store(
                 num_planes=num_planes,
                 bands=bands,
                 buckets=buckets,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def web_gate_batch(
+    rules: DataFrame,
+    blocklist: DataFrame,
+    out_path: str,
+    *,
+    agent: str = "*",
+    url_col: str = "target_uri",
+):
+    """``foreachBatch`` function running the crawl-compliance gates —
+    robots.txt verdict, then domain-blocklist verdict — on each
+    micro-batch of crawled pages and appending the surviving rows to a
+    curated parquet corpus at ``out_path``. The streaming twin of
+    examples/web_ingest.py's batch shape: a real crawl pipeline is
+    streaming-first, and these gates are its first two stages.
+
+    Why foreachBatch and not a plain stream transformation: both
+    verdicts aggregate (robots computes one verdict per DISTINCT
+    (domain, path) key; the blocklist dedups its matched-id set), and
+    unwatermarked aggregations are illegal in an append-mode stream.
+    Inside foreachBatch each micro-batch is a bounded DataFrame, so
+    the BATCH operators run verbatim — stream==batch parity is
+    structural, not re-implemented (pinned by
+    tests/test_streaming_web_gates.py).
+
+    Delivery semantics: output is partitioned by ``__ingest_batch``
+    and written with DYNAMIC partition overwrite, so a redelivered
+    batch (at-least-once foreachBatch) rewrites exactly its own
+    partition — idempotent, O(batch) per trigger. The standing-corpus
+    anti-join the store sinks use would also work but costs a standing
+    scan per trigger; a provenance batch column is the cheaper
+    exactly-once for a plain corpus sink (and useful lineage anyway).
+
+    ``rules`` is a PARSED robots frame (``operators.robots.
+    parse_robots`` output) and ``blocklist`` a ``pattern`` frame —
+    both config-scale, captured once and reused every trigger; the
+    robots join broadcasts rules, the blocklist probe broadcasts
+    patterns, so per batch the only shuffles are the slim
+    (domain, path) verdict keys."""
+    from polars_text_spark.operators.robots import robots_verdict
+    from polars_text_spark.operators.web import blocklist_verdict
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        gated = robots_verdict(
+            batch_df, rules, agent=agent, url_col=url_col
+        )
+        allowed = gated.filter(F.col("allowed")).drop(
+            "allowed", "matched_prefix", "path"
+        )
+        screened = blocklist_verdict(
+            allowed, blocklist, domain_col="domain", id_col=url_col
+        )
+        clean = screened.filter(~F.col("blocked")).drop("blocked", "domain")
+        (
+            clean.withColumn("__ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ingest_batch")
+            .parquet(out_path)
+        )
+
+    return gate
+
+
+def stream_web_gated_corpus(
+    pages: DataFrame,
+    rules: DataFrame,
+    blocklist: DataFrame,
+    out_path: str,
+    *,
+    checkpoint_dir: str,
+    agent: str = "*",
+    url_col: str = "target_uri",
+    available_now: bool = False,
+):
+    """Attach the web-compliance gate sink to a streaming page frame
+    (e.g. ``streaming.warc.read_warc_stream`` ->
+    ``sources.warc.warc_text_documents``, both stateless and therefore
+    stream-composable) and start it. Returns the StreamingQuery."""
+    writer = (
+        pages.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            web_gate_batch(
+                rules, blocklist, out_path, agent=agent, url_col=url_col
             )
         )
     )

@@ -69,10 +69,16 @@ def main() -> int:
     from polars_text_spark.functions.tokenize import load_backend
 
     for key, module, probe in TOKENIZER_TARGETS:
+        entry = data["tokenizers"].get(key)
+        if entry and "dep" in entry:
+            # the entry restricts itself to a specific analyzer; only
+            # that analyzer may replay or rewrite it (regenerating a
+            # fugashi-derived fixture through the sudachi fallback
+            # would silently swap dictionaries)
+            module = entry["dep"]
         if not _importable(module):
             print(f"SKIP {key} ({module} not importable)")
             continue
-        entry = data["tokenizers"].get(key)
         text = entry["text"] if entry else probe
         lowercase = entry["lowercase"] if entry else False
         remove_punct = entry["remove_punct"] if entry else False
@@ -84,7 +90,7 @@ def main() -> int:
         else:
             print(f"OK    {key}: {len(got)} tokens")
         if not check_only:
-            data["tokenizers"][key] = {
+            new_entry = {
                 "text": text,
                 "lowercase": lowercase,
                 "remove_punct": remove_punct,
@@ -93,6 +99,10 @@ def main() -> int:
                 if not entry or got != entry["tokens"]
                 else entry["provenance"],
             }
+            if entry and "dep" in entry:
+                # live-replay analyzer restriction survives regeneration
+                new_entry["dep"] = entry["dep"]
+            data["tokenizers"][key] = new_entry
 
     if all(_importable(m) for m in ("onnxruntime", "tokenizers")):
         from polars_text_spark.functions.embedding import load_embedder
@@ -102,7 +112,7 @@ def main() -> int:
             text = entry["text"] if entry else probe
             vec = load_embedder(key).embed_batch([text])[0]
             got = [round(float(x), 6) for x in vec]
-            if entry:
+            if entry and entry.get("vector") is not None:
                 worst = max(
                     abs(a - b) for a, b in zip(got, entry["vector"])
                 )
@@ -111,14 +121,25 @@ def main() -> int:
                     print(f"DRIFT {key}: max component delta {worst}")
                 else:
                     print(f"OK    {key}: dim {len(got)}")
+            elif entry:
+                # structural-contract entry awaiting its first live run:
+                # verify the committed contract before filling values
+                if entry.get("dim") not in (None, len(got)):
+                    drift += 1
+                    print(f"DRIFT {key}: dim {len(got)} != {entry['dim']}")
+                else:
+                    print(f"FILL  {key}: dim {len(got)}")
             else:
                 print(f"NEW   {key}: dim {len(got)}")
             if not check_only:
-                data["embedders"][key] = {
+                new_entry = {
                     "text": text,
+                    "dim": len(got),
+                    "unit_norm": True,
                     "vector": got,
                     "provenance": "regenerated",
                 }
+                data["embedders"][key] = new_entry
     else:
         print("SKIP embedders (onnxruntime + tokenizers not importable)")
 

@@ -47,6 +47,13 @@ _DEP = {
 
 
 def _dep_for(model_id: str) -> str:
+    # a fixture entry may restrict its live replay to the specific
+    # analyzer its hand derivation was made for (e.g. fugashi, not the
+    # sudachi fallback whose dictionary segments differently — a
+    # documented capability-parity deviation, not a regression)
+    entry = GOLDEN["tokenizers"].get(model_id, {})
+    if "dep" in entry:
+        return entry["dep"]
     if model_id.startswith("huggingface:"):
         return _DEP["huggingface"]
     return _DEP[model_id]
@@ -78,14 +85,37 @@ def test_fixture_offsets_reconstruct_text(model_id):
 
 
 def test_fixture_has_the_reference_pinned_shapes():
-    """The two hand-derived entries must keep the shapes the reference
+    """The hand-derived entries must keep the shapes the reference
     semantics demand: a WordPiece split with ## prefix for the HF id,
-    a multi-char CJK word for jieba."""
+    a multi-char CJK word for jieba, contiguous whole-text morpheme
+    covers for the ja/ko analyzers (their example sentences carry no
+    whitespace or punctuation, so the morphemes must tile the text
+    exactly)."""
     hf = GOLDEN["tokenizers"]["huggingface:bert-base-uncased"]
     assert any(t[0].startswith("##") for t in hf["tokens"])
     zh = GOLDEN["tokenizers"]["lindera:jieba"]
     assert any(len(t[0]) > 1 for t in zh["tokens"])
     assert len(zh["tokens"]) < len(zh["text"])
+    for mid in ("lindera:ja-ipadic", "lindera:ko-dic"):
+        entry = GOLDEN["tokenizers"][mid]
+        assert "".join(t[0] for t in entry["tokens"]) == entry["text"], mid
+        assert any(len(t[0]) > 1 for t in entry["tokens"]), mid
+
+
+def test_embedder_fixture_structural_contract():
+    """The MiniLM entry pins the reference's output contract (dim 384,
+    mean-pool + L2 unit norm — embedding.rs:189-250) even before a
+    dep-rich environment fills the value vector; once filled, the
+    vector must honor its own declared contract."""
+    entry = GOLDEN["embedders"]["onnx-community/all-MiniLM-L6-v2-ONNX"]
+    assert entry["dim"] == 384 and entry["unit_norm"] is True
+    assert entry["text"]
+    if entry["vector"] is not None:
+        import math
+
+        assert len(entry["vector"]) == entry["dim"]
+        norm = math.sqrt(sum(x * x for x in entry["vector"]))
+        assert abs(norm - 1.0) < 1e-3
 
 
 # ---- tier 2: live replay (skip when the dep is absent) -------------------
@@ -115,4 +145,20 @@ def test_gated_embedder_reproduces_golden_vector(model_id):  # pragma: no cover
 
     entry = GOLDEN["embedders"][model_id]
     vec = load_embedder(model_id).embed_batch([entry["text"]])[0]
-    assert np.allclose(vec, np.array(entry["vector"]), atol=1e-4)
+    arr = np.asarray(vec, dtype=np.float64)
+    assert arr.shape == (entry["dim"],)
+    if entry.get("unit_norm"):
+        assert abs(float(np.linalg.norm(arr)) - 1.0) < 1e-3
+    if entry["vector"] is None:
+        # structural-contract entry: values not yet regenerated in a
+        # dep-rich environment — pin determinism instead, and remind
+        # the runner to fill the fixture
+        again = np.asarray(
+            load_embedder(model_id).embed_batch([entry["text"]])[0]
+        )
+        assert np.array_equal(arr, again)
+        pytest.skip(
+            "vector pending regeneration: run "
+            "scripts/regen_golden_fixtures.py here to pin exact values"
+        )
+    assert np.allclose(arr, np.array(entry["vector"]), atol=1e-4)

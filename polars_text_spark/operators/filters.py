@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from polars_text_spark.operators._cols import require_free_columns
 
-__all__ = ["FilterRule", "apply_filter_rules", "with_gopher_tags"]
+__all__ = [
+    "FilterRule",
+    "apply_filter_rules",
+    "c4_clean_lines",
+    "with_c4_tags",
+    "with_gopher_tags",
+]
 
 
 class FilterRule:
@@ -69,6 +75,130 @@ def apply_filter_rules(
     for n in names:
         keep = keep & F.col(n)
     return out.withColumn(keep_col, keep)
+
+
+_C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+
+def c4_clean_lines(
+    col: Column | str,
+    *,
+    min_words: int = 5,
+) -> Column:
+    """C4-style LINE-level cleanup (Raffel et al. 2020 §2.2, the
+    rules the C4 corpus applied before its page filters), as one
+    map-only expression: split on newlines, keep only lines that
+
+    - end in a terminal punctuation mark (``. ! ?`` or a closing
+      double quote — C4's exact set),
+    - carry at least ``min_words`` whitespace words,
+    - do not mention ``javascript`` (case-folded — the "enable
+      javascript" boilerplate), and
+    - do not contain a policy phrase (``terms of use`` / ``privacy
+      policy`` / ``cookie policy`` / ``uses cookies``),
+
+    then rejoin with newlines. Null in, null out; a page with no
+    surviving line becomes the empty string (the page-level
+    ``min_sentences`` tag downstream is what actually drops it).
+
+    Whole pipeline-stage cost is the split/filter/join expression
+    inside the scan projection — no UDF, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: _c4_line_ok(ln, min_words),
+    )
+    return F.when(c.isNotNull(), F.array_join(kept, "\n"))
+
+
+def _c4_line_ok(ln: Column, min_words: int) -> Column:
+    t = F.trim(ln)
+    low = F.lower(t)
+    ends_ok = (
+        t.endswith(".")
+        | t.endswith("!")
+        | t.endswith("?")
+        | t.endswith('"')
+    )
+    words = F.size(
+        F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    )
+    policy = F.lit(False)
+    for phrase in _C4_POLICY_PHRASES:
+        policy = policy | low.contains(phrase)
+    return (
+        ends_ok
+        & (words >= F.lit(int(min_words)))
+        & ~low.contains("javascript")
+        & ~policy
+    )
+
+
+def with_c4_tags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    bad_words: Sequence[str] = (),
+    prefix: str = "rule_",
+    keep_col: str = "keep",
+    clean_col: str = "c4_text",
+) -> DataFrame:
+    """The C4 page-filter battery over :func:`c4_clean_lines` output
+    (staged once as ``clean_col``): tags + conjunction verdict in the
+    ``apply_filter_rules`` shape, so rejected pages stay inspectable.
+
+    - ``min_sentences``: the CLEANED page still has >= ``min_sentences``
+      sentence terminators (C4 dropped pages with fewer than 3
+      sentences after line filtering);
+    - ``no_lorem_ipsum``: page does not contain ``lorem ipsum``
+      (case-folded);
+    - ``no_curly_brace``: page does not contain ``{`` (C4's
+      drop-code heuristic);
+    - ``no_bad_words``: no case-folded whitespace token of the RAW
+      page equals an entry of ``bad_words`` (C4 used the public
+      "List of Dirty, Naughty, Obscene..." blocklist; ship your own
+      list — an empty default skips the rule rather than pretending
+      an empty blocklist vets anything).
+
+    Map-only like the Gopher battery: one projection, every predicate
+    a Catalyst expression in whole-stage codegen."""
+    require_free_columns(df, (clean_col, "__c4_low"), "with_c4_tags")
+    d = df.withColumn(
+        clean_col, c4_clean_lines(text_col, min_words=min_words_per_line)
+    ).withColumn("__c4_low", F.lower(F.col(clean_col)))
+    low = F.col("__c4_low")
+    # count TERMINATORS (not split segments): every kept line ends in
+    # one (or a closing quote), so terminator count == sentence count
+    # and replays in any engine as a regexp count
+    sentences = F.regexp_count(low, F.lit(r"[.!?]"))
+    rules = [
+        FilterRule("min_sentences", sentences >= F.lit(int(min_sentences))),
+        FilterRule("no_lorem_ipsum", ~low.contains("lorem ipsum")),
+        FilterRule("no_curly_brace", ~low.contains("{")),
+    ]
+    if bad_words:
+        raw_toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+        bad = [w.lower() for w in bad_words]
+        rules.append(
+            FilterRule(
+                "no_bad_words",
+                ~F.exists(raw_toks, lambda t: t.isin(*bad)),
+            )
+        )
+    return apply_filter_rules(
+        d, rules, prefix=prefix, keep_col=keep_col
+    ).drop("__c4_low")
 
 
 def with_gopher_tags(

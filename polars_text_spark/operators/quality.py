@@ -31,6 +31,8 @@ __all__ = [
     "language_consistency",
     "cardinality_report",
     "doc_bigrams",
+    "doc_trigrams",
+    "trigram_interpolated_surprisal",
     "doc_ngram_novelty",
     "heaps_law_fit",
     "heavy_hitters_audit",
@@ -204,6 +206,111 @@ def bigram_surprisal(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("__bits").alias("avg_surprisal"),
+        )
+    )
+
+
+def doc_trigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Ordered whitespace-token trigrams: ``(id, w1, w2, w3)`` — one
+    row per adjacent triple; docs with < 3 tokens contribute nothing.
+    Same single-array-build explode shape as :func:`doc_bigrams`."""
+    toks = _ws_tokens(text_col)
+    triples = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+                F.element_at(toks, i + 2).alias("w3"),
+            ),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__tg_id"), F.explode_outer(triples).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(
+            F.col("__tg_id").alias(id_col),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w3").alias("w3"),
+        )
+    )
+
+
+def trigram_interpolated_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Per-document mean surprisal in bits under a JELINEK-MERCER
+    interpolated trigram model fit on the corpus itself — the next
+    Markov order up from :func:`bigram_surprisal` and the closest
+    zero-dependency analog of the KenLM perplexity filters CCNet-class
+    pipelines deploy:
+
+    ``p(w3 | w1 w2) = l3 * C(w1w2w3)/C(w1w2·)
+                    + l2 * C(w2w3)/C(w2·)
+                    + l1 * C(w3)/N``
+
+    with ``lambdas = (l3, l2, l1)`` summing to 1. Interpolation (not
+    backoff) keeps the probability a pure arithmetic combination of
+    five count frames — every term SQL-replayable, no order-dependent
+    float accumulation beyond the per-doc mean. Self-scored, every
+    count is >= 1, so no smoothing floor is needed; the unigram leg
+    still damps rare-context spikes exactly the way the filter is
+    used in practice.
+
+    Returns ``(id_col, n_trigrams, avg_surprisal)``; docs with < 3
+    tokens are absent.
+
+    Scale: the LM is ONE aggregate over the exploded trigram stream —
+    trigram counts shuffled on (w1,w2,w3) — with the context totals
+    C(w1,w2), the bigram leg C(w2,w3), its context C(w2) and the
+    unigram leg C(w3), N ALL derived from the persisted counts frame
+    (|trigram types| rows, never a second corpus pass; C(w2,·) sums
+    counts grouped on the MIDDLE token, which equals the token's
+    left-context total over the trigram stream). The doc stream then
+    joins the legs on their token keys; a web-scale count table is
+    deliberately never broadcast — only the 1-row N is."""
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) < 0:
+        raise ValueError(
+            f"lambdas must be non-negative and sum to 1, got {lambdas}"
+        )
+    tg = doc_trigrams(df, text_col, id_col)
+    from polars_text_spark.persist import track_persist
+
+    counts = track_persist(
+        tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("__c3")).persist()
+    )
+    ctx12 = counts.groupBy("w1", "w2").agg(F.sum("__c3").alias("__c12"))
+    big23 = counts.groupBy("w2", "w3").agg(F.sum("__c3").alias("__c23"))
+    ctx2 = counts.groupBy("w2").agg(F.sum("__c3").alias("__c2"))
+    uni3 = counts.groupBy("w3").agg(F.sum("__c3").alias("__c3u"))
+    total = counts.agg(F.sum("__c3").cast("double").alias("__n"))
+    prob = (
+        F.lit(l3) * (F.col("__c3") / F.col("__c12"))
+        + F.lit(l2) * (F.col("__c23") / F.col("__c2"))
+        + F.lit(l1) * (F.col("__c3u") / F.col("__n"))
+    )
+    return (
+        tg.join(counts, ["w1", "w2", "w3"])
+        .join(ctx12, ["w1", "w2"])
+        .join(big23, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(uni3, "w3")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, (-F.log2(prob)).alias("__bits"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
             F.avg("__bits").alias("avg_surprisal"),
         )
     )

@@ -7557,6 +7557,129 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c4_filter",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    ln AS (SELECT doc_id, ls[i] AS ln
+           FROM (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i,
+                        ls
+                 FROM arr)),
+    kept AS (
+      SELECT doc_id, ln FROM ln
+      WHERE right(trim(ln), 1) IN ('.', '!', '?', '"')
+        AND len(list_filter(regexp_split_to_array(trim(ln), '\\s+'),
+                            x -> x <> '')) >= 5
+        AND NOT contains(lower(ln), 'javascript')
+        AND NOT contains(lower(ln), 'terms of use')
+        AND NOT contains(lower(ln), 'privacy policy')
+        AND NOT contains(lower(ln), 'cookie policy')
+        AND NOT contains(lower(ln), 'uses cookies')),
+    agg AS (
+      SELECT doc_id,
+             sum(length(ln)) + count(*) - 1 AS kept_chars,
+             sum(len(regexp_extract_all(lower(ln), '[.!?]'))) AS sents,
+             bool_or(contains(lower(ln), 'lorem ipsum')) AS lorem,
+             bool_or(contains(lower(ln), '{')) AS curly
+      FROM kept GROUP BY doc_id),
+    bad AS (
+      SELECT doc_id, bool_or(tok = 'the') AS has_bad
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM d)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.kept_chars, 0) AS INT) AS kept_chars,
+           coalesce(a.sents, 0) >= 3 AS rule_min_sentences,
+           NOT coalesce(a.lorem, false) AS rule_no_lorem_ipsum,
+           NOT coalesce(a.curly, false) AS rule_no_curly_brace,
+           NOT coalesce(b.has_bad, false) AS rule_no_bad_words,
+           (coalesce(a.sents, 0) >= 3)
+             AND NOT coalesce(a.lorem, false)
+             AND NOT coalesce(a.curly, false)
+             AND NOT coalesce(b.has_bad, false) AS keep
+    FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN bad b USING (doc_id)
+    """,
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleanup battery (Raffel et al. 2020 §2.2): line-level
+    cleaning (terminal punctuation, >= 5 words, javascript/policy
+    boilerplate) then the page filters (>= 3 sentences, lorem ipsum,
+    curly brace, bad-word token) — all one map-only projection, tags
+    inspectable per the Gopher-battery pattern. The bad-words rule is
+    exercised with the deliberately-common token 'the' so both
+    verdict polarities appear in the hash (a real run ships a real
+    blocklist)."""
+    from polars_text_spark.operators.filters import with_c4_tags
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = with_c4_tags(docs, "text", bad_words=("the",))
+    return out.select(
+        "doc_id",
+        F.length("c4_text").alias("kept_chars"),
+        "rule_min_sentences",
+        "rule_no_lorem_ipsum",
+        "rule_no_curly_brace",
+        "rule_no_bad_words",
+        "keep",
+    )
+
+
+@query(
+    "trigram_surprisal",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    tg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+      FROM (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS i,
+                   tk
+            FROM t WHERE len(tk) >= 3)),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, sum(c3) AS c12 FROM c3 GROUP BY 1, 2),
+    c23 AS (SELECT w2, w3, sum(c3) AS c23 FROM c3 GROUP BY 1, 2),
+    c2 AS (SELECT w2, sum(c3) AS c2 FROM c3 GROUP BY 1),
+    u3 AS (SELECT w3, sum(c3) AS c3u FROM c3 GROUP BY 1),
+    n AS (SELECT CAST(sum(c3) AS DOUBLE) AS nn FROM c3)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(-log2(0.6 * (c3 / c12)
+                           + 0.3 * (c23 / c2)
+                           + 0.1 * (c3u / nn))), 6) AS avg_surprisal
+    FROM tg g JOIN c3 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+         JOIN c23 USING (w2, w3) JOIN c2 USING (w2) JOIN u3 USING (w3)
+         CROSS JOIN n
+    GROUP BY g.doc_id
+    """,
+)
+def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated trigram LM surprisal — the next
+    Markov order above bigram_surprisal and the closest
+    zero-dependency analog of CCNet's KenLM perplexity filter. All
+    five count legs derive from ONE persisted trigram-type frame
+    (C(w2,.) = counts grouped on the middle token); the oracle
+    replays every leg and the interpolation arithmetic."""
+    from polars_text_spark.operators.quality import (
+        trigram_interpolated_surprisal,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = trigram_interpolated_surprisal(
+        docs, "text", "doc_id", lambdas=(0.6, 0.3, 0.1)
+    )
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("avg_surprisal", 6).alias("avg_surprisal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -7564,13 +7687,17 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()`` iteration order. With 140+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 10: the four
-# no-oracle/sha twin PAIRS first (adjacent, so a fast-path regression
+# keep their original order behind them. Round 10: the round-10
+# additions (never signed, must sit inside the window), then the four
+# no-oracle/sha twin PAIRS (adjacent, so a fast-path regression
 # is always signed alongside its hash-checked twin), then the 46
 # remaining r7-signed queries — oldest signatures in the registry.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # round-10 additions (driver has never seen these)
+    "c4_filter",
+    "trigram_surprisal",
     # Round 10 (VERDICT r9 items 3+4). FIRST: every no-oracle fast
     # path sits ADJACENT to its fully-oracle-replayed sha twin, so a
     # fast-path regression can never be signed in a window that

@@ -492,3 +492,49 @@ def test_quantile_buckets_windows_run_over_histogram(spark):
     tree = plan.split("\n\n")[0].splitlines()
     w = next(i for i, l in enumerate(tree) if "Window" in l)
     assert any("HashAggregate" in l for l in tree[w:]), plan
+
+
+def test_trigram_surprisal_hand_computed(spark):
+    """Interpolated probability replayed by hand on a 2-doc corpus."""
+    import math
+
+    from polars_text_spark.operators.quality import (
+        trigram_interpolated_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in trigram_interpolated_surprisal(docs).collect()
+    }
+    # doc 2 has < 3 tokens -> absent
+    assert set(out) == {1}
+    # corpus trigrams: (a,b,c) x2, (b,c,a), (c,a,b) — N=4
+    # legs: C(ab.)=2 C(bc.)=1 C(ca.)=1; C(bc)=2 C(ca)=1 C(ab)=1;
+    #       C(b.)=2 C(c.)=1 C(a.)=1; C(c)=2 C(a)=1 C(b)=1
+    def p(c3, c12, c23, c2, c3u):
+        return 0.6 * (c3 / c12) + 0.3 * (c23 / c2) + 0.1 * (c3u / 4.0)
+
+    probs = [
+        p(2, 2, 2, 2, 2),  # a b c (x2)
+        p(2, 2, 2, 2, 2),
+        p(1, 1, 1, 1, 1),  # b c a
+        p(1, 1, 1, 1, 1),  # c a b
+    ]
+    want = sum(-math.log2(x) for x in probs) / 4
+    assert out[1].n_trigrams == 4
+    assert abs(out[1].avg_surprisal - want) < 1e-9
+
+
+def test_trigram_surprisal_lambda_validation(spark):
+    import pytest as _pytest
+
+    from polars_text_spark.operators.quality import (
+        trigram_interpolated_surprisal,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        trigram_interpolated_surprisal(df, lambdas=(0.5, 0.5, 0.5))

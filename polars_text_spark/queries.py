@@ -7629,6 +7629,102 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "preference_pair_audit",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'),
+                       1, 8) AS prompt,
+             'ans ' || CAST(doc_id % 50 AS VARCHAR) AS chosen,
+             CASE WHEN doc_id % 17 = 0
+                    THEN 'ans ' || CAST(doc_id % 50 AS VARCHAR)
+                  WHEN doc_id % 23 = 0 THEN ''
+                  WHEN doc_id % 11 = 0
+                    THEN 'ans ' || CAST((doc_id + 3) % 50 AS VARCHAR)
+                  ELSE 'rej answer ' || CAST(doc_id % 50 AS VARCHAR)
+             END AS rejected
+      FROM documents WHERE text IS NOT NULL),
+    pc AS (SELECT prompt, count(*) AS cnt FROM d GROUP BY prompt),
+    rh AS (SELECT DISTINCT rejected AS r FROM d
+           WHERE rejected IS NOT NULL AND trim(rejected) <> ''),
+    base AS (
+      SELECT d.doc_id, d.prompt, d.chosen, d.rejected,
+             (d.chosen = d.rejected) AS identical_pair,
+             (d.chosen IS NULL OR d.rejected IS NULL
+              OR trim(d.chosen) = '' OR trim(d.rejected) = '')
+               AS empty_side,
+             len(list_filter(regexp_split_to_array(trim(d.chosen),
+                                                   '\\s+'),
+                             x -> x <> '')) AS lc,
+             len(list_filter(regexp_split_to_array(trim(d.rejected),
+                                                   '\\s+'),
+                             x -> x <> '')) AS lr
+      FROM d)
+    SELECT b.doc_id AS pair_id,
+           b.identical_pair,
+           b.empty_side,
+           CAST(b.lc AS BIGINT) AS len_chosen,
+           CAST(b.lr AS BIGINT) AS len_rejected,
+           round(log2((b.lc + 1.0) / (b.lr + 1.0)), 6) AS len_log_ratio,
+           CAST(pc.cnt AS BIGINT) AS prompt_pair_count,
+           (rh.r IS NOT NULL AND NOT b.empty_side) AS chosen_contradicted,
+           (NOT b.identical_pair AND NOT b.empty_side
+            AND NOT (rh.r IS NOT NULL AND NOT b.empty_side)) AS valid
+    FROM base b
+    JOIN pc USING (prompt)
+    LEFT JOIN rh ON rh.r = b.chosen
+    """,
+)
+def q_preference_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair audit (operators/preference.py): identical
+    pairs, empty sides, chosen-appears-as-rejected label noise,
+    prompt duplication counts and the length-bias diagnostic — pairs
+    synthesized deterministically from the documents table so every
+    flag appears in BOTH polarities and the oracle replays the
+    synthesis, the group counts, the hash-membership join and the
+    log-ratio arithmetic."""
+    from polars_text_spark.operators.preference import (
+        preference_pair_audit,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    d = F.col("doc_id")
+    clean = F.substring(
+        F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 8
+    )
+    chosen = F.concat(F.lit("ans "), (d % 50).cast("string"))
+    rejected = (
+        F.when(d % 17 == 0, chosen)
+        .when(d % 23 == 0, F.lit(""))
+        .when(
+            d % 11 == 0,
+            F.concat(F.lit("ans "), ((d + 3) % 50).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("rej answer "), (d % 50).cast("string"))
+        )
+    )
+    pairs = docs.select(
+        d.alias("pair_id"),
+        clean.alias("prompt"),
+        chosen.alias("chosen"),
+        rejected.alias("rejected"),
+    )
+    out = preference_pair_audit(pairs)
+    return out.select(
+        "pair_id",
+        "identical_pair",
+        "empty_side",
+        "len_chosen",
+        "len_rejected",
+        F.round("len_log_ratio", 6).alias("len_log_ratio"),
+        "prompt_pair_count",
+        "chosen_contradicted",
+        "valid",
+    )
+
+
+@query(
     "trigram_surprisal",
     """
     WITH t AS (
@@ -7698,6 +7794,7 @@ _DRIVER_PRIORITY = [
     # round-10 additions (driver has never seen these)
     "c4_filter",
     "trigram_surprisal",
+    "preference_pair_audit",
     # Round 10 (VERDICT r9 items 3+4). FIRST: every no-oracle fast
     # path sits ADJACENT to its fully-oracle-replayed sha twin, so a
     # fast-path regression can never be signed in a window that

@@ -75,7 +75,7 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = spark.sql("SELECT * FROM ev_counts").collect()
 
     def key(rows):

@@ -147,7 +147,7 @@ def test_elementwise_ops_are_stream_safe(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = spark.sql("SELECT * FROM docs_ops").collect()
     assert len(got) == 50
     batch = {r.doc_id: r for r in docs.select(

@@ -90,7 +90,7 @@ def test_streaming_bytes_ops_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "bytes-ops stream did not finish"
+    assert q.awaitTermination(600), "bytes-ops stream did not finish"
     streamed = {
         tuple(r)
         for r in spark.sql("SELECT * FROM bytes_ops_stream").collect()

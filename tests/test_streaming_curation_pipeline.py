@@ -51,7 +51,7 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = {
         (r["fingerprint"], r["entropy"], r["n_words"], r["flesch"])
         for r in spark.sql("SELECT * FROM curated_stream").collect()
@@ -100,7 +100,7 @@ def test_streaming_weighted_sample_and_fim_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = {
         tuple(r) for r in spark.sql("SELECT * FROM wfim_stream").collect()
     }
@@ -154,7 +154,7 @@ def test_streaming_link_stats_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = {
         tuple(r) for r in spark.sql("SELECT * FROM web_stream").collect()
     }
@@ -206,7 +206,7 @@ def test_streaming_url_canonicalization_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = {
         tuple(r) for r in spark.sql("SELECT * FROM urlcanon_stream").collect()
     }
@@ -276,7 +276,7 @@ def test_streaming_license_and_suffixes_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = {
         tuple(r) for r in spark.sql("SELECT * FROM lic_stream").collect()
     }

@@ -64,7 +64,7 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = spark.sql("SELECT * FROM dedup_docs").collect()
 
     # Arrival order decides WHICH duplicate survives on the stream, so

@@ -111,7 +111,7 @@ def test_stream_matches_batch_under_available_now(spark, tmp_path):
     # the executor threads) 120 s has been observed to lapse, and a
     # lapsed wait silently truncates the memory sink into a bogus
     # mismatch — assert termination so a timeout fails as a timeout
-    assert q.awaitTermination(300), "drift stream did not finish in 300s"
+    assert q.awaitTermination(600), "drift stream did not finish in 600s"
     got = spark.sql(
         "SELECT * FROM tok_drift WHERE window_start < timestamp '2024-01-01 23:00:00'"
     ).collect()

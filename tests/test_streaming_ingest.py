@@ -49,7 +49,7 @@ def _drain(spark, src_dir, ckpt, name, **kw):
         available_now=True,
         **kw,
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     assert not q.isActive
 
 
@@ -149,7 +149,7 @@ def test_ann_stream_ingest_matches_batch_store(spark, sf_dir, tmp_path):
         buckets=4,
         available_now=True,
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     assert not q.isActive
 
     write_ann_store(vecs, "ann_stream_ref", dim=64, buckets=4)

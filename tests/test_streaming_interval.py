@@ -53,7 +53,7 @@ def test_stream_static_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = {
         (r["event_id"], r["label"])
         for r in spark.sql("SELECT * FROM stream_interval").collect()

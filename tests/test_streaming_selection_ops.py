@@ -63,7 +63,7 @@ def test_selection_pipeline_stream_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = {
         (r["doc_id"], r["lang"], r["epoch"], tuple(r["sig"]))
         for r in spark.sql("SELECT * FROM sel_stream").collect()

@@ -40,7 +40,7 @@ def test_warc_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "warc stream did not finish"
+    assert q.awaitTermination(600), "warc stream did not finish"
     streamed = {
         (r["target_uri"], r["text"])
         for r in spark.sql("SELECT * FROM warc_stream_out").collect()

@@ -84,7 +84,7 @@ def test_web_curation_stream_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = {
         tuple(r) for r in spark.sql("SELECT * FROM webcur_stream").collect()
     }

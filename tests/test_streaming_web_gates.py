@@ -100,7 +100,7 @@ def test_stream_web_gates_match_batch(spark, tmp_path):
         url_col="target_uri",
         available_now=True,
     )
-    assert q.awaitTermination(300), "web-gate stream did not finish"
+    assert q.awaitTermination(600), "web-gate stream did not finish"
     got_rows = spark.read.parquet(out)
     got = {(r["target_uri"], r["text"]) for r in got_rows.collect()}
     assert got == want

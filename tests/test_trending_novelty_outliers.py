@@ -43,7 +43,7 @@ def test_trending_stream_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     streamed = spark.sql("SELECT * FROM trend_counts")
     stream_top = {
         (r["window_start"], r["key"], r["n_events"], r["rank"])

@@ -89,8 +89,36 @@ def test_stream_matches_batch_under_available_now(spark, tmp_path):
     sentinel = spark.createDataFrame(
         [(99, _ts(23, 0), "flush")], "doc_id long, ts timestamp, text string"
     )
+    # Arrival order must FOLLOW event time, deterministically. The old
+    # `union(sentinel).repartition(3)` scattered rows into part files
+    # whose modification times race (parallel writers); the file
+    # source ingests by mod time, so whenever the sentinel's file
+    # landed early the watermark jumped to 22:30 and the remaining
+    # hour-10/11 rows were dropped as late — CORRECT watermark
+    # semantics, flaky test. Write hour-10, hour-11, sentinel as three
+    # sequential single files with forced ascending mtimes instead.
+    import os
+    import time as _time
+
     drop_dir = tmp_path / "drops"
-    docs.unionByName(sentinel).repartition(3).write.parquet(str(drop_dir))
+    drop_dir.mkdir()
+    base = _time.time()
+
+    def _drop(df, name, mtime):
+        sub = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(sub))
+        part = next(sub.glob("part-*.parquet"))
+        target = drop_dir / f"{name}.parquet"
+        part.rename(target)
+        os.utime(target, (mtime, mtime))
+
+    _drop(docs.filter("ts < timestamp '2024-01-01 11:00:00'"), "h10", base)
+    _drop(
+        docs.filter("ts >= timestamp '2024-01-01 11:00:00'"),
+        "h11",
+        base + 60,
+    )
+    _drop(sentinel, "flush", base + 120)
 
     stream = (
         spark.readStream.schema("doc_id long, ts timestamp, text string")

@@ -207,24 +207,25 @@ def embedding_contamination(
     from polars_text_spark.operators.similarity import (
         _collect_query_side,
         _fold_dot_batch,
-        with_l2_normalized,
+        _normalize_vec_py,
     )
 
     tid_type = train.schema[id_col].dataType
-    t = with_l2_normalized(
-        train.where(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("__tid"), vec_col
-        ),
-        vec_col,
-        "__tvec",
-    ).select("__tid", "__tvec")
-    e = with_l2_normalized(
-        eval_df.where(F.col(vec_col).isNotNull()).select(vec_col),
-        vec_col,
-        "__evec",
-    ).select("__evec")
+    # both sides enter the scorer RAW: the eval side is fold-exact-
+    # normalized driver-side, the train side inside the Arrow pass
+    # (half the Arrow bytes for float32 storage, zero per-row JVM
+    # normalization HOFs; values bit-identical to the expression twin)
+    t = train.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tvec")
+    )
+    e = eval_df.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__evec")
+    )
     erows = _collect_query_side(e, max_eval_rows, "embedding_contamination eval")
-    evecs = [None if r["__evec"] is None else list(r["__evec"]) for r in erows]
+    evecs = [
+        None if r["__evec"] is None else _normalize_vec_py(list(r["__evec"]))
+        for r in erows
+    ]
 
     from polars_text_spark.operators.similarity import _SCORE_CHUNK_CELLS
 
@@ -241,7 +242,7 @@ def embedding_contamination(
                     import numpy as np
 
                     acc, valid = _fold_dot_batch(
-                        vals, evecs, exact_fold=True
+                        vals, evecs, exact_fold=True, normalize=True
                     )
                     best = np.where(valid, acc, -np.inf).max(axis=1)
                     any_valid = valid.any(axis=1)

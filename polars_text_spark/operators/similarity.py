@@ -138,7 +138,54 @@ def with_quantized(
     return d.drop("__ptx_u", "__ptx_mx")
 
 
-def _fold_dot_batch(vals, qlist, *, exact_fold: bool = True):
+def _norm_rows_exact(V):
+    """Fold-exact L2 normalization of an (n x d) float64 matrix —
+    per row the exact ``((0 + x0^2) + x1^2)...`` square fold, sqrt and
+    elementwise division the :func:`with_l2_normalized` expression
+    runs (bit-identical, so oracle hashes cannot move); zero rows stay
+    zero. Vectorized across rows, loop over dims."""
+    n, d = V.shape
+    acc = np.zeros(n, dtype=np.float64)
+    for i in range(d):
+        acc = acc + V[:, i] * V[:, i]
+    norms = np.sqrt(acc)
+    out = V.copy()
+    nz = norms > 0
+    if nz.any():
+        out[nz] = V[nz] / norms[nz, None]
+    return out
+
+
+def _normalize_vec_py(v):
+    """Driver-side fold-exact L2 normalization of one collected
+    vector (Python floats are IEEE binary64 — identical ops to
+    :func:`_norm_rows_exact` and the JVM expression)."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    norm = math.sqrt(acc)
+    if norm > 0:
+        return [x / norm for x in v]
+    return [float(x) for x in v]
+
+
+def _quantize_vec_py(u, levels: int):
+    """Driver-side quantization of one L2-normalized vector —
+    replicates :func:`with_quantized` exactly: ``scale = max|u| /
+    levels``, ``q_i = floor(u_i / scale + 0.5)`` (max is
+    order-independent; floor/divide are single IEEE ops)."""
+    import math
+
+    mx = max((abs(x) for x in u), default=0.0)
+    if mx > 0:
+        s = mx / float(levels)
+        return s, [int(math.floor(x / s + 0.5)) for x in u]
+    return 0.0, [0] * len(u)
+
+
+def _fold_dot_batch(vals, qlist, *, exact_fold: bool = True, normalize: bool = False):
     """Dot products of a batch of vectors against a fixed query list,
     vectorized across rows: returns ``(acc, valid)`` — an (n x Q)
     float64 matrix and its validity mask.
@@ -157,7 +204,13 @@ def _fold_dot_batch(vals, qlist, *, exact_fold: bool = True):
     Entries are invalid (null) where either side is null or the dims
     differ — matching zip_with's null padding, whose null product
     nullifies the whole fold. Rows/queries are grouped by length so
-    ragged inputs stay correct without per-row Python."""
+    ragged inputs stay correct without per-row Python.
+
+    ``normalize=True`` L2-normalizes each ROW fold-exactly
+    (:func:`_norm_rows_exact`) before dotting — the caller then feeds
+    RAW vectors (half the Arrow bytes when stored as float32, and no
+    per-row interpreted normalization HOF JVM-side); the query side
+    must arrive pre-normalized (:func:`_normalize_vec_py`)."""
     n = len(vals)
     lens = np.fromiter(
         ((-1 if v is None else len(v)) for v in vals), dtype=np.int64, count=n
@@ -173,6 +226,8 @@ def _fold_dot_batch(vals, qlist, *, exact_fold: bool = True):
             continue
         ridx = np.flatnonzero(lens == dj)
         V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in ridx])
+        if normalize and dj > 0:
+            V = _norm_rows_exact(V)
         QT = np.stack([np.asarray(qlist[j], dtype=np.float64) for j in cols])
         if exact_fold:
             a = np.zeros((len(ridx), len(cols)), dtype=np.float64)
@@ -194,6 +249,7 @@ def _dots_map_fn(
     *,
     exact_fold: bool,
     as_long: bool,
+    normalize: bool = False,
     extra_cols: tuple[str, ...] = (),
 ):
     """mapInPandas function: ``(__id, __vec, *extra_cols)`` batches ->
@@ -211,7 +267,7 @@ def _dots_map_fn(
                 part = pdf.iloc[lo : lo + chunk]
                 vals = part["__vec"].to_numpy()
                 acc, valid = _fold_dot_batch(
-                    vals, qvecs, exact_fold=exact_fold
+                    vals, qvecs, exact_fold=exact_fold, normalize=normalize
                 )
                 if as_long:
                     acc = acc.astype(np.int64)
@@ -275,28 +331,31 @@ def cosine_topk(
     Returns ``(query_id, neighbor_id, cosine, rank)``. Deterministic
     tie-break: higher cosine first, then smaller neighbor id.
 
-    Scale shape: both sides L2-normalize ONCE (norms n times, not
-    n^2); the query side — small by contract, the same bound that
-    made the pre-Arrow plan broadcast it — ships to every task inside
-    the scorer closure; the O(N x Q) dense dots run as ONE
+    Scale shape: the query side — small by contract, the same bound
+    that made the pre-Arrow plan broadcast it — is collected RAW,
+    fold-exact-normalized driver-side and shipped to every task inside
+    the scorer closure; the scan side enters the scorer RAW too (half
+    the Arrow bytes for float32 storage, zero JVM normalization HOFs)
+    and normalization + the O(N x Q) dense dots run as ONE
     Arrow-batched numpy pass per scan partition (vectorized across
     pairs, exact left-fold order per pair, so results are
-    bit-identical to the zip_with/aggregate expression and to the
-    DuckDB oracle replay — measured ~45x over the interpreted HOF
-    expression, which is CodegenFallback; the unrolled-expression
-    alternative loses to HotSpot's huge-method JIT limit, see
-    SCALING.md). Each scan row emits its Q dots as one array, exploded
-    JVM-side in the SAME stage — nothing dim- or Q-sized ever crosses
-    the shuffle; the per-query Exchange ships 3-scalar rows already
-    capped at k by the partial WindowGroupLimit."""
+    bit-identical to the with_l2_normalized + zip_with/aggregate
+    expression pipeline and to the DuckDB oracle replay — measured
+    ~17x over the interpreted HOF expression at 15M pairs; the
+    unrolled-expression alternative loses to HotSpot's huge-method JIT
+    limit, see SCALING.md). Each scan row emits its Q dots as one
+    array, exploded JVM-side in the SAME stage — nothing dim- or
+    Q-sized ever crosses the shuffle; the per-query Exchange ships
+    3-scalar rows already capped at k by the partial
+    WindowGroupLimit."""
     from pyspark.sql import types as T
 
     spark = vectors.sparkSession
     qid_type = queries.schema[id_col].dataType
     vid_type = vectors.schema[id_col].dataType
-    q = with_l2_normalized(
-        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "__qvec"
-    ).select("query_id", "__qvec")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
     qrows = _collect_query_side(q, max_query_rows, "cosine_topk query")
     out_fields = [
         T.StructField("query_id", qid_type),
@@ -306,12 +365,17 @@ def cosine_topk(
     ]
     if not qrows:
         return spark.createDataFrame([], T.StructType(out_fields))
-    qvecs = [None if r["__qvec"] is None else list(r["__qvec"]) for r in qrows]
-    v = with_l2_normalized(
-        vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__vvec"
-    ).select(F.col("neighbor_id").alias("__id"), F.col("__vvec").alias("__vec"))
+    qvecs = [
+        None if r["__qvec"] is None else _normalize_vec_py(list(r["__qvec"]))
+        for r in qrows
+    ]
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
     dotted = v.mapInPandas(
-        _dots_map_fn(qvecs, "dots", exact_fold=True, as_long=False),
+        _dots_map_fn(
+            qvecs, "dots", exact_fold=True, as_long=False, normalize=True
+        ),
         schema=T.StructType(
             [
                 T.StructField("neighbor_id", vid_type),
@@ -397,28 +461,32 @@ def cosine_topk_quantized(
     approximates cosine. Deterministic: integer dots are exact, ties
     break on smaller neighbor id.
 
-    The integer dots run as ONE float64 BLAS matmul per Arrow batch —
-    EXACT because int8 products (<= levels^2) and dim-bounded sums sit
-    far below 2^53, and integer addition is associative, so BLAS's
-    reordered accumulation is bit-identical to the SQL oracle's fold.
-    Same stage shape as :func:`cosine_topk`: query side in the scorer
-    closure, per-row dot array exploded before anything reaches a
-    shuffle, scale multiplies `(idot * qscale) * vscale` kept in the
-    oracle's association order."""
+    The whole vector-side pipeline — L2 normalization, quantization,
+    integer dots — runs inside ONE Arrow-batched numpy pass over the
+    RAW vectors (half the Arrow bytes for float32 storage, zero
+    per-row JVM HOFs): normalization is the exact fold
+    (:func:`_norm_rows_exact`), quantization replicates
+    :func:`with_quantized` op-for-op (max is order-independent,
+    floor/divide single IEEE ops), and the integer dots are one
+    float64 BLAS matmul — EXACT because int8 products (<= levels^2)
+    and dim-bounded sums sit far below 2^53, and integer addition is
+    associative, so BLAS's reordered accumulation is bit-identical to
+    the SQL oracle's fold. Same stage shape as :func:`cosine_topk`:
+    query side in the scorer closure, per-row dot array exploded
+    before anything reaches a shuffle, scale multiplies
+    `(idot * qscale) * vscale` kept in the oracle's association
+    order."""
+    import pandas as pd
     from pyspark.sql import types as T
-
-    def _side(df: DataFrame, out_id: str, out_z: str) -> DataFrame:
-        d = df.select(F.col(id_col).alias(out_id), vec_col)
-        d = with_l2_normalized(d, vec_col, "__unit")
-        d = with_quantized(d, "__unit", out_z, levels=levels)
-        return d.select(out_id, out_z)
 
     spark = vectors.sparkSession
     qid_type = queries.schema[id_col].dataType
     vid_type = vectors.schema[id_col].dataType
-    qs = _side(queries, "query_id", "__zq")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
     qrows = _collect_query_side(
-        qs, max_query_rows, "cosine_topk_quantized query"
+        q, max_query_rows, "cosine_topk_quantized query"
     )
     out_fields = [
         T.StructField("query_id", qid_type),
@@ -428,24 +496,91 @@ def cosine_topk_quantized(
     ]
     if not qrows:
         return spark.createDataFrame([], T.StructType(out_fields))
-    qvecs = [
-        None if r["__zq"] is None or r["__zq"]["q"] is None
-        else list(r["__zq"]["q"])
-        for r in qrows
-    ]
-    vs = _side(vectors, "neighbor_id", "__zv").select(
-        F.col("neighbor_id").alias("__id"),
-        F.col("__zv.q").alias("__vec"),
-        F.col("__zv.scale").alias("__vscale"),
+    qscales: list = []
+    qvecs: list = []
+    for r in qrows:
+        if r["__qvec"] is None:
+            qscales.append(None)
+            qvecs.append(None)
+        else:
+            s, qq = _quantize_vec_py(
+                _normalize_vec_py(list(r["__qvec"])), levels
+            )
+            qscales.append(s)
+            qvecs.append(qq)
+
+    q_count = len(qvecs)
+    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, q_count))
+
+    def fn(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                vals = part["__vec"].to_numpy()
+                n = len(vals)
+                lens = np.fromiter(
+                    ((-1 if v is None else len(v)) for v in vals),
+                    dtype=np.int64,
+                    count=n,
+                )
+                scales = np.full(n, np.nan)
+                acc = np.zeros((n, q_count), dtype=np.float64)
+                valid = np.zeros((n, q_count), dtype=bool)
+                qlens = [(-1 if qv is None else len(qv)) for qv in qvecs]
+                for dj in np.unique(lens):
+                    if dj < 0:
+                        continue
+                    ridx = np.flatnonzero(lens == dj)
+                    V = np.stack(
+                        [np.asarray(vals[i], dtype=np.float64) for i in ridx]
+                    )
+                    if dj > 0:
+                        U = _norm_rows_exact(V)
+                        mx = np.abs(U).max(axis=1)
+                        scale = mx / float(levels)
+                        Q = np.zeros_like(U)
+                        nzr = mx > 0
+                        if nzr.any():
+                            Q[nzr] = np.floor(
+                                U[nzr] / scale[nzr, None] + 0.5
+                            )
+                        scales[ridx] = scale
+                    else:
+                        # 0-dim vectors: array_max([]) is null in the
+                        # expression twin, so the scale stays null
+                        Q = V
+                    cols = [j for j, ql in enumerate(qlens) if ql == dj]
+                    if not cols:
+                        continue
+                    QT = np.stack(
+                        [np.asarray(qvecs[j], dtype=np.float64) for j in cols]
+                    )
+                    acc[np.ix_(ridx, cols)] = Q @ QT.T
+                    valid[np.ix_(ridx, cols)] = True
+                iacc = acc.astype(np.int64)
+                if valid.all():
+                    dots = iacc.tolist()
+                else:
+                    dots = [
+                        [(int(a) if ok else None) for a, ok in zip(ar, vr)]
+                        for ar, vr in zip(iacc, valid)
+                    ]
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": part["__id"],
+                        "__vscale": [
+                            (None if np.isnan(s) else float(s))
+                            for s in scales
+                        ],
+                        "idots": dots,
+                    }
+                )
+
+    vs = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
     dotted = vs.mapInPandas(
-        _dots_map_fn(
-            qvecs,
-            "idots",
-            exact_fold=False,
-            as_long=True,
-            extra_cols=("__vscale",),
-        ),
+        fn,
         schema=T.StructType(
             [
                 T.StructField("neighbor_id", vid_type),
@@ -458,12 +593,7 @@ def cosine_topk_quantized(
         T.ArrayType(qid_type)
     )
     qscale_arr = F.array(
-        *[
-            F.lit(
-                None if r["__zq"] is None else r["__zq"]["scale"]
-            ).cast("double")
-            for r in qrows
-        ]
+        *[F.lit(s).cast("double") for s in qscales]
     )
     scored = dotted.select(
         "neighbor_id",

@@ -51,9 +51,16 @@ def hard_negatives(
     anchor shuffle, where a window would move every candidate. The
     sign flip lives on the always-numeric cosine, NOT the id: ids are
     a generic parameter (strings for doc/URL ids are common), and
-    negating a string id would throw CAST_INVALID_INPUT under ANSI."""
+    negating a string id would throw CAST_INVALID_INPUT under ANSI.
+    Null neighbor_ids are dropped up front — struct MIN would
+    otherwise prefer a null id over a real one on a cosine tie (nulls
+    sort first ascending), and a triplet with no negative id is
+    useless to any consumer."""
     best = (
-        scored.filter(F.col("cosine") < F.lit(neg_ceiling))
+        scored.filter(
+            (F.col("cosine") < F.lit(neg_ceiling))
+            & F.col("neighbor_id").isNotNull()
+        )
         .groupBy("query_id")
         .agg(
             F.min(

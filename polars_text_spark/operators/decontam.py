@@ -200,6 +200,16 @@ def embedding_contamination(
     EMPTY eval set yields max_eval_cosine null / contaminated false
     for every row rather than an empty result (an accidentally-empty
     benchmark must not silently pass the whole corpus).
+
+    Non-finite policy (pinned by tests): a NaN/inf pair cosine —
+    corrupt data on either side — is treated as null and SKIPPED, so a
+    poisoned eval vector no longer nulls every train row's max over
+    its remaining finite pairs (the old expression path's F.max saw
+    NaN and, by Spark's NaN-greater-than-everything ordering, returned
+    NaN-as-max — flagging every row against a corrupt benchmark
+    entry). A train row whose every pair is non-finite gets a null max
+    (un-flagged); surface corrupt embeddings upstream with
+    embedding_norms before gating.
     """
     import pandas as pd
     from pyspark.sql import types as T

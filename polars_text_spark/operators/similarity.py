@@ -210,7 +210,15 @@ def _fold_dot_batch(vals, qlist, *, exact_fold: bool = True, normalize: bool = F
     (:func:`_norm_rows_exact`) before dotting — the caller then feeds
     RAW vectors (half the Arrow bytes when stored as float32, and no
     per-row interpreted normalization HOF JVM-side); the query side
-    must arrive pre-normalized (:func:`_normalize_vec_py`)."""
+    must arrive pre-normalized (:func:`_normalize_vec_py`).
+
+    NON-FINITE policy (deliberate divergence from the expression twin,
+    pinned by tests): a NaN/inf dot — i.e. a corrupt vector — is
+    marked INVALID, so it surfaces as a NULL score that ranks LAST and
+    never trips a threshold. The old zip_with fold produced NaN, which
+    Spark's NaN-sorts-greatest ordering put at rank 1 — a corrupt
+    vector outranking every clean neighbor. One poisoned pair also
+    stops nulling a row's max over its remaining FINITE pairs."""
     n = len(vals)
     lens = np.fromiter(
         ((-1 if v is None else len(v)) for v in vals), dtype=np.int64, count=n
@@ -237,55 +245,139 @@ def _fold_dot_batch(vals, qlist, *, exact_fold: bool = True, normalize: bool = F
             a = V @ QT.T
         acc[np.ix_(ridx, cols)] = a
         valid[np.ix_(ridx, cols)] = True
+    valid &= np.isfinite(acc)
     return acc, valid
+
+
+def _quantized_dot_batch(vals, qvecs_int, levels: int):
+    """Normalize + quantize + integer-dot one batch of RAW vectors
+    against a pre-quantized query list: returns ``(scales, acc,
+    valid)`` — per-row quantization scales (NaN = null), the (n x Q)
+    integer-valued float64 dot matrix, and its validity mask.
+
+    Normalization is the exact fold (:func:`_norm_rows_exact`);
+    quantization replicates :func:`with_quantized` op-for-op (max is
+    order-independent, floor/divide single IEEE ops); the dots are one
+    float64 BLAS matmul per dim group — exact because int8 products
+    (<= levels^2) and dim-bounded sums sit far below 2^53 and integer
+    addition is associative. A NaN-component vector keeps the
+    expression twin's semantics structurally: its max|u| is NaN, so
+    its scale is NaN (-> null score downstream) and its q collapses to
+    zeros. 0-dim vectors keep the twin's null scale (array_max([]) is
+    null)."""
+    n = len(vals)
+    q_count = len(qvecs_int)
+    lens = np.fromiter(
+        ((-1 if v is None else len(v)) for v in vals), dtype=np.int64, count=n
+    )
+    qlens = [(-1 if qv is None else len(qv)) for qv in qvecs_int]
+    scales = np.full(n, np.nan)
+    acc = np.zeros((n, q_count), dtype=np.float64)
+    valid = np.zeros((n, q_count), dtype=bool)
+    for dj in np.unique(lens):
+        if dj < 0:
+            continue
+        ridx = np.flatnonzero(lens == dj)
+        V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in ridx])
+        if dj > 0:
+            U = _norm_rows_exact(V)
+            mx = np.abs(U).max(axis=1)
+            scale = mx / float(levels)
+            Q = np.zeros_like(U)
+            nzr = mx > 0
+            if nzr.any():
+                Q[nzr] = np.floor(U[nzr] / scale[nzr, None] + 0.5)
+            scales[ridx] = scale
+        else:
+            Q = V
+        cols = [j for j, ql in enumerate(qlens) if ql == dj]
+        if not cols:
+            continue
+        QT = np.stack(
+            [np.asarray(qvecs_int[j], dtype=np.float64) for j in cols]
+        )
+        acc[np.ix_(ridx, cols)] = Q @ QT.T
+        valid[np.ix_(ridx, cols)] = True
+    valid &= np.isfinite(acc)
+    return scales, acc, valid
 
 
 _SCORE_CHUNK_CELLS = 4_000_000  # peak (rows x queries) f64 cells per slice
 
 
-def _dots_map_fn(
-    qvecs,
-    out_dots_col: str,
-    *,
-    exact_fold: bool,
-    as_long: bool,
-    normalize: bool = False,
-    extra_cols: tuple[str, ...] = (),
-):
-    """mapInPandas function: ``(__id, __vec, *extra_cols)`` batches ->
-    ``(neighbor_id, *extra_cols, <out_dots_col>: array of per-query
-    dots)``. Row-chunked so the (rows x Q) score matrix stays bounded
-    no matter how wide the query side is."""
+def _masked_lists(acc, valid, *, as_long: bool):
+    """Per-row lists with invalid cells as None (fast path when all
+    valid)."""
+    if as_long:
+        acc = acc.astype(np.int64)
+    if valid.all():
+        return acc.tolist()
+    return [
+        [((int(a) if as_long else float(a)) if ok else None)
+         for a, ok in zip(arow, vrow)]
+        for arow, vrow in zip(acc, valid)
+    ]
+
+
+def _dots_map_fn(qvecs, out_dots_col: str):
+    """mapInPandas function for the exact float path: ``(__id, __vec)``
+    batches -> ``(neighbor_id, <out_dots_col>: array of per-query
+    dots)`` — raw vectors in, fold-exact normalize + dot inside.
+    Row-chunked so the (rows x Q) score matrix stays bounded no matter
+    how wide the query side is."""
     import pandas as pd
 
-    q_count = len(qvecs)
-    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, q_count))
+    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, len(qvecs)))
 
     def fn(batches):
         for pdf in batches:
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
-                vals = part["__vec"].to_numpy()
                 acc, valid = _fold_dot_batch(
-                    vals, qvecs, exact_fold=exact_fold, normalize=normalize
+                    part["__vec"].to_numpy(),
+                    qvecs,
+                    exact_fold=True,
+                    normalize=True,
                 )
-                if as_long:
-                    acc = acc.astype(np.int64)
-                if valid.all():
-                    dots = acc.tolist()
-                else:
-                    dots = [
-                        [
-                            ((int(a) if as_long else float(a)) if ok else None)
-                            for a, ok in zip(arow, vrow)
-                        ]
-                        for arow, vrow in zip(acc, valid)
-                    ]
-                out = {"neighbor_id": part["__id"]}
-                for c in extra_cols:
-                    out[c] = part[c]
-                out[out_dots_col] = dots
-                yield pd.DataFrame(out)
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": part["__id"],
+                        out_dots_col: _masked_lists(
+                            acc, valid, as_long=False
+                        ),
+                    }
+                )
+
+    return fn
+
+
+def _quantized_dots_map_fn(qvecs_int, levels: int):
+    """mapInPandas function for the int8 path: ``(__id, __vec)``
+    batches -> ``(neighbor_id, __vscale, idots)`` — raw vectors in,
+    fold-exact normalize + quantize + BLAS integer dot inside
+    (:func:`_quantized_dot_batch`). Non-finite scales surface as null
+    (-> null score, ranks last)."""
+    import pandas as pd
+
+    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, len(qvecs_int)))
+
+    def fn(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                scales, acc, valid = _quantized_dot_batch(
+                    part["__vec"].to_numpy(), qvecs_int, levels
+                )
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": part["__id"],
+                        "__vscale": [
+                            (float(s) if np.isfinite(s) else None)
+                            for s in scales
+                        ],
+                        "idots": _masked_lists(acc, valid, as_long=True),
+                    }
+                )
 
     return fn
 
@@ -373,9 +465,7 @@ def cosine_topk(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
     dotted = v.mapInPandas(
-        _dots_map_fn(
-            qvecs, "dots", exact_fold=True, as_long=False, normalize=True
-        ),
+        _dots_map_fn(qvecs, "dots"),
         schema=T.StructType(
             [
                 T.StructField("neighbor_id", vid_type),
@@ -476,7 +566,6 @@ def cosine_topk_quantized(
     before anything reaches a shuffle, scale multiplies
     `(idot * qscale) * vscale` kept in the oracle's association
     order."""
-    import pandas as pd
     from pyspark.sql import types as T
 
     spark = vectors.sparkSession
@@ -509,78 +598,11 @@ def cosine_topk_quantized(
             qscales.append(s)
             qvecs.append(qq)
 
-    q_count = len(qvecs)
-    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, q_count))
-
-    def fn(batches):
-        for pdf in batches:
-            for lo in range(0, len(pdf), chunk):
-                part = pdf.iloc[lo : lo + chunk]
-                vals = part["__vec"].to_numpy()
-                n = len(vals)
-                lens = np.fromiter(
-                    ((-1 if v is None else len(v)) for v in vals),
-                    dtype=np.int64,
-                    count=n,
-                )
-                scales = np.full(n, np.nan)
-                acc = np.zeros((n, q_count), dtype=np.float64)
-                valid = np.zeros((n, q_count), dtype=bool)
-                qlens = [(-1 if qv is None else len(qv)) for qv in qvecs]
-                for dj in np.unique(lens):
-                    if dj < 0:
-                        continue
-                    ridx = np.flatnonzero(lens == dj)
-                    V = np.stack(
-                        [np.asarray(vals[i], dtype=np.float64) for i in ridx]
-                    )
-                    if dj > 0:
-                        U = _norm_rows_exact(V)
-                        mx = np.abs(U).max(axis=1)
-                        scale = mx / float(levels)
-                        Q = np.zeros_like(U)
-                        nzr = mx > 0
-                        if nzr.any():
-                            Q[nzr] = np.floor(
-                                U[nzr] / scale[nzr, None] + 0.5
-                            )
-                        scales[ridx] = scale
-                    else:
-                        # 0-dim vectors: array_max([]) is null in the
-                        # expression twin, so the scale stays null
-                        Q = V
-                    cols = [j for j, ql in enumerate(qlens) if ql == dj]
-                    if not cols:
-                        continue
-                    QT = np.stack(
-                        [np.asarray(qvecs[j], dtype=np.float64) for j in cols]
-                    )
-                    acc[np.ix_(ridx, cols)] = Q @ QT.T
-                    valid[np.ix_(ridx, cols)] = True
-                iacc = acc.astype(np.int64)
-                if valid.all():
-                    dots = iacc.tolist()
-                else:
-                    dots = [
-                        [(int(a) if ok else None) for a, ok in zip(ar, vr)]
-                        for ar, vr in zip(iacc, valid)
-                    ]
-                yield pd.DataFrame(
-                    {
-                        "neighbor_id": part["__id"],
-                        "__vscale": [
-                            (None if np.isnan(s) else float(s))
-                            for s in scales
-                        ],
-                        "idots": dots,
-                    }
-                )
-
     vs = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
     dotted = vs.mapInPandas(
-        fn,
+        _quantized_dots_map_fn(qvecs, levels),
         schema=T.StructType(
             [
                 T.StructField("neighbor_id", vid_type),
@@ -717,15 +739,27 @@ def cosine_topk_ivf(
     """
     sample = _train_vectors(vectors, vec_col, train_sample, seed)
     if len(sample) == 0:
-        # Empty vectors table: the brute-force plan degenerates to an
-        # empty result with the correct schema — no codebook to train.
-        return cosine_topk(
-            vectors,
-            queries,
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
-            exclude_self=exclude_self,
+        # Empty vectors table: degenerate to an empty result with the
+        # correct schema directly — no codebook to train, and no
+        # detour through cosine_topk, whose bounded query-side collect
+        # would raise on a large query frame that this path never
+        # needs to ship anywhere.
+        from pyspark.sql import types as T
+
+        return vectors.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[id_col].dataType
+                    ),
+                    T.StructField(
+                        "neighbor_id", vectors.schema[id_col].dataType
+                    ),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType(), nullable=False),
+                ]
+            ),
         )
     if n_lists is None:
         n_lists = max(1, int(np.sqrt(len(sample))))

@@ -7811,8 +7811,9 @@ _DRIVER_PRIORITY = [
     # THEN: the block whose latest driver signature is r7 — the oldest
     # in the registry (every other query is r8/r9-signed). The lsh/ivf
     # sha twins above are themselves r7-signed, so they serve double
-    # duty. With a ~50-row window the last ~4 entries here may slip to
-    # r11; they rotate first next round.
+    # duty. 57 front entries vs a ~50-row window: the LAST 7 r7
+    # entries (quantile_audit .. node_collocates) are expected to slip
+    # to r11 — front them FIRST next round.
     "zipf_by_lang",
     "mixture_rebalance",
     "pii_scan",

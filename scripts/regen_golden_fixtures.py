@@ -113,14 +113,23 @@ def main() -> int:
             vec = load_embedder(key).embed_batch([text])[0]
             got = [round(float(x), 6) for x in vec]
             if entry and entry.get("vector") is not None:
-                worst = max(
-                    abs(a - b) for a, b in zip(got, entry["vector"])
-                )
-                if worst > 1e-4:
+                # compare length FIRST: zip() silently truncates, so a
+                # dim change with a matching common prefix would pass
+                if len(got) != len(entry["vector"]):
                     drift += 1
-                    print(f"DRIFT {key}: max component delta {worst}")
+                    print(
+                        f"DRIFT {key}: dim {len(got)} != "
+                        f"{len(entry['vector'])}"
+                    )
                 else:
-                    print(f"OK    {key}: dim {len(got)}")
+                    worst = max(
+                        abs(a - b) for a, b in zip(got, entry["vector"])
+                    )
+                    if worst > 1e-4:
+                        drift += 1
+                        print(f"DRIFT {key}: max component delta {worst}")
+                    else:
+                        print(f"OK    {key}: dim {len(got)}")
             elif entry:
                 # structural-contract entry awaiting its first live run:
                 # verify the committed contract before filling values

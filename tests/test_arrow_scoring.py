@@ -182,3 +182,80 @@ def test_cosine_topk_plan_has_no_pair_join(spark, sf_dir):
     # Python node (below) with no Exchange line between them
     between = tree[min(gen): max(py)]
     assert not any("Exchange" in l for l in between)
+
+
+def test_non_finite_vectors_score_null_and_rank_last(spark):
+    """Pinned NON-FINITE policy (deliberate divergence from the old
+    expression plan, where NaN's sorts-greatest ordering put a corrupt
+    vector at rank 1): NaN/inf vectors score NULL and rank LAST."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [0.9, 0.1]),
+            (4, [float("inf"), 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.neighbor_id: r
+        for r in cosine_topk(df, df.filter("vec_id = 1"), k=10).collect()
+    }
+    assert rows[3].cosine is not None and rows[3].rank == 1
+    assert rows[2].cosine is None and rows[4].cosine is None
+    assert {rows[2].rank, rows[4].rank} == {2, 3}
+
+    q = {
+        r.neighbor_id: r
+        for r in cosine_topk_quantized(
+            df, df.filter("vec_id = 1"), k=10
+        ).collect()
+    }
+    assert q[3].score is not None and q[3].rank == 1
+    assert q[2].score is None and q[4].score is None
+
+
+def test_contamination_skips_non_finite_pairs(spark):
+    """A corrupt EVAL vector must not null every train row's max over
+    its remaining finite pairs; a fully-corrupt TRAIN vector gets a
+    null max and stays un-flagged (documented fail-open, surfaced
+    upstream by embedding_norms)."""
+    from polars_text_spark.operators.decontam import embedding_contamination
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("nan"), 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [float("nan"), 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r
+        for r in embedding_contamination(train, ev, threshold=0.9).collect()
+    }
+    # train 1: the NaN eval pair is skipped, the finite pair still max
+    assert got[1].max_eval_cosine == pytest.approx(1.0)
+    assert got[1].contaminated
+    # train 2: every pair non-finite -> null max, un-flagged
+    assert got[2].max_eval_cosine is None and not got[2].contaminated
+
+
+def test_ivf_empty_vectors_degenerates_lazily(spark):
+    """The empty-codebook fallback must not detour through
+    cosine_topk's bounded query collect — a large query frame against
+    an empty vectors table returns an empty frame, never raises."""
+    from polars_text_spark.operators.similarity import cosine_topk_ivf
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk_ivf(empty, queries, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ]

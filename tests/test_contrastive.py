@@ -99,3 +99,14 @@ def test_triplets_margin_validation(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="ambiguity margin"):
         contrastive_triplets(df, dim=1, pos_threshold=0.5, neg_ceiling=0.5)
+
+
+def test_hard_negatives_ignores_null_neighbor_ids(spark):
+    """A null neighbor_id must never win a cosine tie (struct MIN
+    sorts nulls first ascending) — null-id candidates are dropped."""
+    scored = spark.createDataFrame(
+        [("q", None, 0.15), ("q", "doc-a", 0.15)],
+        "query_id string, neighbor_id string, cosine double",
+    )
+    rows = hard_negatives(scored, neg_ceiling=0.2).collect()
+    assert len(rows) == 1 and rows[0].negative_id == "doc-a"

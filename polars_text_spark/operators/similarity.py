@@ -128,8 +128,11 @@ def with_quantized(
     d = df.withColumn("__ptx_u", F.col(vec_col).cast("array<double>"))
     d = d.withColumn("__ptx_mx", F.array_max(F.transform("__ptx_u", F.abs)))
     scale = F.col("__ptx_mx") / F.lit(float(levels))
+    # branch on the SCALE, not mx: a denormal mx is > 0 but its scale
+    # underflows to 0.0 — x/0.0 is Infinity and the int cast would
+    # throw under ANSI; such vectors quantize to zeros like true zeros
     q = F.when(
-        F.col("__ptx_mx") > 0,
+        scale > 0,
         F.transform(
             "__ptx_u", lambda v: F.floor(v / scale + F.lit(0.5)).cast("int")
         ),
@@ -179,8 +182,11 @@ def _quantize_vec_py(u, levels: int):
     import math
 
     mx = max((abs(x) for x in u), default=0.0)
-    if mx > 0:
-        s = mx / float(levels)
+    s = mx / float(levels)
+    # branch on the SCALE, not mx: a denormal mx (5e-324) is > 0 but
+    # its scale underflows to 0.0 — dividing by it would raise here
+    # and overflow the int cast in the expression twin
+    if s > 0:
         return s, [int(math.floor(x / s + 0.5)) for x in u]
     return 0.0, [0] * len(u)
 
@@ -284,7 +290,10 @@ def _quantized_dot_batch(vals, qvecs_int, levels: int):
             mx = np.abs(U).max(axis=1)
             scale = mx / float(levels)
             Q = np.zeros_like(U)
-            nzr = mx > 0
+            # branch on the SCALE (a denormal mx underflows to scale
+            # 0, which must quantize to zeros, not divide); NaN scales
+            # pass through -> null score downstream
+            nzr = scale > 0
             if nzr.any():
                 Q[nzr] = np.floor(U[nzr] / scale[nzr, None] + 0.5)
             scales[ridx] = scale
@@ -509,8 +518,10 @@ def quantize_vec(a, *, levels: int = 127):
 
     def with_mx(v, mx):
         scale = mx / F.lit(float(levels))
+        # scale (not mx) > 0: denormal-max vectors underflow the scale
+        # to 0.0 and must quantize to zeros (with_quantized twin)
         q = F.when(
-            mx > 0,
+            scale > 0,
             F.transform(
                 v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
             ),

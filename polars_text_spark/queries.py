@@ -1275,7 +1275,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT vec_id, u,
                  list_max(list_transform(u, x -> abs(x))) AS mx FROM u),
     z AS (SELECT vec_id, mx/127.0 AS scale,
-                 CASE WHEN mx > 0
+                 CASE WHEN mx / 127.0 > 0
                       THEN list_transform(u,
                         x -> CAST(floor(x/(mx/127.0) + 0.5) AS BIGINT))
                       ELSE list_transform(u, x -> CAST(0 AS BIGINT))

@@ -39,7 +39,9 @@ __all__ = [
     "stream_into_ann_store",
     "stream_into_bloom_store",
     "stream_into_minhash_store",
+    "stream_topk_against_store",
     "stream_web_gated_corpus",
+    "topk_serve_batch",
     "web_gate_batch",
 ]
 
@@ -319,6 +321,103 @@ def stream_into_ann_store(
                 num_planes=num_planes,
                 bands=bands,
                 buckets=buckets,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def topk_serve_batch(
+    name: str,
+    out_path: str,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    num_planes: int = 16,
+    bands: int = 4,
+    exclude_self: bool = True,
+):
+    """``foreachBatch`` function serving ANN queries CONTINUOUSLY
+    against the standing store: each micro-batch of query vectors is
+    scored with ``operators.ann_store.topk_from_store`` (band-key
+    equi-join candidates — store side Exchange-free on its buckets —
+    plus the exact-cosine re-rank) and the per-query top-k lands in a
+    parquet result log at ``out_path``.
+
+    The serving twin of the ingest sinks above: ingest grows the store
+    as shards land, this scores a query stream against whatever the
+    store holds AT EACH TRIGGER — the standard shape for continuous
+    retrieval evaluation or near-real-time dedup lookups. foreachBatch
+    because the verdict aggregates (candidate dedup + the rank
+    window); the BATCH operator runs verbatim per bounded micro-batch,
+    so stream==batch parity is structural. Exactly-once via dynamic
+    partition overwrite keyed on ``__serve_batch`` (the
+    ``web_gate_batch`` recipe: redelivery rewrites its own partition,
+    O(batch) per trigger, provenance for free). Tombstoned ids are
+    excluded at read time like every store read, so deletions take
+    effect at the NEXT trigger without restarting the stream."""
+    from polars_text_spark.operators.ann_store import topk_from_store
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        hits = topk_from_store(
+            batch_df.sparkSession,
+            name,
+            batch_df,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            num_planes=num_planes,
+            bands=bands,
+            exclude_self=exclude_self,
+        )
+        (
+            hits.withColumn("__serve_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__serve_batch")
+            .parquet(out_path)
+        )
+
+    return serve
+
+
+def stream_topk_against_store(
+    queries: DataFrame,
+    name: str,
+    out_path: str,
+    *,
+    checkpoint_dir: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    num_planes: int = 16,
+    bands: int = 4,
+    exclude_self: bool = True,
+    available_now: bool = False,
+):
+    """Attach the ANN serving sink to a streaming query-vector frame
+    and start it (see :func:`topk_serve_batch`). Returns the
+    StreamingQuery."""
+    writer = (
+        queries.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            topk_serve_batch(
+                name,
+                out_path,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                num_planes=num_planes,
+                bands=bands,
+                exclude_self=exclude_self,
             )
         )
     )

@@ -38,6 +38,8 @@ __all__ = [
     "minhash_ingest_batch",
     "stream_into_ann_store",
     "stream_into_bloom_store",
+    "decontam_gate_batch",
+    "stream_decontaminated_corpus",
     "stream_into_minhash_store",
     "stream_topk_against_store",
     "stream_web_gated_corpus",
@@ -510,6 +512,95 @@ def stream_web_gated_corpus(
         .foreachBatch(
             web_gate_batch(
                 rules, blocklist, out_path, agent=agent, url_col=url_col
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decontam_gate_batch(
+    benchmark: DataFrame,
+    out_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    max_shared_shingles: int = 0,
+    keep_flags: bool = False,
+):
+    """``foreachBatch`` function running benchmark DECONTAMINATION on
+    each micro-batch of crawled documents — the third stage of the
+    streaming crawl pipeline (after :func:`web_gate_batch`'s robots +
+    blocklist verdicts): rows sharing more than
+    ``max_shared_shingles`` distinct word ``n``-grams with the held-out
+    benchmark are dropped before they can enter the training corpus.
+
+    The benchmark frame is static and config-scale by construction (a
+    test set, not a corpus) — captured once, its exploded shingle set
+    broadcast per trigger exactly like the batch operator
+    (``operators.decontam.ngram_contamination`` runs verbatim inside
+    the bounded micro-batch, so stream==batch parity is structural;
+    foreachBatch because the per-doc collision counts aggregate).
+    Survivors append exactly-once via dynamic partition overwrite on
+    ``__ingest_batch`` (the established recipe). ``keep_flags=True``
+    writes ALL rows with their collision counts instead of dropping —
+    the audit mode."""
+    from polars_text_spark.operators.decontam import ngram_contamination
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        hits = ngram_contamination(
+            batch_df, benchmark, text_col, id_col, n=n
+        )
+        flagged = batch_df.join(hits, id_col, "left").withColumn(
+            "n_shared_shingles",
+            F.coalesce(F.col("n_shared_shingles"), F.lit(0)),
+        )
+        if keep_flags:
+            out = flagged.drop("n_bench_docs")
+        else:
+            out = flagged.filter(
+                F.col("n_shared_shingles") <= max_shared_shingles
+            ).drop("n_shared_shingles", "n_bench_docs")
+        (
+            out.withColumn("__ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ingest_batch")
+            .parquet(out_path)
+        )
+
+    return gate
+
+
+def stream_decontaminated_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    max_shared_shingles: int = 0,
+    keep_flags: bool = False,
+    available_now: bool = False,
+):
+    """Attach the decontamination gate sink to a streaming document
+    frame and start it (see :func:`decontam_gate_batch`)."""
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            decontam_gate_batch(
+                benchmark,
+                out_path,
+                text_col=text_col,
+                id_col=id_col,
+                n=n,
+                max_shared_shingles=max_shared_shingles,
+                keep_flags=keep_flags,
             )
         )
     )

@@ -182,6 +182,10 @@ def embedding_contamination(
     this flags training rows whose embedding is near-parallel to ANY
     eval-set embedding: ``(id_col, max_eval_cosine, contaminated)``.
 
+    EAGER on the eval side: ``eval_df`` is collected (bounded by
+    ``max_eval_rows``) at call time, so its content is frozen when
+    this function returns rather than re-evaluated per action.
+
     Scale shape mirrors :func:`ngram_contamination`: the eval side is
     small by construction (a benchmark, not a corpus) and ships to
     every task inside the scorer closure (the broadcast budget made

@@ -82,6 +82,8 @@ _C4_POLICY_PHRASES = (
     "privacy policy",
     "cookie policy",
     "uses cookies",
+    "use of cookies",
+    "use cookies",
 )
 
 
@@ -100,7 +102,8 @@ def c4_clean_lines(
     - do not mention ``javascript`` (case-folded — the "enable
       javascript" boilerplate), and
     - do not contain a policy phrase (``terms of use`` / ``privacy
-      policy`` / ``cookie policy`` / ``uses cookies``),
+      policy`` / ``cookie policy`` / ``uses cookies`` /
+      ``use of cookies`` / ``use cookies`` — C4's published set),
 
     then rejoin with newlines. Null in, null out; a page with no
     surviving line becomes the empty string (the page-level

@@ -58,7 +58,8 @@ def preference_pair_audit(
       ``log2((len_chosen+1)/(len_rejected+1))`` — the length-bias
       diagnostic to histogram before training a reward model;
     - ``prompt_pair_count``: how many pairs share this row's prompt
-      (exact duplicates by content);
+      (exact duplicates by content; NULL prompts count as their own
+      group, distinct from empty-string prompts);
     - ``chosen_contradicted``: this pair's chosen text appears as
       some pair's REJECTED text anywhere in the corpus (label
       noise; an identical_pair trivially contradicts itself, which
@@ -74,14 +75,25 @@ def preference_pair_audit(
         "preference_pair_audit",
     )
     c, r, p = F.col(chosen_col), F.col(rejected_col), F.col(prompt_col)
+
+    # presence-prefixed digest: NULL hashes as "n:" and a value as
+    # sha2("s:" || value), so a NULL prompt and an empty-string prompt
+    # land in DIFFERENT prompt_pair_count groups (concat propagates
+    # null, coalesce catches it) — conflating them would silently
+    # merge two distinct duplication diagnostics
+    def _h(col):
+        return F.coalesce(
+            F.sha2(F.concat(F.lit("s:"), col), 256), F.lit("n:")
+        )
+
     d = pairs.select(
         F.col(id_col),
         p.alias("__pp_p"),
         c.alias("__pp_c"),
         r.alias("__pp_r"),
-        F.sha2(F.coalesce(p, F.lit("")), 256).alias("__pp_ph"),
-        F.sha2(F.coalesce(c, F.lit("")), 256).alias("__pp_ch"),
-        F.sha2(F.coalesce(r, F.lit("")), 256).alias("__pp_rh"),
+        _h(p).alias("__pp_ph"),
+        _h(c).alias("__pp_ch"),
+        _h(r).alias("__pp_rh"),
     )
     prompt_counts = d.groupBy("__pp_ph").agg(
         F.count(F.lit(1)).alias("__pp_cnt")

@@ -178,10 +178,16 @@ def _quantize_vec_py(u, levels: int):
     """Driver-side quantization of one L2-normalized vector —
     replicates :func:`with_quantized` exactly: ``scale = max|u| /
     levels``, ``q_i = floor(u_i / scale + 0.5)`` (max is
-    order-independent; floor/divide are single IEEE ops)."""
+    order-independent; floor/divide are single IEEE ops). A 0-dim
+    vector returns ``(None, [])`` — the expression twin's
+    ``array_max([])`` is null and the vector side in
+    :func:`_quantized_dot_batch` yields a null scale, so the query
+    side must agree (null scale -> null score, ranks last)."""
     import math
 
-    mx = max((abs(x) for x in u), default=0.0)
+    if len(u) == 0:
+        return None, []
+    mx = max(abs(x) for x in u)
     s = mx / float(levels)
     # branch on the SCALE, not mx: a denormal mx (5e-324) is > 0 but
     # its scale underflows to 0.0 — dividing by it would raise here
@@ -432,6 +438,11 @@ def cosine_topk(
     Returns ``(query_id, neighbor_id, cosine, rank)``. Deterministic
     tie-break: higher cosine first, then smaller neighbor id.
 
+    EAGER on the query side: ``queries`` is collected (bounded, see
+    below) at CALL time, so its content is frozen when this function
+    returns — not re-evaluated per action like a fully lazy plan.
+    Build the query frame last if it derives from mutable state.
+
     Scale shape: the query side — small by contract, the same bound
     that made the pre-Arrow plan broadcast it — is collected RAW,
     fold-exact-normalized driver-side and shipped to every task inside
@@ -561,6 +572,9 @@ def cosine_topk_quantized(
     Returns ``(query_id, neighbor_id, score, rank)`` where score
     approximates cosine. Deterministic: integer dots are exact, ties
     break on smaller neighbor id.
+
+    EAGER on the query side (like :func:`cosine_topk`): ``queries``
+    is collected at call time and frozen into the scorer.
 
     The whole vector-side pipeline — L2 normalization, quantization,
     integer dots — runs inside ONE Arrow-batched numpy pass over the

@@ -7575,7 +7575,9 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND NOT contains(lower(ln), 'terms of use')
         AND NOT contains(lower(ln), 'privacy policy')
         AND NOT contains(lower(ln), 'cookie policy')
-        AND NOT contains(lower(ln), 'uses cookies')),
+        AND NOT contains(lower(ln), 'uses cookies')
+        AND NOT contains(lower(ln), 'use of cookies')
+        AND NOT contains(lower(ln), 'use cookies')),
     agg AS (
       SELECT doc_id,
              sum(length(ln)) + count(*) - 1 AS kept_chars,
@@ -7791,15 +7793,14 @@ def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-10 additions (driver has never seen these)
-    "c4_filter",
-    "trigram_surprisal",
-    "preference_pair_audit",
-    # Round 10 (VERDICT r9 items 3+4). FIRST: every no-oracle fast
-    # path sits ADJACENT to its fully-oracle-replayed sha twin, so a
-    # fast-path regression can never be signed in a window that
-    # excludes the hash-checked twin (adjacency pinned by
-    # tests/test_registry_rotation.py::test_no_oracle_fast_paths_adjacent_to_sha_twins).
+    # round-11 additions (driver has never seen these)
+    # -- filled in as the round's new queries land --
+    # EVERY no-oracle/rows-only query sits ADJACENT to the
+    # hash-replayed query that vouches for it (sha twins; the
+    # oracle-checked assemble stage for the topic pipeline; the exact
+    # top-k the recall report is built on), so a fast-path regression
+    # can never be signed in a window that excludes its voucher
+    # (pinned by tests/test_registry_rotation.py).
     "similarity_topk_lsh",
     "similarity_topk_lsh_sha",
     "similarity_topk_ivf",
@@ -7808,51 +7809,12 @@ _DRIVER_PRIORITY = [
     "near_dedup_simhash_sha",
     "embedding_docs",
     "embedding_docs_sha",
-    # THEN: the block whose latest driver signature is r7 — the oldest
-    # in the registry (every other query is r8/r9-signed). The lsh/ivf
-    # sha twins above are themselves r7-signed, so they serve double
-    # duty. 57 front entries vs a ~50-row window: the LAST 7 r7
-    # entries (quantile_audit .. node_collocates) are expected to slip
-    # to r11 — front them FIRST next round.
-    "zipf_by_lang",
-    "mixture_rebalance",
-    "pii_scan",
-    "paragraph_dedup_stats",
-    "winnow_overlap",
-    "strip_duplicate_paragraphs",
-    "salted_order_priority_revenue",
-    "salted_customer_order_counts",
-    "events_purchase_windows_left",
-    "dedup_keep_best",
-    "kmeans_clusters",
-    "semantic_dedup_pairs",
-    "quality_classifier",
-    "dup_span_coverage",
-    "gopher_filter",
-    "strip_duplicate_spans",
-    "tokenize_cached",
-    "topic_chunks",
-    "train_val_split",
-    "split_leakage_audit",
-    "shard_manifest",
-    "domain_cap",
-    "tfidf_keywords",
-    "source_cardinality",
-    "ngram_trigrams",
-    "collocations_pmi",
-    "token_dispersion",
-    "char_quality_stats",
-    "heavy_hitters",
-    "near_dup_sources",
-    "readability_scores",
-    "kwic_term_plot",
-    "corpus_snapshot_diff",
-    "source_prefix_boilerplate",
-    "trending_keys",
-    "doc_novelty",
-    "length_outliers",
-    "dup_degree_hist",
-    "heaps_fit",
+    "topic_modeling",
+    "topic_assemble",
+    "similarity_ann_recall",
+    "similarity_topk",
+    # THEN: the 7 r7-signed entries that slipped past round 10's
+    # 50-row window (the oldest driver signatures in the registry).
     "quantile_audit",
     "vocab_spelling",
     "quality_cube",

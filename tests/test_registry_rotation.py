@@ -49,14 +49,19 @@ def test_never_signed_queries_sit_inside_the_driver_window():
     )
 
 
-# every no-oracle fast path and the sha variant whose DuckDB-replayed
-# hash vouches for it — the pair must be signed in the SAME driver
-# window, so adjacency in registry order is required
+# every no-oracle fast path and the hash-replayed query that vouches
+# for it — sha twins for the seeded fast paths, the oracle-checked
+# assemble stage for the full topic pipeline, and the hash-checked
+# exact top-k for the recall report built on it. The pair must be
+# signed in the SAME driver window, so adjacency in registry order is
+# required.
 _NO_ORACLE_TWINS = {
     "similarity_topk_lsh": "similarity_topk_lsh_sha",
     "similarity_topk_ivf": "similarity_topk_ivf_sha",
     "near_dedup_simhash": "near_dedup_simhash_sha",
     "embedding_docs": "embedding_docs_sha",
+    "topic_modeling": "topic_assemble",
+    "similarity_ann_recall": "similarity_topk",
 }
 
 

@@ -235,17 +235,23 @@ def embedding_contamination(
     e = eval_df.where(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).alias("__evec")
     )
-    erows = _collect_query_side(e, max_eval_rows, "embedding_contamination eval")
+    erows = _collect_query_side(
+        e, max_eval_rows, "embedding_contamination eval", vec_field="__evec"
+    )
     evecs = [
         None if r["__evec"] is None else _normalize_vec_py(list(r["__evec"]))
         for r in erows
     ]
+    # ship the eval payload once per executor via the torrent channel,
+    # not pickled into every task closure
+    evecs_bc = train.sparkSession.sparkContext.broadcast(evecs)
 
     from polars_text_spark.operators.similarity import _SCORE_CHUNK_CELLS
 
     chunk = max(1, _SCORE_CHUNK_CELLS // max(1, len(evecs)))
 
     def fn(batches):
+        evecs = evecs_bc.value
         for pdf in batches:
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]

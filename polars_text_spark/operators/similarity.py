@@ -334,17 +334,21 @@ def _masked_lists(acc, valid, *, as_long: bool):
     ]
 
 
-def _dots_map_fn(qvecs, out_dots_col: str):
+def _dots_map_fn(qvecs_bc, n_queries: int, out_dots_col: str):
     """mapInPandas function for the exact float path: ``(__id, __vec)``
     batches -> ``(neighbor_id, <out_dots_col>: array of per-query
     dots)`` — raw vectors in, fold-exact normalize + dot inside.
     Row-chunked so the (rows x Q) score matrix stays bounded no matter
-    how wide the query side is."""
+    how wide the query side is. ``qvecs_bc`` is a ``sc.broadcast``
+    handle: the query payload ships once per executor over the
+    torrent channel (with block-level memory accounting), not pickled
+    into every task's function closure."""
     import pandas as pd
 
-    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, len(qvecs)))
+    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, n_queries))
 
     def fn(batches):
+        qvecs = qvecs_bc.value
         for pdf in batches:
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
@@ -366,17 +370,19 @@ def _dots_map_fn(qvecs, out_dots_col: str):
     return fn
 
 
-def _quantized_dots_map_fn(qvecs_int, levels: int):
+def _quantized_dots_map_fn(qvecs_bc, n_queries: int, levels: int):
     """mapInPandas function for the int8 path: ``(__id, __vec)``
     batches -> ``(neighbor_id, __vscale, idots)`` — raw vectors in,
     fold-exact normalize + quantize + BLAS integer dot inside
     (:func:`_quantized_dot_batch`). Non-finite scales surface as null
-    (-> null score, ranks last)."""
+    (-> null score, ranks last). ``qvecs_bc`` is a ``sc.broadcast``
+    handle (see :func:`_dots_map_fn`)."""
     import pandas as pd
 
-    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, len(qvecs_int)))
+    chunk = max(1, _SCORE_CHUNK_CELLS // max(1, n_queries))
 
     def fn(batches):
+        qvecs_int = qvecs_bc.value
         for pdf in batches:
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
@@ -397,11 +403,27 @@ def _quantized_dots_map_fn(qvecs_int, levels: int):
     return fn
 
 
-def _collect_query_side(df: DataFrame, max_rows: int, what: str):
+_QUERY_SIDE_MAX_BYTES = 256 << 20  # 256 MiB of raw vector payload
+
+
+def _collect_query_side(
+    df: DataFrame,
+    max_rows: int,
+    what: str,
+    *,
+    vec_field: str | None = None,
+    max_bytes: int = _QUERY_SIDE_MAX_BYTES,
+):
     """Bounded driver collect of the (small-by-contract) query/eval
     side — the same budget that let the pre-Arrow plans broadcast it,
     made explicit. One job: collect limit(max+1) and raise on
-    overflow instead of counting first."""
+    overflow instead of counting first.
+
+    The row cap alone bounds ROWS, not BYTES: 65,536 rows at dim 1024
+    is half a GB of float64 payload. When ``vec_field`` is given the
+    collected vector payload is ALSO bounded by ``max_bytes``
+    (rows x dim x 8), so a wide-embedding query set fails loudly at
+    the driver instead of OOMing executors when the vectors ship."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
@@ -409,7 +431,34 @@ def _collect_query_side(df: DataFrame, max_rows: int, what: str):
             "enough to ship to every task (benchmark/query-set sized). "
             "Raise the cap explicitly if that is genuinely intended."
         )
+    if vec_field is not None:
+        nbytes = sum(
+            8 * len(r[vec_field]) for r in rows if r[vec_field] is not None
+        )
+        if nbytes > max_bytes:
+            raise ValueError(
+                f"{what} side carries {nbytes >> 20} MiB of vector "
+                f"payload (> {max_bytes >> 20} MiB); it ships to every "
+                "executor, so cap the row count or the dimensionality, "
+                "or raise max_bytes explicitly if that is intended."
+            )
     return rows
+
+
+def _array_lit(values, elem_type):
+    """ONE array Literal node for a driver-side list (the bloom
+    lesson: a literal, never a join-carried payload — and a single
+    Literal, never a 65k-child CreateArray, which bloats the Catalyst
+    tree and every task's serialized plan). Falls back to CreateArray
+    for element types ``F.lit`` cannot infer from a Python list."""
+    from pyspark.sql import types as T
+
+    try:
+        return F.lit(values).cast(T.ArrayType(elem_type))
+    except Exception:
+        return F.array(*[F.lit(v) for v in values]).cast(
+            T.ArrayType(elem_type)
+        )
 
 
 def cosine(a, b):
@@ -468,7 +517,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    qrows = _collect_query_side(q, max_query_rows, "cosine_topk query")
+    qrows = _collect_query_side(
+        q, max_query_rows, "cosine_topk query", vec_field="__qvec"
+    )
     out_fields = [
         T.StructField("query_id", qid_type),
         T.StructField("neighbor_id", vid_type),
@@ -481,11 +532,12 @@ def cosine_topk(
         None if r["__qvec"] is None else _normalize_vec_py(list(r["__qvec"]))
         for r in qrows
     ]
+    qvecs_bc = spark.sparkContext.broadcast(qvecs)
     v = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
     dotted = v.mapInPandas(
-        _dots_map_fn(qvecs, "dots"),
+        _dots_map_fn(qvecs_bc, len(qvecs), "dots"),
         schema=T.StructType(
             [
                 T.StructField("neighbor_id", vid_type),
@@ -493,12 +545,11 @@ def cosine_topk(
             ]
         ),
     )
-    # pos -> query_id through a constant-folded array Literal (the
-    # bloom lesson: a literal, never a join-carried payload), cast so
-    # int-fitting ids don't narrow to array<int>
-    qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows]).cast(
-        T.ArrayType(qid_type)
-    )
+    # pos -> query_id through a constant-folded SINGLE array Literal
+    # (the bloom lesson: a literal, never a join-carried payload; one
+    # Literal node, never a Q-child CreateArray), cast so int-fitting
+    # ids don't narrow to array<int>
+    qid_arr = _array_lit([r["query_id"] for r in qrows], qid_type)
     scored = dotted.select(
         "neighbor_id", F.posexplode("dots").alias("pos", "cosine")
     ).select(
@@ -600,7 +651,7 @@ def cosine_topk_quantized(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     qrows = _collect_query_side(
-        q, max_query_rows, "cosine_topk_quantized query"
+        q, max_query_rows, "cosine_topk_quantized query", vec_field="__qvec"
     )
     out_fields = [
         T.StructField("query_id", qid_type),
@@ -626,8 +677,9 @@ def cosine_topk_quantized(
     vs = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
+    qvecs_bc = spark.sparkContext.broadcast(qvecs)
     dotted = vs.mapInPandas(
-        _quantized_dots_map_fn(qvecs, levels),
+        _quantized_dots_map_fn(qvecs_bc, len(qvecs), levels),
         schema=T.StructType(
             [
                 T.StructField("neighbor_id", vid_type),
@@ -636,12 +688,8 @@ def cosine_topk_quantized(
             ]
         ),
     )
-    qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows]).cast(
-        T.ArrayType(qid_type)
-    )
-    qscale_arr = F.array(
-        *[F.lit(s).cast("double") for s in qscales]
-    )
+    qid_arr = _array_lit([r["query_id"] for r in qrows], qid_type)
+    qscale_arr = _array_lit(qscales, T.DoubleType())
     scored = dotted.select(
         "neighbor_id",
         "__vscale",

@@ -104,6 +104,41 @@ def test_cosine_topk_bounded_query_collect(spark):
         cosine_topk(df, df, k=2, max_query_rows=3)
 
 
+def test_cosine_topk_bounded_query_bytes(spark):
+    """The row cap bounds ROWS; the byte budget bounds the PAYLOAD
+    (rows x dim x 8) that ships to every executor — a few wide
+    vectors must fail as loudly as too many rows."""
+    from polars_text_spark.operators.similarity import _collect_query_side
+
+    wide = spark.range(3).select(
+        F.col("id").alias("query_id"),
+        F.array_repeat(F.lit(1.0), 200_000).alias("__qvec"),
+    )
+    with pytest.raises(ValueError, match="vector payload"):
+        _collect_query_side(
+            wide, 10, "test query", vec_field="__qvec", max_bytes=1 << 20
+        )
+
+
+def test_cosine_topk_query_payload_not_in_closure(spark):
+    """The query vectors ship via sc.broadcast, not the pickled task
+    closure: the mapInPandas fn must reference a Broadcast handle."""
+    from polars_text_spark.operators.similarity import _dots_map_fn
+
+    bc = spark.sparkContext.broadcast([[1.0, 0.0]])
+    fn = _dots_map_fn(bc, 1, "dots")
+    freevars = dict(
+        zip(fn.__code__.co_freevars, (c.cell_contents for c in fn.__closure__))
+    )
+    from pyspark.broadcast import Broadcast
+
+    assert isinstance(freevars["qvecs_bc"], Broadcast)
+    assert not any(
+        isinstance(v, list) and v and isinstance(v[0], list)
+        for v in freevars.values()
+    ), "raw query vectors captured in the closure"
+
+
 def test_cosine_topk_string_ids(spark):
     """id_col is generic — string ids must survive the literal
     pos->query_id array (cast to the id type, no int narrowing)."""

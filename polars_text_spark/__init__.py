@@ -79,6 +79,7 @@ from polars_text_spark.operators.dedup import (
     bottomk_sketch_pairs,
     dup_source_matrix,
     exact_dedup,
+    lsh_band_stats,
     minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -269,6 +270,7 @@ __all__ = [
     "get_spark",
     "list_loaded_models",
     "minhash_lsh_cross_pairs",
+    "lsh_band_stats",
     "minhash_lsh_pairs",
     "models",
     "embedding_contamination",

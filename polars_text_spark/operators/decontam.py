@@ -187,9 +187,10 @@ def embedding_contamination(
     this function returns rather than re-evaluated per action.
 
     Scale shape mirrors :func:`ngram_contamination`: the eval side is
-    small by construction (a benchmark, not a corpus) and ships to
-    every task inside the scorer closure (the broadcast budget made
-    explicit via ``max_eval_rows``); the training side streams through
+    small by construction (a benchmark, not a corpus) and ships once
+    per executor via ``sc.broadcast`` (bounded by ``max_eval_rows``
+    AND the byte budget of :func:`~polars_text_spark.operators.
+    similarity._collect_query_side`); the training side streams through
     ONE scan where an Arrow-batched numpy pass scores every (train,
     eval) pair and takes the per-row max in place — the densest loop
     in the decontamination suite stays out of interpreted expression

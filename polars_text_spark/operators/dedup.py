@@ -21,7 +21,13 @@ BASELINE.json north star). Five strategies, all shuffle-conscious:
 
 Design note for scale: every strategy maps to (narrow per-row exprs) +
 (one groupBy or one equi-join on a blocking key). Nothing cross-joins
-the full corpus; nothing collects to the driver.
+the full corpus; nothing collects to the driver. Blocking keys can
+still go HOT (a boilerplate family puts 10^5 docs in one band bucket;
+the within-bucket join is quadratic in the bucket no matter how good
+the key is) — the banded strategies therefore carry a ``band_cap``
+guard that routes saturated buckets to hub-star candidates, linear in
+the bucket (:func:`_guarded_self_pairs`), and :func:`lsh_band_stats`
+audits the bucket-size distribution before a run.
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ __all__ = [
     "dedup_threshold_sweep",
     "dup_source_matrix",
     "dup_degree_histogram",
+    "lsh_band_stats",
     "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
     "near_dup_source_matrix",
@@ -429,6 +436,188 @@ def _banded_signatures(
     )
 
 
+def _guarded_self_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    band_cap: int | None,
+    payload: tuple[str, ...] = (),
+) -> DataFrame:
+    """Within-bucket candidate pairs ``(id_a, id_b[, <p>_a, <p>_b])``
+    with ``id_a < id_b``, deduplicated, from a one-row-per-(member,
+    bucket) frame ``banded(id, *keys[, *payload])`` — guarded against
+    HOT buckets.
+
+    The naive bucket self-join emits m(m-1)/2 candidates for a bucket
+    of m members: a boilerplate-heavy crawl shard that drops 10^5
+    near-identical pages into one LSH band emits 5x10^9 candidate pairs
+    before any dropDuplicates can run — AQE skew handling re-places the
+    partition, it cannot remove the quadratic blow-up. The guard counts
+    members per bucket first (one window over the SAME hash shuffle the
+    self-join needs anyway, so no extra Exchange):
+
+    - buckets with <= ``band_cap`` members take the normal self-join —
+      byte-identical to the unguarded within-bucket pair set;
+    - SATURATED buckets (> ``band_cap`` members) emit a hub STAR
+      instead: ``(hub, member)`` for every member, hub = min id in the
+      bucket — ``m - 1`` candidates instead of ``m(m-1)/2``, linear in
+      the bucket.
+
+    Every emitted pair still passes the caller's exact verification, so
+    precision is untouched. Recall accounting (the discipline of the
+    KMV hot-element prune in :func:`bottomk_sketch_pairs`): a true pair
+    can only be missed when EVERY bucket the two docs share is
+    saturated and neither doc is one of those buckets' hub. In the
+    saturated regime — near-identical boilerplate, which is what it
+    takes for a whole band of MinHash rows to agree across 10^3+
+    documents — each member verifies against the hub, and downstream
+    connected components (operators/components.py) recover exactly the
+    duplicate family the full clique would have produced, from m-1
+    edges instead of m^2/2. ``band_cap=None`` disables the guard (the
+    measured A/B path); :func:`lsh_band_stats` reports the candidate
+    counts both ways.
+    """
+    payload = tuple(payload)
+    out_cols = ["id_a", "id_b"] + [
+        f"{p}_{s}" for p in payload for s in ("a", "b")
+    ]
+
+    def _side(frame: DataFrame, suffix: str) -> DataFrame:
+        return frame.select(
+            F.col("id").alias(f"id_{suffix}"),
+            *[F.col(p).alias(f"{p}_{suffix}") for p in payload],
+            *keys,
+        )
+
+    if band_cap is None:
+        return (
+            _side(banded, "a")
+            .join(_side(banded, "b"), keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(*out_cols)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    if band_cap < 1:
+        raise ValueError(f"band_cap must be >= 1 or None, got {band_cap}")
+    w = Window.partitionBy(*keys)
+    ann = banded.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+        # struct min orders by id first: the hub row's id AND payload
+        # in one pass (payload columns ride only when present)
+        "__hub",
+        F.min(F.struct("id", *payload)).over(w),
+    )
+    small = ann.filter(F.col("__bn") <= band_cap).drop("__bn", "__hub")
+    star = (
+        ann.filter(F.col("__bn") > band_cap)
+        .filter(F.col("id") != F.col("__hub.id"))
+        .select(
+            # hub = bucket min id, so id_a < id_b holds by construction
+            F.col("__hub.id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[F.col(f"__hub.{p}").alias(f"{p}_a") for p in payload],
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+        .select(*out_cols)
+    )
+    pairs = (
+        _side(small, "a")
+        .join(_side(small, "b"), keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(*out_cols)
+    )
+    return pairs.unionByName(star).dropDuplicates(["id_a", "id_b"])
+
+
+def _guarded_cross_candidates(
+    left_bands: DataFrame,
+    right_bands: DataFrame,
+    keys: list[str],
+    band_cap: int | None,
+) -> DataFrame:
+    """Cross-corpus candidates ``(id_a, id_b)`` (``id_a`` from
+    ``left_bands(id_a, *keys)``, ``id_b`` from
+    ``right_bands(id_b, *keys)``), with the hot-band guard on the
+    RIGHT (standing-corpus) side.
+
+    An L-member shard bucket meeting an R-member standing bucket emits
+    L*R candidates; with both sides boilerplate-heavy that is the same
+    quadratic blow-up as the self-join. The guard reduces a saturated
+    standing bucket (> ``band_cap`` members) to its hub row (min id),
+    bounding the bucket's candidates at L — every shard doc still gets
+    its own verdict (the left side is never reduced: candidates stay
+    linear in the shard even when only the shard is hot, L*R <=
+    L*band_cap). A shard doc whose only matches sit in a saturated
+    standing bucket is verified against the bucket's HUB — the family
+    representative — rather than each member; in the regime that
+    saturates a full band (near-identical boilerplate) the hub verdict
+    is the family verdict."""
+    if band_cap is not None:
+        if band_cap < 1:
+            raise ValueError(
+                f"band_cap must be >= 1 or None, got {band_cap}"
+            )
+        w = Window.partitionBy(*keys)
+        right_bands = (
+            right_bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .withColumn("__hub", F.min("id_b").over(w))
+            .filter(
+                (F.col("__bn") <= band_cap)
+                | (F.col("id_b") == F.col("__hub"))
+            )
+            .drop("__bn", "__hub")
+        )
+    return (
+        left_bands.join(right_bands, keys)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def lsh_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    band_cap: int | None = 1000,
+) -> DataFrame:
+    """Band-bucket cardinality audit for :func:`minhash_lsh_pairs` —
+    the "would this corpus blow up the candidate join?" report to run
+    BEFORE a full dedup pass (or to size ``band_cap``).
+
+    One row: ``(n_buckets, max_bucket_size, n_saturated_buckets,
+    unguarded_candidates, guarded_candidates)`` where the candidate
+    counts are the within-bucket pair totals the band join would emit
+    without (:math:`\\sum m(m-1)/2`) and with (saturated buckets
+    contribute ``m - 1`` star edges) the hot-band guard. Same
+    signature parameters as the pair functions; one extra aggregation
+    over the band frame, nothing quadratic."""
+    banded = _banded_signatures(
+        df, text_col, id_col, "id",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+    )
+    per = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("m"))
+    unguarded = F.expr("m * (m - 1) div 2")
+    if band_cap is None:
+        saturated = F.lit(False)
+        guarded = unguarded
+    else:
+        if band_cap < 1:
+            raise ValueError(
+                f"band_cap must be >= 1 or None, got {band_cap}"
+            )
+        saturated = F.col("m") > band_cap
+        guarded = F.when(saturated, F.col("m") - 1).otherwise(unguarded)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("m").alias("max_bucket_size"),
+        F.sum(saturated.cast("long")).alias("n_saturated_buckets"),
+        F.sum(unguarded).alias("unguarded_candidates"),
+        F.sum(guarded).alias("guarded_candidates"),
+    )
+
+
 def _verify_jaccard(
     cand: DataFrame,
     a: DataFrame,
@@ -473,25 +662,23 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash, verified with
     exact shingle Jaccard. Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
 
     Shuffle profile: one agg for signatures, one equi-join on
-    (band_idx, band_hash) — never a cross join.
+    (band_idx, band_hash) — never a cross join. Band buckets holding
+    more than ``band_cap`` members emit hub-star candidates (linear in
+    the bucket) instead of the m^2/2 within-bucket clique — the
+    hot-band guard, see :func:`_guarded_self_pairs` for the exact
+    semantics and recall accounting; ``band_cap=None`` disables it.
     """
     banded = _banded_signatures(
         df, text_col, id_col, "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
-    left = banded.select(F.col("id").alias("id_a"), "bk")
-    right = banded.select(F.col("id").alias("id_b"), "bk")
-    cand = (
-        left.join(right, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _guarded_self_pairs(banded, ["bk"], band_cap)
     sh = df.select(
         F.col(id_col).alias("__id"),
         token_shingles(text_col, shingle_n, hashed=True).alias("__sh"),
@@ -511,6 +698,7 @@ def minhash_lsh_cross_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Cross-CORPUS near-dup pairs: every ``left`` doc within
     ``jaccard_threshold`` of some ``right`` doc — the incremental-
@@ -525,6 +713,9 @@ def minhash_lsh_cross_pairs(
     never re-paired against itself (that join's left side is only the
     new shard's bands). At j >= 0.9 with 16x4 banding, recall is
     1 - 4e-8: the output is effectively the exact cross-pair set.
+    Standing-side band buckets above ``band_cap`` members are reduced
+    to their hub representative before the join (the hot-band guard,
+    :func:`_guarded_cross_candidates`); ``band_cap=None`` disables it.
     """
     bl = _banded_signatures(
         left, text_col, id_col, "id_a",
@@ -534,9 +725,7 @@ def minhash_lsh_cross_pairs(
         right, text_col, id_col, "id_b",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
-    cand = bl.join(br, "bk").select("id_a", "id_b").dropDuplicates(
-        ["id_a", "id_b"]
-    )
+    cand = _guarded_cross_candidates(bl, br, ["bk"], band_cap)
     a = left.select(
         F.col(id_col).alias("id_a"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
@@ -606,12 +795,18 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     token_hash=None,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit chunks;
     any pair within distance 3 shares at least one exact chunk, so the
-    join is an equi-join on (chunk_idx, chunk_value)."""
+    join is an equi-join on (chunk_idx, chunk_value). Chunk blocks
+    above ``band_cap`` members emit hub-star candidates instead of the
+    within-block clique (the hot-band guard,
+    :func:`_guarded_self_pairs` — the 16-bit chunk of a boilerplate
+    family is exactly the kind of key 10^5 near-identical pages
+    share); ``band_cap=None`` disables it."""
     hashed = df.select(
         F.col(id_col).alias("id"),
         simhash(text_col, token_hash=token_hash).alias("sh"),
@@ -628,14 +823,7 @@ def simhash_pairs(
         ]
     )
     blocked = hashed.select("id", "sh", F.explode(chunks).alias("ck"))
-    left = blocked.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "ck")
-    right = blocked.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "ck")
-    pairs = (
-        left.join(right, "ck")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _guarded_self_pairs(blocked, ["ck"], band_cap, payload=("sh",))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.withColumn("hamming", hamming)

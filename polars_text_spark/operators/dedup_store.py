@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from polars_text_spark.operators.dedup import (
     _banded_signatures,
+    _guarded_cross_candidates,
+    _guarded_self_pairs,
     _verify_jaccard,
     token_shingles,
 )
@@ -252,15 +254,20 @@ def pairs_from_store(
     name: str,
     *,
     jaccard_threshold: float = 0.7,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs over the stored corpus — same output as
     :func:`~polars_text_spark.operators.dedup.minhash_lsh_pairs` on the
-    original frame (same signature parameters), but the candidate join
-    re-shuffles NOTHING: both sides are the bucketed band table."""
-    cand = (
-        candidate_self_join(spark, name)
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    original frame (same signature parameters AND same ``band_cap``),
+    but the candidate join re-shuffles NOTHING: both sides are the
+    bucketed band table. The hot-band guard's member-count window
+    partitions on (band, bucket) — the table's own bucketing — so it
+    adds no Exchange either (plan-asserted in tests)."""
+    banded = _minus_tombstones(
+        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+    )
+    cand = _guarded_self_pairs(banded, ["band", "bucket"], band_cap).select(
+        "id_a", "id_b"
     )
     sh = _minus_tombstones(
         read_bucketed(spark, f"{name}_shingles"), _tombstones(spark, name)
@@ -281,11 +288,16 @@ def incremental_pairs_from_store(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Dedup a NEW shard against the standing store (the incremental-
     ingest shape): ``(id_a, id_b, jaccard)`` with ``id_a`` from the
     shard, ``id_b`` from the store. Only the shard's (small) band and
-    shingle frames shuffle; the store side reads its buckets in place.
+    shingle frames shuffle; the store side reads its buckets in place
+    (the hot-band guard's window partitions on the store's own
+    bucketing, so reducing a saturated standing bucket to its hub —
+    see :func:`~polars_text_spark.operators.dedup.
+    _guarded_cross_candidates` — adds no Exchange on the store side).
     Signature parameters must match the ones used at write time —
     validated against the store meta when the store records one (a
     mismatch would band the shard under planes that can never collide
@@ -311,10 +323,8 @@ def incremental_pairs_from_store(
     standing = _minus_tombstones(
         read_bucketed(spark, f"{name}_bands"), __ts
     ).select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
-        new_bands.join(standing, ["band", "bucket"])
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _guarded_cross_candidates(
+        new_bands, standing, ["band", "bucket"], band_cap
     )
     a = new_df.select(
         F.col(id_col).alias("id_a"),

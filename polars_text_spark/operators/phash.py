@@ -200,6 +200,7 @@ def chunk_hamming_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs ``(id_a, id_b, hamming)`` over a chunked
     signature column: pigeonhole banding (a 64-bit pair within
@@ -207,7 +208,13 @@ def chunk_hamming_pairs(
     recipe generalized to any 4x16-bit signature), equi-join on
     ``(chunk_idx, chunk_value)``, exact Hamming verify via summed
     per-chunk ``bit_count(xor)``. Rows with NULL signatures are
-    excluded (nothing to compare)."""
+    excluded (nothing to compare). Chunk blocks above ``band_cap``
+    members emit hub-star candidates instead of the within-block
+    clique (the hot-band guard — a meme image recrawled 10^5 times is
+    the media twin of boilerplate text; see
+    :func:`polars_text_spark.operators.dedup._guarded_self_pairs`)."""
+    from polars_text_spark.operators.dedup import _guarded_self_pairs
+
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"max_hamming must be in [0, 3] for 4-chunk pigeonhole "
@@ -223,18 +230,7 @@ def chunk_hamming_pairs(
         ),
     )
     blocked = sigs.select("id", "sig", F.explode(chunk_structs).alias("ck"))
-    left = blocked.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "ck"
-    )
-    right = blocked.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "ck"
-    )
-    pairs = (
-        left.join(right, "ck")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _guarded_self_pairs(blocked, ["ck"], band_cap, payload=("sig",))
     hamming = F.aggregate(
         F.zip_with(
             "sig_a",

@@ -32,6 +32,8 @@ __all__ = [
     "cardinality_report",
     "doc_bigrams",
     "doc_trigrams",
+    "fit_trigram_lm",
+    "score_trigram_lm",
     "trigram_interpolated_surprisal",
     "doc_ngram_novelty",
     "heaps_law_fit",
@@ -279,34 +281,87 @@ def trigram_interpolated_surprisal(
     left-context total over the trigram stream). The doc stream then
     joins the legs on their token keys; a web-scale count table is
     deliberately never broadcast — only the 1-row N is."""
+    return score_trigram_lm(
+        df,
+        fit_trigram_lm(df, text_col, id_col=id_col),
+        text_col,
+        id_col,
+        lambdas=lambdas,
+    )
+
+
+def fit_trigram_lm(
+    df: DataFrame, text_col: str = "text", *, id_col: str = "doc_id"
+) -> dict[str, DataFrame]:
+    """Fit the five count frames of the Jelinek-Mercer trigram model
+    on a (batch) reference corpus: ``{counts, ctx12, big23, ctx2,
+    uni3, total}`` — the STANDING model :func:`score_trigram_lm` scores any
+    frame (batch or stream) against. The trigram counts frame is
+    persisted; all legs derive from it (|trigram types| rows, never a
+    second corpus pass; see
+    :func:`trigram_interpolated_surprisal`)."""
+    from polars_text_spark.persist import track_persist
+
+    tg = doc_trigrams(df, text_col, id_col)
+    counts = track_persist(
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("__c3"))
+        .persist()
+    )
+    return {
+        "counts": counts,
+        "ctx12": counts.groupBy("w1", "w2").agg(
+            F.sum("__c3").alias("__c12")
+        ),
+        "big23": counts.groupBy("w2", "w3").agg(
+            F.sum("__c3").alias("__c23")
+        ),
+        "ctx2": counts.groupBy("w2").agg(F.sum("__c3").alias("__c2")),
+        "uni3": counts.groupBy("w3").agg(F.sum("__c3").alias("__c3u")),
+        "total": counts.agg(F.sum("__c3").cast("double").alias("__n")),
+    }
+
+
+def score_trigram_lm(
+    df: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Score ``df`` against a STANDING trigram model from
+    :func:`fit_trigram_lm` — ``(id_col, n_trigrams, avg_surprisal)``.
+
+    ``df`` may be a STREAMING frame: every model join is then a
+    stream-static equi-join (the web-scale count tables are
+    deliberately never broadcast — only the 1-row N is) and the
+    per-doc aggregate runs under the stream's output mode; parity with
+    the batch path is pinned by
+    tests/test_streaming_quality_ops.py. Trigrams ABSENT from the
+    model (possible only when scoring a different corpus than the fit
+    one) are skipped by the inner joins — a doc with zero known
+    trigrams is absent from the output; self-scoring (the
+    :func:`trigram_interpolated_surprisal` wrapper) has every count
+    >= 1, so nothing drops there."""
     l3, l2, l1 = (float(x) for x in lambdas)
     if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) < 0:
         raise ValueError(
             f"lambdas must be non-negative and sum to 1, got {lambdas}"
         )
     tg = doc_trigrams(df, text_col, id_col)
-    from polars_text_spark.persist import track_persist
-
-    counts = track_persist(
-        tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("__c3")).persist()
-    )
-    ctx12 = counts.groupBy("w1", "w2").agg(F.sum("__c3").alias("__c12"))
-    big23 = counts.groupBy("w2", "w3").agg(F.sum("__c3").alias("__c23"))
-    ctx2 = counts.groupBy("w2").agg(F.sum("__c3").alias("__c2"))
-    uni3 = counts.groupBy("w3").agg(F.sum("__c3").alias("__c3u"))
-    total = counts.agg(F.sum("__c3").cast("double").alias("__n"))
     prob = (
         F.lit(l3) * (F.col("__c3") / F.col("__c12"))
         + F.lit(l2) * (F.col("__c23") / F.col("__c2"))
         + F.lit(l1) * (F.col("__c3u") / F.col("__n"))
     )
     return (
-        tg.join(counts, ["w1", "w2", "w3"])
-        .join(ctx12, ["w1", "w2"])
-        .join(big23, ["w2", "w3"])
-        .join(ctx2, "w2")
-        .join(uni3, "w3")
-        .crossJoin(F.broadcast(total))
+        tg.join(model["counts"], ["w1", "w2", "w3"])
+        .join(model["ctx12"], ["w1", "w2"])
+        .join(model["big23"], ["w2", "w3"])
+        .join(model["ctx2"], "w2")
+        .join(model["uni3"], "w3")
+        .crossJoin(F.broadcast(model["total"]))
         .select(id_col, (-F.log2(prob)).alias("__bits"))
         .groupBy(id_col)
         .agg(

@@ -342,7 +342,16 @@ def _dots_map_fn(qvecs_bc, n_queries: int, out_dots_col: str):
     how wide the query side is. ``qvecs_bc`` is a ``sc.broadcast``
     handle: the query payload ships once per executor over the
     torrent channel (with block-level memory accounting), not pickled
-    into every task's function closure."""
+    into every task's function closure.
+
+    Broadcast lifetime: each call creates one broadcast whose Python
+    handle lives inside the returned DataFrame's map function; the
+    blocks are reclaimed by Spark's ContextCleaner once that DataFrame
+    (and any plans derived from it) is GC'd — the same lifetime as the
+    result itself. Callers looping over MANY query sets should drop
+    their references between iterations (or checkpoint the result) so
+    the cleaner can run; per the byte budget each live handle is
+    <= 256 MiB."""
     import pandas as pd
 
     chunk = max(1, _SCORE_CHUNK_CELLS // max(1, n_queries))
@@ -445,20 +454,41 @@ def _collect_query_side(
     return rows
 
 
+_NP_DTYPE_FOR = {
+    "LongType": "int64",
+    "IntegerType": "int32",
+    "ShortType": "int16",
+    "DoubleType": "float64",
+    "FloatType": "float32",
+}
+
+
 def _array_lit(values, elem_type):
     """ONE array Literal node for a driver-side list (the bloom
     lesson: a literal, never a join-carried payload — and a single
-    Literal, never a 65k-child CreateArray, which bloats the Catalyst
-    tree and every task's serialized plan). Falls back to CreateArray
-    for element types ``F.lit`` cannot infer from a Python list."""
+    Literal, never an N-child CreateArray, which bloats the Catalyst
+    tree and every task's serialized plan).
+
+    On classic PySpark, ``F.lit(list)`` expands to
+    ``array(lit(x)...)`` — the N-child tree this function exists to
+    avoid — while ``F.lit(numpy_array)`` builds a true single
+    ``Literal`` (verified on 4.1.2: the analyzed plan shows
+    ``[1,2,3]``, not ``array(1, 2, 3)``), so numeric element types
+    take the numpy route. Non-numeric element types (string ids) and
+    null-bearing lists fall back to CreateArray + cast, which
+    ConstantFolding collapses to one Literal before execution anyway —
+    the fallback costs analysis-time tree size, not run time."""
+    import numpy as np
     from pyspark.sql import types as T
 
-    try:
-        return F.lit(values).cast(T.ArrayType(elem_type))
-    except Exception:
-        return F.array(*[F.lit(v) for v in values]).cast(
+    dtype = _NP_DTYPE_FOR.get(type(elem_type).__name__)
+    if dtype is not None and all(v is not None for v in values):
+        return F.lit(np.array(values, dtype=dtype)).cast(
             T.ArrayType(elem_type)
         )
+    return F.array(*[F.lit(v) for v in values]).cast(
+        T.ArrayType(elem_type)
+    )
 
 
 def cosine(a, b):
@@ -492,10 +522,13 @@ def cosine_topk(
     returns — not re-evaluated per action like a fully lazy plan.
     Build the query frame last if it derives from mutable state.
 
-    Scale shape: the query side — small by contract, the same bound
-    that made the pre-Arrow plan broadcast it — is collected RAW,
-    fold-exact-normalized driver-side and shipped to every task inside
-    the scorer closure; the scan side enters the scorer RAW too (half
+    Scale shape: the query side — small by contract, row- AND
+    byte-bounded (:func:`_collect_query_side`) — is collected RAW,
+    fold-exact-normalized driver-side and shipped once per executor
+    via a ``sc.broadcast`` handle (torrent channel, never pickled into
+    per-task closures — pinned by
+    test_cosine_topk_query_payload_not_in_closure); the scan side
+    enters the scorer RAW too (half
     the Arrow bytes for float32 storage, zero JVM normalization HOFs)
     and normalization + the O(N x Q) dense dots run as ONE
     Arrow-batched numpy pass per scan partition (vectorized across
@@ -638,8 +671,9 @@ def cosine_topk_quantized(
     and dim-bounded sums sit far below 2^53, and integer addition is
     associative, so BLAS's reordered accumulation is bit-identical to
     the SQL oracle's fold. Same stage shape as :func:`cosine_topk`:
-    query side in the scorer closure, per-row dot array exploded
-    before anything reaches a shuffle, scale multiplies
+    query side shipped once per executor via ``sc.broadcast``, per-row
+    dot array exploded before anything reaches a shuffle, scale
+    multiplies
     `(idot * qscale) * vscale` kept in the oracle's association
     order."""
     from pyspark.sql import types as T

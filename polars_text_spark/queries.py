@@ -915,6 +915,76 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic boilerplate families for the hot-band guard gate: nonsense
+# vocabulary (zero shingle overlap with the corpus or each other),
+# identical text within each family so every band of a family lands in
+# ONE bucket — the saturation pattern is then exact arithmetic the
+# oracle replays, not an xxhash accident.
+_HOTBAND_GROUPS = [
+    # (id_start, members, text) — 300 > cap: star; 16 == cap: full
+    # clique (the boundary); 10 < cap: full clique
+    (1_000_000_000, 300, "zqalpha zqbeta zqgamma zqdelta zqepsilon zqzeta"),
+    (1_100_000_000, 16, "xvone xvtwo xvthree xvfour xvfive xvsix"),
+    (1_200_000_000, 10, "kwred kwblue kwgreen kwcyan kwpink kwteal"),
+]
+
+
+@query(
+    "near_dedup_hotband",
+    f"""
+    WITH sh AS ({_SQL_SH_CTE})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    UNION ALL  -- saturated family (300 > cap 16): hub star, hub = min id
+    SELECT 1000000000 AS id_a, 1000000000 + i AS id_b, 1.0 AS jaccard
+    FROM generate_series(1, 299) t(i)
+    UNION ALL  -- at-cap family (16 == cap): the FULL clique survives
+    SELECT 1100000000 + i AS id_a, 1100000000 + j AS id_b, 1.0 AS jaccard
+    FROM generate_series(0, 15) s(i) JOIN generate_series(0, 15) t(j) ON i < j
+    UNION ALL  -- below-cap family: full clique
+    SELECT 1200000000 + i AS id_a, 1200000000 + j AS id_b, 1.0 AS jaccard
+    FROM generate_series(0, 9) s(i) JOIN generate_series(0, 9) t(j) ON i < j
+    """,
+)
+def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-band cardinality guard gate (VERDICT r11 #1): three
+    synthetic boilerplate families ride along with the corpus into
+    :func:`minhash_lsh_pairs` at ``band_cap=16``. The 300-member
+    family saturates every band and must emit the hub STAR (299
+    verified pairs, not the 44,850-pair clique); the 16-member family
+    sits exactly AT the cap and must keep its full 120-pair clique;
+    the 10-member family and the corpus's natural near-dups ride the
+    normal path untouched. Identical text within each family makes the
+    saturation pattern deterministic (one bucket per band per family),
+    so the DuckDB oracle replays the cap with pure arithmetic —
+    star/clique row generators — on top of the same full-pairwise
+    natural-pair SQL that gates ``near_dedup_minhash``
+    (operators/dedup.py::_guarded_self_pairs)."""
+    from polars_text_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir, wide=False).filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    synth = None
+    for start, n, text in _HOTBAND_GROUPS:
+        g = spark.range(n).select(
+            (F.lit(start) + F.col("id")).alias("doc_id"),
+            F.lit(text).alias("text"),
+        )
+        synth = g if synth is None else synth.union(g)
+    pairs = minhash_lsh_pairs(
+        docs.union(synth), "text", "doc_id",
+        jaccard_threshold=0.9, band_cap=16,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
 @query(
     "near_dedup_blocked_jaccard",
     f"""
@@ -7793,8 +7863,8 @@ def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-11 additions (driver has never seen these)
-    # -- filled in as the round's new queries land --
+    # round-12 additions (driver has never seen these)
+    "near_dedup_hotband",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the
     # oracle-checked assemble stage for the topic pipeline; the exact

@@ -120,6 +120,29 @@ def test_cosine_topk_bounded_query_bytes(spark):
         )
 
 
+def test_array_lit_builds_single_literal_node(spark):
+    """On classic PySpark, F.lit(list) expands to an N-child
+    CreateArray; _array_lit's numpy route must build ONE Literal node
+    (analyzed plan shows `[...]`, not `array(...)`), so the pos->id
+    maps never bloat the Catalyst tree at the 65k row cap."""
+    from pyspark.sql import types as T
+
+    from polars_text_spark.operators.similarity import _array_lit
+
+    col = _array_lit(list(range(100)), T.LongType())
+    analyzed = (
+        spark.range(1)
+        .select(col.alias("a"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "array(" not in analyzed, analyzed
+    # string ids take the CreateArray fallback (folded before exec)
+    s = _array_lit(["a", "b"], T.StringType())
+    assert spark.range(1).select(s.alias("a")).collect()[0].a == ["a", "b"]
+
+
 def test_cosine_topk_query_payload_not_in_closure(spark):
     """The query vectors ship via sc.broadcast, not the pickled task
     closure: the mapInPandas fn must reference a Broadcast handle."""

@@ -1,0 +1,216 @@
+"""Hot-band cardinality guard (VERDICT r11 #1): a saturated LSH band
+bucket (boilerplate family) must emit hub-star candidates — linear in
+the bucket — instead of the m^2/2 within-bucket clique, across every
+banded pair strategy (minhash self/cross, simhash, phash chunks, and
+both dedup-store paths), while buckets at or below the cap stay
+byte-identical to the unguarded output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_text_spark.operators.components import connected_components
+from polars_text_spark.operators.dedup import (
+    lsh_band_stats,
+    minhash_lsh_cross_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from polars_text_spark.operators.dedup_store import (
+    incremental_pairs_from_store,
+    pairs_from_store,
+    write_minhash_store,
+)
+
+HOT_TEXT = "alpha beta gamma delta epsilon zeta eta theta"
+SMALL_TEXT = "one two three four five six seven eight"
+HOT_N = 60
+SMALL_N = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 identical hot docs (ids 1000+), a 4-doc identical group
+    (ids 2000+), two unrelated singletons. Identical texts -> identical
+    shingle sets -> every band of a group lands in ONE bucket, so with
+    band_cap=8 the hot group saturates all bands while the small group
+    rides the normal path."""
+    hot = spark.range(HOT_N).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(HOT_TEXT).alias("text")
+    )
+    small = spark.range(SMALL_N).select(
+        (F.col("id") + 2000).alias("doc_id"), F.lit(SMALL_TEXT).alias("text")
+    )
+    solo = spark.createDataFrame(
+        [
+            (3000, "lorem ipsum dolor sit amet consectetur adipiscing"),
+            (3001, "quick brown fox jumps over the lazy dog daily"),
+        ],
+        "doc_id long, text string",
+    )
+    return hot.union(small).union(solo)
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def _star():
+    return {(1000, 1000 + i) for i in range(1, HOT_N)}
+
+
+def _small_clique():
+    return {
+        (2000 + i, 2000 + j)
+        for i in range(SMALL_N)
+        for j in range(i + 1, SMALL_N)
+    }
+
+
+def _hot_clique():
+    return {
+        (1000 + i, 1000 + j)
+        for i in range(HOT_N)
+        for j in range(i + 1, HOT_N)
+    }
+
+
+def test_guarded_minhash_emits_star_plus_small_clique(corpus):
+    got = minhash_lsh_pairs(
+        corpus, jaccard_threshold=0.9, band_cap=8
+    )
+    rows = got.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == _star() | _small_clique()
+    assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_unguarded_minhash_emits_full_cliques(corpus):
+    got = minhash_lsh_pairs(corpus, jaccard_threshold=0.9, band_cap=None)
+    assert _pair_set(got) == _hot_clique() | _small_clique()
+
+
+def test_guard_noop_when_no_bucket_saturates(corpus):
+    guarded = minhash_lsh_pairs(corpus, jaccard_threshold=0.9, band_cap=1000)
+    unguarded = minhash_lsh_pairs(
+        corpus, jaccard_threshold=0.9, band_cap=None
+    )
+    assert _pair_set(guarded) == _pair_set(unguarded)
+
+
+def test_components_identical_under_guard(corpus):
+    """The point of the star topology: connected components — the
+    dedup DECISION — are unchanged, from m-1 edges instead of m^2/2."""
+    guarded = connected_components(
+        minhash_lsh_pairs(corpus, jaccard_threshold=0.9, band_cap=8)
+    )
+    unguarded = connected_components(
+        minhash_lsh_pairs(corpus, jaccard_threshold=0.9, band_cap=None)
+    )
+    as_map = lambda df: {r.vertex: r.component for r in df.collect()}
+    assert as_map(guarded) == as_map(unguarded)
+
+
+def test_band_cap_validation(corpus):
+    with pytest.raises(ValueError, match="band_cap"):
+        minhash_lsh_pairs(corpus, band_cap=0).collect()
+
+
+def test_guarded_simhash_star(corpus):
+    got = simhash_pairs(corpus, max_hamming=3, band_cap=8)
+    rows = got.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == _star() | _small_clique()
+    assert all(r.hamming == 0 for r in rows)
+
+
+def test_guarded_cross_pairs_hub_only(spark, corpus):
+    shard = spark.createDataFrame(
+        [(9000, HOT_TEXT), (9001, "totally unrelated shard content here")],
+        "doc_id long, text string",
+    )
+    guarded = minhash_lsh_cross_pairs(
+        shard, corpus, jaccard_threshold=0.9, band_cap=8
+    )
+    assert {(r.id_a, r.id_b, r.jaccard) for r in guarded.collect()} == {
+        (9000, 1000, 1.0)
+    }
+    unguarded = minhash_lsh_cross_pairs(
+        shard, corpus, jaccard_threshold=0.9, band_cap=None
+    )
+    assert _pair_set(unguarded) == {(9000, 1000 + i) for i in range(HOT_N)}
+
+
+def test_lsh_band_stats_counts(corpus):
+    row = lsh_band_stats(corpus, band_cap=8).collect()[0]
+    # hot group: one bucket per band (16) with m=60; small group 16
+    # buckets of m=4; two singletons 16 buckets of m=1 each
+    assert row.n_buckets == 16 * 4
+    assert row.max_bucket_size == HOT_N
+    assert row.n_saturated_buckets == 16
+    assert row.unguarded_candidates == 16 * (HOT_N * (HOT_N - 1) // 2) + 16 * 6
+    assert row.guarded_candidates == 16 * (HOT_N - 1) + 16 * 6
+    unguarded = lsh_band_stats(corpus, band_cap=None).collect()[0]
+    assert unguarded.n_saturated_buckets == 0
+    assert unguarded.guarded_candidates == unguarded.unguarded_candidates
+
+
+def test_store_pairs_guarded_matches_direct(spark, corpus):
+    write_minhash_store(corpus, "mh_hotband", buckets=4)
+    stored = pairs_from_store(
+        spark, "mh_hotband", jaccard_threshold=0.9, band_cap=8
+    )
+    assert _pair_set(stored) == _star() | _small_clique()
+
+
+def test_store_guard_adds_no_exchange(spark, corpus):
+    """The guard's member-count window partitions on the store's own
+    bucketing, so the guarded candidate path keeps exactly the
+    Exchange count of the unguarded one (the dropDuplicates shuffle —
+    nothing new on the store side)."""
+    from polars_text_spark.plans import explain_str
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_minhash_store(corpus, "mh_hotband_plan", buckets=4)
+        guarded = pairs_from_store(
+            spark, "mh_hotband_plan", jaccard_threshold=0.9, band_cap=8
+        )
+        unguarded = pairs_from_store(
+            spark, "mh_hotband_plan", jaccard_threshold=0.9, band_cap=None
+        )
+        g = explain_str(guarded, "simple").count("Exchange")
+        u = explain_str(unguarded, "simple").count("Exchange")
+        assert g == u, (g, u)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_store_incremental_guarded_hub_only(spark, corpus):
+    write_minhash_store(corpus, "mh_hotband_inc", buckets=4)
+    shard = spark.createDataFrame(
+        [(9000, HOT_TEXT)], "doc_id long, text string"
+    )
+    got = incremental_pairs_from_store(
+        spark, "mh_hotband_inc", shard, jaccard_threshold=0.9, band_cap=8
+    )
+    assert {(r.id_a, r.id_b, r.jaccard) for r in got.collect()} == {
+        (9000, 1000, 1.0)
+    }
+
+
+def test_phash_chunk_pairs_guarded(spark):
+    from polars_text_spark.operators.phash import chunk_hamming_pairs
+
+    n = 20
+    sig = [11, 22, 33, 44]
+    other = [55, 66, 77, 88]
+    rows = [(i, sig) for i in range(n)] + [(100, other), (101, other)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, sig array<int>"
+    )
+    got = chunk_hamming_pairs(df, "sig", band_cap=8)
+    star = {(0, i) for i in range(1, n)}
+    assert {(r.id_a, r.id_b) for r in got.collect()} == star | {(100, 101)}
+    unguarded = chunk_hamming_pairs(df, "sig", band_cap=None)
+    assert len(unguarded.collect()) == n * (n - 1) // 2 + 1

@@ -834,6 +834,7 @@ def cosine_topk_ivf(
     train_sample: int = 10_000,
     seed: int = 42,
     exclude_self: bool = True,
+    rerank: str = "expr",
 ) -> DataFrame:
     """IVF-bucketed ANN: a driver-trained k-means codebook partitions
     vectors into inverted lists; each query probes its ``nprobe``
@@ -842,8 +843,14 @@ def cosine_topk_ivf(
     The scan side shuffles once on list id; candidates per query are
     ~``nprobe/n_lists`` of the corpus — the standard
     recall/throughput dial. Codebook training collects only
-    ``train_sample`` vectors to the driver.
+    ``train_sample`` vectors to the driver. ``rerank="arrow"`` scores
+    candidates in the Arrow fold scorer over a SLIM list join (no
+    vector payload crosses the candidate shuffle) — bit-identical
+    output, the high-fan-out/low-``n_lists`` shape (A/B in SCALING.md
+    round-12).
     """
+    if rerank not in ("expr", "arrow"):
+        raise ValueError(f"rerank must be 'expr' or 'arrow', got {rerank!r}")
     sample = _train_vectors(vectors, vec_col, train_sample, seed)
     if len(sample) == 0:
         # Empty vectors table: degenerate to an empty result with the
@@ -876,6 +883,29 @@ def cosine_topk_ivf(
 
     assign_one = _nearest_centroids_udf(centroids, 1)
     probe_many = _nearest_centroids_udf(centroids, nprobe)
+
+    if rerank == "arrow":
+        vnn = vectors.where(F.col(vec_col).isNotNull())
+        qnn = queries.where(F.col(vec_col).isNotNull())
+        v_keys = vnn.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(assign_one(F.col(vec_col))).alias("list_id"),
+        )
+        q_keys = qnn.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_many(F.col(vec_col))).alias("list_id"),
+        )
+        cands = (
+            v_keys.join(q_keys, "list_id")
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        if exclude_self:
+            cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+        scored = _arrow_candidate_scores(
+            vnn, qnn, cands, id_col=id_col, vec_col=vec_col
+        )
+        return rank_topk(scored, k)
 
     v = with_l2_normalized(
         vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__vvec"
@@ -1122,6 +1152,87 @@ def rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _arrow_candidate_scores(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    max_query_rows: int = 65536,
+) -> DataFrame:
+    """Score a SLIM candidate-pair frame ``cands(query_id,
+    neighbor_id)`` with the Arrow fold scorer: ``(query_id,
+    neighbor_id, cosine)`` for exactly the candidate pairs, cosines
+    bit-identical to the expression path (``_fold_dot_batch`` replays
+    the normalize + left-fold dot order, the property the sha-twin
+    oracles pin).
+
+    The high-fan-out re-rank shape (see SCALING.md round-12 A/B): the
+    candidate join carries NO vector payload — band/list keys join
+    3-scalar rows — and each candidate-bearing scan vector crosses into
+    the Arrow pass ONCE (left-semi join on the candidate neighbor set)
+    where it scores against ALL queries vectorized; the final inner
+    join keeps candidate pairs. Per scored row the waste is the
+    non-candidate queries' dots — numpy throughput makes that cheaper
+    than one interpreted HOF dot per pair as soon as fan-out is
+    non-trivial; at toy candidate counts the fixed query collect +
+    Python-worker exchange dominates instead, which is why the
+    expression path stays the default."""
+    from pyspark.sql import types as T
+
+    from polars_text_spark.persist import track_persist
+
+    spark = vectors.sparkSession
+    qid_type = queries.schema[id_col].dataType
+    vid_type = vectors.schema[id_col].dataType
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    qrows = _collect_query_side(
+        q, max_query_rows, "arrow re-rank query", vec_field="__qvec"
+    )
+    out_fields = [
+        T.StructField("query_id", qid_type),
+        T.StructField("neighbor_id", vid_type),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+    if not qrows:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    qvecs = [
+        None if r["__qvec"] is None else _normalize_vec_py(list(r["__qvec"]))
+        for r in qrows
+    ]
+    qvecs_bc = spark.sparkContext.broadcast(qvecs)
+    # consumed twice: the neighbor semi-join and the final pair join
+    cands = track_persist(cands.persist())
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).join(
+        cands.select(F.col("neighbor_id").alias("__id")),
+        "__id",
+        "left_semi",
+    )
+    dotted = v.mapInPandas(
+        _dots_map_fn(qvecs_bc, len(qvecs), "dots"),
+        schema=T.StructType(
+            [
+                T.StructField("neighbor_id", vid_type),
+                T.StructField("dots", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    qid_arr = _array_lit([r["query_id"] for r in qrows], qid_type)
+    scored = dotted.select(
+        "neighbor_id", F.posexplode("dots").alias("pos", "cosine")
+    ).select(
+        F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+        "neighbor_id",
+        "cosine",
+    )
+    return scored.join(cands, ["query_id", "neighbor_id"])
+
+
 def banded_scored_candidates(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1130,6 +1241,8 @@ def banded_scored_candidates(
     id_col: str,
     vec_col: str,
     exclude_self: bool,
+    rerank: str = "expr",
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Shared banding-OR-construction candidate stage: explode band
     keys on both sides (``keys_fn(vec Column) -> array<string>``),
@@ -1138,7 +1251,39 @@ def banded_scored_candidates(
     BOTH sides (a null vector has no meaningful signature and its
     cosine is null). Consumed by the ANN top-k tail
     (:func:`rank_topk`) and by the contrastive-triplet miner, which
-    derives positives AND hard negatives from ONE candidate shuffle."""
+    derives positives AND hard negatives from ONE candidate shuffle.
+
+    ``rerank="arrow"`` routes the per-candidate scoring through the
+    Arrow fold scorer (:func:`_arrow_candidate_scores`): the band join
+    then carries NO vector payload and each candidate vector scores
+    once, vectorized — the high-fan-out shape (collapsed bands, large
+    query sets; A/B in SCALING.md round-12). It requires a
+    collectable query side (``max_query_rows`` + the byte budget);
+    outputs are bit-identical to the default expression path."""
+    if rerank not in ("expr", "arrow"):
+        raise ValueError(f"rerank must be 'expr' or 'arrow', got {rerank!r}")
+    if rerank == "arrow":
+        vnn = vectors.where(F.col(vec_col).isNotNull())
+        qnn = queries.where(F.col(vec_col).isNotNull())
+        v_keys = vnn.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(keys_fn(F.col(vec_col))).alias("band_key"),
+        )
+        q_keys = qnn.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(keys_fn(F.col(vec_col))).alias("band_key"),
+        )
+        cands = (
+            v_keys.join(q_keys, "band_key")
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        if exclude_self:
+            cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+        return _arrow_candidate_scores(
+            vnn, qnn, cands,
+            id_col=id_col, vec_col=vec_col, max_query_rows=max_query_rows,
+        )
     v = with_l2_normalized(
         vectors.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"), vec_col
@@ -1182,6 +1327,7 @@ def _banded_topk(
     id_col: str,
     vec_col: str,
     exclude_self: bool,
+    rerank: str = "expr",
 ) -> DataFrame:
     """Banding-OR-construction ANN: the shared candidate stage plus
     the exact-cosine re-rank tail."""
@@ -1192,6 +1338,7 @@ def _banded_topk(
         id_col=id_col,
         vec_col=vec_col,
         exclude_self=exclude_self,
+        rerank=rerank,
     )
     return rank_topk(scored, k)
 
@@ -1208,10 +1355,14 @@ def cosine_topk_lsh(
     bands: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    rerank: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: candidates from LSH band-bucket collisions,
     exact cosine re-rank. A vector colliding with a query in ANY band
-    is a candidate (standard banding OR-construction)."""
+    is a candidate (standard banding OR-construction).
+    ``rerank="arrow"`` scores candidates in the Arrow fold scorer —
+    bit-identical output, the high-fan-out shape (see
+    :func:`banded_scored_candidates`)."""
     return _banded_topk(
         vectors,
         queries,
@@ -1222,6 +1373,7 @@ def cosine_topk_lsh(
         id_col=id_col,
         vec_col=vec_col,
         exclude_self=exclude_self,
+        rerank=rerank,
     )
 
 
@@ -1277,6 +1429,7 @@ def cosine_topk_lsh_sha(
     num_planes: int = 16,
     bands: int = 4,
     exclude_self: bool = True,
+    rerank: str = "expr",
 ) -> DataFrame:
     """LSH ANN with fully DETERMINISTIC, SQL-re-derivable hashing:
     :func:`sha_band_keys` buckets + exact-cosine re-rank, so an
@@ -1295,4 +1448,5 @@ def cosine_topk_lsh_sha(
         id_col=id_col,
         vec_col=vec_col,
         exclude_self=exclude_self,
+        rerank=rerank,
     )

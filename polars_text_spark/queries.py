@@ -6624,9 +6624,7 @@ def _lsh_sha_keys_sql(alias: str) -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-@query(
-    "similarity_topk_lsh_sha",
-    f"""
+_LSH_SHA_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings WHERE embedding IS NOT NULL),
@@ -6657,8 +6655,10 @@ def _lsh_sha_keys_sql(alias: str) -> str:
             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
           FROM scored)
     WHERE rn <= 10
-    """,
-)
+    """
+
+
+@query("similarity_topk_lsh_sha", _LSH_SHA_ORACLE)
 def q_similarity_topk_lsh_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN with sha-derived ±1 hyperplanes — the oracle replays
     every signature bit (64-term left folds), the banding
@@ -6673,6 +6673,31 @@ def q_similarity_topk_lsh_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cosine_topk_lsh_sha(
         vecs, vecs.filter(F.col("vec_id") < 5), k=10, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
+@query("similarity_topk_lsh_sha_arrow", _LSH_SHA_ORACLE)
+def q_similarity_topk_lsh_sha_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME sha-LSH query routed through the Arrow candidate
+    re-rank (``rerank="arrow"``, VERDICT r11 #7): slim band join, one
+    vectorized fold pass per candidate vector — checked against the
+    IDENTICAL DuckDB oracle as `similarity_topk_lsh_sha`, so the gate
+    proves the two physical routes are value-equal down to the hash
+    (operators/similarity.py::_arrow_candidate_scores)."""
+    from polars_text_spark.operators.similarity import cosine_topk_lsh_sha
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = cosine_topk_lsh_sha(
+        vecs, vecs.filter(F.col("vec_id") < 5), k=10, dim=64,
+        rerank="arrow",
     )
     return out.select(
         "query_id", "neighbor_id",
@@ -7865,6 +7890,7 @@ def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-12 additions (driver has never seen these)
     "near_dedup_hotband",
+    "similarity_topk_lsh_sha_arrow",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the
     # oracle-checked assemble stage for the topic pipeline; the exact

@@ -138,9 +138,12 @@ def main() -> int:
         out["stage2_decontam_gate"] = _halves(_trigger_ms(q2))
         out["n_silver"] = spark.read.parquet(silver).count()
 
+        # one file per trigger: the sink stage probes the standing
+        # store every batch, so it gets the longest trigger series —
+        # the store-growth axis is the claim under test
         silver_stream = (
             spark.readStream.schema(spark.read.parquet(silver).schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 1)
             .parquet(silver)
         ).select("doc_id", "text")
         q3 = stream_into_minhash_store(

@@ -1125,7 +1125,17 @@ def lsh_band_keys(
     bands: int = 4,
     seed: int = 42,
 ):
-    """``array<string>`` of band bucket keys for a vector column."""
+    """``array<string>`` of band bucket keys for a vector column.
+
+    Sizing at scale: a band of ``r = num_planes/bands`` bits has at
+    most ``2^r`` buckets, so expected bucket occupancy is ``>= n/2^r``
+    — the default 4-bit bands put ~n/16 of the corpus in every bucket
+    and the candidate join degrades toward brute force as n grows.
+    ``num_planes`` must grow with ``log2(n)`` (e.g. 64 planes / 8
+    bands -> 8-bit bands for 10^8 vectors) to keep per-bucket
+    candidates bounded; the re-rank A/B in SCALING.md round-12
+    measures what under-provisioned bands cost and `rerank="arrow"`
+    is the mitigation when re-provisioning isn't possible."""
     planes = _hyperplanes(dim, num_planes, seed)
     bits = _signature_bits(vec_col, planes)
     rows_per_band = num_planes // bands

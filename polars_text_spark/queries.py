@@ -986,6 +986,56 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_dedup_hotband",
+    """
+    -- saturated standing family (300 > cap 16): the shard doc pairs
+    -- with the family HUB only
+    SELECT 2000000000 AS id_a, 1000000000 AS id_b, 1.0 AS jaccard
+    UNION ALL -- at-cap standing family: the shard doc pairs with ALL 16
+    SELECT 2000000001 AS id_a, 1100000000 + i AS id_b, 1.0 AS jaccard
+    FROM generate_series(0, 15) t(i)
+    """,
+)
+def q_cross_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-corpus face of the hot-band guard (the
+    incremental-ingest shape): a 3-doc shard — one page matching the
+    300-member standing boilerplate family, one matching the
+    at-cap 16-member family, one novel — against the corpus + the
+    synthetic families, ``band_cap=16``. The saturated family's
+    standing side reduces to its hub, so the first shard doc emits ONE
+    pair (vs 300 unguarded); the at-cap family keeps all 16 member
+    pairs; the novel doc emits nothing. Pure-arithmetic oracle
+    (operators/dedup.py::_guarded_cross_candidates)."""
+    from polars_text_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    docs = _docs(spark, sf_dir, wide=False).filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    synth = None
+    for start, n, text in _HOTBAND_GROUPS:
+        g = spark.range(n).select(
+            (F.lit(start) + F.col("id")).alias("doc_id"),
+            F.lit(text).alias("text"),
+        )
+        synth = g if synth is None else synth.union(g)
+    shard = spark.createDataFrame(
+        [
+            (2_000_000_000, _HOTBAND_GROUPS[0][2]),
+            (2_000_000_001, _HOTBAND_GROUPS[1][2]),
+            (2_000_000_002, "pqnovel pqcrawl pqpage pqnever pqseen pqnew"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_cross_pairs(
+        shard, docs.union(synth), "text", "doc_id",
+        jaccard_threshold=0.9, band_cap=16,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@query(
     "near_dedup_blocked_jaccard",
     f"""
     WITH sh AS ({_SQL_SH_CTE})
@@ -7890,6 +7940,7 @@ def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-12 additions (driver has never seen these)
     "near_dedup_hotband",
+    "cross_dedup_hotband",
     "similarity_topk_lsh_sha_arrow",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the

@@ -441,6 +441,7 @@ def _guarded_self_pairs(
     keys: list[str],
     band_cap: int | None,
     payload: tuple[str, ...] = (),
+    cache: bool = True,
 ) -> DataFrame:
     """Within-bucket candidate pairs ``(id_a, id_b[, <p>_a, <p>_b])``
     with ``id_a < id_b``, deduplicated, from a one-row-per-(member,
@@ -475,6 +476,17 @@ def _guarded_self_pairs(
     edges instead of m^2/2. ``band_cap=None`` disables the guard (the
     measured A/B path); :func:`lsh_band_stats` reports the candidate
     counts both ways.
+
+    ``cache`` (default on): the annotated band frame feeds THREE
+    consumers (both self-join sides + the star branch), and Spark
+    plans each as its own subtree — without a pin, an expensive
+    ``banded`` pipeline (the MinHash signature aggregation) computes
+    three times. The persist materializes id+keys+count+hub rows once
+    (MEMORY_AND_DISK, ~40 B x n x bands for minhash — the same
+    magnitude the candidate dedup shuffle writes anyway), registered
+    with the persist tracker. Pass ``cache=False`` when ``banded`` is
+    already a cheap co-located read — the bucketed dedup store, whose
+    whole point is that re-scanning beats materializing.
     """
     payload = tuple(payload)
     out_cols = ["id_a", "id_b"] + [
@@ -505,6 +517,10 @@ def _guarded_self_pairs(
         "__hub",
         F.min(F.struct("id", *payload)).over(w),
     )
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        ann = track_persist(ann.persist(StorageLevel.MEMORY_AND_DISK))
     small = ann.filter(F.col("__bn") <= band_cap).drop("__bn", "__hub")
     star = (
         ann.filter(F.col("__bn") > band_cap)

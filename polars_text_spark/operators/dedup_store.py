@@ -266,9 +266,11 @@ def pairs_from_store(
     banded = _minus_tombstones(
         read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
     )
-    cand = _guarded_self_pairs(banded, ["band", "bucket"], band_cap).select(
-        "id_a", "id_b"
-    )
+    # cache=False: the band table IS the materialization — re-scanning
+    # co-located buckets per consumer beats pinning the corpus
+    cand = _guarded_self_pairs(
+        banded, ["band", "bucket"], band_cap, cache=False
+    ).select("id_a", "id_b")
     sh = _minus_tombstones(
         read_bucketed(spark, f"{name}_shingles"), _tombstones(spark, name)
     )

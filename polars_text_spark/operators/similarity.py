@@ -895,10 +895,11 @@ def cosine_topk_ivf(
             F.col(id_col).alias("query_id"),
             F.explode(probe_many(F.col(vec_col))).alias("list_id"),
         )
-        cands = (
-            v_keys.join(q_keys, "list_id")
-            .select("query_id", "neighbor_id")
-            .dropDuplicates(["query_id", "neighbor_id"])
+        # each vector lives in exactly ONE list and a query's probed
+        # lists are distinct, so (query_id, neighbor_id) is already
+        # unique — no dedup exchange
+        cands = v_keys.join(q_keys, "list_id").select(
+            "query_id", "neighbor_id"
         )
         if exclude_self:
             cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -921,7 +922,11 @@ def cosine_topk_ivf(
         "__qvec",
         F.explode(probe_many(F.col(vec_col))).alias("list_id"),
     )
-    cands = v.join(q, "list_id").dropDuplicates(["query_id", "neighbor_id"])
+    # each vector lives in exactly ONE list (assign_one) and a query's
+    # probed lists are distinct, so (query_id, neighbor_id) is already
+    # unique — the dedup this used to do was a pure Exchange of
+    # vector-carrying rows (2 x dim doubles per candidate) for nothing
+    cands = v.join(q, "list_id")
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cands.select(

@@ -966,7 +966,7 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::_guarded_self_pairs)."""
     from polars_text_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _docs(spark, sf_dir, wide=False).filter(
+    docs = _docs(spark, sf_dir).filter(
         F.col("text").isNotNull()
     ).select("doc_id", "text")
     synth = None
@@ -1008,7 +1008,7 @@ def q_cross_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::_guarded_cross_candidates)."""
     from polars_text_spark.operators.dedup import minhash_lsh_cross_pairs
 
-    docs = _docs(spark, sf_dir, wide=False).filter(
+    docs = _docs(spark, sf_dir).filter(
         F.col("text").isNotNull()
     ).select("doc_id", "text")
     synth = None

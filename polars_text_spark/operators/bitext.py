@@ -72,7 +72,12 @@ def bitext_mine(
     mutual-best cross-corpus neighbors with ratio margin at/above
     ``margin_threshold``. Ids must be disjoint across the two inputs
     only if the caller means to tell the sides apart downstream — the
-    mining itself never compares within a side."""
+    mining itself never compares within a side.
+
+    Scale dial: candidates are a left x right band join, so per-bucket
+    volume is |L_bucket| x |R_bucket| — grow ``num_planes`` with
+    log2(corpus) per the sizing rule on
+    :func:`~polars_text_spark.operators.similarity.lsh_band_keys`."""
     keys = lambda c: sha_band_keys(  # noqa: E731
         c, dim=dim, num_planes=num_planes, bands=bands
     )

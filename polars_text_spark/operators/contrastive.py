@@ -105,7 +105,15 @@ def contrastive_triplets(
     consume pairs.
 
     ``pos_threshold`` must exceed ``neg_ceiling``; the gap is the
-    ambiguity margin excluded from training."""
+    ambiguity margin excluded from training.
+
+    Scale dial: this is a corpus x corpus band self-join, so candidate
+    volume per bucket is quadratic in bucket occupancy (~n / 2^(
+    num_planes/bands) vectors per bucket) — grow ``num_planes`` with
+    log2(n) (the sizing rule on
+    :func:`~polars_text_spark.operators.similarity.lsh_band_keys`) so
+    buckets stay bounded; the default 4-bit bands are sized for
+    ~10^5-10^6 vectors, not a web corpus."""
     if not pos_threshold > neg_ceiling:
         raise ValueError(
             f"pos_threshold ({pos_threshold}) must exceed neg_ceiling "

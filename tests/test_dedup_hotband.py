@@ -116,6 +116,24 @@ def test_band_cap_validation(corpus):
         minhash_lsh_pairs(corpus, band_cap=0).collect()
 
 
+def test_guarded_pairs_pin_signature_pipeline(corpus):
+    """The guard's three consumers (both join sides + star) must read
+    the PERSISTED band frame — without the pin the MinHash signature
+    aggregation plans (and runs) three times (SCALING.md round-12)."""
+    from polars_text_spark.persist import release_tracked, tracked_count
+
+    release_tracked()
+    before = tracked_count()
+    df = minhash_lsh_pairs(corpus, jaccard_threshold=0.9, band_cap=8)
+    assert tracked_count() > before  # registered for deferred release
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly the three consumers read the cache (the signature
+    # aggregation lives once, inside the InMemoryRelation)
+    assert plan.count("InMemoryTableScan") == 3, plan[:2000]
+    release_tracked()
+
+
 def test_guarded_simhash_star(corpus):
     got = simhash_pairs(corpus, max_hamming=3, band_cap=8)
     rows = got.collect()

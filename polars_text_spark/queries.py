@@ -6335,14 +6335,22 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the j>=0.9 MinHash near-dup graph — the
-    hub-vs-mirror shape audit run before choosing a dedup strategy."""
+    hub-vs-mirror shape audit run before choosing a dedup strategy.
+    The pair frame is persisted: the histogram unions both id columns,
+    and without the pin the WHOLE banded pipeline (signatures, guard
+    window, verification) runs once per union arm."""
     from polars_text_spark.operators.dedup import (
         dup_degree_histogram,
         minhash_lsh_pairs,
     )
+    from polars_text_spark.persist import track_persist
 
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.9)
+    pairs = track_persist(
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.9
+        ).persist()
+    )
     return dup_degree_histogram(pairs)
 
 

@@ -7938,11 +7938,12 @@ def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()`` iteration order. With 140+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 10: the round-10
-# additions (never signed, must sit inside the window), then the four
-# no-oracle/sha twin PAIRS (adjacent, so a fast-path regression
-# is always signed alongside its hash-checked twin), then the 46
-# remaining r7-signed queries — oldest signatures in the registry.
+# keep their original order behind them. Round 12 fills the WHOLE
+# 50-row window explicitly: the three round-12 additions (never
+# signed), the six no-oracle/voucher PAIRS (adjacency pinned by
+# tests/test_registry_rotation.py), the 14 queries whose latest
+# signature is r8 — the oldest in the registry — and the first 21 of
+# the 45 r9-signed (the rest rotate in next round).
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -7968,15 +7969,45 @@ _DRIVER_PRIORITY = [
     "topic_assemble",
     "similarity_ann_recall",
     "similarity_topk",
-    # THEN: the 7 r7-signed entries that slipped past round 10's
-    # 50-row window (the oldest driver signatures in the registry).
-    "quantile_audit",
-    "vocab_spelling",
-    "quality_cube",
-    "language_confusion",
-    "embedding_norms",
-    "curation_funnel",
-    "node_collocates",
+    # THEN: the 14 r8-signed entries — the oldest driver signatures
+    # in the registry after round 11 re-signed the r7 tail.
+    "corpus_pooling_union",
+    "embedding_cached",
+    "topic_ctfidf",
+    "topic_rollup",
+    "normalize_and_stopwords",
+    "pii_redact",
+    "quality_weighted_sample",
+    "mojibake_scan",
+    "containment_dups",
+    "fim_psm",
+    "dehyphenate_repair",
+    "gopher_line_stats",
+    "events_first_hour",
+    "ann_store_incremental",
+    # THEN: the first 21 of the 45 r9-signed, filling the window to
+    # exactly 50; the remaining 24 rotate in next round.
+    "topic_projector",
+    "event_sessions",
+    "events_props_json",
+    "events_asof_clicks",
+    "events_gapfill",
+    "repetition_signals",
+    "unigram_surprisal",
+    "surprisal_buckets",
+    "bigram_surprisal",
+    "decontaminate_ngrams",
+    "bloom_decontam",
+    "decontaminate_semantic",
+    "pack_sequences",
+    "sequence_manifest",
+    "stratified_sample",
+    "bm25_search",
+    "length_quantiles",
+    "vocab_oov",
+    "source_divergence",
+    "link_stats",
+    "lang_consistency",
 ]
 
 

@@ -217,6 +217,24 @@ def test_store_incremental_guarded_hub_only(spark, corpus):
     }
 
 
+def test_simhash_null_text_hot_block_matches_unguarded(spark):
+    """A saturated block of NULL-simhash docs (null texts share the
+    null chunk value) emits star CANDIDATES the unguarded join never
+    builds — but the Hamming verify (null xor -> null) drops them, so
+    outputs stay identical. Pins that the guard cannot leak unverified
+    pairs through the null-key corner."""
+    rows = [(i, None) for i in range(20)] + [
+        (100, "same text here ok"),
+        (101, "same text here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lambda cap: {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, band_cap=cap).collect()
+    }
+    assert out(4) == out(None) == {(100, 101, 0)}
+
+
 def test_phash_chunk_pairs_guarded(spark):
     from polars_text_spark.operators.phash import chunk_hamming_pairs
 

@@ -93,6 +93,11 @@ def main() -> None:
     length_outlier_report(docs, "source", "n_chars").show(5)
 
     print("== 6. dup provenance + degree shape ==")
+    # band-bucket audit FIRST: would this corpus blow up the candidate
+    # join? (saturated buckets route to hub stars under band_cap)
+    from polars_text_spark.operators.dedup import lsh_band_stats
+
+    lsh_band_stats(docs, "text", "doc_id", band_cap=1000).show()
     # the expensive shingle/minhash/band-join DAG is consumed by three
     # sections — pin it once instead of recomputing per consumer
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.9).persist()

@@ -115,6 +115,7 @@ from polars_text_spark.operators.chunks import (
 from polars_text_spark.operators.interval import interval_join
 from polars_text_spark.operators.dedup_store import (
     append_minhash_shard,
+    band_stats_from_store,
     incremental_pairs_from_store,
     pairs_from_store,
     write_minhash_store,
@@ -278,6 +279,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "fim_transform",
     "pack_sequences",
+    "band_stats_from_store",
     "pairs_from_store",
     "append_minhash_shard",
     "append_ann_shard",

@@ -50,6 +50,7 @@ from polars_text_spark.sources.bucketing import (
 
 __all__ = [
     "append_minhash_shard",
+    "band_stats_from_store",
     "delete_ids",
     "incremental_pairs_from_store",
     "pairs_from_store",
@@ -232,6 +233,42 @@ def purge_deleted(spark: SparkSession, name: str) -> None:
     compact_table(spark, f"{name}_bands", anti=ts, anti_on="id")
     compact_table(spark, f"{name}_shingles", anti=ts, anti_on="id")
     clear_table(spark, f"{name}_tombstones")
+
+
+def band_stats_from_store(
+    spark: SparkSession, name: str, *, band_cap: int | None = 1000
+) -> DataFrame:
+    """The :func:`~polars_text_spark.operators.dedup.lsh_band_stats`
+    audit over the STANDING store — bucket-size drift is exactly what
+    incremental ingest accumulates (every appended boilerplate shard
+    deepens its family's buckets), so re-run this after appends to
+    size ``band_cap`` before the next :func:`pairs_from_store`. One
+    groupBy on the table's own bucketing (no Exchange on the store
+    side), tombstones respected."""
+    banded = _minus_tombstones(
+        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+    )
+    per = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    unguarded = F.expr("m * (m - 1) div 2")
+    if band_cap is None:
+        saturated = F.lit(False)
+        guarded = unguarded
+    else:
+        if band_cap < 1:
+            raise ValueError(
+                f"band_cap must be >= 1 or None, got {band_cap}"
+            )
+        saturated = F.col("m") > band_cap
+        guarded = F.when(saturated, F.col("m") - 1).otherwise(unguarded)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("m").alias("max_bucket_size"),
+        F.sum(saturated.cast("long")).alias("n_saturated_buckets"),
+        F.sum(unguarded).alias("unguarded_candidates"),
+        F.sum(guarded).alias("guarded_candidates"),
+    )
 
 
 def candidate_self_join(spark: SparkSession, name: str) -> DataFrame:

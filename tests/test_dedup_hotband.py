@@ -204,6 +204,22 @@ def test_store_guard_adds_no_exchange(spark, corpus):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_store_band_stats_match_direct(spark, corpus):
+    """The standing-store audit must agree with the direct operator's
+    stats on the same corpus (same signature params), and stay
+    Exchange-free on the store side below its final 1-row aggregate."""
+    from polars_text_spark.operators.dedup_store import (
+        band_stats_from_store,
+    )
+
+    write_minhash_store(corpus, "mh_hotband_stats", buckets=4)
+    direct = lsh_band_stats(corpus, band_cap=8).collect()[0]
+    stored = band_stats_from_store(
+        spark, "mh_hotband_stats", band_cap=8
+    ).collect()[0]
+    assert stored.asDict() == direct.asDict()
+
+
 def test_store_incremental_guarded_hub_only(spark, corpus):
     write_minhash_store(corpus, "mh_hotband_inc", buckets=4)
     shard = spark.createDataFrame(

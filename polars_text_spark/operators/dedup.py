@@ -415,7 +415,12 @@ def _banded_signatures(
     bands: int,
     shingle_n: int,
 ) -> DataFrame:
-    """``(out_id, bk: struct<band, bucket>)`` — one row per LSH band."""
+    """``(out_id, bk: struct<band, bucket>, __sig)`` — one row per LSH
+    band. ``__sig`` is an xxhash64 over the FULL signature: docs with
+    equal ``__sig`` have (collision-negligibly) identical MinHash
+    signatures, i.e. are near-certain duplicates of each other — the
+    grouping key the hot-band guard stars by, so star edges verify by
+    construction instead of against an arbitrary bucket hub."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
@@ -432,7 +437,11 @@ def _banded_signatures(
         ]
     )
     return sigs.select(
-        F.col(id_col).alias(out_id), F.explode(band_structs).alias("bk")
+        F.col(id_col).alias(out_id),
+        F.explode(band_structs).alias("bk"),
+        F.xxhash64(
+            *[F.col("minhash")[i] for i in range(num_perm)]
+        ).alias("__sig"),
     )
 
 
@@ -442,11 +451,12 @@ def _guarded_self_pairs(
     band_cap: int | None,
     payload: tuple[str, ...] = (),
     cache: bool = True,
+    star_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Within-bucket candidate pairs ``(id_a, id_b[, <p>_a, <p>_b])``
     with ``id_a < id_b``, deduplicated, from a one-row-per-(member,
-    bucket) frame ``banded(id, *keys[, *payload])`` — guarded against
-    HOT buckets.
+    bucket) frame ``banded(id, *keys[, *payload, *star_by])`` —
+    guarded against HOT buckets.
 
     The naive bucket self-join emits m(m-1)/2 candidates for a bucket
     of m members: a boilerplate-heavy crawl shard that drops 10^5
@@ -458,22 +468,31 @@ def _guarded_self_pairs(
 
     - buckets with <= ``band_cap`` members take the normal self-join —
       byte-identical to the unguarded within-bucket pair set;
-    - SATURATED buckets (> ``band_cap`` members) emit a hub STAR
-      instead: ``(hub, member)`` for every member, hub = min id in the
-      bucket — ``m - 1`` candidates instead of ``m(m-1)/2``, linear in
-      the bucket.
+    - SATURATED buckets (> ``band_cap`` members) emit hub STARS
+      instead: within each ``star_by`` group of the bucket (the
+      caller's full-signature key — equal values mean
+      collision-negligibly IDENTICAL signatures, i.e. near-certain
+      duplicates), ``(group hub, member)`` for every member, hub =
+      min id of the group. Still at most ``m - 1`` edges per bucket
+      (the groups partition it), and every star edge connects two
+      signature-identical docs, so it passes the caller's exact
+      verification BY CONSTRUCTION rather than against an arbitrary
+      bucket hub. With ``star_by=()`` the whole bucket is one group
+      (the degenerate single-hub star).
 
     Every emitted pair still passes the caller's exact verification, so
     precision is untouched. Recall accounting (the discipline of the
-    KMV hot-element prune in :func:`bottomk_sketch_pairs`): a true pair
-    can only be missed when EVERY bucket the two docs share is
-    saturated and neither doc is one of those buckets' hub. In the
-    saturated regime — near-identical boilerplate, which is what it
-    takes for a whole band of MinHash rows to agree across 10^3+
-    documents — each member verifies against the hub, and downstream
-    connected components (operators/components.py) recover exactly the
-    duplicate family the full clique would have produced, from m-1
-    edges instead of m^2/2. ``band_cap=None`` disables the guard (the
+    KMV hot-element prune in :func:`bottomk_sketch_pairs`): a true
+    pair is missed only when BOTH (a) every bucket the two docs share
+    is saturated AND (b) their signatures differ (different ``star_by``
+    groups). For MinHash at j >= threshold the two docs co-occur in
+    each OTHER band with probability ~j^rows_per_band, so (a) requires
+    every one of those collisions to be saturated too — the miss
+    probability is the product of both tails, measured negligible in
+    the hotband gates. Signature-identical families — the regime that
+    actually saturates buckets — are recovered EXACTLY: downstream
+    connected components (operators/components.py) rebuild the family
+    from the group stars. ``band_cap=None`` disables the guard (the
     measured A/B path); :func:`lsh_band_stats` reports the candidate
     counts both ways.
 
@@ -481,7 +500,7 @@ def _guarded_self_pairs(
     consumers (both self-join sides + the star branch), and Spark
     plans each as its own subtree — without a pin, an expensive
     ``banded`` pipeline (the MinHash signature aggregation) computes
-    three times. The persist materializes id+keys+count+hub rows once
+    three times. The persist materializes id+keys+count rows once
     (MEMORY_AND_DISK, ~40 B x n x bands for minhash — the same
     magnitude the candidate dedup shuffle writes anyway), registered
     with the persist tracker. Pass ``cache=False`` when ``banded`` is
@@ -511,22 +530,28 @@ def _guarded_self_pairs(
     if band_cap < 1:
         raise ValueError(f"band_cap must be >= 1 or None, got {band_cap}")
     w = Window.partitionBy(*keys)
-    ann = banded.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
-        # struct min orders by id first: the hub row's id AND payload
-        # in one pass (payload columns ride only when present)
-        "__hub",
-        F.min(F.struct("id", *payload)).over(w),
-    )
+    ann = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
     if cache:
         from pyspark.storagelevel import StorageLevel
 
         ann = track_persist(ann.persist(StorageLevel.MEMORY_AND_DISK))
-    small = ann.filter(F.col("__bn") <= band_cap).drop("__bn", "__hub")
+    small = ann.filter(F.col("__bn") <= band_cap).drop("__bn")
+    # hub per (bucket, star_by) group — computed AFTER the saturation
+    # filter (saturation is a whole-bucket property, so groups stay
+    # intact) over the same clustered distribution
+    wg = Window.partitionBy(*keys, *star_by)
     star = (
         ann.filter(F.col("__bn") > band_cap)
+        .withColumn(
+            # struct min orders by id first: the hub row's id AND
+            # payload in one pass (payload columns ride only when
+            # present)
+            "__hub",
+            F.min(F.struct("id", *payload)).over(wg),
+        )
         .filter(F.col("id") != F.col("__hub.id"))
         .select(
-            # hub = bucket min id, so id_a < id_b holds by construction
+            # hub = group min id, so id_a < id_b holds by construction
             F.col("__hub.id").alias("id_a"),
             F.col("id").alias("id_b"),
             *[F.col(f"__hub.{p}").alias(f"{p}_a") for p in payload],
@@ -548,41 +573,54 @@ def _guarded_cross_candidates(
     right_bands: DataFrame,
     keys: list[str],
     band_cap: int | None,
+    star_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cross-corpus candidates ``(id_a, id_b)`` (``id_a`` from
     ``left_bands(id_a, *keys)``, ``id_b`` from
-    ``right_bands(id_b, *keys)``), with the hot-band guard on the
-    RIGHT (standing-corpus) side.
+    ``right_bands(id_b, *keys[, *star_by])``), with the hot-band
+    guard on the RIGHT (standing-corpus) side.
 
     An L-member shard bucket meeting an R-member standing bucket emits
     L*R candidates; with both sides boilerplate-heavy that is the same
     quadratic blow-up as the self-join. The guard reduces a saturated
-    standing bucket (> ``band_cap`` members) to its hub row (min id),
-    bounding the bucket's candidates at L — every shard doc still gets
-    its own verdict (the left side is never reduced: candidates stay
-    linear in the shard even when only the shard is hot, L*R <=
-    L*band_cap). A shard doc whose only matches sit in a saturated
-    standing bucket is verified against the bucket's HUB — the family
-    representative — rather than each member; in the regime that
-    saturates a full band (near-identical boilerplate) the hub verdict
-    is the family verdict."""
+    standing bucket (> ``band_cap`` members) to REPRESENTATIVE rows:
+    the min-id member of each ``star_by`` signature group (equal
+    values = collision-negligibly identical signatures, so the
+    representative's verification verdict IS its group's verdict),
+    deterministically ranked by representative id and truncated at
+    ``band_cap`` of them — the bucket's candidates are bounded at
+    L*band_cap while a shard doc matching ANY of up to band_cap
+    distinct standing families still verifies against a
+    signature-identical member of that family, not an arbitrary
+    bucket hub. Every shard doc keeps its own verdict (the left side
+    is never reduced). With ``star_by=()`` a saturated bucket
+    degenerates to its single min-id hub — the coarsest bound.
+    Representatives BEYOND the cap (only possible when one bucket
+    holds > band_cap distinct signature families, i.e. the band is
+    saturated by coincidence rather than duplication) are dropped and
+    their families are reachable only through the shard doc's other
+    bands — the tracked recall trade of capping."""
     if band_cap is not None:
         if band_cap < 1:
             raise ValueError(
                 f"band_cap must be >= 1 or None, got {band_cap}"
             )
         w = Window.partitionBy(*keys)
-        right_bands = (
-            right_bands.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .withColumn("__hub", F.min("id_b").over(w))
-            .filter(
-                (F.col("__bn") <= band_cap)
-                | (F.col("id_b") == F.col("__hub"))
-            )
-            .drop("__bn", "__hub")
+        wg = Window.partitionBy(*keys, *star_by)
+        wr = Window.partitionBy(*keys).orderBy("id_b")
+        ann = right_bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+        small = ann.filter(F.col("__bn") <= band_cap)
+        reps = (
+            ann.filter(F.col("__bn") > band_cap)
+            .withColumn("__hub", F.min("id_b").over(wg))
+            .filter(F.col("id_b") == F.col("__hub"))
+            .withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") <= band_cap)
+            .drop("__rn", "__hub")
         )
+        right_bands = small.unionByName(reps).drop("__bn")
     return (
-        left_bands.join(right_bands, keys)
+        left_bands.join(right_bands.select("id_b", *keys), keys)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -614,6 +652,16 @@ def lsh_band_stats(
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
     per = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("m"))
+    return _band_stats_agg(per, band_cap)
+
+
+def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
+    """Shared final aggregate of the band audits (:func:`lsh_band_stats`
+    and the store-side :func:`polars_text_spark.operators.dedup_store.
+    band_stats_from_store`): ``per_bucket`` is one row per bucket with
+    member count ``m``. ``guarded_candidates`` counts ``m - 1`` per
+    saturated bucket — the guard's per-bucket UPPER bound (signature-
+    grouped stars emit ``m - #groups``)."""
     unguarded = F.expr("m * (m - 1) div 2")
     if band_cap is None:
         saturated = F.lit(False)
@@ -625,7 +673,7 @@ def lsh_band_stats(
             )
         saturated = F.col("m") > band_cap
         guarded = F.when(saturated, F.col("m") - 1).otherwise(unguarded)
-    return per.agg(
+    return per_bucket.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("m").alias("max_bucket_size"),
         F.sum(saturated.cast("long")).alias("n_saturated_buckets"),
@@ -694,7 +742,9 @@ def minhash_lsh_pairs(
         df, text_col, id_col, "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
-    cand = _guarded_self_pairs(banded, ["bk"], band_cap)
+    cand = _guarded_self_pairs(
+        banded, ["bk"], band_cap, star_by=("__sig",)
+    )
     sh = df.select(
         F.col(id_col).alias("__id"),
         token_shingles(text_col, shingle_n, hashed=True).alias("__sh"),
@@ -741,7 +791,9 @@ def minhash_lsh_cross_pairs(
         right, text_col, id_col, "id_b",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
-    cand = _guarded_cross_candidates(bl, br, ["bk"], band_cap)
+    cand = _guarded_cross_candidates(
+        bl, br, ["bk"], band_cap, star_by=("__sig",)
+    )
     a = left.select(
         F.col(id_col).alias("id_a"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
@@ -818,11 +870,19 @@ def simhash_pairs(
     Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit chunks;
     any pair within distance 3 shares at least one exact chunk, so the
     join is an equi-join on (chunk_idx, chunk_value). Chunk blocks
-    above ``band_cap`` members emit hub-star candidates instead of the
-    within-block clique (the hot-band guard,
-    :func:`_guarded_self_pairs` — the 16-bit chunk of a boilerplate
-    family is exactly the kind of key 10^5 near-identical pages
-    share); ``band_cap=None`` disables it."""
+    above ``band_cap`` members emit per-signature-group star
+    candidates instead of the within-block clique (the hot-band
+    guard, :func:`_guarded_self_pairs` — the 16-bit chunk of a
+    boilerplate family is exactly the kind of key 10^5 near-identical
+    pages share; stars group by the FULL simhash so every star edge is
+    hamming 0). Capacity note: a 16-bit chunk has 65,536 values, so at
+    ~band_cap * 65536 docs (~65M at the default) blocks saturate with
+    UNRELATED docs too — pairs between distinct signatures whose every
+    shared chunk block is saturated are then dropped; at that corpus
+    size the 4x16 pigeonhole itself is out of capacity and the scheme
+    wants more/wider chunks (or MinHash banding, whose 64-bit buckets
+    only saturate on true families). ``band_cap=None`` disables the
+    guard."""
     hashed = df.select(
         F.col(id_col).alias("id"),
         simhash(text_col, token_hash=token_hash).alias("sh"),
@@ -839,7 +899,13 @@ def simhash_pairs(
         ]
     )
     blocked = hashed.select("id", "sh", F.explode(chunks).alias("ck"))
-    pairs = _guarded_self_pairs(blocked, ["ck"], band_cap, payload=("sh",))
+    # star_by the FULL simhash: members of a saturated chunk block
+    # star only with signature-identical docs (hamming 0 — verified by
+    # construction), never against an arbitrary block hub that the
+    # <= max_hamming verify would reject
+    pairs = _guarded_self_pairs(
+        blocked, ["ck"], band_cap, payload=("sh",), star_by=("sh",)
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.withColumn("hamming", hamming)
@@ -1188,6 +1254,7 @@ def near_dup_source_matrix(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    band_cap: int | None = 1000,
     pairs: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate provenance: per source-pair counts of near-dup
@@ -1208,7 +1275,12 @@ def near_dup_source_matrix(
 
     Pass ``pairs`` (``(id_a, id_b, jaccard)``, e.g. a persisted
     :func:`minhash_lsh_pairs` result shared with other consumers) to
-    skip rebuilding the pair DAG; the minhash knobs are ignored then.
+    skip rebuilding the pair DAG; the minhash knobs (including
+    ``band_cap``) are ignored then. Note that under the hot-band guard
+    a saturated family's ``pair_count`` reflects the star topology
+    (m-1 per signature group), not the clique — pass
+    ``band_cap=None`` when the matrix must count every pair of a
+    mega-family and the quadratic cost is acceptable.
 
     NULL sources are coalesced to the sentinel ``'<null>'`` BEFORE
     canonicalization — ``least``/``greatest`` skip NULL operands, so
@@ -1225,6 +1297,7 @@ def near_dup_source_matrix(
             bands=bands,
             shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold,
+            band_cap=band_cap,
         )
     src = df.select(
         F.col(id_col).alias("__sid"),

@@ -79,6 +79,9 @@ def write_minhash_store(
         "id",
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
+        # full-signature key: the hot-band guard stars saturated
+        # buckets per signature group (see dedup._guarded_self_pairs)
+        F.col("__sig").alias("sig"),
     )
     write_bucketed(
         banded,
@@ -178,14 +181,14 @@ def append_minhash_shard(
             "appending would duplicate its rows and corrupt later "
             "pair results"
         )
+    shard_cols = ["id", F.col("bk.band").alias("band"),
+                  F.col("bk.bucket").alias("bucket")]
+    if "sig" in spark.table(f"{name}_bands").columns:
+        shard_cols.append(F.col("__sig").alias("sig"))
     banded = _banded_signatures(
         shard, text_col, id_col, "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
-    ).select(
-        "id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bucket").alias("bucket"),
-    )
+    ).select(*shard_cols)
     write_bucketed(
         banded,
         f"{name}_bands",
@@ -245,30 +248,15 @@ def band_stats_from_store(
     size ``band_cap`` before the next :func:`pairs_from_store`. One
     groupBy on the table's own bucketing (no Exchange on the store
     side), tombstones respected."""
+    from polars_text_spark.operators.dedup import _band_stats_agg
+
     banded = _minus_tombstones(
         read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
     )
     per = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("m")
     )
-    unguarded = F.expr("m * (m - 1) div 2")
-    if band_cap is None:
-        saturated = F.lit(False)
-        guarded = unguarded
-    else:
-        if band_cap < 1:
-            raise ValueError(
-                f"band_cap must be >= 1 or None, got {band_cap}"
-            )
-        saturated = F.col("m") > band_cap
-        guarded = F.when(saturated, F.col("m") - 1).otherwise(unguarded)
-    return per.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.max("m").alias("max_bucket_size"),
-        F.sum(saturated.cast("long")).alias("n_saturated_buckets"),
-        F.sum(unguarded).alias("unguarded_candidates"),
-        F.sum(guarded).alias("guarded_candidates"),
-    )
+    return _band_stats_agg(per, band_cap)
 
 
 def candidate_self_join(spark: SparkSession, name: str) -> DataFrame:
@@ -304,9 +292,12 @@ def pairs_from_store(
         read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
     )
     # cache=False: the band table IS the materialization — re-scanning
-    # co-located buckets per consumer beats pinning the corpus
+    # co-located buckets per consumer beats pinning the corpus.
+    # Stores written before the sig column fall back to single-hub
+    # stars (the coarser pre-sig semantics).
+    star_by = ("sig",) if "sig" in banded.columns else ()
     cand = _guarded_self_pairs(
-        banded, ["band", "bucket"], band_cap, cache=False
+        banded, ["band", "bucket"], band_cap, cache=False, star_by=star_by
     ).select("id_a", "id_b")
     sh = _minus_tombstones(
         read_bucketed(spark, f"{name}_shingles"), _tombstones(spark, name)
@@ -359,11 +350,13 @@ def incremental_pairs_from_store(
         F.col("bk.bucket").alias("bucket"),
     )
     __ts = _tombstones(spark, name)
-    standing = _minus_tombstones(
-        read_bucketed(spark, f"{name}_bands"), __ts
-    ).select(F.col("id").alias("id_b"), "band", "bucket")
+    standing = _minus_tombstones(read_bucketed(spark, f"{name}_bands"), __ts)
+    star_by = ("sig",) if "sig" in standing.columns else ()
+    standing = standing.select(
+        F.col("id").alias("id_b"), "band", "bucket", *star_by
+    )
     cand = _guarded_cross_candidates(
-        new_bands, standing, ["band", "bucket"], band_cap
+        new_bands, standing, ["band", "bucket"], band_cap, star_by=star_by
     )
     a = new_df.select(
         F.col(id_col).alias("id_a"),

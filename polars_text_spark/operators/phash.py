@@ -230,7 +230,11 @@ def chunk_hamming_pairs(
         ),
     )
     blocked = sigs.select("id", "sig", F.explode(chunk_structs).alias("ck"))
-    pairs = _guarded_self_pairs(blocked, ["ck"], band_cap, payload=("sig",))
+    # star_by the full signature: saturated-block stars connect only
+    # signature-identical media (hamming 0, verified by construction)
+    pairs = _guarded_self_pairs(
+        blocked, ["ck"], band_cap, payload=("sig",), star_by=("sig",)
+    )
     hamming = F.aggregate(
         F.zip_with(
             "sig_a",
@@ -254,11 +258,15 @@ def dhash_pairs(
     *,
     max_hamming: int = 3,
     backend: str = "stub",
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """End-to-end perceptual near-dup pairs for a binary media column:
     hash (:func:`with_dhash`) then band + verify
-    (:func:`chunk_hamming_pairs`)."""
+    (:func:`chunk_hamming_pairs`, whose hot-band ``band_cap`` passes
+    through — a meme recrawled 10^5 times is the media hot block)."""
     hashed = with_dhash(
         df.select(id_col, media_col), media_col, "__dh", backend=backend
     )
-    return chunk_hamming_pairs(hashed, "__dh", id_col, max_hamming=max_hamming)
+    return chunk_hamming_pairs(
+        hashed, "__dh", id_col, max_hamming=max_hamming, band_cap=band_cap
+    )

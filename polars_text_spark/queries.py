@@ -921,8 +921,8 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE bucket — the saturation pattern is then exact arithmetic the
 # oracle replays, not an xxhash accident.
 _HOTBAND_GROUPS = [
-    # (id_start, members, text) — 300 > cap: star; 16 == cap: full
-    # clique (the boundary); 10 < cap: full clique
+    # (id_start, members, text) — 300 > cap 64: star; 16 and 10 < cap:
+    # full cliques (the exact at-cap boundary is pinned in pytest)
     (1_000_000_000, 300, "zqalpha zqbeta zqgamma zqdelta zqepsilon zqzeta"),
     (1_100_000_000, 16, "xvone xvtwo xvthree xvfour xvfive xvsix"),
     (1_200_000_000, 10, "kwred kwblue kwgreen kwcyan kwpink kwteal"),
@@ -939,10 +939,10 @@ _HOTBAND_GROUPS = [
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s)) * 1.0
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
-    UNION ALL  -- saturated family (300 > cap 16): hub star, hub = min id
+    UNION ALL  -- saturated family (300 > cap 64): hub star, hub = min id
     SELECT 1000000000 AS id_a, 1000000000 + i AS id_b, 1.0 AS jaccard
     FROM generate_series(1, 299) t(i)
-    UNION ALL  -- at-cap family (16 == cap): the FULL clique survives
+    UNION ALL  -- below-cap family (16 < cap): the FULL clique survives
     SELECT 1100000000 + i AS id_a, 1100000000 + j AS id_b, 1.0 AS jaccard
     FROM generate_series(0, 15) s(i) JOIN generate_series(0, 15) t(j) ON i < j
     UNION ALL  -- below-cap family: full clique
@@ -953,17 +953,21 @@ _HOTBAND_GROUPS = [
 def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-band cardinality guard gate (VERDICT r11 #1): three
     synthetic boilerplate families ride along with the corpus into
-    :func:`minhash_lsh_pairs` at ``band_cap=16``. The 300-member
+    :func:`minhash_lsh_pairs` at ``band_cap=64``. The 300-member
     family saturates every band and must emit the hub STAR (299
-    verified pairs, not the 44,850-pair clique); the 16-member family
-    sits exactly AT the cap and must keep its full 120-pair clique;
-    the 10-member family and the corpus's natural near-dups ride the
-    normal path untouched. Identical text within each family makes the
-    saturation pattern deterministic (one bucket per band per family),
-    so the DuckDB oracle replays the cap with pure arithmetic —
-    star/clique row generators — on top of the same full-pairwise
-    natural-pair SQL that gates ``near_dedup_minhash``
-    (operators/dedup.py::_guarded_self_pairs)."""
+    verified pairs, not the 44,850-pair clique — one signature group,
+    so the star has a single hub); the 16- and 10-member families ride
+    the normal path and keep their full cliques (120 + 45 pairs), as
+    do the corpus's natural near-dups. Identical text within each
+    family makes the saturation pattern deterministic (one bucket per
+    band per family), so the DuckDB oracle replays the cap with pure
+    arithmetic — star/clique row generators — on top of the same
+    full-pairwise natural-pair SQL that gates ``near_dedup_minhash``
+    (operators/dedup.py::_guarded_self_pairs). The cap is 64 (not the
+    tightest value the synthetic sizes allow) so a regenerated
+    testdata corpus with a modest natural duplicate family cannot trip
+    the gate — the exact at-cap boundary is pinned in
+    tests/test_dedup_hotband.py instead."""
     from polars_text_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir).filter(
@@ -978,7 +982,7 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth = g if synth is None else synth.union(g)
     pairs = minhash_lsh_pairs(
         docs.union(synth), "text", "doc_id",
-        jaccard_threshold=0.9, band_cap=16,
+        jaccard_threshold=0.9, band_cap=64,
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")

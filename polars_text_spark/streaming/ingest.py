@@ -131,14 +131,19 @@ def minhash_ingest_batch(
         novel = novel.localCheckpoint(eager=True)
         if not novel.take(1):
             return
-        banded = _banded_signatures(
-            novel, text_col, id_col, "id",
-            num_perm=m_perm, bands=m_bands, shingle_n=m_shingle,
-        ).select(
+        band_cols = [
             "id",
             F.col("bk.band").alias("band"),
             F.col("bk.bucket").alias("bucket"),
-        )
+        ]
+        if "sig" in spark.table(f"{name}_bands").columns:
+            # the hot-band guard's signature-group key; stores written
+            # before it existed keep their narrower schema
+            band_cols.append(F.col("__sig").alias("sig"))
+        banded = _banded_signatures(
+            novel, text_col, id_col, "id",
+            num_perm=m_perm, bands=m_bands, shingle_n=m_shingle,
+        ).select(*band_cols)
         write_bucketed(
             banded,
             f"{name}_bands",

@@ -233,6 +233,83 @@ def test_store_incremental_guarded_hub_only(spark, corpus):
     }
 
 
+def test_saturated_bucket_stars_per_signature_group(spark):
+    """A bucket saturated by TWO distinct signature families (the
+    shared-boilerplate-band shape) must emit one star PER family —
+    never edges against an arbitrary bucket hub that exact
+    verification would reject."""
+    from polars_text_spark.operators.dedup import _guarded_self_pairs
+
+    rows = [(i, 1, 100) for i in range(6)] + [
+        (10 + i, 1, 200) for i in range(6)
+    ]
+    banded = spark.createDataFrame(rows, "id long, bk int, __sig long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in _guarded_self_pairs(
+            banded, ["bk"], 8, star_by=("__sig",)
+        ).collect()
+    }
+    assert got == {(0, i) for i in range(1, 6)} | {
+        (10, 10 + i) for i in range(1, 6)
+    }
+
+
+def test_cross_guard_keeps_capped_signature_representatives(spark):
+    """A saturated standing bucket reduces to the min-id member of
+    each signature group, deterministically truncated at band_cap —
+    not to a single arbitrary hub."""
+    from polars_text_spark.operators.dedup import (
+        _guarded_cross_candidates,
+    )
+
+    left = spark.createDataFrame([(99, 1)], "id_a long, bk int")
+    # two families of 6 in one bucket, cap 3 -> both family reps kept
+    right = spark.createDataFrame(
+        [(i, 1, 100) for i in range(6)]
+        + [(10 + i, 1, 200) for i in range(6)],
+        "id_b long, bk int, sig long",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in _guarded_cross_candidates(
+            left, right, ["bk"], 3, star_by=("sig",)
+        ).collect()
+    }
+    assert got == {(99, 0), (99, 10)}
+    # ten singleton "families" (coincidence saturation), cap 3 -> the
+    # three smallest representative ids survive
+    right2 = spark.createDataFrame(
+        [(i, 1, 1000 + i) for i in range(10)], "id_b long, bk int, sig long"
+    )
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in _guarded_cross_candidates(
+            left, right2, ["bk"], 3, star_by=("sig",)
+        ).collect()
+    }
+    assert got2 == {(99, 0), (99, 1), (99, 2)}
+
+
+def test_phash_saturated_block_stars_per_signature(spark):
+    """Two 12-member media families sharing chunk value 7 saturate the
+    (0, 7) block at cap 8: each family stars internally (hamming 0 by
+    construction); no cross-family edge survives — and crucially no
+    false candidate against the other family's hub is ever built."""
+    from polars_text_spark.operators.phash import chunk_hamming_pairs
+
+    fam_a = [(i, [7, 22, 33, 44]) for i in range(12)]
+    fam_b = [(100 + i, [7, 99, 88, 77]) for i in range(12)]
+    df = spark.createDataFrame(fam_a + fam_b, "doc_id long, sig array<int>")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in chunk_hamming_pairs(df, "sig", band_cap=8).collect()
+    }
+    assert got == {(0, i, 0) for i in range(1, 12)} | {
+        (100, 100 + i, 0) for i in range(1, 12)
+    }
+
+
 def test_simhash_null_text_hot_block_matches_unguarded(spark):
     """A saturated block of NULL-simhash docs (null texts share the
     null chunk value) emits star CANDIDATES the unguarded join never

@@ -47,6 +47,7 @@ __all__ = [
     "append_ann_shard",
     "delete_ids",
     "purge_deleted",
+    "rebucket_store",
     "topk_against_shard",
     "topk_from_store",
     "write_ann_store",
@@ -172,6 +173,43 @@ def _store_meta(
         int(m["bands"]),
         int(m["buckets"]) if has_buckets else None,
     )
+
+
+def rebucket_store(spark: SparkSession, name: str, new_buckets: int) -> None:
+    """Rewrite BOTH store tables under a new bucket count — the
+    lifecycle step :func:`write_ann_store` freezing ``buckets`` at
+    write time makes necessary: a store that grows 100x through
+    :func:`append_ann_shard` keeps its write-time bucket count, so
+    every co-located read and compaction task scales with
+    corpus/buckets. One rewrite shuffle per table (the compaction pass
+    it also is — append fragments merge for free), then the meta row
+    is updated so subsequent appends write at the new count.
+
+    Signature parameters, contents, and pending tombstones are all
+    preserved: band keys don't depend on the bucket count, the
+    rewrite carries tombstoned rows through (reads keep anti-joining
+    the tombstone table until :func:`purge_deleted`), and the answer
+    to every query is bit-identical before and after (parity-tested;
+    ``ann_store_rebucket`` pins it under the driver hash).
+
+    Sizing guidance (SCALING.md): target ~store_rows/new_buckets rows
+    per bucket task at the CURRENT corpus size times expected growth
+    until the next maintenance window — re-bucketing is one shuffle,
+    under-bucketing taxes every read until the next one. Same
+    non-atomicity caveat as compact_table (two DROP+RENAME swaps, and
+    an append between them would write at the stale count) — run in
+    the maintenance window."""
+    dim, num_planes, bands, _ = _store_meta(
+        spark, name, require_buckets=False
+    )
+    compact_table(spark, f"{name}_bands", new_buckets=new_buckets)
+    compact_table(spark, f"{name}_vectors", new_buckets=new_buckets)
+    meta = spark.createDataFrame(
+        [(int(dim), int(num_planes), int(bands), int(new_buckets))],
+        "dim int, num_planes int, bands int, buckets int",
+    )
+    clear_table(spark, f"{name}_meta")
+    meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def delete_ids(ids: DataFrame, name: str, *, id_col: str = "vec_id") -> None:

@@ -55,6 +55,7 @@ __all__ = [
     "incremental_pairs_from_store",
     "pairs_from_store",
     "purge_deleted",
+    "rebucket_minhash_store",
     "write_minhash_store",
 ]
 
@@ -208,6 +209,39 @@ def append_minhash_shard(
         buckets=buckets,
         sort_by="id",
         mode="append",
+    )
+
+
+def rebucket_minhash_store(
+    spark: SparkSession, name: str, new_buckets: int
+) -> None:
+    """Rewrite BOTH store tables under a new bucket count — the
+    MinHash twin of
+    :func:`polars_text_spark.operators.ann_store.rebucket_store`
+    (same rationale, sizing guidance, parity contract, and
+    maintenance-window caveat: the bucket count frozen at write time
+    makes a 100x-grown store read corpus/buckets rows per co-located
+    task until this one rewrite shuffle per table). Signature
+    parameters, contents, and pending tombstones are preserved;
+    :func:`pairs_from_store` answers are identical before and after
+    (parity-tested)."""
+    meta = _minhash_meta(spark, name)
+    if meta is None:
+        raise ValueError(
+            f"minhash store '{name}' predates the meta table; rewrite "
+            "it with write_minhash_store (which also records the "
+            "bucket count) instead of re-bucketing in place"
+        )
+    num_perm, bands, shingle_n, _ = meta
+    compact_table(spark, f"{name}_bands", new_buckets=new_buckets)
+    compact_table(spark, f"{name}_shingles", new_buckets=new_buckets)
+    new_meta = spark.createDataFrame(
+        [(int(num_perm), int(bands), int(shingle_n), int(new_buckets))],
+        "num_perm int, bands int, shingle_n int, buckets int",
+    )
+    clear_table(spark, f"{name}_meta")
+    new_meta.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{name}_meta"
     )
 
 

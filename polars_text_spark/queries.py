@@ -6950,6 +6950,93 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_store_rebucket",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    unit AS (
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
+      FROM (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+            FROM e)),
+    bk AS (
+      SELECT e.vec_id, unnest({{_lsh_keys}}) AS band_key
+      FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM bk q JOIN bk n ON q.band_key = n.band_key
+      WHERE q.vec_id < 6 AND n.vec_id <> q.vec_id
+        AND (n.vec_id % 5) <> 0),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(uq.u)),
+                  i -> uq.u[i] * un.u[i]), (a, b) -> a + b) AS cos
+      FROM cand c
+      JOIN unit uq ON uq.vec_id = c.query_id
+      JOIN unit un ON un.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """.replace("{_lsh_keys}", _lsh_sha_keys_sql("e")),
+)
+def q_ann_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store re-bucketing lifecycle under the driver hash (VERDICT r12
+    #1): write the ANN store at 4 buckets on 3/4 of the corpus,
+    ``append_ann_shard`` the rest, ``delete_ids`` every fifth vector,
+    then ``rebucket_store`` to 8 buckets and answer top-k from the
+    rewritten tables. The result must hash-match the oracle's full
+    sha-LSH replay with the deleted neighbors filtered out — a rewrite
+    that drops or duplicates rows, loses the pending tombstones, or
+    breaks the band/vector tables shifts candidates or cosines and
+    fails the value hash (the meta row's new bucket count and the
+    co-location plan are pinned by tests/test_ann_store.py)."""
+    import atexit
+    import os
+    import shutil
+
+    from polars_text_spark.operators.ann_store import (
+        append_ann_shard,
+        delete_ids,
+        rebucket_store,
+        topk_from_store,
+        write_ann_store,
+    )
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # pid-unique name + deferred cleanup: same lifecycle as
+    # q_ann_store_incremental
+    name = f"annrbk_{os.getpid()}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for suffix in ("_bands", "_vectors", "_meta", "_tombstones"):
+        atexit.register(
+            shutil.rmtree, os.path.join(warehouse, name + suffix), True
+        )
+    write_ann_store(
+        vecs.filter(F.col("vec_id") % 4 != 0), name, dim=64, buckets=4
+    )
+    append_ann_shard(vecs.filter(F.col("vec_id") % 4 == 0), name)
+    delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
+    rebucket_store(spark, name, 8)
+    out = topk_from_store(
+        spark, name, vecs.filter(F.col("vec_id") < 6), k=10, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
+@query(
     "node_collocates",
     f"""
     WITH toks AS (

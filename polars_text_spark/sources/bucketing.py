@@ -76,6 +76,7 @@ def compact_table(
     *,
     anti: DataFrame | None = None,
     anti_on: str | list[str] | None = None,
+    new_buckets: int | None = None,
 ) -> int:
     """Rewrite a bucketed table in place, merging append fragments.
 
@@ -100,6 +101,15 @@ def compact_table(
     Returns the number of data files after compaction. Not atomic: a
     reader concurrent with the swap can observe the drop; run it in
     the same maintenance window as the appends it merges.
+
+    ``new_buckets`` rewrites the table under a DIFFERENT bucket count
+    (same bucket/sort columns) — the re-bucketing half of the store
+    lifecycle: a store that grew 100x past its write-time bucket count
+    reads corpus/buckets rows per co-located task, and the only cure
+    is one rewrite shuffle into more buckets. Contents are unchanged;
+    co-located joins stay shuffle-free at the NEW count (both tables
+    of a store must be rewritten together — see ``rebucket_store`` /
+    ``rebucket_minhash_store``).
     """
     rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
     info = {r["col_name"]: r["data_type"] for r in rows}
@@ -119,6 +129,10 @@ def compact_table(
             "invalidate reader state)"
         )
     buckets = int(info["Num Buckets"])
+    if new_buckets is not None:
+        if new_buckets < 1:
+            raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
+        buckets = int(new_buckets)
 
     def _cols(key: str) -> list[str]:
         raw = info.get(key, "[]").strip("[]")

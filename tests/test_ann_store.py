@@ -400,3 +400,98 @@ def test_ann_rebuild_same_name_clears_stale_tombstones(spark, vectors):
     append_ann_shard(
         base.join(F.broadcast(doomed), "vec_id", "left_semi"), "ann_gen"
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-bucketing (round 13): rebucket_store — the lifecycle step for a
+# store grown past its write-time bucket count.
+# ---------------------------------------------------------------------------
+
+
+def test_rebucket_store_preserves_answers_and_meta(spark, vectors):
+    """append -> rebucket -> top-k must be bit-identical to the
+    pre-rebucket answers; the meta row records the new count so later
+    appends write at it; both tables carry the new bucket spec."""
+    from polars_text_spark.operators.ann_store import rebucket_store
+
+    base = vectors.filter(F.col("vec_id") % 4 != 0)
+    shard = vectors.filter(F.col("vec_id") % 4 == 0)
+    write_ann_store(base, "ann_rb", dim=64, buckets=4)
+    qs = vectors.filter(F.col("vec_id") < 6)
+    before = {
+        tuple(r)
+        for r in topk_from_store(spark, "ann_rb", qs, k=10, dim=64).collect()
+    }
+    rebucket_store(spark, "ann_rb", 8)
+    after = {
+        tuple(r)
+        for r in topk_from_store(spark, "ann_rb", qs, k=10, dim=64).collect()
+    }
+    assert before and after == before
+    meta = spark.table("ann_rb_meta").collect()[0]
+    assert meta["buckets"] == 8
+    for tbl in ("ann_rb_bands", "ann_rb_vectors"):
+        info = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        }
+        assert int(info["Num Buckets"]) == 8, tbl
+    # a post-rebucket append writes at the NEW count (the meta row is
+    # what the append reads) and the grown store answers exactly
+    append_ann_shard(shard, "ann_rb")
+    direct = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in cosine_topk_lsh_sha(vectors, qs, k=10, dim=64).collect()
+    }
+    stored = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in topk_from_store(spark, "ann_rb", qs, k=10, dim=64).collect()
+    }
+    assert stored == direct
+
+
+def test_rebucket_store_reads_stay_shuffle_free(spark, vectors, no_broadcast):
+    """After the rewrite, store-side joins still read co-located
+    buckets: same hard Exchange count as the freshly-written store."""
+    from polars_text_spark.operators.ann_store import rebucket_store
+
+    write_ann_store(vectors, "ann_rbp", dim=64, buckets=4)
+    rebucket_store(spark, "ann_rbp", 8)
+    qs = vectors.filter(F.col("vec_id") < 3)
+    plan = explain_str(
+        topk_from_store(spark, "ann_rbp", qs, k=5, dim=64), "simple"
+    )
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("Exchange") == 4, plan
+
+
+def test_rebucket_store_preserves_pending_tombstones(spark, vectors):
+    """Tombstoned ids stay hidden across the rewrite (the tombstone
+    table is NOT folded in — purge_deleted still owns that), and the
+    purge works on the re-bucketed tables."""
+    from polars_text_spark.operators.ann_store import (
+        delete_ids,
+        purge_deleted,
+        rebucket_store,
+    )
+
+    write_ann_store(vectors, "ann_rbt", dim=64, buckets=4)
+    delete_ids(vectors.filter(F.col("vec_id") % 5 == 0).select("vec_id"), "ann_rbt")
+    qs = vectors.filter(F.col("vec_id") < 6)
+    before = {
+        tuple(r)
+        for r in topk_from_store(spark, "ann_rbt", qs, k=10, dim=64).collect()
+    }
+    assert not any(r[1] % 5 == 0 for r in before)
+    rebucket_store(spark, "ann_rbt", 8)
+    assert spark.catalog.tableExists("ann_rbt_tombstones")
+    after = {
+        tuple(r)
+        for r in topk_from_store(spark, "ann_rbt", qs, k=10, dim=64).collect()
+    }
+    assert after == before
+    purge_deleted(spark, "ann_rbt")
+    assert {
+        tuple(r)
+        for r in topk_from_store(spark, "ann_rbt", qs, k=10, dim=64).collect()
+    } == before

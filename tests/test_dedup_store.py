@@ -252,3 +252,64 @@ def test_rebuild_same_name_clears_stale_tombstones(spark, corpus):
         corpus.join(F.broadcast(doomed), "doc_id", "left_semi"),
         "mh_store_gen",
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-bucketing (round 13): rebucket_minhash_store — the lifecycle
+# step for a store grown past its write-time bucket count.
+# ---------------------------------------------------------------------------
+
+
+def test_rebucket_minhash_store_preserves_pairs(spark, corpus):
+    """rebucket -> pairs_from_store parity with the pre-rebucket
+    answers; meta updated; the candidate self-join stays Exchange-free
+    at the new count; a post-rebucket append writes at it."""
+    from polars_text_spark.operators.dedup_store import (
+        append_minhash_shard,
+        rebucket_minhash_store,
+    )
+
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    shard = corpus.filter(F.col("doc_id") % 4 == 0)
+    write_minhash_store(base, "mh_rb", buckets=4)
+    before = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, "mh_rb", jaccard_threshold=0.7).collect()
+    }
+    rebucket_minhash_store(spark, "mh_rb", 8)
+    after = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, "mh_rb", jaccard_threshold=0.7).collect()
+    }
+    assert before and after == before
+    meta = spark.table("mh_rb_meta").collect()[0]
+    assert meta["buckets"] == 8
+    for tbl in ("mh_rb_bands", "mh_rb_shingles"):
+        info = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        }
+        assert int(info["Num Buckets"]) == 8, tbl
+    append_minhash_shard(shard, "mh_rb")
+    direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
+    }
+    grown = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, "mh_rb", jaccard_threshold=0.7).collect()
+    }
+    assert grown == direct
+
+
+def test_rebucket_minhash_store_plan_stays_colocated(
+    spark, corpus, no_broadcast
+):
+    from polars_text_spark.operators.dedup_store import (
+        rebucket_minhash_store,
+    )
+
+    write_minhash_store(corpus, "mh_rbp", buckets=4)
+    rebucket_minhash_store(spark, "mh_rbp", 8)
+    plan = explain_str(candidate_self_join(spark, "mh_rbp"), "simple")
+    assert "Exchange" not in plan, plan

@@ -599,7 +599,20 @@ def _guarded_cross_candidates(
     holds > band_cap distinct signature families, i.e. the band is
     saturated by coincidence rather than duplication) are dropped and
     their families are reachable only through the shard doc's other
-    bands — the tracked recall trade of capping."""
+    bands — the tracked recall trade of capping.
+
+    LEFT-side exposure (ADVICE r12): the left side is deliberately
+    never reduced — every shard doc must own its verdict AND its
+    exact per-pair jaccard, and unlike the self-join there is no
+    star edge for downstream connected components to recover a
+    collapsed left group from. The consequence: a hot LEFT bucket of
+    L members still emits L*R candidates against an unsaturated
+    standing bucket (and at most L*band_cap against a saturated one
+    after the right reduction) — linear in the shard per bucket,
+    never quadratic, but real cost when the shard dominates the
+    store. For that workload, flip the frames (the larger corpus is
+    the natural right/standing side) or audit the shard with
+    :func:`lsh_band_stats` before pairing."""
     if band_cap is not None:
         if band_cap < 1:
             raise ValueError(
@@ -777,12 +790,17 @@ def minhash_lsh_cross_pairs(
     :func:`minhash_lsh_pairs` — signatures are one agg per side and
     candidates come from the band equi-join, so the standing corpus is
     never re-paired against itself (that join's left side is only the
-    new shard's bands). At j >= 0.9 with 16x4 banding, recall is
-    1 - 4e-8: the output is effectively the exact cross-pair set.
-    Standing-side band buckets above ``band_cap`` members are reduced
-    to their hub representative before the join (the hot-band guard,
-    :func:`_guarded_cross_candidates`); ``band_cap=None`` disables it.
-    """
+    new shard's bands). At j >= 0.9 with 16x4 banding, UNGUARDED
+    (``band_cap=None``) recall is 1 - 4e-8: that output is effectively
+    the exact cross-pair set. With the default cap, standing-side band
+    buckets above ``band_cap`` members are reduced to one
+    representative per signature family, truncated at ``band_cap``
+    representatives (the hot-band guard,
+    :func:`_guarded_cross_candidates` — see there for the exact
+    recall accounting and the left-side exposure of a shard-heavy
+    workload); a pair whose EVERY shared bucket is saturated past
+    ``band_cap`` distinct families can be missed, so quote the 1-4e-8
+    figure only for the unguarded bound."""
     bl = _banded_signatures(
         left, text_col, id_col, "id_a",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
@@ -1280,7 +1298,12 @@ def near_dup_source_matrix(
     a saturated family's ``pair_count`` reflects the star topology
     (m-1 per signature group), not the clique — pass
     ``band_cap=None`` when the matrix must count every pair of a
-    mega-family and the quadratic cost is acceptable.
+    mega-family and the quadratic cost is acceptable. When the guard
+    is on AND any bucket is actually saturated, the matrix WARNS
+    (ADVICE r12) so star-shaped ``pair_count`` cells are never
+    misread as clique counts — the saturation probe is one cheap agg
+    over the band frame this call persists and reuses for the pair
+    join, not a second corpus pass.
 
     NULL sources are coalesced to the sentinel ``'<null>'`` BEFORE
     canonicalization — ``least``/``greatest`` skip NULL operands, so
@@ -1288,7 +1311,49 @@ def near_dup_source_matrix(
     fold into a same-source ``(src, src)`` cell instead of being
     surfaced as cross-provenance.
     """
-    if pairs is None:
+    if pairs is None and band_cap is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        banded = _banded_signatures(
+            df, text_col, id_col, "id",
+            num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        )
+        # one persist shared by the saturation probe and the guard's
+        # three consumers (cache=False below so it isn't pinned twice)
+        banded = track_persist(banded.persist(StorageLevel.MEMORY_AND_DISK))
+        saturated = (
+            banded.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") > band_cap)
+            .limit(1)
+            .count()
+        )
+        if saturated:
+            import warnings
+
+            warnings.warn(
+                "near_dup_source_matrix: at least one band bucket "
+                f"exceeds band_cap={band_cap}, so saturated families "
+                "contribute STAR pair counts (m-1 per signature "
+                "group), not clique counts — compare cells "
+                "accordingly, or pass band_cap=None for exact clique "
+                "counting (quadratic in the hot family)",
+                stacklevel=2,
+            )
+        cand = _guarded_self_pairs(
+            banded, ["bk"], band_cap, cache=False, star_by=("__sig",)
+        )
+        sh = df.select(
+            F.col(id_col).alias("__id"),
+            token_shingles(text_col, shingle_n, hashed=True).alias("__sh"),
+        )
+        pairs = _verify_jaccard(
+            cand,
+            sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")),
+            sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")),
+            jaccard_threshold,
+        )
+    elif pairs is None:
         pairs = minhash_lsh_pairs(
             df,
             text_col,

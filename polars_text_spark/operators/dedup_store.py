@@ -212,6 +212,32 @@ def append_minhash_shard(
     )
 
 
+def _warn_if_legacy_sig_less(
+    name: str, star_by: tuple[str, ...], band_cap: int | None
+) -> None:
+    """Stores written before the ``sig`` column existed can only star
+    a saturated bucket against one ARBITRARY hub — those edges mostly
+    fail Jaccard verification (the hub is not signature-identical to
+    the members), so whole saturated families can silently lose their
+    pairs: a much larger recall loss than the signature-grouped path.
+    Warn loudly (ADVICE r12) so the caller either rewrites the store
+    with :func:`write_minhash_store` (which records ``sig``) or passes
+    ``band_cap=None`` to keep the exact clique semantics."""
+    if band_cap is not None and not star_by:
+        import warnings
+
+        warnings.warn(
+            f"minhash store '{name}' predates the signature column: "
+            "the hot-band guard (band_cap is set) will star saturated "
+            "buckets against one arbitrary hub, whose edges mostly "
+            "fail Jaccard verification — saturated families can lose "
+            "ALL their pairs. Rewrite the store with "
+            "write_minhash_store to record signatures, or pass "
+            "band_cap=None for exact (unguarded) semantics",
+            stacklevel=3,
+        )
+
+
 def rebucket_minhash_store(
     spark: SparkSession, name: str, new_buckets: int
 ) -> None:
@@ -327,9 +353,8 @@ def pairs_from_store(
     )
     # cache=False: the band table IS the materialization — re-scanning
     # co-located buckets per consumer beats pinning the corpus.
-    # Stores written before the sig column fall back to single-hub
-    # stars (the coarser pre-sig semantics).
     star_by = ("sig",) if "sig" in banded.columns else ()
+    _warn_if_legacy_sig_less(name, star_by, band_cap)
     cand = _guarded_self_pairs(
         banded, ["band", "bucket"], band_cap, cache=False, star_by=star_by
     ).select("id_a", "id_b")
@@ -386,6 +411,7 @@ def incremental_pairs_from_store(
     __ts = _tombstones(spark, name)
     standing = _minus_tombstones(read_bucketed(spark, f"{name}_bands"), __ts)
     star_by = ("sig",) if "sig" in standing.columns else ()
+    _warn_if_legacy_sig_less(name, star_by, band_cap)
     standing = standing.select(
         F.col("id").alias("id_b"), "band", "bucket", *star_by
     )

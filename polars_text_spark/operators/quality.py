@@ -329,43 +329,102 @@ def score_trigram_lm(
     id_col: str = "doc_id",
     *,
     lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    oov: str = "drop",
 ) -> DataFrame:
     """Score ``df`` against a STANDING trigram model from
-    :func:`fit_trigram_lm` — ``(id_col, n_trigrams, avg_surprisal)``.
+    :func:`fit_trigram_lm`.
 
     ``df`` may be a STREAMING frame: every model join is then a
     stream-static equi-join (the web-scale count tables are
     deliberately never broadcast — only the 1-row N is) and the
     per-doc aggregate runs under the stream's output mode; parity with
-    the batch path is pinned by
-    tests/test_streaming_quality_ops.py. Trigrams ABSENT from the
-    model (possible only when scoring a different corpus than the fit
-    one) are skipped by the inner joins — a doc with zero known
-    trigrams is absent from the output; self-scoring (the
-    :func:`trigram_interpolated_surprisal` wrapper) has every count
-    >= 1, so nothing drops there."""
+    the batch path is pinned by tests/test_streaming_quality_ops.py.
+
+    ``oov`` controls what happens to trigrams ABSENT from the model
+    (possible only when scoring a different corpus than the fit one;
+    self-scoring via :func:`trigram_interpolated_surprisal` has every
+    count >= 1, so the modes coincide there):
+
+    - ``"drop"`` (default, the self-scoring-compatible contract):
+      inner joins skip unknown trigrams — ``(id_col, n_trigrams,
+      avg_surprisal)``. CROSS-CORPUS CAVEAT (ADVICE r12): OOV-heavy
+      junk docs then have their unknown mass silently excluded from
+      the average (understating their surprisal — biased exactly
+      against the docs a quality filter targets) and a doc with ZERO
+      known trigrams vanishes from the output entirely. Use
+      ``"backoff"`` when the scored corpus differs from the fit one.
+    - ``"backoff"``: LEFT joins with a smoothing floor — an unknown
+      trigram/bigram leg contributes 0 and an unseen word backs off
+      to ``l1 * 1/N`` (the Laplace-style floor on the unigram leg),
+      so every trigram scores and every doc with >= 3 tokens appears.
+      Output adds the dropped-mass accounting: ``(id_col, n_trigrams,
+      n_unknown, coverage, avg_surprisal)`` where ``n_unknown``
+      counts trigram tokens absent from the model and ``coverage`` is
+      the known fraction. Requires ``l1 > 0`` (otherwise a fully
+      unknown trigram has probability 0 and infinite surprisal).
+    """
     l3, l2, l1 = (float(x) for x in lambdas)
     if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) < 0:
         raise ValueError(
             f"lambdas must be non-negative and sum to 1, got {lambdas}"
         )
+    if oov not in ("drop", "backoff"):
+        raise ValueError(f"oov must be 'drop' or 'backoff', got {oov!r}")
     tg = doc_trigrams(df, text_col, id_col)
+    if oov == "drop":
+        prob = (
+            F.lit(l3) * (F.col("__c3") / F.col("__c12"))
+            + F.lit(l2) * (F.col("__c23") / F.col("__c2"))
+            + F.lit(l1) * (F.col("__c3u") / F.col("__n"))
+        )
+        return (
+            tg.join(model["counts"], ["w1", "w2", "w3"])
+            .join(model["ctx12"], ["w1", "w2"])
+            .join(model["big23"], ["w2", "w3"])
+            .join(model["ctx2"], "w2")
+            .join(model["uni3"], "w3")
+            .crossJoin(F.broadcast(model["total"]))
+            .select(id_col, (-F.log2(prob)).alias("__bits"))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_trigrams"),
+                F.avg("__bits").alias("avg_surprisal"),
+            )
+        )
+    if l1 <= 0:
+        raise ValueError(
+            "oov='backoff' requires lambdas[2] > 0: the unigram floor "
+            "l1/N is the only mass a fully-unknown trigram gets"
+        )
+    # left joins: a missing leg's ratio coalesces to 0 (leg unseen in
+    # the fit corpus), and the unigram count floors at 1 so unseen
+    # words score l1/N instead of dropping the row
     prob = (
-        F.lit(l3) * (F.col("__c3") / F.col("__c12"))
-        + F.lit(l2) * (F.col("__c23") / F.col("__c2"))
-        + F.lit(l1) * (F.col("__c3u") / F.col("__n"))
+        F.lit(l3)
+        * F.coalesce(F.col("__c3") / F.col("__c12"), F.lit(0.0))
+        + F.lit(l2)
+        * F.coalesce(F.col("__c23") / F.col("__c2"), F.lit(0.0))
+        + F.lit(l1) * (F.coalesce(F.col("__c3u"), F.lit(1)) / F.col("__n"))
     )
     return (
-        tg.join(model["counts"], ["w1", "w2", "w3"])
-        .join(model["ctx12"], ["w1", "w2"])
-        .join(model["big23"], ["w2", "w3"])
-        .join(model["ctx2"], "w2")
-        .join(model["uni3"], "w3")
+        tg.join(model["counts"], ["w1", "w2", "w3"], "left")
+        .join(model["ctx12"], ["w1", "w2"], "left")
+        .join(model["big23"], ["w2", "w3"], "left")
+        .join(model["ctx2"], "w2", "left")
+        .join(model["uni3"], "w3", "left")
         .crossJoin(F.broadcast(model["total"]))
-        .select(id_col, (-F.log2(prob)).alias("__bits"))
+        .select(
+            id_col,
+            (-F.log2(prob)).alias("__bits"),
+            F.col("__c3").isNull().cast("long").alias("__unk"),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("__unk").alias("n_unknown"),
+            (
+                1.0 - F.sum("__unk") / F.count(F.lit(1))
+            ).alias("coverage"),
             F.avg("__bits").alias("avg_surprisal"),
         )
     )

@@ -847,10 +847,17 @@ def cosine_topk_ivf(
     candidates in the Arrow fold scorer over a SLIM list join (no
     vector payload crosses the candidate shuffle) — bit-identical
     output, the high-fan-out/low-``n_lists`` shape (A/B in SCALING.md
-    round-12).
+    round-12). ``rerank="auto"`` picks the route from the expected
+    fan-out ``n_v * n_q * nprobe / n_lists`` (exact in expectation for
+    balanced lists) against the measured crossover
+    :data:`ARROW_RERANK_MIN_EST_PAIRS` — the under-provisioned
+    ``n_lists`` regime a grown corpus hits by accident routes to
+    arrow automatically; two extra count jobs, nothing else.
     """
-    if rerank not in ("expr", "arrow"):
-        raise ValueError(f"rerank must be 'expr' or 'arrow', got {rerank!r}")
+    if rerank not in ("expr", "arrow", "auto"):
+        raise ValueError(
+            f"rerank must be 'expr', 'arrow' or 'auto', got {rerank!r}"
+        )
     sample = _train_vectors(vectors, vec_col, train_sample, seed)
     if len(sample) == 0:
         # Empty vectors table: degenerate to an empty result with the
@@ -879,6 +886,12 @@ def cosine_topk_ivf(
         n_lists = max(1, int(np.sqrt(len(sample))))
     n_lists = min(n_lists, len(sample))
     nprobe = min(nprobe, n_lists)
+    if rerank == "auto":
+        n_v = vectors.where(F.col(vec_col).isNotNull()).count()
+        n_q = queries.where(F.col(vec_col).isNotNull()).count()
+        rerank = _auto_rerank(
+            n_v * n_q * nprobe / n_lists, n_q, 65536
+        )
     centroids = _kmeans_fit(sample, n_lists, seed)
 
     assign_one = _nearest_centroids_udf(centroids, 1)
@@ -1154,6 +1167,76 @@ def lsh_band_keys(
     return F.array(*keys)
 
 
+# Measured crossover for the re-rank route (scripts/scale_probe_rerank
+# .py, SCALING.md round-12, 100k x dim-64 corpus, 64 queries): at
+# ~600k estimated candidate pairs the two routes are at parity
+# (IVF n_lists=32: 2.12 s expr / 1.90 s arrow); at >= ~4.8M the Arrow
+# route wins outright (IVF n_lists=4: 17.9 s -> 2.1 s = 8.5x; 1-bit
+# LSH bands ~6M est: 2.3x), while at 1.6M the expression route still
+# edges it (LSH 16/4: 1.98 s vs 2.31 s — the arrow fixed costs:
+# query-side collect + Python-worker exchange). 4M sits between the
+# last expr win and the first big arrow win — conservative toward
+# expr, which degrades gently (interpreted dots), where under-routing
+# the degenerate regimes is the 8.5x mistake.
+ARROW_RERANK_MIN_EST_PAIRS = 4_000_000
+
+
+def _auto_rerank(
+    est_pairs: float, n_queries: int, max_query_rows: int
+) -> str:
+    """Resolve ``rerank="auto"``: the Arrow route when the estimated
+    candidate fan-out crosses :data:`ARROW_RERANK_MIN_EST_PAIRS` and
+    the query side is collectable, else the expression route. When the
+    estimate says arrow but the query side is NOT collectable, warn
+    loudly instead of silently eating the interpreted-dot cost — the
+    caller can split the query batch."""
+    if est_pairs < ARROW_RERANK_MIN_EST_PAIRS:
+        return "expr"
+    if n_queries > max_query_rows:
+        import warnings
+
+        warnings.warn(
+            f"rerank='auto': estimated candidate fan-out "
+            f"({est_pairs:.2g} pairs) is past the Arrow crossover "
+            f"({ARROW_RERANK_MIN_EST_PAIRS}), but the query side "
+            f"({n_queries} rows) exceeds max_query_rows "
+            f"({max_query_rows}); falling back to the expression "
+            "re-rank — split the query batch (or raise the budget) to "
+            "take the measured 2-8x Arrow win (SCALING.md round-12)",
+            stacklevel=3,
+        )
+        return "expr"
+    return "arrow"
+
+
+def _auto_banded_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    *,
+    num_planes: int,
+    bands: int,
+    max_query_rows: int = 65536,
+) -> str:
+    """Counts-only route estimate for the banded (LSH) paths:
+    ``est = n_v * n_q * (1 - (1 - 2^-r)^bands)`` with ``r`` bits per
+    band — per-pair collision probability under UNIFORM bucket
+    occupancy, which is a LOWER bound (clustering only concentrates
+    buckets and raises collisions), so auto errs toward the
+    expression route. The structural degenerate regime — bands too
+    narrow for the corpus (the accident a grown corpus hits, see
+    :func:`lsh_band_keys` sizing note) — is captured by the
+    parameters alone; DATA-driven skew on top of adequate bands is
+    not, which is what :func:`lsh_band_stats` audits (pass
+    ``rerank="arrow"`` explicitly when it reports hot buckets). Two
+    count jobs, nothing else touches the corpus."""
+    r = num_planes // bands
+    n_v = vectors.where(F.col(vec_col).isNotNull()).count()
+    n_q = queries.where(F.col(vec_col).isNotNull()).count()
+    collide = 1.0 - (1.0 - 2.0 ** -r) ** bands
+    return _auto_rerank(n_v * n_q * collide, n_q, max_query_rows)
+
+
 def rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """The shared re-rank tail of every candidate-generation strategy:
     ``row_number`` per query over ``(cosine desc, neighbor_id asc)``
@@ -1377,7 +1460,13 @@ def cosine_topk_lsh(
     is a candidate (standard banding OR-construction).
     ``rerank="arrow"`` scores candidates in the Arrow fold scorer —
     bit-identical output, the high-fan-out shape (see
-    :func:`banded_scored_candidates`)."""
+    :func:`banded_scored_candidates`); ``"auto"`` resolves the route
+    from the counts-only fan-out estimate
+    (:func:`_auto_banded_rerank`)."""
+    if rerank == "auto":
+        rerank = _auto_banded_rerank(
+            vectors, queries, vec_col, num_planes=num_planes, bands=bands
+        )
     return _banded_topk(
         vectors,
         queries,
@@ -1454,7 +1543,13 @@ def cosine_topk_lsh_sha(
     :func:`cosine_topk_lsh`: band-key equi-join candidates (banding
     OR-construction), never all-pairs. Null vectors are dropped on
     both sides (matching :func:`polars_text_spark.operators.ann_store.
-    topk_from_store`, which is value-identical over the same corpus)."""
+    topk_from_store`, which is value-identical over the same corpus).
+    ``rerank="auto"`` resolves the route from the counts-only fan-out
+    estimate (:func:`_auto_banded_rerank`)."""
+    if rerank == "auto":
+        rerank = _auto_banded_rerank(
+            vectors, queries, vec_col, num_planes=num_planes, bands=bands
+        )
     return _banded_topk(
         vectors,
         queries,

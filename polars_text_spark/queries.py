@@ -8022,6 +8022,82 @@ def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "trigram_cross_score",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    tg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+      FROM (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS i,
+                   tk
+            FROM t WHERE len(tk) >= 3)),
+    fit AS (SELECT * FROM tg WHERE (doc_id % 3) <> 0),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM fit GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, sum(c3) AS c12 FROM c3 GROUP BY 1, 2),
+    c23 AS (SELECT w2, w3, sum(c3) AS c23 FROM c3 GROUP BY 1, 2),
+    c2 AS (SELECT w2, sum(c3) AS c2 FROM c3 GROUP BY 1),
+    u3 AS (SELECT w3, sum(c3) AS c3u FROM c3 GROUP BY 1),
+    n AS (SELECT CAST(sum(c3) AS DOUBLE) AS nn FROM c3),
+    score AS (SELECT * FROM tg WHERE (doc_id % 3) = 0)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unknown,
+           round(1.0 - sum(CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS coverage,
+           round(avg(-log2(
+                0.6 * coalesce(CAST(c3.c3 AS DOUBLE) / c12.c12, 0)
+                + 0.3 * coalesce(CAST(c23.c23 AS DOUBLE) / c2.c2, 0)
+                + 0.1 * coalesce(CAST(u3.c3u AS DOUBLE), 1) / nn)),
+                6) AS avg_surprisal
+    FROM score g
+      LEFT JOIN c3 ON g.w1 = c3.w1 AND g.w2 = c3.w2 AND g.w3 = c3.w3
+      LEFT JOIN c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
+      LEFT JOIN c23 ON g.w2 = c23.w2 AND g.w3 = c23.w3
+      LEFT JOIN c2 ON g.w2 = c2.w2
+      LEFT JOIN u3 ON g.w3 = u3.w3
+      CROSS JOIN n
+    GROUP BY g.doc_id
+    """,
+)
+def q_trigram_cross_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-corpus trigram-LM scoring with OOV backoff (ADVICE r12):
+    fit the Jelinek-Mercer model on 2/3 of the corpus, score the held-
+    out third with ``oov="backoff"`` — left joins, zero-mass unknown
+    legs, and the l1/N unigram floor, plus the dropped-mass accounting
+    (``n_unknown``, ``coverage``) that the default inner-join mode
+    cannot see. The oracle replays the fit counts, every left join,
+    the coalesce arithmetic and the floor — a silently-skipped OOV
+    trigram or a mis-floored unseen word shifts both the coverage and
+    the average and fails the value hash."""
+    from polars_text_spark.operators.quality import (
+        fit_trigram_lm,
+        score_trigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = fit_trigram_lm(docs.filter(F.col("doc_id") % 3 != 0), "text")
+    out = score_trigram_lm(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        model,
+        "text",
+        "doc_id",
+        lambdas=(0.6, 0.3, 0.1),
+        oov="backoff",
+    )
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        "n_unknown",
+        F.round("coverage", 6).alias("coverage"),
+        F.round("avg_surprisal", 6).alias("avg_surprisal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #

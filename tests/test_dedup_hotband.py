@@ -343,3 +343,86 @@ def test_phash_chunk_pairs_guarded(spark):
     assert {(r.id_a, r.id_b) for r in got.collect()} == star | {(100, 101)}
     unguarded = chunk_hamming_pairs(df, "sig", band_cap=None)
     assert len(unguarded.collect()) == n * (n - 1) // 2 + 1
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (ADVICE r12): loud signals where the guard changes shapes.
+# ---------------------------------------------------------------------------
+
+
+def test_source_matrix_warns_on_saturated_buckets(spark, corpus):
+    """With a saturated family under the guard, near_dup_source_matrix
+    must WARN that pair_count cells are star counts, not cliques —
+    and the counts themselves must reflect the star topology."""
+    import warnings
+
+    from polars_text_spark.operators.dedup import near_dup_source_matrix
+
+    df = corpus.withColumn(
+        "source", F.when(F.col("doc_id") < 2000, "hot").otherwise("rest")
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        rows = near_dup_source_matrix(
+            df, jaccard_threshold=0.9, band_cap=8
+        ).collect()
+    assert any("STAR pair counts" in str(w.message) for w in rec)
+    cells = {(r.source_a, r.source_b): r.pair_count for r in rows}
+    assert cells[("hot", "hot")] == HOT_N - 1  # star, not 60*59/2
+
+
+def test_source_matrix_no_warning_below_cap(spark, corpus):
+    """No saturation -> no warning (the probe must not cry wolf), and
+    the counts are the exact clique counts."""
+    import warnings
+
+    from polars_text_spark.operators.dedup import near_dup_source_matrix
+
+    df = corpus.withColumn(
+        "source", F.when(F.col("doc_id") < 2000, "hot").otherwise("rest")
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        rows = near_dup_source_matrix(
+            df, jaccard_threshold=0.9, band_cap=HOT_N + 1
+        ).collect()
+    assert not [w for w in rec if "STAR pair counts" in str(w.message)]
+    cells = {(r.source_a, r.source_b): r.pair_count for r in rows}
+    assert cells[("hot", "hot")] == HOT_N * (HOT_N - 1) // 2
+
+
+def test_legacy_sig_less_store_warns_when_guard_engages(spark, corpus):
+    """A store written before the sig column falls back to arbitrary-
+    hub stars — pairs_from_store / incremental_pairs_from_store must
+    warn so the recall exposure is visible (ADVICE r12)."""
+    import warnings
+
+    write_minhash_store(corpus, "mh_legacy", buckets=4)
+    # simulate a pre-sig store: rewrite the band table without sig
+    # (checkpointed — the overwrite drops the files the lazy read needs)
+    legacy = spark.table("mh_legacy_bands").drop("sig").localCheckpoint(
+        eager=True
+    )
+    from polars_text_spark.sources.bucketing import write_bucketed
+
+    write_bucketed(
+        legacy, "mh_legacy_bands",
+        bucket_by=["band", "bucket"], buckets=4,
+        sort_by=["band", "bucket"],
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pairs_from_store(spark, "mh_legacy", band_cap=8)
+    assert any("arbitrary hub" in str(w.message) for w in rec)
+    shard = spark.createDataFrame(
+        [(9000, HOT_TEXT)], "doc_id long, text string"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        incremental_pairs_from_store(spark, "mh_legacy", shard, band_cap=8)
+    assert any("arbitrary hub" in str(w.message) for w in rec)
+    # band_cap=None keeps exact semantics and stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pairs_from_store(spark, "mh_legacy", band_cap=None)
+    assert not [w for w in rec if "arbitrary hub" in str(w.message)]

@@ -538,3 +538,89 @@ def test_trigram_surprisal_lambda_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="sum to 1"):
         trigram_interpolated_surprisal(df, lambdas=(0.5, 0.5, 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (ADVICE r12): cross-corpus trigram scoring with OOV backoff.
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_backoff_hand_computed(spark):
+    """Fit on one doc, score a doc with known AND unknown trigrams:
+    the unknown trigram must get exactly l1 * 1/N (the unigram floor),
+    partially-known legs coalesce to 0, and the coverage accounting
+    matches by hand."""
+    from polars_text_spark.operators.quality import (
+        fit_trigram_lm,
+        score_trigram_lm,
+    )
+
+    fit = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
+    # fit trigrams: (a,b,c) x2, (b,c,a), (c,a,b) -> N=4
+    model = fit_trigram_lm(fit, "text")
+    score = spark.createDataFrame(
+        [(2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in score_trigram_lm(
+            score, model, "text", "doc_id",
+            lambdas=(0.6, 0.3, 0.1), oov="backoff",
+        ).collect()
+    }
+    # doc 2: (a,b,c) fully known — c3=2, C(a,b)=2, C(b,c)=2,
+    # C(.b.)=2 (only (a,b,c) has middle b), C(c)=2, N=4:
+    # p = .6*(2/2) + .3*(2/2) + .1*(2/4)
+    p_known = 0.6 * 1.0 + 0.3 * 1.0 + 0.1 * (2 / 4)
+    assert out[2].n_trigrams == 1 and out[2].n_unknown == 0
+    assert out[2].coverage == 1.0
+    assert math.isclose(out[2].avg_surprisal, -math.log2(p_known))
+    # doc 3: (x,y,z) fully unknown — p = .1 * 1/4 (the floor)
+    assert out[3].n_trigrams == 1 and out[3].n_unknown == 1
+    assert out[3].coverage == 0.0
+    assert math.isclose(out[3].avg_surprisal, -math.log2(0.1 * 0.25))
+
+
+def test_trigram_backoff_keeps_oov_heavy_docs(spark):
+    """The drop mode loses the exact docs a quality filter targets —
+    backoff must keep them, with HIGHER surprisal than in-model docs."""
+    from polars_text_spark.operators.quality import (
+        fit_trigram_lm,
+        score_trigram_lm,
+    )
+
+    fit = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    model = fit_trigram_lm(fit, "text")
+    score = spark.createDataFrame(
+        [(2, "the quick brown fox"), (3, "zzz qqq vvv kkk www")],
+        "doc_id long, text string",
+    )
+    dropped = {
+        r.doc_id
+        for r in score_trigram_lm(score, model, oov="drop").collect()
+    }
+    assert 3 not in dropped  # the junk doc vanishes under drop
+    kept = {
+        r.doc_id: r
+        for r in score_trigram_lm(score, model, oov="backoff").collect()
+    }
+    assert set(kept) == {2, 3}
+    assert kept[3].avg_surprisal > kept[2].avg_surprisal
+    assert kept[3].coverage == 0.0 and kept[2].coverage == 1.0
+
+
+def test_trigram_backoff_validates_floor_and_mode(spark):
+    from polars_text_spark.operators.quality import (
+        fit_trigram_lm,
+        score_trigram_lm,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    model = fit_trigram_lm(df, "text")
+    with pytest.raises(ValueError, match="unigram floor"):
+        score_trigram_lm(df, model, lambdas=(0.7, 0.3, 0.0), oov="backoff")
+    with pytest.raises(ValueError, match="oov"):
+        score_trigram_lm(df, model, oov="bogus")

@@ -50,6 +50,7 @@ __all__ = [
     "dedup_threshold_sweep",
     "dup_source_matrix",
     "dup_degree_histogram",
+    "band_bucket_stats",
     "lsh_band_stats",
     "minhash_lsh_cross_pairs",
     "minhash_lsh_pairs",
@@ -653,18 +654,51 @@ def lsh_band_stats(
     the "would this corpus blow up the candidate join?" report to run
     BEFORE a full dedup pass (or to size ``band_cap``).
 
-    One row: ``(n_buckets, max_bucket_size, n_saturated_buckets,
-    unguarded_candidates, guarded_candidates)`` where the candidate
-    counts are the within-bucket pair totals the band join would emit
-    without (:math:`\\sum m(m-1)/2`) and with (saturated buckets
-    contribute ``m - 1`` star edges) the hot-band guard. Same
+    One row: the candidate counts the band join would emit without
+    (:math:`\\sum m(m-1)/2`) and with (saturated buckets contribute
+    ``m - 1`` star edges) the hot-band guard, plus the recall
+    telemetry columns (saturated row fraction, cross-signature missed
+    bound/share, single-bucket miss probability) — see
+    :func:`_band_stats_agg` for the exact column semantics. Same
     signature parameters as the pair functions; one extra aggregation
     over the band frame, nothing quadratic."""
     banded = _banded_signatures(
         df, text_col, id_col, "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
-    per = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("m"))
+    return band_bucket_stats(
+        banded, ["bk"], band_cap=band_cap, sig_col="__sig"
+    )
+
+
+def band_bucket_stats(
+    banded: DataFrame,
+    key_cols: list[str],
+    *,
+    band_cap: int | None = 1000,
+    sig_col: str | None = None,
+) -> DataFrame:
+    """Generic band-bucket cardinality audit over an ALREADY-banded
+    frame (one row per (member, bucket), bucket identity =
+    ``key_cols``) — the shared core of :func:`lsh_band_stats` and the
+    store-side audit, public so ANY banding scheme (simhash blocks,
+    dhash chunks, ANN band keys, a custom blocking key) can run the
+    same saturation + recall-telemetry report before a pair join.
+    ``sig_col`` names the signature-group column the hot-band guard
+    stars by; without it the cross-signature telemetry columns are
+    null (the guard would fall back to single-hub stars)."""
+    if sig_col is not None:
+        per = (
+            banded.groupBy(*key_cols, sig_col)
+            .agg(F.count(F.lit(1)).alias("__g"))
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("__g").alias("m"),
+                F.sum(F.expr("__g * (__g - 1) div 2")).alias("sig_pairs"),
+            )
+        )
+    else:
+        per = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("m"))
     return _band_stats_agg(per, band_cap)
 
 
@@ -672,9 +706,38 @@ def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
     """Shared final aggregate of the band audits (:func:`lsh_band_stats`
     and the store-side :func:`polars_text_spark.operators.dedup_store.
     band_stats_from_store`): ``per_bucket`` is one row per bucket with
-    member count ``m``. ``guarded_candidates`` counts ``m - 1`` per
+    member count ``m`` and (when the banding carries signatures)
+    ``sig_pairs`` = Σ over the bucket's signature groups of
+    ``(g choose 2)``. ``guarded_candidates`` counts ``m - 1`` per
     saturated bucket — the guard's per-bucket UPPER bound (signature-
-    grouped stars emit ``m - #groups``)."""
+    grouped stars emit ``m - #groups``).
+
+    Recall telemetry (VERDICT r12 #5) — the empirical counterpart of
+    the miss-probability derivation in :func:`_guarded_self_pairs`:
+
+    - ``saturated_member_rows`` / ``saturated_row_fraction``: band
+      rows inside saturated buckets, absolute and as a share of all
+      band rows — the per-shared-bucket probability factor (a true
+      pair sharing k buckets is missed only if ALL k are saturated,
+      so its bound carries this factor ~k times);
+    - ``cross_sig_missed_bound``: Σ over saturated buckets of
+      ``(m choose 2) - sig_pairs`` — the union upper bound on
+      candidate pairs the guard declines to emit (signature-identical
+      pairs are never lost: group stars + connected components
+      recover them); null when the banding carries no signature
+      column (pre-sig stores — the guard there stars an arbitrary
+      hub, so the loss is not bounded by this accounting);
+    - ``cross_sig_share``: that bound over all within-saturated-bucket
+      pairs — the second probability factor (a missed pair must also
+      be cross-signature); null when nothing is saturated;
+    - ``est_miss_prob``: the product of the two factors — the
+      single-shared-bucket miss bound the docstrings argue; a pair
+      sharing k buckets is bounded by
+      ``saturated_row_fraction^k * cross_sig_share``, so this column
+      is the CONSERVATIVE k=1 figure. When it is not negligible,
+      raise ``band_cap`` or re-provision bands.
+    """
+    has_sig = "sig_pairs" in per_bucket.columns
     unguarded = F.expr("m * (m - 1) div 2")
     if band_cap is None:
         saturated = F.lit(False)
@@ -686,12 +749,43 @@ def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
             )
         saturated = F.col("m") > band_cap
         guarded = F.when(saturated, F.col("m") - 1).otherwise(unguarded)
-    return per_bucket.agg(
+    zero = F.lit(0).cast("long")
+    sat_rows = F.sum(F.when(saturated, F.col("m")).otherwise(zero))
+    sat_pairs = F.sum(F.when(saturated, unguarded).otherwise(zero))
+    cross = (
+        F.sum(
+            F.when(saturated, unguarded - F.col("sig_pairs")).otherwise(zero)
+        )
+        if has_sig
+        else F.lit(None).cast("long")
+    )
+    agg = per_bucket.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("m").alias("max_bucket_size"),
         F.sum(saturated.cast("long")).alias("n_saturated_buckets"),
         F.sum(unguarded).alias("unguarded_candidates"),
         F.sum(guarded).alias("guarded_candidates"),
+        sat_rows.alias("saturated_member_rows"),
+        F.sum("m").alias("__total_rows"),
+        cross.alias("cross_sig_missed_bound"),
+        sat_pairs.alias("__saturated_pairs"),
+    )
+    frac = F.col("saturated_member_rows") / F.col("__total_rows")
+    share = F.when(
+        F.col("__saturated_pairs") > 0,
+        F.col("cross_sig_missed_bound") / F.col("__saturated_pairs"),
+    )
+    return agg.select(
+        "n_buckets",
+        "max_bucket_size",
+        "n_saturated_buckets",
+        "unguarded_candidates",
+        "guarded_candidates",
+        "saturated_member_rows",
+        frac.alias("saturated_row_fraction"),
+        "cross_sig_missed_bound",
+        share.alias("cross_sig_share"),
+        (frac * share).alias("est_miss_prob"),
     )
 
 

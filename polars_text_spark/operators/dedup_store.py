@@ -307,16 +307,19 @@ def band_stats_from_store(
     deepens its family's buckets), so re-run this after appends to
     size ``band_cap`` before the next :func:`pairs_from_store`. One
     groupBy on the table's own bucketing (no Exchange on the store
-    side), tombstones respected."""
-    from polars_text_spark.operators.dedup import _band_stats_agg
+    side), tombstones respected. Stores carrying the signature column
+    get the full cross-signature recall telemetry; pre-sig stores
+    report null there (and the pair paths warn — see
+    :func:`_warn_if_legacy_sig_less`)."""
+    from polars_text_spark.operators.dedup import band_bucket_stats
 
     banded = _minus_tombstones(
         read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
     )
-    per = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("m")
+    sig_col = "sig" if "sig" in banded.columns else None
+    return band_bucket_stats(
+        banded, ["band", "bucket"], band_cap=band_cap, sig_col=sig_col
     )
-    return _band_stats_agg(per, band_cap)
 
 
 def candidate_self_join(spark: SparkSession, name: str) -> DataFrame:

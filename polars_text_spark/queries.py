@@ -990,6 +990,102 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "band_audit",
+    """
+    WITH banded AS (
+      SELECT doc_id AS id, b.band,
+             CASE WHEN b.band = 0 THEN doc_id % 7
+                  ELSE doc_id % 97 END AS bucket,
+             doc_id % 21 AS sig
+      FROM documents, (VALUES (0), (1)) AS b(band)),
+    per_sig AS (
+      SELECT band, bucket, sig, count(*) AS g
+      FROM banded GROUP BY 1, 2, 3),
+    per AS (
+      SELECT band, bucket, sum(g) AS m,
+             sum(g * (g - 1) // 2) AS sig_pairs
+      FROM per_sig GROUP BY 1, 2),
+    agg AS (
+      SELECT count(*) AS n_buckets,
+             max(m) AS max_bucket_size,
+             sum(CASE WHEN m > 20 THEN 1 ELSE 0 END)
+               AS n_saturated_buckets,
+             sum(m * (m - 1) // 2) AS unguarded_candidates,
+             sum(CASE WHEN m > 20 THEN m - 1
+                      ELSE m * (m - 1) // 2 END) AS guarded_candidates,
+             sum(CASE WHEN m > 20 THEN m ELSE 0 END)
+               AS saturated_member_rows,
+             sum(m) AS total_rows,
+             sum(CASE WHEN m > 20
+                      THEN m * (m - 1) // 2 - sig_pairs
+                      ELSE 0 END) AS cross_sig_missed_bound,
+             sum(CASE WHEN m > 20 THEN m * (m - 1) // 2 ELSE 0 END)
+               AS sat_pairs
+      FROM per)
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(max_bucket_size AS BIGINT) AS max_bucket_size,
+           CAST(n_saturated_buckets AS BIGINT) AS n_saturated_buckets,
+           CAST(unguarded_candidates AS BIGINT) AS unguarded_candidates,
+           CAST(guarded_candidates AS BIGINT) AS guarded_candidates,
+           CAST(saturated_member_rows AS BIGINT) AS saturated_member_rows,
+           round(saturated_member_rows * 1.0 / total_rows, 6)
+             AS saturated_row_fraction,
+           CAST(cross_sig_missed_bound AS BIGINT)
+             AS cross_sig_missed_bound,
+           CASE WHEN sat_pairs > 0
+                THEN round(cross_sig_missed_bound * 1.0 / sat_pairs, 6)
+           END AS cross_sig_share,
+           CASE WHEN sat_pairs > 0
+                THEN round((saturated_member_rows * 1.0 / total_rows)
+                           * (cross_sig_missed_bound * 1.0 / sat_pairs), 6)
+           END AS est_miss_prob
+    FROM agg
+    """,
+)
+def q_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-cap recall telemetry (VERDICT r12 #5): the generic
+    :func:`~polars_text_spark.operators.dedup.band_bucket_stats` audit
+    — saturation counts PLUS the miss-probability accounting the guard
+    docstrings argue (saturated row fraction x cross-signature share)
+    — over a deterministic arithmetic banding of the documents table
+    (two bands; a 7-bucket hot band that saturates at cap 20 and a
+    97-bucket band; signature groups = doc_id % 21), so DuckDB replays
+    every column exactly: per-(bucket, sig) group sizes, the
+    (m choose 2) - sig_pairs missed bound, the share, and the k=1
+    miss-probability product. The minhash/simhash/store paths feed
+    this same aggregate (operators/dedup.py::_band_stats_agg); their
+    upstream banding is pinned by the hotband pair gates and pytest."""
+    from polars_text_spark.operators.dedup import band_bucket_stats
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    banded = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("band")
+    ).select(
+        F.col("doc_id").alias("id"),
+        "band",
+        F.when(F.col("band") == 0, F.col("doc_id") % 7)
+        .otherwise(F.col("doc_id") % 97)
+        .alias("bucket"),
+        (F.col("doc_id") % 21).alias("sig"),
+    )
+    out = band_bucket_stats(
+        banded, ["band", "bucket"], band_cap=20, sig_col="sig"
+    )
+    return out.select(
+        "n_buckets",
+        "max_bucket_size",
+        "n_saturated_buckets",
+        "unguarded_candidates",
+        "guarded_candidates",
+        "saturated_member_rows",
+        F.round("saturated_row_fraction", 6).alias("saturated_row_fraction"),
+        "cross_sig_missed_bound",
+        F.round("cross_sig_share", 6).alias("cross_sig_share"),
+        F.round("est_miss_prob", 6).alias("est_miss_prob"),
+    )
+
+
+@query(
     "cross_dedup_hotband",
     """
     -- saturated standing family (300 > cap 16): the shard doc pairs

@@ -426,3 +426,81 @@ def test_legacy_sig_less_store_warns_when_guard_engages(spark, corpus):
         warnings.simplefilter("always")
         pairs_from_store(spark, "mh_legacy", band_cap=None)
     assert not [w for w in rec if "arbitrary hub" in str(w.message)]
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (VERDICT r12 #5): band-cap recall telemetry.
+# ---------------------------------------------------------------------------
+
+
+def test_band_stats_recall_telemetry_hand_computed(spark):
+    """Generic audit over a hand-built banded frame: one saturated
+    bucket (cap 3) holding two signature groups (3 + 2), one normal
+    bucket of 2 — every telemetry column checked by hand."""
+    from polars_text_spark.operators.dedup import band_bucket_stats
+
+    rows = [
+        # bucket "hot": 5 members, sigs: g1 x3, g2 x2
+        (1, "hot", 10), (2, "hot", 10), (3, "hot", 10),
+        (4, "hot", 20), (5, "hot", 20),
+        # bucket "cold": 2 members, one sig
+        (6, "cold", 30), (7, "cold", 30),
+    ]
+    banded = spark.createDataFrame(rows, "id long, bk string, sig long")
+    r = band_bucket_stats(
+        banded, ["bk"], band_cap=3, sig_col="sig"
+    ).collect()[0]
+    assert r.n_buckets == 2
+    assert r.max_bucket_size == 5
+    assert r.n_saturated_buckets == 1
+    assert r.unguarded_candidates == 10 + 1  # C(5,2) + C(2,2)
+    assert r.guarded_candidates == 4 + 1  # star m-1 + the cold pair
+    assert r.saturated_member_rows == 5
+    assert r.saturated_row_fraction == 5 / 7
+    # cross-sig pairs in the hot bucket: C(5,2) - C(3,2) - C(2,2) = 6
+    assert r.cross_sig_missed_bound == 6
+    assert r.cross_sig_share == 6 / 10
+    assert abs(r.est_miss_prob - (5 / 7) * (6 / 10)) < 1e-12
+
+
+def test_band_stats_telemetry_zero_when_unsaturated_or_uncapped(spark):
+    from polars_text_spark.operators.dedup import band_bucket_stats
+
+    banded = spark.createDataFrame(
+        [(1, "b", 1), (2, "b", 1)], "id long, bk string, sig long"
+    )
+    r = band_bucket_stats(banded, ["bk"], band_cap=5, sig_col="sig").collect()[0]
+    assert r.saturated_member_rows == 0
+    assert r.saturated_row_fraction == 0.0
+    assert r.cross_sig_missed_bound == 0
+    assert r.cross_sig_share is None  # no saturated pairs to share over
+    assert r.est_miss_prob is None
+    r = band_bucket_stats(banded, ["bk"], band_cap=None, sig_col="sig").collect()[0]
+    assert r.n_saturated_buckets == 0 and r.cross_sig_missed_bound == 0
+
+
+def test_band_stats_telemetry_null_without_sig(spark):
+    """No signature column -> the cross-sig accounting is UNKNOWN
+    (null), never silently zero — the pre-sig-store stance."""
+    from polars_text_spark.operators.dedup import band_bucket_stats
+
+    banded = spark.createDataFrame(
+        [(i, "hot") for i in range(5)], "id long, bk string"
+    )
+    r = band_bucket_stats(banded, ["bk"], band_cap=3).collect()[0]
+    assert r.n_saturated_buckets == 1
+    assert r.saturated_member_rows == 5
+    assert r.cross_sig_missed_bound is None
+    assert r.cross_sig_share is None
+    assert r.est_miss_prob is None
+
+
+def test_lsh_band_stats_telemetry_on_corpus(corpus):
+    """The hot family is signature-identical, so the guard loses
+    NOTHING: missed bound 0, share 0, miss prob 0 — the 'negligible
+    tail' claim, now a measured column instead of a derivation."""
+    r = lsh_band_stats(corpus, band_cap=8).collect()[0]
+    assert r.saturated_member_rows == 16 * HOT_N
+    assert r.cross_sig_missed_bound == 0
+    assert r.cross_sig_share == 0.0
+    assert r.est_miss_prob == 0.0

@@ -2362,6 +2362,154 @@ def q_topic_projector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sha_sign_sql(j, p) -> str:
+    """DuckDB twin of operators.similarity._sha_sign for LITERAL plane
+    j and generate_series column expr p."""
+    return (
+        f"CASE WHEN substr(sha256('{j}:' || CAST({p} AS VARCHAR)), 1, 1)"
+        " < '8' THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _topic_oos_oracle_sql() -> str:
+    # reduced coordinate r_j(v) = sum_p (v[p] - mean[p]) * sign(j, p)
+    sgn_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, p, {_sha_sign_sql(j, 'p')} AS s"
+        " FROM (SELECT unnest(generate_series(0, 63)) AS p)"
+        for j in range(5)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    fit AS (
+      SELECT vec_id, v,
+             {_SQL_SHA60.format(expr="CAST(vec_id AS VARCHAR)")} % 6 - 1
+               AS label
+      FROM e WHERE vec_id % 4 = 0 AND vec_id < 4000),
+    mean AS (
+      SELECT u.p AS p, avg(f.v[u.p + 1]) AS mu
+      FROM fit f, UNNEST(generate_series(0, 63)) AS u(p)
+      GROUP BY u.p),
+    sgn AS ({sgn_rows}),
+    red AS (
+      SELECT e.vec_id, s.j,
+             sum((e.v[s.p + 1] - m.mu) * s.s) AS r
+      FROM e, sgn s JOIN mean m ON m.p = s.p
+      GROUP BY e.vec_id, s.j),
+    fitred AS (
+      SELECT f.label, r.vec_id, r.j, r.r
+      FROM fit f JOIN red r ON r.vec_id = f.vec_id
+      WHERE f.label >= 0),
+    cent AS (
+      SELECT label, j, avg(r) AS c FROM fitred GROUP BY label, j),
+    fitd AS (
+      SELECT d.label, d.vec_id, sqrt(sum((d.r - c.c) * (d.r - c.c))) AS dist
+      FROM fitred d JOIN cent c ON c.label = d.label AND c.j = d.j
+      GROUP BY d.label, d.vec_id),
+    radius AS (SELECT label, max(dist) AS rr FROM fitd GROUP BY label),
+    alld AS (
+      SELECT r.vec_id, c.label,
+             sqrt(sum((r.r - c.c) * (r.r - c.c))) AS dist
+      FROM red r JOIN cent c ON c.j = r.j
+      GROUP BY r.vec_id, c.label),
+    nearest AS (
+      SELECT vec_id, label, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, label ASC) AS rn
+      FROM alld),
+    assigned AS (
+      SELECT n.vec_id,
+             CAST(CASE WHEN n.dist <= r.rr * 1.5 THEN n.label
+                       ELSE -1 END AS INT) AS label
+      FROM nearest n JOIN radius r USING (label)
+      WHERE n.rn = 1)
+    SELECT a.vec_id,
+           (a.vec_id % 4 = 0 AND a.vec_id < 4000) AS in_fit,
+           CAST(CASE WHEN a.vec_id % 4 = 0 AND a.vec_id < 4000
+                THEN {_SQL_SHA60.format(expr="CAST(a.vec_id AS VARCHAR)")}
+                     % 6 - 1
+                ELSE a.label END AS INT) AS label
+    FROM assigned a
+    """
+
+
+@query("topic_assign_oos", _topic_oos_oracle_sql())
+def q_topic_assign_oos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled-fit -> ASSIGN round-trip of the topic pipeline's
+    scale path under the driver hash (VERDICT r12 #6), at a fit cap
+    smaller than the corpus: fit members are the deterministic
+    vec_id%4<4000 sample with hash-assigned labels (the topic_assemble
+    trick — the seeded SVD/MST fit itself is the one non-replayable
+    stage, per the reference's CI stance), the REDUCTION is a
+    LinearProjector with sha-derived ±1 components and the real fit
+    mean, topic geometry comes from the real
+    :func:`~polars_text_spark.operators.topic_modeling.cluster.
+    cluster_geometry` IN THE REDUCED SPACE, and every corpus vector —
+    fit and out-of-sample alike — is labeled by the pipeline's OWN
+    ``_assign_udf`` (pipeline.py::_assign_udf: executor-side reduce +
+    nearest-centroid + radius_slack gate, closure = kilobytes of
+    fitted state). Fit rows then keep their exact fit labels via the
+    same coalesce the pipeline applies. The oracle re-derives the
+    mean, all five reduced coordinates of every vector, centroids,
+    radii, the argmin tie-break and the 1.5-radius outlier gate —
+    unlike `topic_projector` (raw-space assignment only), this pins
+    reduce -> geometry -> assign end to end."""
+    import numpy as np
+
+    from polars_text_spark.operators.dedup import sha_token_hash
+    from polars_text_spark.operators.similarity import _sha_sign
+    from polars_text_spark.operators.topic_modeling.cluster import (
+        cluster_geometry,
+    )
+    from polars_text_spark.operators.topic_modeling.pipeline import (
+        _assign_udf,
+    )
+    from polars_text_spark.operators.topic_modeling.reduce import (
+        LinearProjector,
+    )
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    fit_lbl = (sha_token_hash(F.col("vec_id").cast("string")) % 6 - 1).cast(
+        "int"
+    )
+    fit = vecs.filter(
+        (F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000)
+    ).select("vec_id", "embedding", fit_lbl.alias("label"))
+    # the ONE bounded driver materialization (<= 1000 rows), the
+    # pipeline's max_fit_points stand-in
+    fit_pd = fit.toPandas()
+    fit_mat = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in fit_pd["embedding"]]
+    )
+    mean = np.asarray(fit_mat, dtype=np.float64).mean(axis=0, keepdims=True)
+    comps_k = np.array(
+        [[_sha_sign(j, p) for p in range(64)] for j in range(5)]
+    )
+    comps_2 = np.array(
+        [[_sha_sign(j, p) for p in range(64)] for j in (100, 101)]
+    )
+    proj_k = LinearProjector(mean, comps_k)
+    proj_2 = LinearProjector(mean, comps_2)
+    centroids, radii = cluster_geometry(
+        proj_k.transform(fit_mat), fit_pd["label"].to_numpy(), n_topics=5
+    )
+    in_fit = (F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000)
+    assigned = vecs.withColumn(
+        "__as", _assign_udf(proj_k, proj_2, centroids, radii)(F.col("embedding"))
+    )
+    return assigned.select(
+        "vec_id",
+        in_fit.alias("in_fit"),
+        F.when(in_fit, fit_lbl)
+        .otherwise(F.col("__as.label"))
+        .cast("int")
+        .alias("label"),
+    )
+
+
 @query(
     "normalize_and_stopwords",
     f"""

@@ -8346,22 +8346,24 @@ def q_trigram_cross_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
-# ``queries()`` iteration order. With 140+ queries, some never get a
+# ``queries()`` iteration order. With 150+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 12 fills the WHOLE
-# 50-row window explicitly: the three round-12 additions (never
+# keep their original order behind them. Round 13 fills the WHOLE
+# 50-row window explicitly: the four round-13 additions (never
 # signed), the six no-oracle/voucher PAIRS (adjacency pinned by
-# tests/test_registry_rotation.py), the 14 queries whose latest
-# signature is r8 — the oldest in the registry — and the first 21 of
-# the 45 r9-signed (the rest rotate in next round).
+# tests/test_registry_rotation.py), the 24 queries whose latest
+# signature is r9 — the oldest in the registry after round 12
+# re-signed the r8 tail — and the first 10 of the 42 r10-signed
+# (registry order; the rest rotate in next round).
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-12 additions (driver has never seen these)
-    "near_dedup_hotband",
-    "cross_dedup_hotband",
-    "similarity_topk_lsh_sha_arrow",
+    # round-13 additions (driver has never seen these)
+    "ann_store_rebucket",
+    "trigram_cross_score",
+    "band_audit",
+    "topic_assign_oos",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the
     # oracle-checked assemble stage for the topic pipeline; the exact
@@ -8380,45 +8382,45 @@ _DRIVER_PRIORITY = [
     "topic_assemble",
     "similarity_ann_recall",
     "similarity_topk",
-    # THEN: the 14 r8-signed entries — the oldest driver signatures
-    # in the registry after round 11 re-signed the r7 tail.
-    "corpus_pooling_union",
-    "embedding_cached",
-    "topic_ctfidf",
-    "topic_rollup",
-    "normalize_and_stopwords",
-    "pii_redact",
-    "quality_weighted_sample",
-    "mojibake_scan",
-    "containment_dups",
-    "fim_psm",
-    "dehyphenate_repair",
-    "gopher_line_stats",
-    "events_first_hour",
-    "ann_store_incremental",
-    # THEN: the first 21 of the 45 r9-signed, filling the window to
-    # exactly 50; the remaining 24 rotate in next round.
-    "topic_projector",
-    "event_sessions",
-    "events_props_json",
-    "events_asof_clicks",
-    "events_gapfill",
-    "repetition_signals",
-    "unigram_surprisal",
-    "surprisal_buckets",
-    "bigram_surprisal",
-    "decontaminate_ngrams",
-    "bloom_decontam",
-    "decontaminate_semantic",
-    "pack_sequences",
-    "sequence_manifest",
-    "stratified_sample",
-    "bm25_search",
-    "length_quantiles",
-    "vocab_oov",
-    "source_divergence",
-    "link_stats",
-    "lang_consistency",
+    # THEN: the 24 r9-signed entries — the oldest driver signatures
+    # in the registry after round 12 re-signed the r8 tail and the
+    # first 21 of the r9 tail.
+    "anchor_text_table",
+    "ann_store_delete",
+    "bitext_pairs",
+    "blocklist_gate",
+    "bpe_merges",
+    "chat_lint",
+    "code_prose_signals",
+    "contrastive_triplets",
+    "domain_frequencies",
+    "domain_pagerank",
+    "dsir_select",
+    "dsir_topk",
+    "dsir_weights",
+    "epoch_mixture",
+    "html_extract",
+    "license_scan",
+    "media_dhash_dups",
+    "mixture_temperature",
+    "strip_common_lines",
+    "tokenizer_fertility",
+    "url_canonical_freq",
+    "warc_ingest",
+    "wav_pcm_stats",
+    "windowed_drift",
+    # THEN: the first 10 of the 42 r10-signed (registry order),
+    # filling the window to exactly 50; the rest rotate next round.
+    "zipf_by_lang",
+    "mixture_rebalance",
+    "pii_scan",
+    "paragraph_dedup_stats",
+    "winnow_overlap",
+    "strip_duplicate_paragraphs",
+    "salted_order_priority_revenue",
+    "salted_customer_order_counts",
+    "events_purchase_windows_left",
+    "dedup_keep_best",
 ]
 
 

@@ -45,6 +45,7 @@ from polars_text_spark.sources.bucketing import (
 
 __all__ = [
     "append_ann_shard",
+    "band_stats_from_ann_store",
     "delete_ids",
     "purge_deleted",
     "rebucket_store",
@@ -173,6 +174,29 @@ def _store_meta(
         int(m["bands"]),
         int(m["buckets"]) if has_buckets else None,
     )
+
+
+def band_stats_from_ann_store(
+    spark: SparkSession, name: str, *, band_cap: int | None = 1000
+) -> DataFrame:
+    """Bucket-cardinality audit of the standing ANN band table — the
+    vector twin of :func:`polars_text_spark.operators.dedup_store.
+    band_stats_from_store`. Under-provisioned ``(num_planes, bands)``
+    on a grown corpus is exactly the degenerate candidate-fan-out
+    regime the re-rank router guards (``rerank="auto"``, SCALING.md
+    round-13): run this after appends; when ``max_bucket_size``
+    approaches corpus/2^bits-per-band the store wants a rebuild at
+    wider planes, and until then queries want ``rerank="arrow"``.
+    One groupBy on the band table's own key (no Exchange on the store
+    side), tombstones respected. ANN bands carry no signature-group
+    column, so the cross-signature telemetry columns are null — the
+    saturation counts are the actionable part here."""
+    from polars_text_spark.operators.dedup import band_bucket_stats
+
+    banded = _minus_tombstones(
+        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+    )
+    return band_bucket_stats(banded, ["band_key"], band_cap=band_cap)
 
 
 def rebucket_store(spark: SparkSession, name: str, new_buckets: int) -> None:

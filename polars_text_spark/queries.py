@@ -7281,6 +7281,87 @@ def q_ann_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_band_audit",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    bk AS (
+      SELECT e.vec_id, unnest({{_lsh_keys}}) AS band_key
+      FROM e WHERE (e.vec_id % 5) <> 0),
+    per AS (
+      SELECT band_key, count(*) AS m FROM bk GROUP BY band_key),
+    agg AS (
+      SELECT count(*) AS n_buckets,
+             max(m) AS max_bucket_size,
+             sum(CASE WHEN m > 40 THEN 1 ELSE 0 END)
+               AS n_saturated_buckets,
+             sum(m * (m - 1) // 2) AS unguarded_candidates,
+             sum(CASE WHEN m > 40 THEN m - 1
+                      ELSE m * (m - 1) // 2 END) AS guarded_candidates,
+             sum(CASE WHEN m > 40 THEN m ELSE 0 END)
+               AS saturated_member_rows,
+             sum(m) AS total_rows
+      FROM per)
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(max_bucket_size AS BIGINT) AS max_bucket_size,
+           CAST(n_saturated_buckets AS BIGINT) AS n_saturated_buckets,
+           CAST(unguarded_candidates AS BIGINT) AS unguarded_candidates,
+           CAST(guarded_candidates AS BIGINT) AS guarded_candidates,
+           CAST(saturated_member_rows AS BIGINT) AS saturated_member_rows,
+           round(saturated_member_rows * 1.0 / total_rows, 6)
+             AS saturated_row_fraction
+    FROM agg
+    """.replace("{_lsh_keys}", _lsh_sha_keys_sql("e")),
+)
+def q_ann_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-store band audit under the driver hash: write the store,
+    tombstone every fifth vector, then
+    :func:`~polars_text_spark.operators.ann_store.
+    band_stats_from_ann_store` — saturation counts + telemetry over
+    the STANDING sha-LSH band table, tombstones respected. Unlike
+    `band_audit` (arithmetic banding — the telemetry math in
+    isolation), this replays the REAL banding: the oracle re-derives
+    every 4-bit sha band key of every surviving vector, the per-bucket
+    counts, and the stats row. The cross-signature columns are null by
+    design for vector bands (no signature grouping) and are omitted
+    here."""
+    import atexit
+    import os
+    import shutil
+
+    from polars_text_spark.operators.ann_store import (
+        band_stats_from_ann_store,
+        delete_ids,
+        write_ann_store,
+    )
+
+    vecs = _tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    name = f"annaud_{os.getpid()}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for suffix in ("_bands", "_vectors", "_meta", "_tombstones"):
+        atexit.register(
+            shutil.rmtree, os.path.join(warehouse, name + suffix), True
+        )
+    write_ann_store(vecs, name, dim=64, buckets=8)
+    delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
+    out = band_stats_from_ann_store(spark, name, band_cap=40)
+    return out.select(
+        "n_buckets",
+        "max_bucket_size",
+        "n_saturated_buckets",
+        "unguarded_candidates",
+        "guarded_candidates",
+        "saturated_member_rows",
+        F.round("saturated_row_fraction", 6).alias("saturated_row_fraction"),
+    )
+
+
+@query(
     "node_collocates",
     f"""
     WITH toks AS (
@@ -8350,11 +8431,11 @@ def q_trigram_cross_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
 # keep their original order behind them. Round 13 fills the WHOLE
-# 50-row window explicitly: the four round-13 additions (never
+# 50-row window explicitly: the five round-13 additions (never
 # signed), the six no-oracle/voucher PAIRS (adjacency pinned by
 # tests/test_registry_rotation.py), the 24 queries whose latest
 # signature is r9 — the oldest in the registry after round 12
-# re-signed the r8 tail — and the first 10 of the 42 r10-signed
+# re-signed the r8 tail — and the first 9 of the 42 r10-signed
 # (registry order; the rest rotate in next round).
 # ---------------------------------------------------------------------------
 
@@ -8363,6 +8444,7 @@ _DRIVER_PRIORITY = [
     "ann_store_rebucket",
     "trigram_cross_score",
     "band_audit",
+    "ann_band_audit",
     "topic_assign_oos",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the
@@ -8409,7 +8491,7 @@ _DRIVER_PRIORITY = [
     "warc_ingest",
     "wav_pcm_stats",
     "windowed_drift",
-    # THEN: the first 10 of the 42 r10-signed (registry order),
+    # THEN: the first 9 of the 42 r10-signed (registry order),
     # filling the window to exactly 50; the rest rotate next round.
     "zipf_by_lang",
     "mixture_rebalance",
@@ -8420,7 +8502,6 @@ _DRIVER_PRIORITY = [
     "salted_order_priority_revenue",
     "salted_customer_order_counts",
     "events_purchase_windows_left",
-    "dedup_keep_best",
 ]
 
 

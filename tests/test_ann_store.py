@@ -495,3 +495,32 @@ def test_rebucket_store_preserves_pending_tombstones(spark, vectors):
         tuple(r)
         for r in topk_from_store(spark, "ann_rbt", qs, k=10, dim=64).collect()
     } == before
+
+
+def test_ann_store_band_stats_audit(spark, vectors):
+    """The standing-store band audit: bucket counts must equal a
+    direct groupBy over the same band keys, telemetry columns behave
+    (no sig column -> cross-sig unknown), tombstones respected."""
+    from polars_text_spark.operators.ann_store import (
+        band_stats_from_ann_store,
+        delete_ids,
+    )
+
+    write_ann_store(vectors, "ann_audit", dim=64, buckets=4)
+    r = band_stats_from_ann_store(spark, "ann_audit", band_cap=5).collect()[0]
+    per = (
+        spark.table("ann_audit_bands")
+        .groupBy("band_key")
+        .count()
+        .collect()
+    )
+    assert r.n_buckets == len(per)
+    assert r.max_bucket_size == max(p["count"] for p in per)
+    assert r.n_saturated_buckets == sum(1 for p in per if p["count"] > 5)
+    assert r.cross_sig_missed_bound is None  # no signature grouping
+    n_before = r.n_buckets
+    # tombstoning a vector removes its band rows from the audit
+    delete_ids(vectors.limit(1), "ann_audit")
+    r2 = band_stats_from_ann_store(spark, "ann_audit", band_cap=5).collect()[0]
+    assert r2.saturated_member_rows <= r.saturated_member_rows
+    assert r2.n_buckets <= n_before

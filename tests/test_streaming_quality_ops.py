@@ -138,3 +138,52 @@ def test_trigram_scoring_skips_unknown_trigrams(spark):
     # doc 10: "a b c" known, "b c x" unknown -> 1 scored trigram;
     # doc 11: nothing known -> absent
     assert rows == {10: 1}
+
+
+def test_trigram_backoff_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The OOV-backoff mode (round 13) on a streaming frame: LEFT
+    stream-static joins + the coverage aggregate must equal the batch
+    cross-corpus score — fit on 2/3 of the corpus, stream the held-out
+    third."""
+    docs = _docs(spark, sf_dir).limit(300)
+    fit = docs.filter(F.col("doc_id") % 3 != 0)
+    held = docs.filter(F.col("doc_id") % 3 == 0)
+    model = fit_trigram_lm(fit)
+
+    def rounded(df):
+        return {
+            (
+                r.doc_id,
+                r.n_trigrams,
+                r.n_unknown,
+                round(r.coverage, 6),
+                round(r.avg_surprisal, 6),
+            )
+            for r in df.collect()
+        }
+
+    batch = rounded(score_trigram_lm(held, model, oov="backoff"))
+    assert batch
+    assert any(r[2] > 0 for r in batch)  # OOV mass genuinely present
+    scored = score_trigram_lm(
+        _stream_of(spark, held, tmp_path, "tgbackoff"), model, oov="backoff"
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("tg_backoff_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not finish in 600s"
+    streamed = {
+        (
+            r.doc_id,
+            r.n_trigrams,
+            r.n_unknown,
+            round(r.coverage, 6),
+            round(r.avg_surprisal, 6),
+        )
+        for r in spark.sql("SELECT * FROM tg_backoff_stream").collect()
+    }
+    assert streamed == batch

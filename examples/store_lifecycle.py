@@ -13,6 +13,7 @@ state machine a 100 TB corpus store lives in:
                   ->  query again (anti-joined reads)
                   ->  purge_deleted (compaction folds tombstones)
                   ->  compact (undo append fragmentation)
+                  ->  audit + rebucket (grow the bucket count)
 
 plus the CONTINUOUS shape: a foreachBatch stream drops document
 shards into the MinHash store as they land (at-least-once redelivery
@@ -79,6 +80,15 @@ def main() -> None:
     n_files = compact_table(spark, "demo_ann_bands")
     print(f"post-purge compaction: {n_files} band files")
     print(f"top-k after purge+compact: "
+          f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
+    # the store grew past its write-time bucket count: audit, then
+    # one rewrite shuffle per table moves it to 8 buckets (answers
+    # identical; later appends write at the new count)
+    audit = ann_store.band_stats_from_ann_store(spark, "demo_ann").collect()[0]
+    print(f"band audit: max bucket {audit.max_bucket_size}, "
+          f"{audit.n_saturated_buckets} saturated")
+    ann_store.rebucket_store(spark, "demo_ann", 8)
+    print(f"top-k after rebucket to 8 (same): "
           f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
 
     print("== continuous ingest (streaming) ==")

@@ -861,6 +861,62 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, a, b, jaccard_threshold)
 
 
+def _collapse_left_groups(
+    left: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact-duplicate collapse of a cross-join's LEFT side: docs with
+    IDENTICAL hashed shingle SETS (the order-canonicalized array is
+    the group key) have identical Jaccard against every right doc, so
+    ONE representative per group carries the whole group's verdicts
+    and the pairs fan back afterwards — output identical to the
+    uncollapsed run BY CONSTRUCTION, while a 10^5-member boilerplate
+    shard family contributes 10^5x fewer candidates, verifications,
+    AND MinHash signatures. This is the left-side counterpart of the
+    hot-band guard that preserves exactness (the left side cannot be
+    starred — every member needs its own verdict — but set-identical
+    members share one; ADVICE r12).
+
+    Returns ``(reps, members)``: ``reps(id_a, __text, sh_a, __g)`` —
+    the min-id representative row per group (banding reads ``__text``,
+    verification reads ``sh_a``); ``members(id_a, __g)`` for the
+    fan-back join."""
+    sh = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__text"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
+    ).withColumn("__g", F.xxhash64(F.array_sort("sh_a")))
+    # three consumers (reps for banding, reps for verify, members for
+    # fan-back) — pin once; shingle arrays are the expensive part
+    sh = track_persist(sh.persist())
+    reps = (
+        sh.groupBy("__g")
+        .agg(F.min(F.struct("id_a", "__text", "sh_a")).alias("__r"))
+        .select(
+            F.col("__r.id_a").alias("id_a"),
+            F.col("__r.__text").alias("__text"),
+            F.col("__r.sh_a").alias("sh_a"),
+            "__g",
+        )
+    )
+    return reps, sh.select("id_a", "__g")
+
+
+def _fan_back_left(
+    pairs: DataFrame, reps: DataFrame, members: DataFrame
+) -> DataFrame:
+    """Replicate each representative's verified pairs to every member
+    of its identical-shingle group (identical sets => identical
+    jaccard, so the values are exact for every member)."""
+    rep_groups = reps.select(F.col("id_a").alias("__rep"), "__g").join(
+        members.select(F.col("id_a").alias("__member"), "__g"), "__g"
+    )
+    return (
+        pairs.withColumnRenamed("id_a", "__rep")
+        .join(rep_groups, "__rep")
+        .select(F.col("__member").alias("id_a"), "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_cross_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -872,6 +928,7 @@ def minhash_lsh_cross_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     band_cap: int | None = 1000,
+    collapse_left: bool = True,
 ) -> DataFrame:
     """Cross-CORPUS near-dup pairs: every ``left`` doc within
     ``jaccard_threshold`` of some ``right`` doc — the incremental-
@@ -894,9 +951,31 @@ def minhash_lsh_cross_pairs(
     recall accounting and the left-side exposure of a shard-heavy
     workload); a pair whose EVERY shared bucket is saturated past
     ``band_cap`` distinct families can be missed, so quote the 1-4e-8
-    figure only for the unguarded bound."""
+    figure only for the unguarded bound.
+
+    ``collapse_left`` (default on, round 13): left docs with
+    IDENTICAL shingle sets collapse to one representative through the
+    whole pipeline (signatures, candidates, verification) and the
+    verified pairs fan back to every member afterwards — OUTPUT
+    IDENTICAL by construction (jaccard is a function of the shingle
+    set), while a boilerplate-heavy shard stops paying L x R for its
+    hot left buckets (the ADVICE-r12 left-side exposure, closed for
+    the identical-text case that actually creates them; measured in
+    SCALING.md round-13). Near-identical-but-distinct left docs still
+    fan out — that residual is the documented trade."""
+    a = None
+    members = None
+    if collapse_left:
+        reps, members = _collapse_left_groups(
+            left, text_col, id_col, shingle_n
+        )
+        left = reps.select("id_a", F.col("__text").alias(text_col))
+        a = reps.select("id_a", F.col("sh_a"))
+        id_left = "id_a"
+    else:
+        id_left = id_col
     bl = _banded_signatures(
-        left, text_col, id_col, "id_a",
+        left, text_col, id_left, "id_a",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
     br = _banded_signatures(
@@ -906,15 +985,19 @@ def minhash_lsh_cross_pairs(
     cand = _guarded_cross_candidates(
         bl, br, ["bk"], band_cap, star_by=("__sig",)
     )
-    a = left.select(
-        F.col(id_col).alias("id_a"),
-        token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
-    )
+    if a is None:
+        a = left.select(
+            F.col(id_col).alias("id_a"),
+            token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
+        )
     b = right.select(
         F.col(id_col).alias("id_b"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh_b"),
     )
-    return _verify_jaccard(cand, a, b, jaccard_threshold)
+    pairs = _verify_jaccard(cand, a, b, jaccard_threshold)
+    if members is not None:
+        pairs = _fan_back_left(pairs, reps, members)
+    return pairs
 
 
 def simhash(text_col, *, bits: int = 64, token_hash=None):

@@ -381,6 +381,7 @@ def incremental_pairs_from_store(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     band_cap: int | None = 1000,
+    collapse_left: bool = True,
 ) -> DataFrame:
     """Dedup a NEW shard against the standing store (the incremental-
     ingest shape): ``(id_a, id_b, jaccard)`` with ``id_a`` from the
@@ -393,7 +394,15 @@ def incremental_pairs_from_store(
     Signature parameters must match the ones used at write time —
     validated against the store meta when the store records one (a
     mismatch would band the shard under planes that can never collide
-    with standing keys: silent recall 0)."""
+    with standing keys: silent recall 0). ``collapse_left`` (default
+    on): shingle-set-identical shard docs ride the pipeline as ONE
+    representative, pairs fanned back — output-identical, see
+    :func:`~polars_text_spark.operators.dedup.minhash_lsh_cross_pairs`."""
+    from polars_text_spark.operators.dedup import (
+        _collapse_left_groups,
+        _fan_back_left,
+    )
+
     meta = _minhash_meta(spark, name)
     if meta is not None and (num_perm, bands, shingle_n) != meta[:3]:
         raise ValueError(
@@ -403,8 +412,18 @@ def incremental_pairs_from_store(
             f"shingle_n={shingle_n}) would produce band keys that can "
             "never collide with the store"
         )
+    a = None
+    members = None
+    id_left = id_col
+    if collapse_left:
+        reps, members = _collapse_left_groups(
+            new_df, text_col, id_col, shingle_n
+        )
+        new_df = reps.select("id_a", F.col("__text").alias(text_col))
+        a = reps.select("id_a", F.col("sh_a"))
+        id_left = "id_a"
     new_bands = _banded_signatures(
-        new_df, text_col, id_col, "id_a",
+        new_df, text_col, id_left, "id_a",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     ).select(
         "id_a",
@@ -421,10 +440,14 @@ def incremental_pairs_from_store(
     cand = _guarded_cross_candidates(
         new_bands, standing, ["band", "bucket"], band_cap, star_by=star_by
     )
-    a = new_df.select(
-        F.col(id_col).alias("id_a"),
-        token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
-    )
+    if a is None:
+        a = new_df.select(
+            F.col(id_col).alias("id_a"),
+            token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
+        )
     sh = _minus_tombstones(read_bucketed(spark, f"{name}_shingles"), __ts)
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return _verify_jaccard(cand, a, b, jaccard_threshold)
+    pairs = _verify_jaccard(cand, a, b, jaccard_threshold)
+    if members is not None:
+        pairs = _fan_back_left(pairs, reps, members)
+    return pairs

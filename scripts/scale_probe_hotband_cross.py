@@ -120,11 +120,20 @@ def main() -> int:
         }
         print(f"candidates_{key}", out["runs"][f"candidates_{key}"], flush=True)
 
-    # full verified cross pairs, both ways
-    for cap, key in ((1000, "guarded"), (None, "unguarded")):
+    # full verified cross pairs: (band_cap, collapse_left) matrix —
+    # the 1,000 set-identical shard docs are exactly the left-side
+    # exposure the collapse closes (round 13)
+    matrix = (
+        (1000, True, "guarded_collapsed"),
+        (1000, False, "guarded"),
+        (None, True, "unguarded_collapsed"),
+        (None, False, "unguarded"),
+    )
+    for cap, col, key in matrix:
         t0 = time.time()
         n = minhash_lsh_cross_pairs(
-            shard, standing, jaccard_threshold=0.9, band_cap=cap
+            shard, standing, jaccard_threshold=0.9, band_cap=cap,
+            collapse_left=col,
         ).count()
         out["runs"][f"cross_pairs_{key}"] = {
             "pairs": n, "sec": round(time.time() - t0, 2)
@@ -133,11 +142,11 @@ def main() -> int:
 
     # incremental-ingest face: standing side is the bucketed store
     write_minhash_store(standing, "hotband_cross_probe", buckets=8)
-    for cap, key in ((1000, "guarded"), (None, "unguarded")):
+    for cap, col, key in matrix:
         t0 = time.time()
         n = incremental_pairs_from_store(
             spark, "hotband_cross_probe", shard,
-            jaccard_threshold=0.9, band_cap=cap,
+            jaccard_threshold=0.9, band_cap=cap, collapse_left=col,
         ).count()
         out["runs"][f"store_incremental_{key}"] = {
             "pairs": n, "sec": round(time.time() - t0, 2)

@@ -504,3 +504,105 @@ def test_lsh_band_stats_telemetry_on_corpus(corpus):
     assert r.cross_sig_missed_bound == 0
     assert r.cross_sig_share == 0.0
     assert r.est_miss_prob == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round 13: left-side exact-duplicate collapse for the cross paths.
+# ---------------------------------------------------------------------------
+
+
+def test_cross_pairs_collapse_left_output_identical(spark, corpus):
+    """A shard containing an identical-text family must produce the
+    SAME verified pair set with and without the collapse — the
+    exactness-by-construction contract — while the collapsed run
+    routes only ONE representative through the pipeline."""
+    shard = (
+        spark.range(30)
+        .select(
+            (F.lit(9000) + F.col("id")).alias("doc_id"),
+            F.lit(HOT_TEXT).alias("text"),
+        )
+        .union(
+            spark.createDataFrame(
+                [(9990, "completely different novel shard text")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    kw = dict(jaccard_threshold=0.9, band_cap=None)
+    collapsed = minhash_lsh_cross_pairs(
+        shard, corpus, collapse_left=True, **kw
+    )
+    plain = minhash_lsh_cross_pairs(
+        shard, corpus, collapse_left=False, **kw
+    )
+    got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in collapsed.collect()}
+    want = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in plain.collect()}
+    assert got == want
+    # every one of the 30 shard-family members got its pairs
+    assert {p[0] for p in got} == {9000 + i for i in range(30)}
+    # and the family matched all 60 hot + none of the rest
+    assert {p[1] for p in got} == {1000 + i for i in range(HOT_N)}
+
+
+def test_cross_pairs_collapse_respects_guard(spark, corpus):
+    """Collapse + the standing-side guard compose: the saturated
+    standing family reduces to its hub, the 30 set-identical shard
+    docs ride as one rep, and each member fans back exactly the hub
+    pair."""
+    shard = spark.range(30).select(
+        (F.lit(9000) + F.col("id")).alias("doc_id"),
+        F.lit(HOT_TEXT).alias("text"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_cross_pairs(
+            shard, corpus, jaccard_threshold=0.9, band_cap=8
+        ).collect()
+    }
+    assert got == {(9000 + i, 1000) for i in range(30)}
+
+
+def test_store_incremental_collapse_left_identical(spark, corpus):
+    """The store ingest path: collapse on/off parity over a shard with
+    an identical-text family, against the bucketed standing store."""
+    write_minhash_store(corpus, "mh_collapse", buckets=4)
+    shard = spark.range(10).select(
+        (F.lit(9000) + F.col("id")).alias("doc_id"),
+        F.lit(HOT_TEXT).alias("text"),
+    )
+    kw = dict(jaccard_threshold=0.9, band_cap=None)
+    on = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in incremental_pairs_from_store(
+            spark, "mh_collapse", shard, collapse_left=True, **kw
+        ).collect()
+    }
+    off = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in incremental_pairs_from_store(
+            spark, "mh_collapse", shard, collapse_left=False, **kw
+        ).collect()
+    }
+    assert on and on == off
+
+
+def test_collapse_left_groups_by_set_not_order(spark):
+    """Two docs whose shingle SETS are equal but first-occurrence
+    orders differ must land in one group (the array_sort
+    canonicalization); distinct sets must not (unigram shingles make
+    the set equality constructible)."""
+    from polars_text_spark.operators.dedup import _collapse_left_groups
+
+    reps, members = _collapse_left_groups(
+        spark.createDataFrame(
+            [(1, "x y z"), (2, "z y x"), (3, "x y w")],
+            "doc_id long, text string",
+        ),
+        "text",
+        "doc_id",
+        1,
+    )
+    m = {r["id_a"]: r["__g"] for r in members.collect()}
+    assert m[1] == m[2] and m[1] != m[3]
+    assert {r["id_a"] for r in reps.collect()} == {1, 3}

@@ -1719,7 +1719,13 @@ def dup_degree_histogram(
     tail (a few hub documents in thousands of pairs) says "boilerplate
     family — strip it", a flat degree-1 histogram says "true mirrors —
     keep-one wins". Works over ANY pair frame (MinHash, SimHash,
-    SemDeDup, winnowing...).
+    SemDeDup, winnowing...). Note that pairs produced UNDER the
+    hot-band guard (``band_cap`` set, the default) give saturated
+    families star topology — the group hub reads as a mega-degree
+    hub and members as degree-1, which is itself a valid boilerplate
+    signature but NOT the clique degrees; feed ``band_cap=None``
+    pairs when the histogram must reflect true clique degrees
+    (README "Behavior changes").
 
     Scale: union the two id columns (map-only), one groupBy for
     degrees (|docs-in-pairs| rows), one for the histogram (|distinct

@@ -313,3 +313,25 @@ def test_rebucket_minhash_store_plan_stays_colocated(
     rebucket_minhash_store(spark, "mh_rbp", 8)
     plan = explain_str(candidate_self_join(spark, "mh_rbp"), "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_store_band_stats_reads_buckets_in_place(
+    spark, corpus, no_broadcast
+):
+    """The audit's first groupBy keys on (band, bucket, sig) — a
+    SUPERSET of the table's bucketing, which Spark's clustered-
+    distribution check satisfies from HashPartitioning(band, bucket) —
+    so the ONLY Exchange in the whole audit is the final 1-row
+    SinglePartition collect. A second Exchange means the store scan
+    got re-partitioned."""
+    from polars_text_spark.operators.dedup_store import (
+        band_stats_from_store,
+    )
+    from polars_text_spark.plans import explain_str
+
+    write_minhash_store(corpus, "mh_audit_plan", buckets=4)
+    plan = explain_str(
+        band_stats_from_store(spark, "mh_audit_plan", band_cap=8), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" in plan

@@ -863,7 +863,7 @@ def minhash_lsh_pairs(
 
 def _collapse_left_groups(
     left: DataFrame, text_col: str, id_col: str, shingle_n: int
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame] | None:
     """Exact-duplicate collapse of a cross-join's LEFT side: docs with
     IDENTICAL hashed shingle SETS (the order-canonicalized array is
     the group key) have identical Jaccard against every right doc, so
@@ -876,29 +876,55 @@ def _collapse_left_groups(
     starred — every member needs its own verdict — but set-identical
     members share one; ADVICE r12).
 
-    Returns ``(reps, members)``: ``reps(id_a, __text, sh_a, __g)`` —
+    Returns ``(reps, members)`` — ``reps(id_a, __text, sh_a, __g)``,
     the min-id representative row per group (banding reads ``__text``,
-    verification reads ``sh_a``); ``members(id_a, __g)`` for the
-    fan-back join."""
-    sh = left.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("__text"),
-        token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
-    ).withColumn("__g", F.xxhash64(F.array_sort("sh_a")))
-    # three consumers (reps for banding, reps for verify, members for
-    # fan-back) — pin once; shingle arrays are the expensive part
-    sh = track_persist(sh.persist())
-    reps = (
-        sh.groupBy("__g")
-        .agg(F.min(F.struct("id_a", "__text", "sh_a")).alias("__r"))
-        .select(
-            F.col("__r.id_a").alias("id_a"),
-            F.col("__r.__text").alias("__text"),
-            F.col("__r.sh_a").alias("sh_a"),
-            "__g",
-        )
+    verification reads ``sh_a``), and ``members(id_a, __g)`` for the
+    fan-back join — or **None when the left side has NO duplicate
+    groups**: the probe (one pass computing the map-side group key
+    into a count-distinct) found nothing to collapse, so the caller
+    should run the plain uncollapsed pipeline instead of paying the
+    semi-join + fan-back machinery for nothing. Measured at sf0.1 on
+    a duplicate-free 2,500-doc left: full collapse machinery +24%,
+    the probe alone ~1/3 of that.
+
+    Shuffle discipline: only SCALARS move. The group key is computed
+    map-side per row, the min-id aggregation shuffles (id, key) pairs
+    with map-side combine, and the representatives' text/shingles are
+    recovered with a semi-join against the original frame — the
+    shingle arrays themselves never enter an Exchange (the first cut
+    aggregated min(struct(id, text, shingles)) and shuffled every
+    array: +1.7x on a duplicate-free shard, measured)."""
+    g = F.xxhash64(
+        F.array_sort(token_shingles(text_col, shingle_n, hashed=True))
     )
-    return reps, sh.select("id_a", "__g")
+    # persist-FREE probe: one map-side pass into a two-stage scalar
+    # aggregate; the common (nothing-to-collapse) case pays exactly
+    # this and nothing else
+    probe = left.select(g.alias("__g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("__g").alias("groups"),
+    ).collect()[0]
+    if probe["groups"] == probe["n"]:
+        return None
+    # duplicates exist: build the member map once, pinned for its two
+    # consumers (rep-id aggregation + fan-back)
+    members = track_persist(
+        left.select(F.col(id_col).alias("id_a"), g.alias("__g")).persist()
+    )
+    rep_ids = members.groupBy("__g").agg(F.min("id_a").alias("id_a"))
+    # join BEFORE deriving shingles so only surviving (representative)
+    # rows pay the shingle expression
+    reps = (
+        left.select(
+            F.col(id_col).alias("id_a"), F.col(text_col).alias("__text")
+        )
+        .join(rep_ids.select("id_a"), "id_a", "left_semi")
+        .withColumn(
+            "sh_a", token_shingles("__text", shingle_n, hashed=True)
+        )
+        .withColumn("__g", F.xxhash64(F.array_sort("sh_a")))
+    )
+    return reps, members
 
 
 def _fan_back_left(
@@ -928,7 +954,7 @@ def minhash_lsh_cross_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     band_cap: int | None = 1000,
-    collapse_left: bool = True,
+    collapse_left: bool = False,
 ) -> DataFrame:
     """Cross-CORPUS near-dup pairs: every ``left`` doc within
     ``jaccard_threshold`` of some ``right`` doc — the incremental-
@@ -953,27 +979,36 @@ def minhash_lsh_cross_pairs(
     ``band_cap`` distinct families can be missed, so quote the 1-4e-8
     figure only for the unguarded bound.
 
-    ``collapse_left`` (default on, round 13): left docs with
-    IDENTICAL shingle sets collapse to one representative through the
-    whole pipeline (signatures, candidates, verification) and the
-    verified pairs fan back to every member afterwards — OUTPUT
-    IDENTICAL by construction (jaccard is a function of the shingle
-    set), while a boilerplate-heavy shard stops paying L x R for its
-    hot left buckets (the ADVICE-r12 left-side exposure, closed for
-    the identical-text case that actually creates them; measured in
-    SCALING.md round-13). Near-identical-but-distinct left docs still
-    fan out — that residual is the documented trade."""
+    ``collapse_left`` (opt-in, round 13): left docs with IDENTICAL
+    shingle sets collapse to one representative through the whole
+    pipeline (signatures, candidates, verification) and the verified
+    pairs fan back to every member afterwards — OUTPUT IDENTICAL by
+    construction (jaccard is a function of the shingle set), while a
+    boilerplate-heavy shard stops paying per-member cost for its hot
+    left buckets: the exact 10M-pair answer of a 1,000-doc identical
+    shard family vs a 10k standing family drops 17.4 s -> 4.2 s
+    in-flight and 43.0 s -> 2.4 s on the store path (SCALING.md
+    round-13). Opt-IN because the default GUARDED path is never
+    quadratic anyway (a hot left bucket is bounded at L x band_cap by
+    the standing-side reduction) and the collapse machinery costs
+    2-3 extra jobs that a duplicate-free shard pays for nothing —
+    turn it on for boilerplate-heavy ingest or ``band_cap=None``
+    exact runs; a one-job probe inside skips the machinery when the
+    shard turns out to have no duplicate groups. Near-identical-but-
+    distinct left docs still fan out — that residual is the
+    documented trade."""
     a = None
     members = None
+    id_left = id_col
     if collapse_left:
-        reps, members = _collapse_left_groups(
+        collapsed = _collapse_left_groups(
             left, text_col, id_col, shingle_n
         )
-        left = reps.select("id_a", F.col("__text").alias(text_col))
-        a = reps.select("id_a", F.col("sh_a"))
-        id_left = "id_a"
-    else:
-        id_left = id_col
+        if collapsed is not None:  # None: probe found nothing to collapse
+            reps, members = collapsed
+            left = reps.select("id_a", F.col("__text").alias(text_col))
+            a = reps.select("id_a", F.col("sh_a"))
+            id_left = "id_a"
     bl = _banded_signatures(
         left, text_col, id_left, "id_a",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,

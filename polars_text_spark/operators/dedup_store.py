@@ -381,7 +381,7 @@ def incremental_pairs_from_store(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     band_cap: int | None = 1000,
-    collapse_left: bool = True,
+    collapse_left: bool = False,
 ) -> DataFrame:
     """Dedup a NEW shard against the standing store (the incremental-
     ingest shape): ``(id_a, id_b, jaccard)`` with ``id_a`` from the
@@ -394,9 +394,10 @@ def incremental_pairs_from_store(
     Signature parameters must match the ones used at write time —
     validated against the store meta when the store records one (a
     mismatch would band the shard under planes that can never collide
-    with standing keys: silent recall 0). ``collapse_left`` (default
-    on): shingle-set-identical shard docs ride the pipeline as ONE
-    representative, pairs fanned back — output-identical, see
+    with standing keys: silent recall 0). ``collapse_left`` (opt-in):
+    shingle-set-identical shard docs ride the pipeline as ONE
+    representative, pairs fanned back — output-identical; turn it on
+    for boilerplate-heavy shards, see
     :func:`~polars_text_spark.operators.dedup.minhash_lsh_cross_pairs`."""
     from polars_text_spark.operators.dedup import (
         _collapse_left_groups,
@@ -416,12 +417,14 @@ def incremental_pairs_from_store(
     members = None
     id_left = id_col
     if collapse_left:
-        reps, members = _collapse_left_groups(
+        collapsed = _collapse_left_groups(
             new_df, text_col, id_col, shingle_n
         )
-        new_df = reps.select("id_a", F.col("__text").alias(text_col))
-        a = reps.select("id_a", F.col("sh_a"))
-        id_left = "id_a"
+        if collapsed is not None:  # None: probe found nothing to collapse
+            reps, members = collapsed
+            new_df = reps.select("id_a", F.col("__text").alias(text_col))
+            a = reps.select("id_a", F.col("sh_a"))
+            id_left = "id_a"
     new_bands = _banded_signatures(
         new_df, text_col, id_left, "id_a",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,

@@ -557,10 +557,32 @@ def test_cross_pairs_collapse_respects_guard(spark, corpus):
     got = {
         (r.id_a, r.id_b)
         for r in minhash_lsh_cross_pairs(
-            shard, corpus, jaccard_threshold=0.9, band_cap=8
+            shard, corpus, jaccard_threshold=0.9, band_cap=8,
+            collapse_left=True,
         ).collect()
     }
     assert got == {(9000 + i, 1000) for i in range(30)}
+
+
+def test_collapse_probe_skips_duplicate_free_left(spark, corpus):
+    """A shard with all-distinct shingle sets: the one-job probe finds
+    nothing to collapse and the machinery is skipped (None), and the
+    opted-in call still produces the plain output."""
+    from polars_text_spark.operators.dedup import _collapse_left_groups
+
+    shard = spark.createDataFrame(
+        [(9000, HOT_TEXT), (9001, "each shard doc fully distinct here")],
+        "doc_id long, text string",
+    )
+    assert _collapse_left_groups(shard, "text", "doc_id", 3) is None
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_cross_pairs(
+            shard, corpus, jaccard_threshold=0.9, band_cap=None,
+            collapse_left=True,
+        ).collect()
+    }
+    assert got == {(9000, 1000 + i) for i in range(HOT_N)}
 
 
 def test_store_incremental_collapse_left_identical(spark, corpus):

@@ -86,9 +86,11 @@ def main() -> int:
     ]
     out = {"probe": "rerank_ab", "sf_dir": sf_dir, "corpus_rows": n,
            "queries": 64, "dim": 64, "runs": {}}
+    from polars_text_spark.plans import explain_str
+
     for name, mk in configs:
         entry = {}
-        for rr in ("expr", "arrow"):
+        for rr in ("expr", "arrow", "auto"):
             best = None
             for _ in range(2):
                 sec, rows, s = timed(mk(rr))
@@ -96,6 +98,12 @@ def main() -> int:
             entry[rr + "_sec"] = best
             entry["topk_rows"] = rows
             entry[rr + "_sum"] = round(s, 6)
+        # which physical route did auto resolve to? (round-13 router)
+        entry["auto_route"] = (
+            "arrow"
+            if "MapInPandas" in explain_str(mk("auto"), "simple")
+            else "expr"
+        )
         print(name, entry, flush=True)
         out["runs"][name] = entry
     print(json.dumps(out))

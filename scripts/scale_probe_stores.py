@@ -119,6 +119,21 @@ def main() -> int:
         assert tomb == purged, "tombstoned != purged query answer"
         assert len(purged) == len(base), "rank rows lost"
 
+        # ---- re-bucketing at factor x (round 13) -------------------------
+        # the lifecycle step a store grown factor x actually needs:
+        # one rewrite shuffle per table into 4x the buckets, answers
+        # bit-identical, reads still bucketed at the new count
+        _timed(times, "ann_rebucket_8_to_32", lambda: A.rebucket_store(
+            spark, "probe_ann", 32
+        ))
+        rebucketed = _timed(times, "ann_query_rebucketed", _query)
+        assert rebucketed == purged, "rebucket changed the answer"
+        plan32 = (
+            A.topk_from_store(spark, "probe_ann", queries, k=10, dim=64)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        store_scan_ok = store_scan_ok and plan32.count("Bucketed: true") == 2
+
         # ---- MinHash store at factor x ----------------------------------
         from polars_text_spark.operators import dedup_store as D
 
@@ -152,6 +167,19 @@ def main() -> int:
                 spark, "probe_mh", dshard, jaccard_threshold=0.7
             ).count(),
         )
+        _timed(
+            times,
+            "minhash_rebucket_8_to_32",
+            lambda: D.rebucket_minhash_store(spark, "probe_mh", 32),
+        )
+        pairs_rb = _timed(
+            times,
+            "minhash_incremental_pairs_rebucketed",
+            lambda: D.incremental_pairs_from_store(
+                spark, "probe_mh", dshard, jaccard_threshold=0.7
+            ).count(),
+        )
+        assert pairs_rb == pairs, "rebucket changed the pair count"
 
         result = {
             "metric": "store_lifecycle_probe",

@@ -435,7 +435,18 @@ def topk_from_store(
     ``(query_id, neighbor_id, cosine, rank)`` — value-identical to
     :func:`polars_text_spark.operators.similarity.cosine_topk_lsh_sha`
     over the same corpus (tested). Raises if (dim, num_planes, bands)
-    differ from the store's write-time parameters."""
+    differ from the store's write-time parameters.
+
+    Re-rank routing note: the store path always uses the expression
+    re-rank. The Arrow route (``rerank="arrow"`` on the in-flight
+    operators) re-normalizes RAW vectors inside the fold scorer; the
+    store persists ALREADY-normalized ``u`` vectors, and re-normalizing
+    them shifts last-ulp bits — breaking the bit-identity contract the
+    store's parity tests and driver hashes pin. When a grown store
+    shows degenerate candidate fan-out, the supported mitigations are
+    :func:`band_stats_from_ann_store` (detect) plus a rebuild at wider
+    ``num_planes`` (re-provision) or :func:`rebucket_store` for read
+    parallelism — see SCALING.md round-13."""
     m = spark.table(f"{name}_meta").collect()[0]
     if (m["dim"], m["num_planes"], m["bands"]) != (dim, num_planes, bands):
         raise ValueError(

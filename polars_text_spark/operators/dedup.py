@@ -142,27 +142,66 @@ def dup_source_matrix(
     )
 
 
+# Bump when the hashed-shingle derivation changes: a store banded
+# under one family can NEVER collide with text banded under another
+# (silent recall 0), so the minhash store meta records this and the
+# band-new-text-against-standing-rows paths validate it.
+SHINGLE_HASH_VERSION = 2
+
+
 def token_shingles(text_col, n: int = 3, *, hashed: bool = False):
     """Distinct word n-gram shingles of a text column — built-ins only:
-    split -> sliding windows via transform(sequence(...)) -> distinct.
+    split -> sliding windows -> distinct.
 
-    ``hashed=True`` maps each shingle to its xxhash64 — arrays of longs
-    shuffle and intersect ~25% faster than string arrays (measured at
-    sf0.1) at a 2^-64-per-pair collision risk. Exact-oracle paths can
-    use it too: intersection COUNTS are unchanged absent a collision.
+    ``hashed=True`` maps each shingle to a long — arrays of longs
+    shuffle and intersect faster than string arrays, at a
+    2^-64-per-pair collision risk. Exact-oracle paths can use it too:
+    intersection COUNTS are unchanged absent a collision, so the
+    DuckDB twins replay STRING sets and still hash-match.
+
+    Hash family v2 (round 13): each token is xxhash64'd ONCE (the
+    hash array is `let`-bound so it evaluates once per row, not once
+    per shingle — the O(d^2) inline trap), then a shingle hash is
+    ``xxhash64(h_i, h_{i+1}, h_{i+2})`` over the window of TOKEN
+    hashes. The v1 family built every shingle as a concat_ws STRING
+    and hashed that — 25M string allocations per 50k docs; v2 is
+    11.3x faster (29.4 s -> 2.6 s at sf0.1 x10, SCALING.md round-13)
+    with the same boundary disambiguation (token hash windows can't
+    confuse "ab c" with "a bc") and the same collision stance.
+    Changing the family changes every derived signature/bucket value,
+    so :data:`SHINGLE_HASH_VERSION` rides the minhash store meta.
+    The short-text branch (< n tokens) hashes the whole-text join,
+    as before.
     """
+    from polars_text_spark.plans.exprs import let
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(F.lower(c)), r"\s+")
     count = F.size(tokens) - F.lit(n - 1)
-    shingles = F.when(count <= 0, F.array(F.concat_ws(" ", tokens))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    if not hashed:
+        shingles = F.when(
+            count <= 0, F.array(F.concat_ws(" ", tokens))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            )
         )
+        return F.array_distinct(shingles)
+    hashed_sh = let(
+        F.transform(tokens, lambda t: F.xxhash64(t)),
+        lambda th: F.when(
+            count <= 0, F.array(F.xxhash64(F.concat_ws(" ", tokens)))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, i + j) for j in range(n)]
+                ),
+            )
+        ),
     )
-    if hashed:
-        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.array_distinct(shingles)
+    return F.array_distinct(hashed_sh)
 
 
 def bottomk_sketch(text_col, *, k: int = 32, shingle_n: int = 3, gram_hash=None):
@@ -387,14 +426,21 @@ def minhash_signatures(
     """``(id, minhash: array<long>)`` — one min per seeded xxhash64.
 
     explode(shingles) -> groupBy(id).agg(64 mins): map-side partial
-    aggregation keeps the shuffle tiny (64 longs per doc)."""
+    aggregation keeps the shuffle tiny (64 longs per doc). The
+    exploded stream carries v2 HASHED shingles (longs), so each of
+    the 64 seeded permutation hashes runs over a fixed-width long
+    instead of a rebuilt shingle string — part of the round-13
+    shingle-family speedup (:func:`token_shingles`,
+    :data:`SHINGLE_HASH_VERSION`)."""
     # explode_outer + null filter: plain explode makes the optimizer
     # infer `size(token_shingles(..)) > 0` and pushdown inlines the
     # whole shingle expression into the filter, computing it twice
     # per row (InferFiltersFromGenerate trap — SCALING.md).
     exploded = df.select(
         F.col(id_col),
-        F.explode_outer(token_shingles(text_col, shingle_n)).alias("shingle"),
+        F.explode_outer(
+            token_shingles(text_col, shingle_n, hashed=True)
+        ).alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")

@@ -109,10 +109,20 @@ def write_minhash_store(
     # signature parameters ride with the store (the ann_store meta
     # pattern): a shard banded under different permutations/shingles
     # would NEVER collide with standing keys, so append reads them
-    # back instead of trusting the caller
+    # back instead of trusting the caller. hashv records the shingle
+    # hash FAMILY (dedup.SHINGLE_HASH_VERSION) — the same
+    # never-collide failure with no parameter to mismatch.
+    from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
+
     meta = df.sparkSession.createDataFrame(
-        [(int(num_perm), int(bands), int(shingle_n), int(buckets))],
-        "num_perm int, bands int, shingle_n int, buckets int",
+        [(
+            int(num_perm),
+            int(bands),
+            int(shingle_n),
+            int(buckets),
+            int(SHINGLE_HASH_VERSION),
+        )],
+        "num_perm int, bands int, shingle_n int, buckets int, hashv int",
     )
     clear_table(df.sparkSession, f"{name}_meta")
     meta.write.format("parquet").mode("overwrite").saveAsTable(
@@ -134,6 +144,32 @@ def _minhash_meta(
         int(m["shingle_n"]),
         int(m["buckets"]),
     )
+
+
+def _assert_hash_family(spark: SparkSession, name: str) -> None:
+    """Refuse to band NEW text against a store written under a
+    different shingle hash FAMILY: the new rows' band keys could
+    never collide with the standing rows — the silent-recall-0
+    failure the meta table exists to prevent, with no caller
+    parameter to mismatch. Raised (not warned) on the append and
+    incremental-pair paths; self-contained reads
+    (:func:`pairs_from_store`, :func:`band_stats_from_store`,
+    :func:`rebucket_minhash_store`) stay valid on any version."""
+    from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
+
+    if not spark.catalog.tableExists(f"{name}_meta"):
+        return
+    m = spark.table(f"{name}_meta").collect()[0]
+    stored = int(m["hashv"]) if "hashv" in m.asDict() else 1
+    if stored != SHINGLE_HASH_VERSION:
+        raise ValueError(
+            f"minhash store '{name}' was written under shingle hash "
+            f"family v{stored}; this build derives v"
+            f"{SHINGLE_HASH_VERSION} shingles, whose band keys can "
+            "never collide with the standing rows (silent recall 0). "
+            "Rebuild the store with write_minhash_store before "
+            "banding new text against it"
+        )
 
 
 def append_minhash_shard(
@@ -169,6 +205,7 @@ def append_minhash_shard(
             "appending shards"
         )
     num_perm, bands, shingle_n, buckets = meta
+    _assert_hash_family(spark, name)
     clash = probe_id_clash(
         shard,
         read_bucketed(spark, f"{name}_shingles"),
@@ -259,11 +296,22 @@ def rebucket_minhash_store(
             "bucket count) instead of re-bucketing in place"
         )
     num_perm, bands, shingle_n, _ = meta
+    # preserve the recorded shingle hash FAMILY — re-bucketing moves
+    # rows, it does not re-derive them, so stamping the current
+    # version onto an older store would let appends corrupt it
+    old = spark.table(f"{name}_meta").collect()[0]
+    hashv = int(old["hashv"]) if "hashv" in old.asDict() else 1
     compact_table(spark, f"{name}_bands", new_buckets=new_buckets)
     compact_table(spark, f"{name}_shingles", new_buckets=new_buckets)
     new_meta = spark.createDataFrame(
-        [(int(num_perm), int(bands), int(shingle_n), int(new_buckets))],
-        "num_perm int, bands int, shingle_n int, buckets int",
+        [(
+            int(num_perm),
+            int(bands),
+            int(shingle_n),
+            int(new_buckets),
+            hashv,
+        )],
+        "num_perm int, bands int, shingle_n int, buckets int, hashv int",
     )
     clear_table(spark, f"{name}_meta")
     new_meta.write.format("parquet").mode("overwrite").saveAsTable(
@@ -413,6 +461,7 @@ def incremental_pairs_from_store(
             f"shingle_n={shingle_n}) would produce band keys that can "
             "never collide with the store"
         )
+    _assert_hash_family(spark, name)
     a = None
     members = None
     id_left = id_col

@@ -335,3 +335,42 @@ def test_store_band_stats_reads_buckets_in_place(
     )
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" in plan
+
+
+def test_store_rejects_mismatched_shingle_hash_family(spark, corpus):
+    """A store whose meta records a different shingle hash family must
+    REFUSE appends and incremental pairing (band keys could never
+    collide — silent recall 0), while self-contained reads stay
+    valid; rebucket preserves the recorded family."""
+    from polars_text_spark.operators.dedup_store import (
+        append_minhash_shard,
+        rebucket_minhash_store,
+    )
+
+    write_minhash_store(corpus, "mh_hashv", buckets=4)
+    # simulate a v1-era store: rewrite the meta with hashv=1
+    old = spark.table("mh_hashv_meta").collect()[0]
+    spark.createDataFrame(
+        [(old["num_perm"], old["bands"], old["shingle_n"],
+          old["buckets"], 1)],
+        "num_perm int, bands int, shingle_n int, buckets int, hashv int",
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        "mh_hashv_meta"
+    )
+    shard = spark.createDataFrame(
+        [(9000, "totally novel shard text content")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="hash\\s+family|hash family"):
+        append_minhash_shard(shard, "mh_hashv")
+    with pytest.raises(ValueError, match="hash family"):
+        incremental_pairs_from_store(spark, "mh_hashv", shard).collect()
+    # self-contained read still answers (store-internal consistency)
+    assert pairs_from_store(
+        spark, "mh_hashv", jaccard_threshold=0.9
+    ).count() >= 0
+    # rebucket must NOT stamp the current version onto the old store
+    rebucket_minhash_store(spark, "mh_hashv", 8)
+    assert spark.table("mh_hashv_meta").collect()[0]["hashv"] == 1
+    with pytest.raises(ValueError, match="hash family"):
+        append_minhash_shard(shard, "mh_hashv")

@@ -407,3 +407,52 @@ def test_band_plan_validates_inputs():
     # prime num_perm still returns a valid (if degenerate) split
     b, r = minhash_band_plan(0.5, 13)
     assert b * r == 13
+
+
+# ---------------------------------------------------------------------------
+# Round 13: v2 hashed-shingle family (token-hash windows) vs the
+# string ground truth.
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_shingles_mirror_string_sets(spark):
+    """The v2 hashed family must be an INJECTIVE image of the string
+    shingle set on every row: same cardinality, equal-string docs map
+    to equal hash sets, distinct-string docs to distinct sets, and
+    pairwise intersection sizes (the only thing verification consumes)
+    agree with the string sets — including the short-text whole-join
+    branch and boundary disambiguation ('ab c' vs 'a bc')."""
+    from pyspark.sql import functions as F
+
+    from polars_text_spark.operators.dedup import token_shingles
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f g"),          # identical to 1
+        (3, "b c d e f g a"),           # rotated: overlapping shingles
+        (4, "xx yy"),                   # short-text branch (< 3 tokens)
+        (5, "xx yy"),                   # identical short text
+        (6, "ab c d"),                  # boundary: "ab c d"
+        (7, "a bc d"),                  # vs "a bc d" — distinct shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        token_shingles("text", 3).alias("s"),
+        token_shingles("text", 3, hashed=True).alias("h"),
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    for r in got:
+        assert len(r.s) == len(r.h), r.doc_id  # injective per row
+    assert set(by_id[1].h) == set(by_id[2].h)
+    assert set(by_id[4].h) == set(by_id[5].h)
+    assert set(by_id[6].h).isdisjoint(set(by_id[7].h))
+    # pairwise intersection sizes mirror the string sets exactly
+    import itertools
+
+    for a, b in itertools.combinations(by_id.values(), 2):
+        str_inter = len(set(a.s) & set(b.s))
+        hash_inter = len(set(a.h) & set(b.h))
+        assert str_inter == hash_inter, (a.doc_id, b.doc_id)
+    # rotation genuinely overlaps (non-vacuous)
+    assert len(set(by_id[1].s) & set(by_id[3].s)) > 0

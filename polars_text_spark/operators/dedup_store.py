@@ -154,10 +154,30 @@ def _assert_hash_family(spark: SparkSession, name: str) -> None:
     parameter to mismatch. Raised (not warned) on the append and
     incremental-pair paths; self-contained reads
     (:func:`pairs_from_store`, :func:`band_stats_from_store`,
-    :func:`rebucket_minhash_store`) stay valid on any version."""
+    :func:`rebucket_minhash_store`) stay valid on any version.
+
+    A store whose ``<name>_bands`` table exists but whose meta table
+    does NOT is treated as hash family v1 (ADVICE r13): every pre-meta
+    store was written under the v1 string-shingle family, so returning
+    silently here would band v2-hashed text against v1 buckets — the
+    exact silent-recall-0 failure this guard exists to prevent. Only
+    when NEITHER table exists (the store genuinely doesn't exist yet)
+    is the check a no-op, leaving the missing-store error to the
+    caller's own read."""
     from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
 
     if not spark.catalog.tableExists(f"{name}_meta"):
+        if spark.catalog.tableExists(f"{name}_bands"):
+            raise ValueError(
+                f"minhash store '{name}' has band/shingle tables but "
+                "no meta table: it predates the meta protocol and was "
+                "therefore written under shingle hash family v1, whose "
+                "band keys can never collide with this build's v"
+                f"{SHINGLE_HASH_VERSION} shingles (silent recall 0). "
+                "Rebuild it with write_minhash_store (or "
+                "rebuild_minhash_store) before banding new text "
+                "against it"
+            )
         return
     m = spark.table(f"{name}_meta").collect()[0]
     stored = int(m["hashv"]) if "hashv" in m.asDict() else 1

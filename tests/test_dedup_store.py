@@ -374,3 +374,32 @@ def test_store_rejects_mismatched_shingle_hash_family(spark, corpus):
     assert spark.table("mh_hashv_meta").collect()[0]["hashv"] == 1
     with pytest.raises(ValueError, match="hash family"):
         append_minhash_shard(shard, "mh_hashv")
+
+
+def test_meta_less_store_refuses_incremental_banding(spark, corpus):
+    """A store whose band/shingle tables exist but whose meta table
+    does NOT is by definition a pre-meta (v1 string-shingle family)
+    store: banding v2-hashed text against it can never collide —
+    silent recall 0 — so the incremental path must raise instead of
+    returning silently (ADVICE r13 medium)."""
+    from polars_text_spark.operators.dedup_store import (
+        _assert_hash_family,
+        append_minhash_shard,
+    )
+    from polars_text_spark.sources.bucketing import clear_table
+
+    write_minhash_store(corpus.limit(50), "mh_nometa", buckets=4)
+    clear_table(spark, "mh_nometa_meta")
+    shard = spark.createDataFrame(
+        [(9001, "some brand new shard text")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="v1"):
+        _assert_hash_family(spark, "mh_nometa")
+    with pytest.raises(ValueError, match="v1|meta"):
+        incremental_pairs_from_store(spark, "mh_nometa", shard).collect()
+    # the append path already raised on the missing meta; still loud
+    with pytest.raises(ValueError):
+        append_minhash_shard(shard, "mh_nometa")
+    # a store that does not exist at all stays a no-op (the caller's
+    # own read raises the missing-table error)
+    _assert_hash_family(spark, "mh_never_written")

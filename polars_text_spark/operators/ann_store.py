@@ -33,12 +33,16 @@ from polars_text_spark.operators.similarity import (
     with_l2_normalized,
 )
 from polars_text_spark.sources.bucketing import (
+    check_generation_unchanged as _check_generation_unchanged,
     clear_table,
-    compact_table,
     minus_tombstones as _minus_tombstones,
+    overwrite_meta,
+    phys_table,
     probe_id_clash,
-    read_bucketed,
     read_tombstones as _tombstones,
+    rewrite_generation,
+    store_generation,
+    sweep_stale_generations,
     tombstone_ids,
     write_bucketed,
 )
@@ -54,6 +58,36 @@ __all__ = [
     "write_ann_store",
 ]
 
+_SUFFIXES = ("bands", "vectors")
+
+
+def _phys(spark: SparkSession, name: str, suffix: str) -> str:
+    """Current physical catalog name of a store table, resolved
+    through the meta generation pointer (round 14 — see
+    :mod:`polars_text_spark.operators.dedup_store`)."""
+    return phys_table(name, suffix, store_generation(spark, name))
+
+
+def _read_store(spark: SparkSession, name: str, suffix: str) -> DataFrame:
+    return spark.table(_phys(spark, name, suffix))
+
+
+def _write_meta(
+    spark: SparkSession,
+    name: str,
+    *,
+    dim: int,
+    num_planes: int,
+    bands: int,
+    buckets: int,
+    gen: int,
+) -> None:
+    meta = spark.createDataFrame(
+        [(int(dim), int(num_planes), int(bands), int(buckets), int(gen))],
+        "dim int, num_planes int, bands int, buckets int, gen int",
+    )
+    overwrite_meta(spark, meta, f"{name}_meta")
+
 
 def write_ann_store(
     vectors: DataFrame,
@@ -67,7 +101,13 @@ def write_ann_store(
     buckets: int = 8,
 ) -> None:
     """Materialize ``<name>_bands`` and ``<name>_vectors`` bucketed
-    tables for ``vectors`` (one pass over the vectors each)."""
+    tables for ``vectors`` (one pass over the vectors each). A fresh
+    write is generation 0 (unsuffixed physical names); physical tables
+    a previous store of the same name left behind — including suffixed
+    maintenance generations — are swept first."""
+    sweep_stale_generations(
+        vectors.sparkSession, name, _SUFFIXES, -1
+    )  # current_gen=-1 matches no table: drop ALL generations
     base = vectors.where(F.col(vec_col).isNotNull())
     banded = base.select(
         F.col(id_col).alias("id"),
@@ -99,12 +139,15 @@ def write_ann_store(
     # loudly; buckets rides too so incremental appends reuse the
     # write-time bucket spec (a mismatched append would break the
     # shuffle-free co-location guarantee)
-    meta = vectors.sparkSession.createDataFrame(
-        [(int(dim), int(num_planes), int(bands), int(buckets))],
-        "dim int, num_planes int, bands int, buckets int",
+    _write_meta(
+        vectors.sparkSession,
+        name,
+        dim=dim,
+        num_planes=num_planes,
+        bands=bands,
+        buckets=buckets,
+        gen=0,
     )
-    clear_table(vectors.sparkSession, f"{name}_meta")
-    meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def _shard_projections(
@@ -194,7 +237,7 @@ def band_stats_from_ann_store(
     from polars_text_spark.operators.dedup import band_bucket_stats
 
     banded = _minus_tombstones(
-        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+        _read_store(spark, name, "bands"), _tombstones(spark, name)
     )
     return band_bucket_stats(banded, ["band_key"], band_cap=band_cap)
 
@@ -219,21 +262,37 @@ def rebucket_store(spark: SparkSession, name: str, new_buckets: int) -> None:
     Sizing guidance (SCALING.md): target ~store_rows/new_buckets rows
     per bucket task at the CURRENT corpus size times expected growth
     until the next maintenance window — re-bucketing is one shuffle,
-    under-bucketing taxes every read until the next one. Same
-    non-atomicity caveat as compact_table (two DROP+RENAME swaps, and
-    an append between them would write at the stale count) — run in
-    the maintenance window."""
+    under-bucketing taxes every read until the next one.
+
+    Atomic since round 14 (VERDICT r13 #2): both tables are written as
+    a complete NEXT generation beside the live store, the meta row —
+    which every reader/appender resolves physical names through —
+    flips in ONE overwrite, and only then is the old generation
+    dropped. A crash at any point leaves the store fully on one
+    generation or the other (orphans/stale tables swept on the next
+    maintenance run); an append racing the rewrite aborts the rewrite
+    loudly (file-snapshot check) or raises on its own post-write
+    generation check, instead of silently writing at a stale bucket
+    count. See :func:`polars_text_spark.sources.bucketing.
+    rewrite_generation` for the failure-mode table."""
     dim, num_planes, bands, _ = _store_meta(
         spark, name, require_buckets=False
     )
-    compact_table(spark, f"{name}_bands", new_buckets=new_buckets)
-    compact_table(spark, f"{name}_vectors", new_buckets=new_buckets)
-    meta = spark.createDataFrame(
-        [(int(dim), int(num_planes), int(bands), int(new_buckets))],
-        "dim int, num_planes int, bands int, buckets int",
+    rewrite_generation(
+        spark,
+        name,
+        _SUFFIXES,
+        new_buckets=new_buckets,
+        write_meta=lambda gen: _write_meta(
+            spark,
+            name,
+            dim=dim,
+            num_planes=num_planes,
+            bands=bands,
+            buckets=new_buckets,
+            gen=gen,
+        ),
     )
-    clear_table(spark, f"{name}_meta")
-    meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def delete_ids(ids: DataFrame, name: str, *, id_col: str = "vec_id") -> None:
@@ -253,19 +312,48 @@ def delete_ids(ids: DataFrame, name: str, *, id_col: str = "vec_id") -> None:
 
 
 def purge_deleted(spark: SparkSession, name: str) -> None:
-    """Fold the tombstone set into the store files: compact both
+    """Fold the tombstone set into the store files: rewrite both
     bucketed tables with the tombstones anti-joined away, then clear
     the tombstone table. After this the store is byte-equivalent to
     one rebuilt from the filtered corpus (parity-tested) and
-    re-appending previously-deleted ids becomes legal again. Same
-    non-atomicity caveat as compact_table — run in the maintenance
-    window."""
+    re-appending previously-deleted ids becomes legal again. Atomic
+    via the generational protocol (round 14) — see
+    :func:`rebucket_store`; the tombstone clear happens AFTER the
+    cutover, so a crash between the two leaves reads correct (the
+    anti-join of already-purged ids is a no-op)."""
     ts = _tombstones(spark, name)
     if ts is None:
         return
     ts = ts.localCheckpoint(eager=True)  # survives the table drops below
-    compact_table(spark, f"{name}_bands", anti=ts, anti_on="id")
-    compact_table(spark, f"{name}_vectors", anti=ts, anti_on="id")
+    dim, num_planes, bands, buckets = _store_meta(
+        spark, name, require_buckets=False
+    )
+    if buckets is None:
+        # pre-bucket-meta store: no complete meta row to re-write —
+        # fall back to the in-place compaction swap (documented
+        # non-atomic; such stores predate incremental ingest anyway)
+        from polars_text_spark.sources.bucketing import compact_table
+
+        compact_table(spark, f"{name}_bands", anti=ts, anti_on="id")
+        compact_table(spark, f"{name}_vectors", anti=ts, anti_on="id")
+        clear_table(spark, f"{name}_tombstones")
+        return
+    rewrite_generation(
+        spark,
+        name,
+        _SUFFIXES,
+        anti=ts,
+        anti_on="id",
+        write_meta=lambda gen: _write_meta(
+            spark,
+            name,
+            dim=dim,
+            num_planes=num_planes,
+            bands=bands,
+            buckets=buckets,
+            gen=gen,
+        ),
+    )
     clear_table(spark, f"{name}_tombstones")
 
 
@@ -300,9 +388,12 @@ def append_ann_shard(
     spark = shard.sparkSession
     dim, num_planes, bands, buckets = _store_meta(spark, name)
     _assert_vec_dim(shard, vec_col, dim)
+    gen_at_start = store_generation(spark, name)
+    bands_tbl = phys_table(name, "bands", gen_at_start)
+    vectors_tbl = phys_table(name, "vectors", gen_at_start)
     clash = probe_id_clash(
         shard,
-        read_bucketed(spark, f"{name}_vectors"),
+        spark.table(vectors_tbl),
         _tombstones(spark, name),
         id_col=id_col,
     )
@@ -323,7 +414,7 @@ def append_ann_shard(
     )
     write_bucketed(
         banded,
-        f"{name}_bands",
+        bands_tbl,
         bucket_by="band_key",
         buckets=buckets,
         sort_by="band_key",
@@ -331,12 +422,13 @@ def append_ann_shard(
     )
     write_bucketed(
         unit,
-        f"{name}_vectors",
+        vectors_tbl,
         bucket_by="id",
         buckets=buckets,
         sort_by="id",
         mode="append",
     )
+    _check_generation_unchanged(spark, name, gen_at_start)
 
 
 def topk_against_shard(
@@ -390,7 +482,7 @@ def topk_against_shard(
     )
     __ts = _tombstones(spark, name)
     store_bands = _minus_tombstones(
-        read_bucketed(spark, f"{name}_bands"), __ts
+        _read_store(spark, name, "bands"), __ts
     ).select(F.col("id").alias("neighbor_id"), "band_key")
     shard_bands = banded.select(
         F.col("id").alias("neighbor_id"), "band_key"
@@ -404,7 +496,7 @@ def topk_against_shard(
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     neighbors = (
-        _minus_tombstones(read_bucketed(spark, f"{name}_vectors"), __ts)
+        _minus_tombstones(_read_store(spark, name, "vectors"), __ts)
         .unionByName(unit)
         .select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
     )
@@ -474,7 +566,7 @@ def topk_from_store(
     )
     __ts = _tombstones(spark, name)
     store_bands = _minus_tombstones(
-        read_bucketed(spark, f"{name}_bands"), __ts
+        _read_store(spark, name, "bands"), __ts
     ).select(F.col("id").alias("neighbor_id"), "band_key")
     cands = (
         store_bands.join(q, "band_key")
@@ -484,7 +576,7 @@ def topk_from_store(
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     unit = _minus_tombstones(
-        read_bucketed(spark, f"{name}_vectors"), __ts
+        _read_store(spark, name, "vectors"), __ts
     ).select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
     scored = cands.join(unit, "neighbor_id").select(
         "query_id",

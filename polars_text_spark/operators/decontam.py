@@ -22,12 +22,23 @@ __all__ = [
 ]
 
 
-def token_ngrams(text: Column, n: int) -> Column:
+def token_ngrams(text: Column, n: int, *, hashed: bool = False) -> Column:
     """Distinct word n-gram shingles of lower(trim(text)), whitespace
     tokenized. Docs with fewer than ``n`` tokens (but at least one)
     contribute their whole (normalized) text as a single shingle,
     mirroring the dedup shingle convention (operators/dedup.py
     token_shingles) so short docs are never silently invisible.
+
+    ``hashed=True`` (what :func:`ngram_contamination` uses since round
+    14) emits the shingles as v2-family longs instead of strings
+    (:func:`polars_text_spark.operators.dedup.v2_gram_hashes`: tokens
+    xxhash64'd once per row, gram hash over the token-hash window —
+    no per-window string allocation on the CORPUS-side scan, and the
+    join/aggregate keys shuffle as 8-byte longs). Collision stance and
+    short/empty conventions identical to ``token_shingles``; every
+    contamination OUTPUT is a count over gram identity, so results
+    are hash-family-independent absent a 2^-64 collision — which the
+    decontamination oracles prove by replaying string shingles.
 
     Empty tokens are filtered FIRST: ``split('')`` is ``['']``, so
     without the filter every blank/whitespace-only doc used to emit a
@@ -37,6 +48,14 @@ def token_ngrams(text: Column, n: int) -> Column:
     toks = F.filter(
         F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
     )
+    if hashed:
+        from polars_text_spark.operators.dedup import v2_gram_hashes
+
+        return (
+            F.when(F.size(toks) == 0, F.array().cast("array<long>"))
+            .when(F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks))))
+            .otherwise(F.array_distinct(v2_gram_hashes(toks, n)))
+        )
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -63,7 +82,12 @@ def ngram_contamination(
 
     The benchmark (shingle, bench_id) pairs are broadcast — a test
     set is orders of magnitude smaller than the training corpus, so
-    the big side never shuffles for the join."""
+    the big side never shuffles for the join. Both sides shingle
+    under the v2 hashed family (round 14): the 100 TB candidate scan
+    builds no per-window strings, and broadcast/join keys are 8-byte
+    longs instead of n-token strings; the output counts are
+    hash-family-independent (see :func:`token_ngrams`), which the
+    driver oracle proves by replaying string shingles."""
     # explode_OUTER + null filter: non-outer explode makes the
     # optimizer infer `size(...) > 0` and pushdown inlines the whole
     # shingle expression into that filter, paying it twice per row
@@ -72,7 +96,9 @@ def ngram_contamination(
         candidates.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
-            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
+            F.explode_outer(
+                token_ngrams(F.col(text_col), n, hashed=True)
+            ).alias("_sh"),
         )
         .filter(F.col("_sh").isNotNull())
     )
@@ -80,7 +106,9 @@ def ngram_contamination(
         benchmark.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("_bench_id"),
-            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
+            F.explode_outer(
+                token_ngrams(F.col(text_col), n, hashed=True)
+            ).alias("_sh"),
         )
         .filter(F.col("_sh").isNotNull())
         .distinct()
@@ -123,7 +151,7 @@ def bloom_ngram_contamination(
         candidates.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
-            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
+            F.explode_outer(token_ngrams(F.col(text_col), n, hashed=True)).alias("_sh"),
         )
         .filter(F.col("_sh").isNotNull())
     )
@@ -131,7 +159,7 @@ def bloom_ngram_contamination(
         benchmark.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("_bench_id"),
-            F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_sh"),
+            F.explode_outer(token_ngrams(F.col(text_col), n, hashed=True)).alias("_sh"),
         )
         .filter(F.col("_sh").isNotNull())
         .distinct()

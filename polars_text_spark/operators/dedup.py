@@ -173,8 +173,6 @@ def token_shingles(text_col, n: int = 3, *, hashed: bool = False):
     The short-text branch (< n tokens) hashes the whole-text join,
     as before.
     """
-    from polars_text_spark.plans.exprs import let
-
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(F.lower(c)), r"\s+")
     count = F.size(tokens) - F.lit(n - 1)
@@ -188,20 +186,42 @@ def token_shingles(text_col, n: int = 3, *, hashed: bool = False):
             )
         )
         return F.array_distinct(shingles)
-    hashed_sh = let(
-        F.transform(tokens, lambda t: F.xxhash64(t)),
-        lambda th: F.when(
-            count <= 0, F.array(F.xxhash64(F.concat_ws(" ", tokens)))
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.xxhash64(
-                    *[F.element_at(th, i + j) for j in range(n)]
-                ),
-            )
+    hashed_sh = F.when(
+        count <= 0, F.array(F.xxhash64(F.concat_ws(" ", tokens)))
+    ).otherwise(v2_gram_hashes(tokens, n))
+    return F.array_distinct(hashed_sh)
+
+
+def v2_gram_hashes(toks, n: int):
+    """Hash-family-v2 window-gram hashes over a token ARRAY column:
+    ``array<long>``, one entry per length-``n`` token window, in window
+    order (NOT distinct — winnowing and span coverage are positional).
+
+    Each token is xxhash64'd ONCE into a token-hash array that is
+    `let`-bound (:func:`polars_text_spark.plans.exprs.let`), so it
+    evaluates once per row, not once per window — without the binding
+    the token-hash subtree inlines into every window lambda and the
+    row cost goes O(G^2) (the measured 3x re-inline trap, SCALING.md
+    round-13). The gram hash is then ``xxhash64`` over the ``n`` token
+    hashes: the exact derivation of :func:`token_shingles(hashed=
+    True)`'s main branch, so this IS the :data:`SHINGLE_HASH_VERSION`
+    v2 family (11.3x over per-window string builds at sf0.1 x10).
+
+    Caller contract: guard ``size(toks) >= n`` before use
+    (``sequence`` DESCENDS otherwise), and prefer a cheap ``toks``
+    reference (a staged/`let`-bound column) — this expression
+    references it twice (``transform`` + ``size``)."""
+    from polars_text_spark.plans.exprs import let
+
+    return let(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        lambda th: F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(th, i + j) for j in range(n)]
+            ),
         ),
     )
-    return F.array_distinct(hashed_sh)
 
 
 def bottomk_sketch(text_col, *, k: int = 32, shingle_n: int = 3, gram_hash=None):
@@ -908,7 +928,12 @@ def minhash_lsh_pairs(
 
 
 def _collapse_left_groups(
-    left: DataFrame, text_col: str, id_col: str, shingle_n: int
+    left: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    *,
+    probe: bool = True,
 ) -> tuple[DataFrame, DataFrame] | None:
     """Exact-duplicate collapse of a cross-join's LEFT side: docs with
     IDENTICAL hashed shingle SETS (the order-canonicalized array is
@@ -925,13 +950,29 @@ def _collapse_left_groups(
     Returns ``(reps, members)`` — ``reps(id_a, __text, sh_a, __g)``,
     the min-id representative row per group (banding reads ``__text``,
     verification reads ``sh_a``), and ``members(id_a, __g)`` for the
-    fan-back join — or **None when the left side has NO duplicate
-    groups**: the probe (one pass computing the map-side group key
-    into a count-distinct) found nothing to collapse, so the caller
+    fan-back join — or **None when ``probe=True`` and the left side
+    has NO duplicate groups**: the probe (one EAGER pass computing the
+    map-side group key into a count-distinct — a driver action inside
+    this DataFrame-building API, which is why a STREAMING left frame
+    is rejected up front) found nothing to collapse, so the caller
     should run the plain uncollapsed pipeline instead of paying the
-    semi-join + fan-back machinery for nothing. Measured at sf0.1 on
-    a duplicate-free 2,500-doc left: full collapse machinery +24%,
-    the probe alone ~1/3 of that.
+    semi-join + fan-back machinery for nothing. ``probe=False``
+    (``collapse_left=True``, round 14) skips the probe job and always
+    collapses — for callers who KNOW the shard is boilerplate-heavy;
+    output-identical either way. Measured at sf0.1 on a duplicate-free
+    2,500-doc left: full collapse machinery +24%, the probe alone
+    ~1/3 of that.
+
+    Input contract: ``left`` must be DETERMINISTIC across re-
+    evaluations (no un-checkpointed ``sample()``/``limit()`` over an
+    unordered frame) — the frame is traversed multiple times (probe,
+    member map, representative recovery), and a frame that returns
+    different rows per pass has no well-defined collapse. The group
+    key of each REPRESENTATIVE is taken from the persisted member map
+    by join (never recomputed from a second traversal, ADVICE r13),
+    so the fan-back can never disagree with the membership; the
+    residual exposure of a non-deterministic input is the same
+    wrong-rows-out as every other multi-pass operator.
 
     Shuffle discipline: only SCALARS move. The group key is computed
     map-side per row, the min-id aggregation shuffles (id, key) pairs
@@ -940,35 +981,45 @@ def _collapse_left_groups(
     shingle arrays themselves never enter an Exchange (the first cut
     aggregated min(struct(id, text, shingles)) and shuffled every
     array: +1.7x on a duplicate-free shard, measured)."""
+    if left.isStreaming:
+        raise ValueError(
+            "collapse_left requires a batch left frame (the collapse "
+            "probe and member map are eager multi-pass constructions); "
+            "collapse inside foreachBatch instead"
+        )
     g = F.xxhash64(
         F.array_sort(token_shingles(text_col, shingle_n, hashed=True))
     )
-    # persist-FREE probe: one map-side pass into a two-stage scalar
-    # aggregate; the common (nothing-to-collapse) case pays exactly
-    # this and nothing else
-    probe = left.select(g.alias("__g")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("__g").alias("groups"),
-    ).collect()[0]
-    if probe["groups"] == probe["n"]:
-        return None
-    # duplicates exist: build the member map once, pinned for its two
-    # consumers (rep-id aggregation + fan-back)
+    if probe:
+        # persist-FREE probe: one map-side pass into a two-stage scalar
+        # aggregate; the common (nothing-to-collapse) case pays exactly
+        # this and nothing else
+        stats = left.select(g.alias("__g")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("__g").alias("groups"),
+        ).collect()[0]
+        if stats["groups"] == stats["n"]:
+            return None
+    # duplicates exist (or the caller asserted so): build the member
+    # map once, pinned for its THREE consumers (rep-id aggregation,
+    # rep group-key recovery, fan-back)
     members = track_persist(
         left.select(F.col(id_col).alias("id_a"), g.alias("__g")).persist()
     )
     rep_ids = members.groupBy("__g").agg(F.min("id_a").alias("id_a"))
     # join BEFORE deriving shingles so only surviving (representative)
-    # rows pay the shingle expression
+    # rows pay the shingle expression; the rep's __g comes from the
+    # PERSISTED member map (not a recompute over a second traversal)
     reps = (
         left.select(
             F.col(id_col).alias("id_a"), F.col(text_col).alias("__text")
         )
         .join(rep_ids.select("id_a"), "id_a", "left_semi")
+        .join(members, "id_a")
         .withColumn(
             "sh_a", token_shingles("__text", shingle_n, hashed=True)
         )
-        .withColumn("__g", F.xxhash64(F.array_sort("sh_a")))
+        .select("id_a", "__text", "sh_a", "__g")
     )
     return reps, members
 
@@ -1000,7 +1051,7 @@ def minhash_lsh_cross_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     band_cap: int | None = 1000,
-    collapse_left: bool = False,
+    collapse_left: bool | str = False,
 ) -> DataFrame:
     """Cross-CORPUS near-dup pairs: every ``left`` doc within
     ``jaccard_threshold`` of some ``right`` doc — the incremental-
@@ -1025,30 +1076,42 @@ def minhash_lsh_cross_pairs(
     ``band_cap`` distinct families can be missed, so quote the 1-4e-8
     figure only for the unguarded bound.
 
-    ``collapse_left`` (opt-in, round 13): left docs with IDENTICAL
-    shingle sets collapse to one representative through the whole
-    pipeline (signatures, candidates, verification) and the verified
-    pairs fan back to every member afterwards — OUTPUT IDENTICAL by
-    construction (jaccard is a function of the shingle set), while a
-    boilerplate-heavy shard stops paying per-member cost for its hot
-    left buckets: the exact 10M-pair answer of a 1,000-doc identical
-    shard family vs a 10k standing family drops 17.4 s -> 4.2 s
-    in-flight and 43.0 s -> 2.4 s on the store path (SCALING.md
-    round-13). Opt-IN because the default GUARDED path is never
-    quadratic anyway (a hot left bucket is bounded at L x band_cap by
-    the standing-side reduction) and the collapse machinery costs
-    2-3 extra jobs that a duplicate-free shard pays for nothing —
-    turn it on for boilerplate-heavy ingest or ``band_cap=None``
-    exact runs; a one-job probe inside skips the machinery when the
-    shard turns out to have no duplicate groups. Near-identical-but-
-    distinct left docs still fan out — that residual is the
-    documented trade."""
+    ``collapse_left`` (round 13; ``"auto"`` round 14): left docs with
+    IDENTICAL shingle sets collapse to one representative through the
+    whole pipeline (signatures, candidates, verification) and the
+    verified pairs fan back to every member afterwards — OUTPUT
+    IDENTICAL by construction (jaccard is a function of the shingle
+    set), while a boilerplate-heavy shard stops paying per-member cost
+    for its hot left buckets: the exact 10M-pair answer of a 1,000-doc
+    identical shard family vs a 10k standing family drops 17.4 s ->
+    4.2 s in-flight and 43.0 s -> 2.4 s on the store path (SCALING.md
+    round-13). Three modes, mirroring ``rerank="auto"``:
+
+    - ``False`` (default): never collapse — the GUARDED path is never
+      quadratic anyway (a hot left bucket is bounded at L x band_cap
+      by the standing-side reduction), and the collapse machinery
+      costs 2-3 extra jobs a duplicate-free shard pays for nothing;
+    - ``"auto"``: one eager probe job (a map-side count-distinct of
+      the group key — requires a batch, deterministic left frame)
+      decides; the collapse engages only when duplicate groups exist;
+    - ``True``: collapse unconditionally, skipping the probe — for
+      callers who KNOW the shard is boilerplate-heavy (round 14; True
+      probed first in round 13, which is what ``"auto"`` now does).
+
+    Near-identical-but-distinct left docs still fan out — that
+    residual is the documented trade."""
+    if collapse_left not in (False, True, "auto"):
+        raise ValueError(
+            f"collapse_left must be False, True or 'auto', got "
+            f"{collapse_left!r}"
+        )
     a = None
     members = None
     id_left = id_col
     if collapse_left:
         collapsed = _collapse_left_groups(
-            left, text_col, id_col, shingle_n
+            left, text_col, id_col, shingle_n,
+            probe=(collapse_left == "auto"),
         )
         if collapsed is not None:  # None: probe found nothing to collapse
             reps, members = collapsed

@@ -38,12 +38,15 @@ from polars_text_spark.operators.dedup import (
     token_shingles,
 )
 from polars_text_spark.sources.bucketing import (
-    clear_table,
-    compact_table,
+    check_generation_unchanged as _check_generation_unchanged,
     minus_tombstones as _minus_tombstones,
+    overwrite_meta,
+    phys_table,
     probe_id_clash,
-    read_bucketed,
     read_tombstones as _tombstones,
+    rewrite_generation,
+    store_generation,
+    sweep_stale_generations,
     tombstone_ids,
     write_bucketed,
 )
@@ -56,8 +59,49 @@ __all__ = [
     "pairs_from_store",
     "purge_deleted",
     "rebucket_minhash_store",
+    "rebuild_minhash_store",
     "write_minhash_store",
 ]
+
+_SUFFIXES = ("bands", "shingles")
+
+
+def _phys(spark: SparkSession, name: str, suffix: str) -> str:
+    """Current physical catalog name of a store table, resolved
+    through the meta generation pointer (round 14: maintenance writes
+    a complete next generation and flips the meta row atomically, so
+    every read/append resolves HERE instead of hardcoding names)."""
+    return phys_table(name, suffix, store_generation(spark, name))
+
+
+def _read_store(spark: SparkSession, name: str, suffix: str) -> DataFrame:
+    return spark.table(_phys(spark, name, suffix))
+
+
+def _write_meta(
+    spark: SparkSession,
+    name: str,
+    *,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+    buckets: int,
+    hashv: int,
+    gen: int,
+) -> None:
+    meta = spark.createDataFrame(
+        [(
+            int(num_perm),
+            int(bands),
+            int(shingle_n),
+            int(buckets),
+            int(hashv),
+            int(gen),
+        )],
+        "num_perm int, bands int, shingle_n int, buckets int, "
+        "hashv int, gen int",
+    )
+    overwrite_meta(spark, meta, f"{name}_meta")
 
 
 def write_minhash_store(
@@ -72,7 +116,17 @@ def write_minhash_store(
     buckets: int = 8,
 ) -> None:
     """Materialize ``<name>_bands`` and ``<name>_shingles`` bucketed
-    tables for ``df`` (one pass over the text each)."""
+    tables for ``df`` (one pass over the text each). A fresh write is
+    generation 0 (unsuffixed physical names); any physical tables a
+    previous store of the same name left behind — including suffixed
+    maintenance generations — are swept first."""
+    spark = df.sparkSession
+    from polars_text_spark.sources.bucketing import clear_table
+
+    # a rebuild starts a NEW store: sweep EVERY physical generation of
+    # the old one (current_gen=-1 matches no table, so all are
+    # dropped), then write fresh at generation 0
+    sweep_stale_generations(spark, name, _SUFFIXES, -1)
     banded = _banded_signatures(
         df, text_col, id_col, "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
@@ -105,7 +159,7 @@ def write_minhash_store(
     # a rebuild starts a NEW store generation: tombstones from the
     # previous generation would silently delete rows from the fresh
     # store at read time and block re-appending their ids
-    clear_table(df.sparkSession, f"{name}_tombstones")
+    clear_table(spark, f"{name}_tombstones")
     # signature parameters ride with the store (the ann_store meta
     # pattern): a shard banded under different permutations/shingles
     # would NEVER collide with standing keys, so append reads them
@@ -114,19 +168,15 @@ def write_minhash_store(
     # never-collide failure with no parameter to mismatch.
     from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
 
-    meta = df.sparkSession.createDataFrame(
-        [(
-            int(num_perm),
-            int(bands),
-            int(shingle_n),
-            int(buckets),
-            int(SHINGLE_HASH_VERSION),
-        )],
-        "num_perm int, bands int, shingle_n int, buckets int, hashv int",
-    )
-    clear_table(df.sparkSession, f"{name}_meta")
-    meta.write.format("parquet").mode("overwrite").saveAsTable(
-        f"{name}_meta"
+    _write_meta(
+        spark,
+        name,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        buckets=buckets,
+        hashv=SHINGLE_HASH_VERSION,
+        gen=0,
     )
 
 
@@ -226,9 +276,12 @@ def append_minhash_shard(
         )
     num_perm, bands, shingle_n, buckets = meta
     _assert_hash_family(spark, name)
+    gen_at_start = store_generation(spark, name)
+    bands_tbl = phys_table(name, "bands", gen_at_start)
+    shingles_tbl = phys_table(name, "shingles", gen_at_start)
     clash = probe_id_clash(
         shard,
-        read_bucketed(spark, f"{name}_shingles"),
+        spark.table(shingles_tbl),
         _tombstones(spark, name),
         id_col=id_col,
     )
@@ -241,7 +294,7 @@ def append_minhash_shard(
         )
     shard_cols = ["id", F.col("bk.band").alias("band"),
                   F.col("bk.bucket").alias("bucket")]
-    if "sig" in spark.table(f"{name}_bands").columns:
+    if "sig" in spark.table(bands_tbl).columns:
         shard_cols.append(F.col("__sig").alias("sig"))
     banded = _banded_signatures(
         shard, text_col, id_col, "id",
@@ -249,7 +302,7 @@ def append_minhash_shard(
     ).select(*shard_cols)
     write_bucketed(
         banded,
-        f"{name}_bands",
+        bands_tbl,
         bucket_by=["band", "bucket"],
         buckets=buckets,
         sort_by=["band", "bucket"],
@@ -261,12 +314,13 @@ def append_minhash_shard(
     )
     write_bucketed(
         shingles,
-        f"{name}_shingles",
+        shingles_tbl,
         bucket_by="id",
         buckets=buckets,
         sort_by="id",
         mode="append",
     )
+    _check_generation_unchanged(spark, name, gen_at_start)
 
 
 def _warn_if_legacy_sig_less(
@@ -301,13 +355,23 @@ def rebucket_minhash_store(
     """Rewrite BOTH store tables under a new bucket count — the
     MinHash twin of
     :func:`polars_text_spark.operators.ann_store.rebucket_store`
-    (same rationale, sizing guidance, parity contract, and
-    maintenance-window caveat: the bucket count frozen at write time
-    makes a 100x-grown store read corpus/buckets rows per co-located
-    task until this one rewrite shuffle per table). Signature
-    parameters, contents, and pending tombstones are preserved;
-    :func:`pairs_from_store` answers are identical before and after
-    (parity-tested)."""
+    (same rationale and sizing guidance: the bucket count frozen at
+    write time makes a 100x-grown store read corpus/buckets rows per
+    co-located task until this one rewrite shuffle per table).
+    Signature parameters, contents, and pending tombstones are
+    preserved; :func:`pairs_from_store` answers are identical before
+    and after (parity-tested).
+
+    Atomic since round 14 (VERDICT r13 #2): both tables are written
+    as a complete NEXT generation beside the live store, the meta row
+    — which every reader/appender resolves physical names through —
+    flips in ONE overwrite, and only then is the old generation
+    dropped. A crash at any point leaves the store fully on one
+    generation or the other (orphans/stale tables are swept on the
+    next maintenance run); an append racing the rewrite aborts the
+    rewrite loudly instead of silently corrupting co-location. See
+    :func:`polars_text_spark.sources.bucketing.rewrite_generation`
+    for the full failure-mode table."""
     meta = _minhash_meta(spark, name)
     if meta is None:
         raise ValueError(
@@ -321,22 +385,121 @@ def rebucket_minhash_store(
     # version onto an older store would let appends corrupt it
     old = spark.table(f"{name}_meta").collect()[0]
     hashv = int(old["hashv"]) if "hashv" in old.asDict() else 1
-    compact_table(spark, f"{name}_bands", new_buckets=new_buckets)
-    compact_table(spark, f"{name}_shingles", new_buckets=new_buckets)
-    new_meta = spark.createDataFrame(
-        [(
-            int(num_perm),
-            int(bands),
-            int(shingle_n),
-            int(new_buckets),
-            hashv,
-        )],
-        "num_perm int, bands int, shingle_n int, buckets int, hashv int",
+
+    rewrite_generation(
+        spark,
+        name,
+        _SUFFIXES,
+        new_buckets=new_buckets,
+        write_meta=lambda gen: _write_meta(
+            spark,
+            name,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            buckets=new_buckets,
+            hashv=hashv,
+            gen=gen,
+        ),
     )
-    clear_table(spark, f"{name}_meta")
-    new_meta.write.format("parquet").mode("overwrite").saveAsTable(
-        f"{name}_meta"
+
+
+def rebuild_minhash_store(
+    spark: SparkSession,
+    name: str,
+    corpus_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Migrate a standing store to the CURRENT shingle hash family by
+    re-deriving bands and shingles from the corpus (VERDICT r13 #4):
+    the recovery verb for the loud v1-family append refusal
+    (:func:`_assert_hash_family`). Signature parameters and the bucket
+    count are read from the store meta — nothing to pass, nothing to
+    mismatch — and PENDING TOMBSTONES ARE PRESERVED (unlike
+    :func:`write_minhash_store`, which starts a new store and clears
+    them): deletions stay logically deleted across the migration, and
+    the deleted ids still cannot be re-appended until
+    :func:`purge_deleted`.
+
+    ``corpus_df`` must be the store's authority corpus (the same rows
+    the store was built and appended from; tombstoned rows may be
+    included — reads keep anti-joining them). The cutover is the
+    atomic generational protocol: both new tables are written beside
+    the live ones from the corpus, the meta row flips in one
+    overwrite (now recording the current
+    :data:`~polars_text_spark.operators.dedup.SHINGLE_HASH_VERSION`),
+    then the old generation is dropped — readers never see a
+    mixed-family store. After this, :func:`append_minhash_shard` and
+    :func:`incremental_pairs_from_store` accept the store again, and
+    :func:`pairs_from_store` is value-identical to a fresh
+    :func:`write_minhash_store` of the same corpus (parity-tested;
+    the ``minhash_store_migrate`` driver query pins the lifecycle)."""
+    from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
+
+    meta = _minhash_meta(spark, name)
+    if meta is None:
+        raise ValueError(
+            f"minhash store '{name}' has no meta table; use "
+            "write_minhash_store to (re)create it — rebuild preserves "
+            "tombstones, which a pre-meta store cannot have recorded "
+            "reliably"
+        )
+    num_perm, bands, shingle_n, buckets = meta
+    gen = store_generation(spark, name)
+    sweep_stale_generations(spark, name, _SUFFIXES, gen)
+    nxt = gen + 1
+
+    banded = _banded_signatures(
+        corpus_df, text_col, id_col, "id",
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+    ).select(
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+        F.col("__sig").alias("sig"),
     )
+    shingles = corpus_df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    )
+    new_tables = [
+        phys_table(name, "bands", nxt),
+        phys_table(name, "shingles", nxt),
+    ]
+    try:
+        write_bucketed(
+            banded,
+            new_tables[0],
+            bucket_by=["band", "bucket"],
+            buckets=buckets,
+            sort_by=["band", "bucket"],
+        )
+        write_bucketed(
+            shingles,
+            new_tables[1],
+            bucket_by="id",
+            buckets=buckets,
+            sort_by="id",
+        )
+    except BaseException:
+        from polars_text_spark.sources.bucketing import clear_table
+
+        for t in new_tables:
+            clear_table(spark, t)
+        raise
+    _write_meta(
+        spark,
+        name,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        buckets=buckets,
+        hashv=SHINGLE_HASH_VERSION,
+        gen=nxt,
+    )  # THE atomic cutover — tombstones untouched
+    sweep_stale_generations(spark, name, _SUFFIXES, nxt)
 
 
 def delete_ids(ids: DataFrame, name: str, *, id_col: str = "doc_id") -> None:
@@ -351,18 +514,56 @@ def delete_ids(ids: DataFrame, name: str, *, id_col: str = "doc_id") -> None:
 
 
 def purge_deleted(spark: SparkSession, name: str) -> None:
-    """Fold the tombstone set into the store files: compact both
+    """Fold the tombstone set into the store files: rewrite both
     bucketed tables with the tombstones anti-joined away, then clear
     the tombstone table. After this the store is equivalent to one
-    rebuilt from the filtered corpus (parity-tested). Same
-    non-atomicity caveat as compact_table — run in the maintenance
-    window."""
+    rebuilt from the filtered corpus (parity-tested). Atomic via the
+    generational protocol (round 14) — see
+    :func:`rebucket_minhash_store`; the tombstone clear happens AFTER
+    the cutover, so a crash between the two leaves reads correct
+    (the anti-join of already-purged ids is a no-op)."""
+    from polars_text_spark.sources.bucketing import clear_table
+
     ts = _tombstones(spark, name)
     if ts is None:
         return
     ts = ts.localCheckpoint(eager=True)  # survives the table drops below
-    compact_table(spark, f"{name}_bands", anti=ts, anti_on="id")
-    compact_table(spark, f"{name}_shingles", anti=ts, anti_on="id")
+    from polars_text_spark.sources.bucketing import compact_table
+
+    meta = _minhash_meta(spark, name)
+    old_meta = (
+        spark.table(f"{name}_meta").collect()[0].asDict()
+        if meta is not None
+        else None
+    )
+
+    if meta is None:
+        # pre-meta store: no pointer to flip — fall back to the
+        # in-place compaction swap (documented non-atomic; such
+        # stores should be rebuilt anyway — see _assert_hash_family)
+        compact_table(spark, f"{name}_bands", anti=ts, anti_on="id")
+        compact_table(spark, f"{name}_shingles", anti=ts, anti_on="id")
+        clear_table(spark, f"{name}_tombstones")
+        return
+    num_perm, bands, shingle_n, buckets = meta
+    hashv = int(old_meta.get("hashv", 1))
+    rewrite_generation(
+        spark,
+        name,
+        _SUFFIXES,
+        anti=ts,
+        anti_on="id",
+        write_meta=lambda gen: _write_meta(
+            spark,
+            name,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            buckets=buckets,
+            hashv=hashv,
+            gen=gen,
+        ),
+    )
     clear_table(spark, f"{name}_tombstones")
 
 
@@ -382,7 +583,7 @@ def band_stats_from_store(
     from polars_text_spark.operators.dedup import band_bucket_stats
 
     banded = _minus_tombstones(
-        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+        _read_store(spark, name, "bands"), _tombstones(spark, name)
     )
     sig_col = "sig" if "sig" in banded.columns else None
     return band_bucket_stats(
@@ -396,7 +597,7 @@ def candidate_self_join(spark: SparkSession, name: str) -> DataFrame:
     (both sides read the same bucketing; a pending tombstone set adds
     only a broadcast anti-join above each scan)."""
     banded = _minus_tombstones(
-        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+        _read_store(spark, name, "bands"), _tombstones(spark, name)
     )
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -420,7 +621,7 @@ def pairs_from_store(
     partitions on (band, bucket) — the table's own bucketing — so it
     adds no Exchange either (plan-asserted in tests)."""
     banded = _minus_tombstones(
-        read_bucketed(spark, f"{name}_bands"), _tombstones(spark, name)
+        _read_store(spark, name, "bands"), _tombstones(spark, name)
     )
     # cache=False: the band table IS the materialization — re-scanning
     # co-located buckets per consumer beats pinning the corpus.
@@ -430,7 +631,7 @@ def pairs_from_store(
         banded, ["band", "bucket"], band_cap, cache=False, star_by=star_by
     ).select("id_a", "id_b")
     sh = _minus_tombstones(
-        read_bucketed(spark, f"{name}_shingles"), _tombstones(spark, name)
+        _read_store(spark, name, "shingles"), _tombstones(spark, name)
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -449,7 +650,7 @@ def incremental_pairs_from_store(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     band_cap: int | None = 1000,
-    collapse_left: bool = False,
+    collapse_left: bool | str = False,
 ) -> DataFrame:
     """Dedup a NEW shard against the standing store (the incremental-
     ingest shape): ``(id_a, id_b, jaccard)`` with ``id_a`` from the
@@ -462,16 +663,24 @@ def incremental_pairs_from_store(
     Signature parameters must match the ones used at write time —
     validated against the store meta when the store records one (a
     mismatch would band the shard under planes that can never collide
-    with standing keys: silent recall 0). ``collapse_left`` (opt-in):
-    shingle-set-identical shard docs ride the pipeline as ONE
-    representative, pairs fanned back — output-identical; turn it on
-    for boilerplate-heavy shards, see
-    :func:`~polars_text_spark.operators.dedup.minhash_lsh_cross_pairs`."""
+    with standing keys: silent recall 0). ``collapse_left``
+    (False / True / ``"auto"``): shingle-set-identical shard docs ride
+    the pipeline as ONE representative, pairs fanned back —
+    output-identical; ``"auto"`` probes first and collapses only when
+    duplicate groups exist, ``True`` collapses unconditionally — see
+    :func:`~polars_text_spark.operators.dedup.minhash_lsh_cross_pairs`
+    for the mode semantics and the deterministic-batch-input
+    contract."""
     from polars_text_spark.operators.dedup import (
         _collapse_left_groups,
         _fan_back_left,
     )
 
+    if collapse_left not in (False, True, "auto"):
+        raise ValueError(
+            f"collapse_left must be False, True or 'auto', got "
+            f"{collapse_left!r}"
+        )
     meta = _minhash_meta(spark, name)
     if meta is not None and (num_perm, bands, shingle_n) != meta[:3]:
         raise ValueError(
@@ -487,7 +696,8 @@ def incremental_pairs_from_store(
     id_left = id_col
     if collapse_left:
         collapsed = _collapse_left_groups(
-            new_df, text_col, id_col, shingle_n
+            new_df, text_col, id_col, shingle_n,
+            probe=(collapse_left == "auto"),
         )
         if collapsed is not None:  # None: probe found nothing to collapse
             reps, members = collapsed
@@ -503,7 +713,7 @@ def incremental_pairs_from_store(
         F.col("bk.bucket").alias("bucket"),
     )
     __ts = _tombstones(spark, name)
-    standing = _minus_tombstones(read_bucketed(spark, f"{name}_bands"), __ts)
+    standing = _minus_tombstones(_read_store(spark, name, "bands"), __ts)
     star_by = ("sig",) if "sig" in standing.columns else ()
     _warn_if_legacy_sig_less(name, star_by, band_cap)
     standing = standing.select(
@@ -517,7 +727,7 @@ def incremental_pairs_from_store(
             F.col(id_col).alias("id_a"),
             token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
         )
-    sh = _minus_tombstones(read_bucketed(spark, f"{name}_shingles"), __ts)
+    sh = _minus_tombstones(_read_store(spark, name, "shingles"), __ts)
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = _verify_jaccard(cand, a, b, jaccard_threshold)
     if members is not None:

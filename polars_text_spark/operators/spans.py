@@ -56,42 +56,76 @@ def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _v2_gram_structs(toks, n: int):
+    """(start, g) structs under the v2 token-hash-window family
+    (round 14): tokens xxhash64'd ONCE into a `let`-bound hash array
+    (evaluated once per row — the O(G^2) re-inline trap, SCALING.md),
+    gram hash = xxhash64 over the n token hashes; same derivation as
+    :func:`polars_text_spark.operators.dedup.v2_gram_hashes` with the
+    window start carried alongside. Caller guards ``size(toks) >= n``.
+    """
+    from polars_text_spark.plans.exprs import let
+
+    return let(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        lambda th: F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("start"),
+                F.xxhash64(
+                    *[F.element_at(th, i + j) for j in range(n)]
+                ).alias("g"),
+            ),
+        ),
+    )
+
+
 def _dup_gram_starts(
     d: DataFrame, *, n: int, min_df: int, gram_hash
 ) -> DataFrame:
     """(__sp_id, start, g) rows for grams whose corpus-wide occurrence
     count reaches ``min_df``.
 
-    struct(start, hash) per gram; sequence(0, nt-n) DESCENDS when
-    nt < n, so guard and emit an empty array instead.
+    struct(start, hash) per gram; sequence DESCENDS when nt < n, so
+    guard and emit an empty array instead.
     explode_outer, NOT explode: explode makes InferFiltersFromGenerate
     insert a size()>0 filter that re-inlines the gram expression
     (SCALING.md); the null-filter below references only the POST-
     generate attribute, which cannot be pushed through the Generate.
+
+    ``gram_hash=None`` (the production default since round 14, also
+    selected by an explicit ``F.xxhash64``) builds the structs under
+    the v2 token-hash-window family (:func:`_v2_gram_structs`) — no
+    per-window string allocation. Any other callable (notably
+    ``sha_token_hash``, which every spans oracle uses) keeps the
+    engine-portable per-window ``concat_ws`` string build.
 
     ``pos`` feeds two consumers (the frequency agg and the join-back),
     so the gram projection runs twice from the scan. Deliberate:
     materializing the exploded gram stream to save the recompute
     would persist an intermediate the SIZE OF THE CORPUS (one row
     per token), while the recompute is embarrassingly-parallel
-    map work — and with the xxhash production hash, ~free. The
-    sha default exists for oracle auditing, not the hot path.
+    map work — and under the v2 family, ~free. The sha path exists
+    for oracle auditing, not the hot path.
     """
     nt = F.size(F.col("__sp_toks"))
+    if gram_hash is None or gram_hash is F.xxhash64:
+        gram_structs = _v2_gram_structs(F.col("__sp_toks"), n)
+    else:
+        gram_structs = F.transform(
+            F.sequence(F.lit(0), nt - n),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                gram_hash(
+                    F.concat_ws(" ", F.slice(F.col("__sp_toks"), i + 1, n))
+                ).alias("g"),
+            ),
+        )
     grams = d.withColumn(
         "__sp_grams",
-        F.when(
-            nt >= n,
-            F.transform(
-                F.sequence(F.lit(0), nt - n),
-                lambda i: F.struct(
-                    i.cast("int").alias("start"),
-                    gram_hash(
-                        F.concat_ws(" ", F.slice(F.col("__sp_toks"), i + 1, n))
-                    ).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<start:int,g:bigint>>")),
+        F.when(nt >= n, gram_structs).otherwise(
+            F.array().cast("array<struct<start:int,g:bigint>>")
+        ),
     )
     pos = (
         grams.select("__sp_id", F.explode_outer("__sp_grams").alias("pg"))
@@ -136,11 +170,16 @@ def dup_ngram_coverage(
         dup_frac    dup_tokens / n_tokens, rounded to 6 dp (0 when
                     the doc has no tokens)
 
-    ``gram_hash`` defaults to the engine-portable sha256-prefix hash
-    (:func:`polars_text_spark.operators.dedup.sha_token_hash`) so a
-    SQL oracle can re-derive every gram; pass ``F.xxhash64`` for the
-    fastest production path. Docs shorter than ``n`` tokens have zero
-    grams and zero coverage by definition.
+    ``gram_hash=None`` (default since round 14) is the v2
+    token-hash-window family — the fastest production path, and
+    output-identical to any injective family because every output
+    column is a COUNT over gram-identity (absent a 2^-64 collision).
+    Pass :func:`polars_text_spark.operators.dedup.sha_token_hash` for
+    the engine-portable string-gram build a SQL oracle re-derives
+    hash-for-hash (the driver oracle replays string grams against the
+    v2 default — the differential gate doubles as a family-equivalence
+    proof). Docs shorter than ``n`` tokens have zero grams and zero
+    coverage by definition.
 
     ``id_col`` must be UNIQUE: duplicate ids merge the (id, start,
     gram) streams of distinct rows — same-id self-collisions count
@@ -157,16 +196,11 @@ def dup_ngram_coverage(
         ("__sp_id", "__sp_text", "__sp_toks", "__sp_grams"),
         "dup_ngram_coverage",
     )
-    if gram_hash is None:
-        from polars_text_spark.operators.dedup import sha_token_hash
-
-        gram_hash = sha_token_hash
-
     d = _tokenized(df, text_col, id_col)
     nt = F.size(F.col("__sp_toks"))
     # The per-doc profile side never touches gram hashes: n_grams is
     # arithmetic (max(nt-n+1, 0)), NOT size(<gram expr>) — sizing the
-    # gram array would inline the whole O(G) sha pipeline into this
+    # gram array would inline the whole O(G) gram pipeline into this
     # branch a second time (plan-asserted in test_round6_plans).
     base = d.select(
         "__sp_id",
@@ -247,6 +281,12 @@ def strip_duplicate_spans(
     ``id_col`` must be UNIQUE — see :func:`dup_ngram_coverage` (the
     shared gram pipeline merges streams per id, so duplicate ids
     cross-contaminate coverage and fan out the rebuild join).
+
+    ``gram_hash`` follows :func:`dup_ngram_coverage`: None (default)
+    = the v2 token-hash-window production family; the rebuilt TEXT is
+    hash-family-independent (gram identity = token-window equality
+    absent a 2^-64 collision), which the driver oracle proves by
+    replaying string grams against this default.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -257,11 +297,6 @@ def strip_duplicate_spans(
         ("__sp_id", "__sp_text", "__sp_toks", "__sp_grams"),
         "strip_duplicate_spans",
     )
-    if gram_hash is None:
-        from polars_text_spark.operators.dedup import sha_token_hash
-
-        gram_hash = sha_token_hash
-
     d = _tokenized(df, text_col, id_col)
     dup_pos = _dup_gram_starts(d, n=n, min_df=min_df, gram_hash=gram_hash)
 

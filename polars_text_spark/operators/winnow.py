@@ -16,6 +16,10 @@ Scale shape: fingerprint selection is a single projection of
 higher-order array built-ins (no explode until the join); the overlap
 join is an equi-join on fingerprint longs with an optional document-
 frequency cap to keep viral fingerprints from creating hot keys.
+Gram hashing uses the v2 token-hash-window family by default (round
+14): tokens are xxhash64'd once per row and each gram hash covers the
+token-hash window — no per-window string allocation (the measured
+11.3x string-build tax, SCALING.md round-13/14).
 """
 
 from __future__ import annotations
@@ -30,8 +34,36 @@ __all__ = [
 ]
 
 
-def _xxhash_gram(g: Column) -> Column:
-    return F.xxhash64(g)
+def _gram_hash_array(toks, k: int, gram_hash):
+    """k-gram hash array of a token array, in window order.
+
+    ``gram_hash=None`` (the production default since round 14) is the
+    v2 token-hash-window family (:func:`polars_text_spark.operators.
+    dedup.v2_gram_hashes` — tokens xxhash64'd once per row into a
+    `let`-bound hash array, gram hash = xxhash64 over the token-hash
+    window; 11.3x over per-window string builds, SCALING.md). A
+    callable ``gram_hash`` (string Column -> long Column, e.g.
+    ``sha_token_hash`` for the engine-portable oracle family) keeps
+    the per-window ``concat_ws`` string build. Caller guards
+    ``size(toks) >= k``."""
+    if gram_hash is None:
+        from polars_text_spark.operators.dedup import v2_gram_hashes
+
+        return v2_gram_hashes(toks, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: gram_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+
+
+def _short_run_hash(toks, gram_hash) -> Column:
+    """Fingerprint of a WHOLE short token run (< k tokens), mirroring
+    the short-doc shingle convention (token_shingles' count<=0
+    branch): hash of the space-joined run, under whichever family the
+    gram hashes use (xxhash64 of the joined string for the v2
+    default — identical to token_shingles' short branch)."""
+    hasher = gram_hash if gram_hash is not None else F.xxhash64
+    return hasher(F.concat_ws(" ", toks))
 
 
 def winnow_fingerprints(
@@ -49,36 +81,35 @@ def winnow_fingerprints(
     - no tokens / NULL: empty array / NULL;
     - fewer than ``w`` k-grams: the global minimum k-gram hash.
 
-    ``gram_hash`` (string Column -> long Column) defaults to
-    ``xxhash64``; pass :func:`polars_text_spark.operators.dedup.
-    sha_token_hash` for the engine-portable variant a DuckDB oracle
-    reproduces exactly.
+    ``gram_hash=None`` (default) selects the v2 token-hash-window
+    family (round 14; see :func:`_gram_hash_array`) — fingerprint
+    VALUES therefore changed vs the pre-round-14 xxhash-over-string
+    build; fingerprints are an in-flight sketch no production
+    artifact persists, and all overlap semantics (the w+k-1
+    guarantee, density, distinctness) are family-independent. Pass
+    :func:`polars_text_spark.operators.dedup.sha_token_hash` for the
+    engine-portable string-gram variant a DuckDB oracle reproduces
+    exactly.
 
-    Tokens and gram hashes are bound through :func:`~polars_text_spark.
-    plans.exprs.let` (lambda-variable let-binding), so each is
-    evaluated ONCE per row even in this single-Column form — without
-    the binding the ``grams`` subtree inlines into every window-min
-    lambda and every window re-hashes EVERY gram, O(G^2) per row (the
-    r5 form timed out at sf0.1 on exactly that;
-    :func:`with_winnow_fingerprints` stays as the projection-staged
-    equivalent for pipelines that want named intermediate columns).
+    Tokens, token hashes, and gram hashes are each bound through
+    :func:`~polars_text_spark.plans.exprs.let` (lambda-variable
+    let-binding), so each is evaluated ONCE per row even in this
+    single-Column form — without the binding the ``grams`` subtree
+    inlines into every window-min lambda and every window re-hashes
+    EVERY gram, O(G^2) per row (the r5 form timed out at sf0.1 on
+    exactly that; :func:`with_winnow_fingerprints` stays as the
+    projection-staged equivalent for pipelines that want named
+    intermediate columns).
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     from polars_text_spark.plans.exprs import let
 
-    hasher = gram_hash if gram_hash is not None else _xxhash_gram
     c = F.col(text_col) if isinstance(text_col, str) else text_col
 
     def with_toks(toks):
         n = F.size(toks)
-        grams_val = F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-            ),
-        )
+        grams_val = F.when(n >= k, _gram_hash_array(toks, k, gram_hash))
 
         def with_grams(grams):
             ng = F.size(grams)
@@ -88,7 +119,7 @@ def winnow_fingerprints(
             )
             return (
                 F.when(n == 0, F.array().cast("array<long>"))
-                .when(n < k, F.array(hasher(F.concat_ws(" ", toks))))
+                .when(n < k, F.array(_short_run_hash(toks, gram_hash)))
                 .when(ng < w, F.array(F.array_min(grams)))
                 .otherwise(F.array_distinct(window_mins))
             )
@@ -111,12 +142,16 @@ def with_winnow_fingerprints(
     gram_hash=None,
 ) -> DataFrame:
     """Append ``out_col`` = winnowing fingerprints of ``text_col``
-    (same contract as :func:`winnow_fingerprints`), factored so tokens
-    and gram hashes are each computed ONCE per row: ``__wn_toks`` and
-    ``__wn_grams`` are staged as projection columns referenced more
-    than once, so CollapseProject keeps the boundaries instead of
-    re-inlining the O(G) hash array into every window-min lambda
-    (which is O(G^2) per row and timed out at sf0.1)."""
+    (same contract and same hash families as
+    :func:`winnow_fingerprints`), factored so tokens and gram hashes
+    are each computed ONCE per row: ``__wn_toks`` and ``__wn_grams``
+    are staged as projection columns referenced more than once, so
+    CollapseProject keeps the boundaries instead of re-inlining the
+    O(G) hash array into every window-min lambda (which is O(G^2) per
+    row and timed out at sf0.1). Under the v2 default the token-hash
+    array INSIDE ``__wn_grams`` is additionally `let`-bound by
+    :func:`~polars_text_spark.operators.dedup.v2_gram_hashes`, so it
+    too evaluates once per row, not once per window."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     from polars_text_spark.operators._cols import require_free_columns
@@ -124,7 +159,6 @@ def with_winnow_fingerprints(
     require_free_columns(
         df, ("__wn_toks", "__wn_grams"), "with_winnow_fingerprints"
     )
-    hasher = gram_hash if gram_hash is not None else _xxhash_gram
     d = df.withColumn(
         "__wn_toks",
         F.filter(
@@ -133,24 +167,16 @@ def with_winnow_fingerprints(
         ),
     )
     n = F.size(F.col("__wn_toks"))
-    # guard: sequence(0, n-k) DESCENDS for n<k — only build grams when
-    # there are at least k tokens
+    # guard: sequence DESCENDS for n<k — only build grams when there
+    # are at least k tokens
     d = d.withColumn(
         "__wn_grams",
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: hasher(
-                    F.concat_ws(" ", F.slice(F.col("__wn_toks"), i + 1, k))
-                ),
-            ),
-        ),
+        F.when(n >= k, _gram_hash_array(F.col("__wn_toks"), k, gram_hash)),
     )
     ng = F.size(F.col("__wn_grams"))
     fps = (
         F.when(n == 0, F.array().cast("array<long>"))
-        .when(n < k, F.array(hasher(F.concat_ws(" ", F.col("__wn_toks")))))
+        .when(n < k, F.array(_short_run_hash(F.col("__wn_toks"), gram_hash)))
         .when(
             ng < w, F.array(F.array_min(F.col("__wn_grams")))
         )

@@ -20,11 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "check_generation_unchanged",
     "clear_table",
     "compact_table",
     "minus_tombstones",
+    "overwrite_meta",
+    "phys_table",
     "read_bucketed",
     "read_tombstones",
+    "rewrite_generation",
+    "store_generation",
+    "sweep_stale_generations",
     "tombstone_ids",
     "write_bucketed",
 ]
@@ -253,3 +259,263 @@ def minus_tombstones(df: DataFrame, ts: DataFrame | None, *, on: str = "id") -> 
         return df
     keyed = ts.select(F.col("id").alias(on)) if on != "id" else ts
     return df.join(F.broadcast(keyed), on, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Generational store maintenance (round 14, VERDICT r13 #2)
+#
+# compact_table's DROP+RENAME swap is not atomic, and a STORE rewrite
+# (rebucket/purge) does TWO of them: a reader or appender landing
+# between the two swaps sees the store's tables at different bucket
+# counts — co-location silently broken. The store modules therefore
+# version the PHYSICAL table names (``<name>_bands_g3``) and treat the
+# small ``<name>_meta`` table as the atomic pointer: readers and
+# appenders resolve meta -> current physical tables, maintenance
+# writes a complete NEXT generation beside the live one, verifies the
+# sources didn't move, flips the meta row in ONE table overwrite, and
+# only then drops the old generation. Every failure mode is now
+# either invisible (crash before the flip: the live generation was
+# never touched; re-running sweeps the orphaned half-built tables) or
+# complete (crash after the flip: the store IS the new generation;
+# re-running sweeps the stale old tables).
+# ---------------------------------------------------------------------------
+
+
+def phys_table(name: str, suffix: str, gen: int) -> str:
+    """Physical catalog name of a store table at generation ``gen``.
+    Generation 0 is the legacy unsuffixed layout (every store written
+    before round 14, and every fresh write — the suffix only appears
+    once maintenance has produced generation >= 1)."""
+    base = f"{name}_{suffix}"
+    return base if gen == 0 else f"{base}_g{gen}"
+
+
+def store_generation(spark: SparkSession, name: str) -> int:
+    """Current generation recorded in ``<name>_meta`` (0 when the
+    meta table is absent or predates the ``gen`` column)."""
+    if not spark.catalog.tableExists(f"{name}_meta"):
+        return 0
+    row = spark.table(f"{name}_meta").collect()[0]
+    d = row.asDict()
+    return int(d["gen"]) if "gen" in d and d["gen"] is not None else 0
+
+
+def _table_files(spark: SparkSession, table: str) -> tuple[str, set[str]]:
+    """(location, parquet file set) of a catalog table."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    if "Location" not in info:
+        raise ValueError(f"table '{table}' reports no Location")
+    location = info["Location"].removeprefix("file:")
+    files = {
+        os.path.join(root, f)
+        for root, _, fs in os.walk(location)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    return location, files
+
+
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, list, list]:
+    """(num_buckets, bucket_cols, sort_cols) of a bucketed table."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    if "Num Buckets" not in info:
+        raise ValueError(f"table '{table}' is not bucketed")
+
+    def _cols(key: str) -> list[str]:
+        raw = info.get(key, "[]").strip("[]")
+        return [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+
+    return (
+        int(info["Num Buckets"]),
+        _cols("Bucket Columns"),
+        _cols("Sort Columns"),
+    )
+
+
+def sweep_stale_generations(
+    spark: SparkSession, name: str, suffixes, current_gen: int
+) -> list[str]:
+    """Drop every physical generation of ``name``'s store tables other
+    than ``current_gen`` — the self-healing half of the protocol: a
+    crash before the meta flip leaves orphan half-built next-gen
+    tables, a crash after it leaves stale previous-gen tables; both
+    are swept here (run at the start of every maintenance op and after
+    a successful cutover). Returns the dropped table names."""
+    import re
+
+    dropped: list[str] = []
+    current = {phys_table(name, s, current_gen) for s in suffixes}
+    for s in suffixes:
+        base = f"{name}_{s}".lower()
+        pat = re.compile(re.escape(base) + r"(_g\d+)?$")
+        for t in spark.catalog.listTables():
+            if pat.fullmatch(t.name) and t.name not in {
+                c.lower() for c in current
+            }:
+                clear_table(spark, t.name)
+                dropped.append(t.name)
+    return dropped
+
+
+def rewrite_generation(
+    spark: SparkSession,
+    name: str,
+    suffixes,
+    *,
+    new_buckets: int | None = None,
+    anti: DataFrame | None = None,
+    anti_on: str | None = None,
+    write_meta=None,
+) -> int:
+    """Rewrite ALL of a store's bucketed tables into the next
+    generation and atomically cut the store over to it. Returns the
+    new generation number.
+
+    Protocol (each step's failure mode in brackets):
+
+    1. sweep orphan/stale generations from a previous failed run;
+    2. snapshot every source table's parquet FILE SET — the rewrite
+       reads these exact files, so the rewrite itself is a consistent
+       point-in-time view even while appends land [no store change];
+    3. write every ``<name>_<suffix>_g<gen+1>`` table (repartitioned
+       on its own bucket columns — raw file reads carry no bucket
+       claim, so the repartition applies and each bucket lands in one
+       file) [crash: orphan next-gen tables, swept on re-run];
+    4. re-list every source file set; ANY difference means an append
+       raced the rewrite — the half-built generation is dropped and
+       the rewrite raises instead of silently losing the append
+       [loud abort, store untouched, appended rows intact];
+    5. flip ``<name>_meta`` in ONE overwrite via ``write_meta(gen)``
+       — the atomic pointer: every reader/appender resolves physical
+       tables through it [crash before: store is the old generation,
+       complete; after: store is the new generation, complete];
+    6. drop the old generation [crash: stale tables, swept on the
+       next maintenance run].
+
+    ``write_meta(gen)`` is supplied by the store module (meta schemas
+    differ between stores); it must perform exactly one saveAsTable
+    overwrite of ``<name>_meta``. ``anti``/``anti_on`` drop matching
+    rows during the rewrite (the purge path). ``new_buckets`` rewrites
+    at a different bucket count (the rebucket path).
+
+    Remaining race (documented, not closed): an append that resolves
+    the OLD generation from meta and finishes between steps 4 and 6
+    lands in tables about to be dropped. Appends re-read the meta
+    generation after their writes and raise on a change, shrinking
+    the undetected window to the sub-second gap between their check
+    and the flip — run maintenance in a window free of writers for
+    strict guarantees (same guidance as before; the difference is a
+    violation is now detected or harmless instead of silently
+    corrupting co-location).
+    """
+    if write_meta is None:
+        raise ValueError("rewrite_generation requires write_meta")
+    gen = store_generation(spark, name)
+    sweep_stale_generations(spark, name, suffixes, gen)
+    nxt = gen + 1
+
+    snapshots: dict[str, tuple[str, set[str]]] = {}
+    specs: dict[str, tuple[int, list, list]] = {}
+    for s in suffixes:
+        src = phys_table(name, s, gen)
+        snapshots[s] = _table_files(spark, src)
+        specs[s] = _bucket_spec(spark, src)
+
+    new_tables: list[str] = []
+    try:
+        for s in suffixes:
+            src = phys_table(name, s, gen)
+            dst = phys_table(name, s, nxt)
+            _, files = snapshots[s]
+            buckets, bucket_cols, sort_cols = specs[s]
+            if new_buckets is not None:
+                if new_buckets < 1:
+                    raise ValueError(
+                        f"new_buckets must be >= 1, got {new_buckets}"
+                    )
+                buckets = int(new_buckets)
+            if files:
+                df = spark.read.schema(
+                    spark.table(src).schema
+                ).parquet(*sorted(files))
+            else:
+                df = spark.table(src).limit(0)
+            if anti is not None:
+                if not anti_on:
+                    raise ValueError("anti requires anti_on join keys")
+                df = df.join(
+                    F.broadcast(anti.select(anti_on)), anti_on, "left_anti"
+                )
+            df = df.repartition(buckets, *[F.col(c) for c in bucket_cols])
+            write_bucketed(
+                df,
+                dst,
+                bucket_by=bucket_cols,
+                buckets=buckets,
+                sort_by=sort_cols or None,
+            )
+            new_tables.append(dst)
+
+        for s in suffixes:
+            loc, before = snapshots[s]
+            _, after = _table_files(spark, phys_table(name, s, gen))
+            if after != before:
+                raise RuntimeError(
+                    f"store '{name}': table files changed under the "
+                    f"maintenance rewrite ({phys_table(name, s, gen)}) "
+                    "— an append raced the rewrite. The store is "
+                    "untouched (the appended rows are live); re-run "
+                    "the maintenance op in a writer-free window"
+                )
+    except BaseException:
+        for t in new_tables:
+            clear_table(spark, t)
+        raise
+
+    write_meta(nxt)  # THE atomic cutover
+    sweep_stale_generations(spark, name, suffixes, nxt)
+    return nxt
+
+
+def overwrite_meta(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Overwrite a small meta table in ONE saveAsTable call — no
+    DROP first, so there is never a missing-meta window (a concurrent
+    reader sees the old row or the new row, nothing else). Falls back
+    to clear+write only when the table doesn't exist (where a stale
+    directory from an earlier DROP would otherwise block the write)."""
+    if spark.catalog.tableExists(table):
+        df.write.format("parquet").mode("overwrite").saveAsTable(table)
+    else:
+        clear_table(spark, table)
+        df.write.format("parquet").mode("overwrite").saveAsTable(table)
+
+
+def check_generation_unchanged(
+    spark: SparkSession, name: str, gen_at_start: int
+) -> None:
+    """Post-append verification against a maintenance cutover racing
+    the append: the append resolved its physical tables from the meta
+    generation at call start; if maintenance flipped the pointer while
+    the append was writing, the appended rows were either CARRIED into
+    the new generation (the rewrite's file snapshot ran after the
+    writes) or DROPPED with the old one (snapshot before). The append
+    cannot tell which, so it raises conservatively; re-running it is
+    safe in both worlds — the id-clash probe reports already-exists
+    when the rows were carried, and re-ingests them when they were
+    lost (the bands-first write order plus candidate-pair dedup make
+    even a partially-carried shard re-appendable). The maintenance
+    side independently aborts when files appear under its snapshot,
+    so between the two checks a racing append is aborted-against,
+    detected here, or both."""
+    now = store_generation(spark, name)
+    if now != gen_at_start:
+        raise RuntimeError(
+            f"store '{name}': a maintenance cutover (generation "
+            f"{gen_at_start} -> {now}) raced this append; the appended "
+            "rows were carried or dropped with the old generation. "
+            "Re-run the append — an 'already exists' id-clash means "
+            "the rows were carried and no action is needed. Schedule "
+            "maintenance in a writer-free window"
+        )

@@ -75,8 +75,10 @@ def minhash_ingest_batch(
         write_minhash_store,
     )
     from polars_text_spark.sources.bucketing import (
-        read_bucketed,
+        check_generation_unchanged,
+        phys_table,
         read_tombstones,
+        store_generation,
         write_bucketed,
     )
 
@@ -109,12 +111,18 @@ def minhash_ingest_batch(
             )
             return
         m_perm, m_bands, m_shingle, m_buckets = meta
+        # resolve the CURRENT physical generation once per trigger;
+        # a maintenance cutover racing this batch is detected by the
+        # post-write generation check below (round 14)
+        gen_at_start = store_generation(spark, name)
+        bands_tbl = phys_table(name, "bands", gen_at_start)
+        shingles_tbl = phys_table(name, "shingles", gen_at_start)
         # novelty: the shard probes the id-bucketed shingles table
         # (shuffle-free on the store side, nothing store-sized
         # broadcast) plus the pending-tombstone set — a tombstoned id
         # would be silently swallowed by the read-time anti-join, so
         # it is NOT novel until purged
-        standing = read_bucketed(spark, f"{name}_shingles").select("id")
+        standing = spark.table(shingles_tbl).select("id")
         novel = batch.join(
             standing.withColumnRenamed("id", id_col), id_col, "left_anti"
         )
@@ -136,7 +144,7 @@ def minhash_ingest_batch(
             F.col("bk.band").alias("band"),
             F.col("bk.bucket").alias("bucket"),
         ]
-        if "sig" in spark.table(f"{name}_bands").columns:
+        if "sig" in spark.table(bands_tbl).columns:
             # the hot-band guard's signature-group key; stores written
             # before it existed keep their narrower schema
             band_cols.append(F.col("__sig").alias("sig"))
@@ -146,7 +154,7 @@ def minhash_ingest_batch(
         ).select(*band_cols)
         write_bucketed(
             banded,
-            f"{name}_bands",
+            bands_tbl,
             bucket_by=["band", "bucket"],
             buckets=m_buckets,
             sort_by=["band", "bucket"],
@@ -158,12 +166,17 @@ def minhash_ingest_batch(
         )
         write_bucketed(
             shingles,
-            f"{name}_shingles",
+            shingles_tbl,
             bucket_by="id",
             buckets=m_buckets,
             sort_by="id",
             mode="append",
         )
+        # a cutover racing this trigger dropped the generation these
+        # rows landed in: fail the batch LOUDLY so the stream retries
+        # it against the new generation (novelty anti-join makes the
+        # redelivery exact)
+        check_generation_unchanged(spark, name, gen_at_start)
 
     return ingest
 
@@ -234,8 +247,10 @@ def ann_ingest_batch(
         write_ann_store,
     )
     from polars_text_spark.sources.bucketing import (
-        read_bucketed,
+        check_generation_unchanged,
+        phys_table,
         read_tombstones,
+        store_generation,
         write_bucketed,
     )
 
@@ -259,7 +274,13 @@ def ann_ingest_batch(
             return
         m_dim, m_planes, m_bands, m_buckets = _store_meta(spark, name)
         _assert_vec_dim(batch, vec_col, m_dim)
-        standing = read_bucketed(spark, f"{name}_vectors").select("id")
+        # resolve the CURRENT physical generation once per trigger
+        # (round 14); the post-write check below catches a racing
+        # maintenance cutover
+        gen_at_start = store_generation(spark, name)
+        bands_tbl = phys_table(name, "bands", gen_at_start)
+        vectors_tbl = phys_table(name, "vectors", gen_at_start)
+        standing = spark.table(vectors_tbl).select("id")
         novel = batch.join(
             standing.withColumnRenamed("id", id_col), id_col, "left_anti"
         )
@@ -283,7 +304,7 @@ def ann_ingest_batch(
         )
         write_bucketed(
             banded,
-            f"{name}_bands",
+            bands_tbl,
             bucket_by="band_key",
             buckets=m_buckets,
             sort_by="band_key",
@@ -291,12 +312,16 @@ def ann_ingest_batch(
         )
         write_bucketed(
             unit,
-            f"{name}_vectors",
+            vectors_tbl,
             bucket_by="id",
             buckets=m_buckets,
             sort_by="id",
             mode="append",
         )
+        # fail the batch LOUDLY if a maintenance cutover dropped the
+        # generation these rows landed in; the stream's retry is exact
+        # (novelty anti-join) against the new generation
+        check_generation_unchanged(spark, name, gen_at_start)
 
     return ingest
 

@@ -333,8 +333,11 @@ def test_ann_purge_then_reappend(spark, vectors):
         append_ann_shard(shard, "ann_pg")
     purge_deleted(spark, "ann_pg")
     assert not spark.catalog.tableExists("ann_pg_tombstones")
+    from polars_text_spark.operators.ann_store import _phys
+
     remaining = {
-        r.id for r in read_bucketed(spark, "ann_pg_vectors").collect()
+        r.id
+        for r in read_bucketed(spark, _phys(spark, "ann_pg", "vectors")).collect()
     }
     assert remaining == set(range(5, 40))
     # after purge the ids are free again; a query identical to the
@@ -430,7 +433,9 @@ def test_rebucket_store_preserves_answers_and_meta(spark, vectors):
     assert before and after == before
     meta = spark.table("ann_rb_meta").collect()[0]
     assert meta["buckets"] == 8
-    for tbl in ("ann_rb_bands", "ann_rb_vectors"):
+    from polars_text_spark.operators.ann_store import _phys
+
+    for tbl in (_phys(spark, "ann_rb", "bands"), _phys(spark, "ann_rb", "vectors")):
         info = {
             r["col_name"]: r["data_type"]
             for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()

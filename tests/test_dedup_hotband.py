@@ -628,3 +628,113 @@ def test_collapse_left_groups_by_set_not_order(spark):
     m = {r["id_a"]: r["__g"] for r in members.collect()}
     assert m[1] == m[2] and m[1] != m[3]
     assert {r["id_a"] for r in reps.collect()} == {1, 3}
+
+
+def test_collapse_left_auto_routes_by_probe(spark, corpus, monkeypatch):
+    """collapse_left='auto' (round 14): the probe decides the route —
+    a duplicate-free shard runs the PLAIN pipeline (the collapse
+    machinery is never built), a duplicated shard engages the
+    collapse; both outputs equal the uncollapsed run. True now skips
+    the probe and collapses unconditionally."""
+    import polars_text_spark.operators.dedup as dd
+
+    calls = {"collapse": 0, "fanback": 0}
+    real_collapse = dd._collapse_left_groups
+    real_fanback = dd._fan_back_left
+
+    def counting_collapse(*a, **kw):
+        out = real_collapse(*a, **kw)
+        if out is not None:
+            calls["collapse"] += 1
+        return out
+
+    def counting_fanback(*a, **kw):
+        calls["fanback"] += 1
+        return real_fanback(*a, **kw)
+
+    monkeypatch.setattr(dd, "_collapse_left_groups", counting_collapse)
+    monkeypatch.setattr(dd, "_fan_back_left", counting_fanback)
+
+    distinct_shard = spark.createDataFrame(
+        [(9000, HOT_TEXT), (9001, "each shard doc fully distinct here")],
+        "doc_id long, text string",
+    )
+    dup_shard = spark.range(6).select(
+        (F.lit(9000) + F.col("id")).alias("doc_id"),
+        F.lit(HOT_TEXT).alias("text"),
+    )
+    kw = dict(jaccard_threshold=0.9, band_cap=None)
+
+    plain = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_cross_pairs(
+            distinct_shard, corpus, collapse_left=False, **kw
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_cross_pairs(
+            distinct_shard, corpus, collapse_left="auto", **kw
+        ).collect()
+    }
+    assert auto == plain
+    assert calls == {"collapse": 0, "fanback": 0}  # probe said plain
+
+    plain_dup = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_cross_pairs(
+            dup_shard, corpus, collapse_left=False, **kw
+        ).collect()
+    }
+    auto_dup = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_cross_pairs(
+            dup_shard, corpus, collapse_left="auto", **kw
+        ).collect()
+    }
+    assert auto_dup == plain_dup and plain_dup
+    assert calls == {"collapse": 1, "fanback": 1}  # probe engaged it
+
+    with pytest.raises(ValueError, match="auto"):
+        minhash_lsh_cross_pairs(
+            dup_shard, corpus, collapse_left="always", **kw
+        )
+
+
+def test_collapse_left_true_skips_probe_job(spark, corpus):
+    """collapse_left=True asserts duplicates: no probe job runs (the
+    count-distinct aggregate never executes) and the output is still
+    exact even when the assertion is WRONG (duplicate-free shard)."""
+    from polars_text_spark.operators.dedup import _collapse_left_groups
+
+    shard = spark.createDataFrame(
+        [(9000, HOT_TEXT), (9001, "each shard doc fully distinct here")],
+        "doc_id long, text string",
+    )
+    # probe=False returns the machinery even with nothing to collapse
+    collapsed = _collapse_left_groups(shard, "text", "doc_id", 3, probe=False)
+    assert collapsed is not None
+    reps, members = collapsed
+    assert reps.count() == 2 and members.count() == 2
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_cross_pairs(
+            shard, corpus, jaccard_threshold=0.9, band_cap=None,
+            collapse_left=True,
+        ).collect()
+    }
+    assert got == {(9000, 1000 + i) for i in range(HOT_N)}
+
+
+def test_collapse_left_rejects_streaming_left(spark, tmp_path):
+    """The eager probe/member map cannot run on a streaming frame —
+    loud error instead of an AnalysisException mid-plan (ADVICE r13)."""
+    from polars_text_spark.operators.dedup import _collapse_left_groups
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="batch left frame"):
+        _collapse_left_groups(stream, "text", "doc_id", 3)

@@ -158,7 +158,15 @@ def test_purge_deleted_physically_removes_and_clears(spark, corpus):
     key = lambda rows: {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in rows}
     assert key(after) == key(logical)  # purge changes nothing logically
     # physical removal: no tombstoned id anywhere in either table
-    for t in ("mh_store_pg_bands", "mh_store_pg_shingles"):
+    from polars_text_spark.operators.dedup_store import _phys
+
+    for t in (
+        _phys(spark, "mh_store_pg", "bands"),
+        _phys(spark, "mh_store_pg", "shingles"),
+    ):
+        # the generational purge cut the store over to a NEW physical
+        # generation (round 14)
+        assert t.endswith("_g1"), t
         remaining = {
             r.id for r in read_bucketed(spark, t).select("id").distinct().collect()
         }
@@ -284,7 +292,9 @@ def test_rebucket_minhash_store_preserves_pairs(spark, corpus):
     assert before and after == before
     meta = spark.table("mh_rb_meta").collect()[0]
     assert meta["buckets"] == 8
-    for tbl in ("mh_rb_bands", "mh_rb_shingles"):
+    from polars_text_spark.operators.dedup_store import _phys
+
+    for tbl in (_phys(spark, "mh_rb", "bands"), _phys(spark, "mh_rb", "shingles")):
         info = {
             r["col_name"]: r["data_type"]
             for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()

@@ -1,0 +1,270 @@
+"""Round-14 atomic store maintenance (VERDICT r13 #2/#4): generational
+cutover — maintenance writes a complete next generation, the meta row
+is the atomic pointer, appends racing a cutover are detected loudly on
+BOTH sides instead of silently corrupting co-location — and the
+v1->v2 store migration verb (rebuild_minhash_store)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import polars_text_spark.sources.bucketing as bucketing
+from polars_text_spark.operators.dedup import minhash_lsh_pairs
+from polars_text_spark.operators.dedup_store import (
+    _phys,
+    append_minhash_shard,
+    delete_ids,
+    incremental_pairs_from_store,
+    pairs_from_store,
+    purge_deleted,
+    rebucket_minhash_store,
+    rebuild_minhash_store,
+    write_minhash_store,
+)
+from polars_text_spark.sources.bucketing import (
+    phys_table,
+    store_generation,
+    sweep_stale_generations,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .limit(200)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _pairs(spark, name, t=0.7):
+    return {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in pairs_from_store(spark, name, jaccard_threshold=t).collect()
+    }
+
+
+def test_interleaved_append_aborts_rebucket_loudly(spark, corpus, monkeypatch):
+    """An append landing BETWEEN the two table rewrites of a rebucket
+    must not corrupt the store: the rewrite detects the moved source
+    files, drops its half-built generation and raises; the store stays
+    fully on the old generation WITH the appended rows (the exact
+    scenario that silently broke co-location under the old DROP+RENAME
+    protocol)."""
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    shard = corpus.filter(F.col("doc_id") % 4 == 0).limit(20)
+    write_minhash_store(base, "mh_race", buckets=4)
+
+    real_write = bucketing.write_bucketed
+    state = {"injected": False}
+
+    def racing_write(df, table, **kw):
+        real_write(df, table, **kw)
+        # right after the rewrite finishes its FIRST next-gen table,
+        # land an append into the live (old-gen) store
+        if table.endswith("_g1") and not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(bucketing, "write_bucketed", real_write)
+            append_minhash_shard(shard, "mh_race")
+            monkeypatch.setattr(bucketing, "write_bucketed", racing_write)
+
+    monkeypatch.setattr(bucketing, "write_bucketed", racing_write)
+    with pytest.raises(RuntimeError, match="changed under the maintenance"):
+        rebucket_minhash_store(spark, "mh_race", 8)
+    monkeypatch.setattr(bucketing, "write_bucketed", real_write)
+
+    assert state["injected"]
+    # store untouched: still generation 0, meta still at 4 buckets
+    assert store_generation(spark, "mh_race") == 0
+    assert spark.table("mh_race_meta").collect()[0]["buckets"] == 4
+    # the half-built next generation was dropped
+    assert not spark.catalog.tableExists("mh_race_bands_g1")
+    assert not spark.catalog.tableExists("mh_race_shingles_g1")
+    # and the APPEND survived: the store answers over base + shard
+    direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            base.unionByName(shard), jaccard_threshold=0.7
+        ).collect()
+    }
+    assert _pairs(spark, "mh_race") == direct
+    # the retried rebucket (writer-free now) succeeds and preserves it
+    rebucket_minhash_store(spark, "mh_race", 8)
+    assert store_generation(spark, "mh_race") == 1
+    assert _pairs(spark, "mh_race") == direct
+
+
+def test_append_racing_a_cutover_raises_loudly(spark, corpus, monkeypatch):
+    """The mirror race: an append that detects a cutover after its
+    writes must raise CONSERVATIVELY — it cannot know whether the
+    cutover's snapshot carried its rows (snapshot after the writes,
+    as injected here) or dropped them (snapshot before). The raise's
+    re-run instruction is safe in both worlds: the id-clash probe
+    reports already-exists when the rows were carried, and re-ingests
+    them when they were lost (bands-first write order + candidate
+    dedup make a partially-carried shard re-appendable too)."""
+    import polars_text_spark.operators.dedup_store as ds
+
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    shard = corpus.filter(F.col("doc_id") % 4 == 0).limit(10)
+    write_minhash_store(base, "mh_race2", buckets=4)
+
+    # patch the APPEND's binding (dedup_store imports write_bucketed
+    # by name); the rebucket inside uses bucketing's own, unpatched
+    real_write = bucketing.write_bucketed
+    state = {"appends": 0}
+
+    def racing_write(df, table, **kw):
+        real_write(df, table, **kw)
+        if kw.get("mode") == "append":
+            state["appends"] += 1
+            if state["appends"] == 2:  # after the append's LAST write
+                rebucket_minhash_store(spark, "mh_race2", 8)
+
+    monkeypatch.setattr(ds, "write_bucketed", racing_write)
+    with pytest.raises(RuntimeError, match="raced this append"):
+        append_minhash_shard(shard, "mh_race2")
+    monkeypatch.setattr(ds, "write_bucketed", real_write)
+    assert state["appends"] == 2
+
+    # the cutover won; its snapshot ran AFTER both append writes, so
+    # the shard rows were CARRIED into the new generation — the store
+    # is consistent over base + shard
+    assert store_generation(spark, "mh_race2") == 1
+    grown = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            base.unionByName(shard), jaccard_threshold=0.7
+        ).collect()
+    }
+    assert _pairs(spark, "mh_race2") == grown
+    # the re-run instruction is safe: the id-clash probe reports the
+    # carried rows instead of double-ingesting them
+    with pytest.raises(ValueError, match="already exists"):
+        append_minhash_shard(shard, "mh_race2")
+    assert _pairs(spark, "mh_race2") == grown
+
+
+def test_maintenance_crash_recovery_sweeps_orphans(spark, corpus):
+    """A crash BEFORE the meta flip leaves orphan next-gen tables and
+    an untouched store; the next maintenance run sweeps them."""
+    write_minhash_store(corpus.limit(80), "mh_crash", buckets=4)
+    # fake the crash artifact: a half-built next generation
+    spark.table("mh_crash_bands").write.format("parquet").saveAsTable(
+        "mh_crash_bands_g1"
+    )
+    assert spark.catalog.tableExists("mh_crash_bands_g1")
+    before = _pairs(spark, "mh_crash")
+    rebucket_minhash_store(spark, "mh_crash", 8)
+    assert store_generation(spark, "mh_crash") == 1
+    # the orphan did not leak into (or survive) the new generation
+    assert not spark.catalog.tableExists("mh_crash_bands_g2")
+    assert _pairs(spark, "mh_crash") == before
+    # old generation dropped after the flip
+    assert not spark.catalog.tableExists("mh_crash_bands")
+
+
+def test_purge_is_generational_and_idempotent(spark, corpus):
+    write_minhash_store(corpus.limit(100), "mh_gp", buckets=4)
+    doomed = corpus.limit(100).select("doc_id").limit(8)
+    delete_ids(doomed, "mh_gp")
+    logical = _pairs(spark, "mh_gp")
+    purge_deleted(spark, "mh_gp")
+    assert store_generation(spark, "mh_gp") == 1
+    assert _pairs(spark, "mh_gp") == logical
+    purge_deleted(spark, "mh_gp")  # no tombstones: no-op, same gen
+    assert store_generation(spark, "mh_gp") == 1
+    assert _pairs(spark, "mh_gp") == logical
+
+
+def test_rebuild_minhash_store_migrates_v1_family(spark, corpus):
+    """The v1->v2 migration lifecycle (VERDICT r13 #4): a v1-family
+    store refuses appends loudly; rebuild_minhash_store re-shingles
+    the corpus under the current family (preserving tombstones and
+    the bucket count, atomic cutover); appends then succeed and
+    pairs match a fresh v2 write."""
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    shard = corpus.filter(F.col("doc_id") % 4 == 0).limit(20)
+    write_minhash_store(base, "mh_mig", buckets=4)
+    # tombstone a few ids BEFORE the migration
+    doomed = base.select("doc_id").limit(5)
+    doomed_ids = {r.doc_id for r in doomed.collect()}
+    delete_ids(doomed, "mh_mig")
+    # simulate a v1-era store: stamp hashv=1 into the meta
+    old = spark.table("mh_mig_meta").collect()[0].asDict()
+    spark.createDataFrame(
+        [(old["num_perm"], old["bands"], old["shingle_n"],
+          old["buckets"], 1, old.get("gen", 0))],
+        "num_perm int, bands int, shingle_n int, buckets int, "
+        "hashv int, gen int",
+    ).write.format("parquet").mode("overwrite").saveAsTable("mh_mig_meta")
+
+    with pytest.raises(ValueError, match="hash family"):
+        append_minhash_shard(shard, "mh_mig")
+
+    rebuild_minhash_store(spark, "mh_mig", base)
+    meta = spark.table("mh_mig_meta").collect()[0]
+    from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
+
+    assert meta["hashv"] == SHINGLE_HASH_VERSION
+    assert meta["buckets"] == 4  # preserved
+    assert store_generation(spark, "mh_mig") == 1
+    # tombstones preserved: deleted ids still invisible, still blocked
+    assert spark.catalog.tableExists("mh_mig_tombstones")
+    live = _pairs(spark, "mh_mig")
+    assert not any(
+        a in doomed_ids or b in doomed_ids for a, b, _ in live
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        append_minhash_shard(
+            base.join(doomed, "doc_id", "left_semi"), "mh_mig"
+        )
+    # appends accepted again; grown store matches the direct operator
+    append_minhash_shard(shard, "mh_mig")
+    direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            base.unionByName(shard), jaccard_threshold=0.7
+        ).collect()
+        if r.id_a not in doomed_ids and r.id_b not in doomed_ids
+    }
+    assert _pairs(spark, "mh_mig") == direct
+    # incremental pairing accepted again too
+    incremental_pairs_from_store(
+        spark, "mh_mig", shard.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    ).collect()
+
+
+def test_phys_resolution_and_reads_after_cutover(spark, corpus):
+    """Every read path resolves the meta pointer: after a rebucket the
+    unsuffixed tables are GONE and reads still answer (the old
+    hardcoded-name behavior would throw TABLE_OR_VIEW_NOT_FOUND)."""
+    write_minhash_store(corpus.limit(60), "mh_res", buckets=2)
+    assert _phys(spark, "mh_res", "bands") == "mh_res_bands"
+    before = _pairs(spark, "mh_res")
+    rebucket_minhash_store(spark, "mh_res", 4)
+    assert _phys(spark, "mh_res", "bands") == "mh_res_bands_g1"
+    assert not spark.catalog.tableExists("mh_res_bands")
+    assert _pairs(spark, "mh_res") == before
+    # a fresh write of the same name sweeps every generation back to 0
+    write_minhash_store(corpus.limit(60), "mh_res", buckets=2)
+    assert store_generation(spark, "mh_res") == 0
+    assert not spark.catalog.tableExists("mh_res_bands_g1")
+    assert _pairs(spark, "mh_res") == before
+
+
+def test_sweep_stale_generations_scope(spark, corpus):
+    """The sweep only touches the named store's own table family —
+    a sibling store sharing the name prefix is untouched."""
+    write_minhash_store(corpus.limit(40), "mh_sw", buckets=2)
+    write_minhash_store(corpus.limit(40), "mh_sw_other", buckets=2)
+    dropped = sweep_stale_generations(
+        spark, "mh_sw", ("bands", "shingles"), 0
+    )
+    assert dropped == []
+    assert spark.catalog.tableExists("mh_sw_other_bands")
+    assert phys_table("mh_sw", "bands", 0) == "mh_sw_bands"
+    assert phys_table("mh_sw", "bands", 3) == "mh_sw_bands_g3"

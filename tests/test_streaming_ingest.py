@@ -207,3 +207,47 @@ def test_bloom_stream_ingest_matches_batch_fit(spark, corpus, tmp_path):
 
     drain(str(tmp_path / "bck2"))
     assert read_bloom_store(spark, "bloom_stream").first()[0] == want
+
+
+def test_stream_ingest_across_rebucket_generations(spark, corpus, tmp_path):
+    """Streaming ingest around a rebucket (round 14): triggers before
+    the cutover write the old generation, triggers after it resolve
+    the NEW generation from the meta pointer and append at the new
+    bucket count — the store stays consistent and answers exactly."""
+    from polars_text_spark.operators.dedup_store import (
+        _phys,
+        rebucket_minhash_store,
+    )
+    from polars_text_spark.sources.bucketing import store_generation
+
+    src1 = str(tmp_path / "gen_drop1")
+    src2 = str(tmp_path / "gen_drop2")
+    first = corpus.filter(F.col("doc_id") % 2 == 0)
+    second = corpus.filter(F.col("doc_id") % 2 == 1)
+    first.repartition(1).write.mode("append").parquet(src1)
+    second.repartition(1).write.mode("append").parquet(src2)
+
+    _drain(spark, src1, str(tmp_path / "gck1"), "mh_genstream")
+    assert store_generation(spark, "mh_genstream") == 0
+
+    rebucket_minhash_store(spark, "mh_genstream", 8)
+    assert store_generation(spark, "mh_genstream") == 1
+
+    # post-cutover triggers must land in the NEW generation's tables
+    _drain(spark, src2, str(tmp_path / "gck2"), "mh_genstream")
+    assert store_generation(spark, "mh_genstream") == 1
+    n = spark.table(_phys(spark, "mh_genstream", "shingles")).count()
+    assert n == corpus.count()
+    # and the physical tables carry the post-rebucket bucket count
+    info = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(
+            f"DESCRIBE EXTENDED {_phys(spark, 'mh_genstream', 'bands')}"
+        ).collect()
+    }
+    assert int(info["Num Buckets"]) == 8
+
+    write_minhash_store(corpus, "mh_genstream_ref", buckets=8)
+    got = _pairs(spark, "mh_genstream")
+    assert got == _pairs(spark, "mh_genstream_ref")
+    assert got, "parity on an empty pair set is vacuous"

@@ -87,6 +87,27 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _register_store_cleanup(spark: SparkSession, name: str) -> None:
+    """Defer removal of EVERY warehouse directory of a pid-unique
+    driver-query store — glob-based because generational maintenance
+    (round 14) leaves the live tables under suffixed physical names
+    (``<name>_bands_g1``), which a fixed suffix list would miss."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+    def _sweep() -> None:
+        for d in _glob.glob(os.path.join(warehouse, f"{name}_*")):
+            shutil.rmtree(d, True)
+
+    atexit.register(_sweep)
+
+
 def _docs(spark: SparkSession, sf_dir: str, *, wide: bool = True) -> DataFrame:
     # spread_scan: the testdata tables are single-row-group parquet, so
     # the scan (and every per-doc expression fused into it) would run
@@ -7076,13 +7097,7 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     name = f"annincr_{os.getpid()}"
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for suffix in ("_bands", "_vectors", "_meta"):
-        atexit.register(
-            shutil.rmtree, os.path.join(warehouse, name + suffix), True
-        )
+    _register_store_cleanup(spark, name)
     write_ann_store(
         vecs.filter(F.col("vec_id") % 4 != 0), name, dim=64, buckets=8
     )
@@ -7163,13 +7178,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid-unique name + deferred cleanup: same lifecycle as
     # q_ann_store_incremental
     name = f"anndel_{os.getpid()}"
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for suffix in ("_bands", "_vectors", "_meta", "_tombstones"):
-        atexit.register(
-            shutil.rmtree, os.path.join(warehouse, name + suffix), True
-        )
+    _register_store_cleanup(spark, name)
     write_ann_store(vecs, name, dim=64, buckets=8)
     delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
     qs = vecs.filter(F.col("vec_id") < 6)
@@ -7198,7 +7207,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 3 = 0),
     unit AS (
       SELECT vec_id,
         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
@@ -7212,7 +7221,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
       FROM bk q JOIN bk n ON q.band_key = n.band_key
-      WHERE q.vec_id < 6 AND n.vec_id <> q.vec_id
+      WHERE q.vec_id < 18 AND n.vec_id <> q.vec_id
         AND (n.vec_id % 5) <> 0),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
@@ -7252,19 +7261,17 @@ def q_ann_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ann_store,
     )
 
+    # a THIRD of the corpus (VERDICT r13 #7): this query proves the
+    # rebucket lifecycle SEMANTICS — write/append/delete/rebucket/
+    # answer — not throughput (the 10x probe in SCALING.md owns that),
+    # so it doesn't need to pay a full-corpus store write per bench run
     vecs = _tbl(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 3 == 0)
     )
     # pid-unique name + deferred cleanup: same lifecycle as
     # q_ann_store_incremental
     name = f"annrbk_{os.getpid()}"
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for suffix in ("_bands", "_vectors", "_meta", "_tombstones"):
-        atexit.register(
-            shutil.rmtree, os.path.join(warehouse, name + suffix), True
-        )
+    _register_store_cleanup(spark, name)
     write_ann_store(
         vecs.filter(F.col("vec_id") % 4 != 0), name, dim=64, buckets=4
     )
@@ -7272,7 +7279,7 @@ def q_ann_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
     rebucket_store(spark, name, 8)
     out = topk_from_store(
-        spark, name, vecs.filter(F.col("vec_id") < 6), k=10, dim=64
+        spark, name, vecs.filter(F.col("vec_id") < 18), k=10, dim=64
     )
     return out.select(
         "query_id", "neighbor_id",
@@ -7340,13 +7347,7 @@ def q_ann_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     name = f"annaud_{os.getpid()}"
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for suffix in ("_bands", "_vectors", "_meta", "_tombstones"):
-        atexit.register(
-            shutil.rmtree, os.path.join(warehouse, name + suffix), True
-        )
+    _register_store_cleanup(spark, name)
     write_ann_store(vecs, name, dim=64, buckets=8)
     delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
     out = band_stats_from_ann_store(spark, name, band_cap=40)
@@ -8427,25 +8428,343 @@ def q_trigram_cross_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver correctness-window rotation.
 #
 # The driver records at most ~50 CORRECTNESS rows per round, taken in
-# ``queries()`` iteration order. With 150+ queries, some never get a
+# ``queries()`` iteration order. With 160+ queries, some never get a
 # driver-signed row unless we rotate. Queries listed here are moved to
 # the FRONT of the registry (preserving their relative order); the rest
-# keep their original order behind them. Round 13 fills the WHOLE
-# 50-row window explicitly: the five round-13 additions (never
+# keep their original order behind them. Round 14 fills the WHOLE
+# 50-row window explicitly: the five round-14 additions (never
 # signed), the six no-oracle/voucher PAIRS (adjacency pinned by
-# tests/test_registry_rotation.py), the 24 queries whose latest
-# signature is r9 — the oldest in the registry after round 12
-# re-signed the r8 tail — and the first 9 of the 42 r10-signed
-# (registry order; the rest rotate in next round).
+# tests/test_registry_rotation.py), and ALL 33 queries whose latest
+# signature is r10 — the oldest remaining after rounds 12/13 refreshed
+# the r8/r9 tails. After this round every signature is r11+.
+
+
+# ---------------------------------------------------------------------------
+# Round-14 queries: the MinHash store's first driver-hashed lifecycles
+# (generational atomic maintenance, v1->v2 migration) and the
+# collapse_left="auto" route on both cross-dedup faces.
+# ---------------------------------------------------------------------------
+
+# the store-lifecycle subset CTE: the same whitespace/3-gram shingle
+# derivation as _SQL_SH_CTE, parameterized by a doc_id predicate
+def _sql_sh_subset(pred: str) -> str:
+    return f"""
+  SELECT doc_id, {_SQL_SHINGLES} AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND ({pred}))
+"""
+
+
+_SQL_PAIRWISE_09 = """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+"""
+
+
+@query(
+    "minhash_store_migrate",
+    f"""
+    WITH sh AS ({{subset}})
+    {_SQL_PAIRWISE_09}
+    """.replace("{subset}", _sql_sh_subset(
+        "(doc_id % 2 = 0 OR doc_id % 4 = 1) AND doc_id % 10 <> 0"
+    )),
+)
+def q_minhash_store_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1->v2 store migration lifecycle under the driver hash
+    (VERDICT r13 #4): write the standing store over the even half,
+    tombstone every 10th doc, stamp the meta back to shingle hash
+    family v1 (the simulated legacy store), PROVE the loud append
+    refusal, ``rebuild_minhash_store`` from the authority corpus
+    (atomic generational cutover, tombstones preserved), append a new
+    odd shard, and answer ``pairs_from_store`` at j >= 0.9 over the
+    grown store. The oracle is the full-pairwise exact-Jaccard SQL
+    over (evens ∪ shard) minus the tombstoned docs — recall 1 - 4e-8
+    at 16x4 banding, so a migration that loses rows, drops tombstones,
+    re-shingles under the wrong parameters, or leaves mixed-family
+    tables fails the value hash."""
+    import os
+
+    from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
+    from polars_text_spark.operators.dedup_store import (
+        _write_meta,
+        append_minhash_shard,
+        delete_ids,
+        pairs_from_store,
+        rebuild_minhash_store,
+        write_minhash_store,
+    )
+
+    docs = _docs(spark, sf_dir, wide=False).filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    shard = docs.filter(F.col("doc_id") % 4 == 1)
+    name = f"mhmig_{os.getpid()}"
+    _register_store_cleanup(spark, name)
+    write_minhash_store(evens, name, buckets=4)
+    delete_ids(evens.filter(F.col("doc_id") % 10 == 0), name)
+    # simulate the legacy store: stamp the v1 family into the meta
+    _write_meta(
+        spark, name, num_perm=64, bands=16, shingle_n=3, buckets=4,
+        hashv=1, gen=0,
+    )
+    try:
+        append_minhash_shard(shard, name)
+    except ValueError:
+        pass  # the loud v1-family refusal — required
+    else:
+        raise RuntimeError(
+            "v1-family store accepted a v2 append — the hash-family "
+            "guard is broken"
+        )
+    rebuild_minhash_store(spark, name, evens)
+    assert int(
+        spark.table(f"{name}_meta").collect()[0]["hashv"]
+    ) == SHINGLE_HASH_VERSION
+    append_minhash_shard(shard, name)
+    pairs = pairs_from_store(spark, name, jaccard_threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@query(
+    "minhash_store_rebucket",
+    f"""
+    WITH sh AS ({{subset}})
+    {_SQL_PAIRWISE_09}
+    """.replace("{subset}", _sql_sh_subset(
+        "doc_id % 2 = 0 AND doc_id % 10 <> 0"
+    )),
+)
+def q_minhash_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash twin of ``ann_store_rebucket`` (round 14,
+    generational atomic cutover): write at 4 buckets on half the even
+    docs, append the other half, tombstone every 10th, rebucket to 8
+    (next generation + one meta flip + old generation dropped), and
+    answer ``pairs_from_store`` from the rewritten tables. Oracle =
+    full-pairwise exact Jaccard over the surviving docs; a rewrite
+    that drops/duplicates rows, loses tombstones, or breaks either
+    table fails the value hash (bucket count, generation pointer, and
+    the co-located plan are pinned in tests/test_store_generations.py
+    and test_dedup_store.py)."""
+    import os
+
+    from polars_text_spark.operators.dedup_store import (
+        append_minhash_shard,
+        delete_ids,
+        pairs_from_store,
+        rebucket_minhash_store,
+        write_minhash_store,
+    )
+
+    docs = _docs(spark, sf_dir, wide=False).filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    name = f"mhrbk_{os.getpid()}"
+    _register_store_cleanup(spark, name)
+    write_minhash_store(evens.filter(F.col("doc_id") % 4 == 2), name, buckets=4)
+    append_minhash_shard(evens.filter(F.col("doc_id") % 4 == 0), name)
+    delete_ids(evens.filter(F.col("doc_id") % 10 == 0), name)
+    rebucket_minhash_store(spark, name, 8)
+    pairs = pairs_from_store(spark, name, jaccard_threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@query(
+    "minhash_store_generations",
+    """
+    WITH n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      WHERE text IS NOT NULL AND (doc_id % 8 = 0 OR doc_id % 8 = 4)
+        AND doc_id % 16 <> 0)
+    SELECT CAST(64 AS INT) AS num_perm, CAST(16 AS INT) AS bands,
+           CAST(3 AS INT) AS shingle_n, CAST(4 AS INT) AS buckets,
+           CAST(2 AS INT) AS hashv, CAST(2 AS INT) AS gen,
+           n * 16 AS bands_rows, n AS shingle_rows,
+           FALSE AS has_tombstones
+    FROM n
+    """,
+)
+def q_minhash_store_generations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The generation-pointer protocol end to end on a small corpus
+    (round 14): write (gen 0) -> append -> tombstone -> purge (atomic
+    cutover, gen 1) -> rebucket (gen 2), then report the meta row and
+    the RESOLVED physical tables' row counts. The oracle re-derives
+    every field arithmetically from ``documents`` — a purge that
+    leaves tombstoned rows, a cutover that loses appends, a meta flip
+    that misses a field, or a resolver reading a stale generation all
+    change the row."""
+    import os
+
+    from polars_text_spark.operators.dedup_store import (
+        _phys,
+        append_minhash_shard,
+        delete_ids,
+        purge_deleted,
+        rebucket_minhash_store,
+        write_minhash_store,
+    )
+
+    docs = _docs(spark, sf_dir, wide=False).filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    name = f"mhgen_{os.getpid()}"
+    _register_store_cleanup(spark, name)
+    write_minhash_store(docs.filter(F.col("doc_id") % 8 == 0), name, buckets=2)
+    append_minhash_shard(docs.filter(F.col("doc_id") % 8 == 4), name)
+    delete_ids(docs.filter(F.col("doc_id") % 16 == 0), name)
+    purge_deleted(spark, name)
+    rebucket_minhash_store(spark, name, 4)
+    m = spark.table(f"{name}_meta").collect()[0]
+    bands_rows = spark.table(_phys(spark, name, "bands")).count()
+    shingle_rows = spark.table(_phys(spark, name, "shingles")).count()
+    return spark.createDataFrame(
+        [(
+            int(m["num_perm"]), int(m["bands"]), int(m["shingle_n"]),
+            int(m["buckets"]), int(m["hashv"]), int(m["gen"]),
+            int(bands_rows), int(shingle_rows),
+            bool(spark.catalog.tableExists(f"{name}_tombstones")),
+        )],
+        "num_perm int, bands int, shingle_n int, buckets int, hashv int, "
+        "gen int, bands_rows long, shingle_rows long, has_tombstones boolean",
+    )
+
+
+# identical-text shard family for the collapse_left="auto" gates:
+# nonsense vocabulary (zero shingle overlap with the corpus), one
+# matching STANDING doc so every fanned-back member carries a verified
+# jaccard-1 pair — the fan-back itself is what the oracle checks.
+_COLLAPSE_FAM_TEXT = "mgalpha mgbeta mggamma mgdelta mgepsilon mgzeta"
+_COLLAPSE_FAM_N = 12
+_COLLAPSE_STAND_ID = 3_000_000_000
+_COLLAPSE_FAM_START = 3_100_000_000
+
+
+def _collapse_frames(spark, docs, standing_pred):
+    standing = docs.filter(standing_pred).unionByName(
+        spark.createDataFrame(
+            [(_COLLAPSE_STAND_ID, _COLLAPSE_FAM_TEXT)],
+            "doc_id long, text string",
+        )
+    )
+    fam = spark.range(_COLLAPSE_FAM_N).select(
+        (F.lit(_COLLAPSE_FAM_START) + F.col("id")).alias("doc_id"),
+        F.lit(_COLLAPSE_FAM_TEXT).alias("text"),
+    )
+    shard = docs.filter(F.col("doc_id") % 4 == 3).unionByName(fam)
+    return shard, standing
+
+
+_SQL_COLLAPSE_CROSS = f"""
+    WITH sa AS ({{ssub}}), sb AS ({{bsub}})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM sa a JOIN sb b ON TRUE
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    UNION ALL  -- the collapsed family fans back: every member pairs
+               -- with the standing twin at jaccard 1
+    SELECT {_COLLAPSE_FAM_START} + i AS id_a,
+           {_COLLAPSE_STAND_ID} AS id_b, 1.0 AS jaccard
+    FROM generate_series(0, {_COLLAPSE_FAM_N - 1}) t(i)
+"""
+
+
+@query(
+    "cross_dedup_collapse_auto",
+    _SQL_COLLAPSE_CROSS
+    .replace("{ssub}", _sql_sh_subset("doc_id % 4 = 3"))
+    .replace("{bsub}", _sql_sh_subset("doc_id % 2 = 0")),
+)
+def q_cross_dedup_collapse_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """collapse_left='auto' on the in-flight cross-dedup face (VERDICT
+    r13 #5): the shard carries a 12-member identical-text family, so
+    the probe ENGAGES the collapse — one representative rides the
+    pipeline and the verified pair against the standing twin fans back
+    to every member. The oracle is the full cross-pair SQL plus the
+    12 fan-back rows; a collapse that drops members, mis-keys the
+    fan-back, or double-fans real docs fails the value hash."""
+    from polars_text_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    docs = _docs(spark, sf_dir, wide=False).filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    shard, standing = _collapse_frames(
+        spark, docs, F.col("doc_id") % 2 == 0
+    )
+    pairs = minhash_lsh_cross_pairs(
+        shard, standing, "text", "doc_id",
+        jaccard_threshold=0.9, collapse_left="auto",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@query(
+    "incremental_store_collapse_auto",
+    _SQL_COLLAPSE_CROSS
+    .replace("{ssub}", _sql_sh_subset("doc_id % 4 = 3"))
+    .replace("{bsub}", _sql_sh_subset("doc_id % 4 = 0")),
+)
+def q_incremental_store_collapse_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """collapse_left='auto' on the STORE ingest face: same shard
+    family, standing corpus persisted as the bucketed MinHash store
+    (its side reads co-located buckets; only the — collapsed — shard
+    shuffles). Oracle identical in shape to the in-flight twin."""
+    import os
+
+    from polars_text_spark.operators.dedup_store import (
+        incremental_pairs_from_store,
+        write_minhash_store,
+    )
+
+    docs = _docs(spark, sf_dir, wide=False).filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    shard, standing = _collapse_frames(
+        spark, docs, F.col("doc_id") % 4 == 0
+    )
+    name = f"mhcol_{os.getpid()}"
+    _register_store_cleanup(spark, name)
+    write_minhash_store(standing, name, buckets=4)
+    pairs = incremental_pairs_from_store(
+        spark, name, shard, jaccard_threshold=0.9, collapse_left="auto"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-13 additions (driver has never seen these)
-    "ann_store_rebucket",
-    "trigram_cross_score",
-    "band_audit",
-    "ann_band_audit",
-    "topic_assign_oos",
+    # round-14 additions (driver has never seen these): the MinHash
+    # store's first driver-hashed lifecycles + collapse_left="auto"
+    "minhash_store_migrate",
+    "minhash_store_rebucket",
+    "minhash_store_generations",
+    "cross_dedup_collapse_auto",
+    "incremental_store_collapse_auto",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the
     # oracle-checked assemble stage for the topic pipeline; the exact
@@ -8464,44 +8783,43 @@ _DRIVER_PRIORITY = [
     "topic_assemble",
     "similarity_ann_recall",
     "similarity_topk",
-    # THEN: the 24 r9-signed entries — the oldest driver signatures
-    # in the registry after round 12 re-signed the r8 tail and the
-    # first 21 of the r9 tail.
-    "anchor_text_table",
-    "ann_store_delete",
-    "bitext_pairs",
-    "blocklist_gate",
-    "bpe_merges",
-    "chat_lint",
-    "code_prose_signals",
-    "contrastive_triplets",
-    "domain_frequencies",
-    "domain_pagerank",
-    "dsir_select",
-    "dsir_topk",
-    "dsir_weights",
-    "epoch_mixture",
-    "html_extract",
-    "license_scan",
-    "media_dhash_dups",
-    "mixture_temperature",
-    "strip_common_lines",
-    "tokenizer_fertility",
-    "url_canonical_freq",
-    "warc_ingest",
-    "wav_pcm_stats",
-    "windowed_drift",
-    # THEN: the first 9 of the 42 r10-signed (registry order),
-    # filling the window to exactly 50; the rest rotate next round.
-    "zipf_by_lang",
-    "mixture_rebalance",
-    "pii_scan",
-    "paragraph_dedup_stats",
-    "winnow_overlap",
-    "strip_duplicate_paragraphs",
-    "salted_order_priority_revenue",
-    "salted_customer_order_counts",
-    "events_purchase_windows_left",
+    # THEN: the 33 remaining r10-signed entries — the oldest driver
+    # signatures after rounds 12/13 re-signed the r8/r9 tails and the
+    # first 9 of the r10 tail. 5 + 12 + 33 = 50: the window is full
+    # and every pre-r11 signature is refreshed this round.
+    "c4_filter",
+    "char_quality_stats",
+    "collocations_pmi",
+    "corpus_snapshot_diff",
+    "dedup_keep_best",
+    "doc_novelty",
+    "domain_cap",
+    "dup_degree_hist",
+    "dup_span_coverage",
+    "gopher_filter",
+    "heaps_fit",
+    "heavy_hitters",
+    "kmeans_clusters",
+    "kwic_term_plot",
+    "length_outliers",
+    "near_dup_sources",
+    "ngram_trigrams",
+    "preference_pair_audit",
+    "quality_classifier",
+    "readability_scores",
+    "semantic_dedup_pairs",
+    "shard_manifest",
+    "source_cardinality",
+    "source_prefix_boilerplate",
+    "split_leakage_audit",
+    "strip_duplicate_spans",
+    "tfidf_keywords",
+    "token_dispersion",
+    "tokenize_cached",
+    "topic_chunks",
+    "train_val_split",
+    "trending_keys",
+    "trigram_surprisal",
 ]
 
 

@@ -797,11 +797,23 @@ def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
       pairs — the second probability factor (a missed pair must also
       be cross-signature); null when nothing is saturated;
     - ``est_miss_prob``: the product of the two factors — the
-      single-shared-bucket miss bound the docstrings argue; a pair
-      sharing k buckets is bounded by
-      ``saturated_row_fraction^k * cross_sig_share``, so this column
-      is the CONSERVATIVE k=1 figure. When it is not negligible,
-      raise ``band_cap`` or re-provision bands.
+      single-shared-bucket factor: the chance a RANDOMLY-PLACED pair
+      sharing one bucket lands in a saturated, cross-signature
+      position. It is NOT a bound on the realized miss RATE when
+      saturation is CORRELATED — a near-identical family (jaccard
+      ~0.9+, distinct signatures) floods EVERY band with its own hot
+      buckets, so each family pair's shared buckets are all saturated
+      no matter how small the corpus-global row fraction is. Measured
+      (SCALING.md round-14, Zipf near-identical families): actual
+      miss rate 0.99 at cap 8 with ``est_miss_prob`` 0.13, while
+      ``cross_sig_missed_bound`` held (union bound on candidates) and
+      ``cross_sig_missed_bound / unguarded_candidates``
+      (0.967/0.941/0.757 at caps 8/32/128) tracked the realized rate
+      (0.995/0.953/0.644). Read ``est_miss_prob`` for isolated hash
+      hot spots; when ``saturated_row_fraction`` is driven by
+      FAMILIES, size recall by the bound/unguarded ratio and raise
+      ``band_cap`` (or collapse exact duplicates upstream —
+      ``collapse_left``) instead of trusting the product factor.
     """
     has_sig = "sig_pairs" in per_bucket.columns
     unguarded = F.expr("m * (m - 1) div 2")

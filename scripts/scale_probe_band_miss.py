@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Band-cap recall telemetry validation on a NATURALLY SKEWED corpus
+(VERDICT r13 #6): the round-13 `band_audit` telemetry was only ever
+exercised on signature-identical boilerplate families, where the
+cross-signature missed bound is exactly 0 (the easy regime). This
+probe builds Zipf-distributed NEAR-identical families — distinct
+shingle sets, jaccard ~0.93 within a family, so members carry
+DIFFERENT MinHash signatures and saturated buckets really do decline
+cross-signature candidates — and compares the telemetry's
+`cross_sig_missed_bound` / `est_miss_prob` against the ACTUAL pairs
+missed vs the unguarded ground truth.
+
+Usage: python scripts/scale_probe_band_miss.py [sf_dir] [caps...]
+Writes one JSON line; paste the table into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+# Zipf family sizes: size_k ~ S/k — one giant family, a fat tail
+S, K = 300, 12
+THRESH = 0.9
+
+
+def _families(spark):
+    rows = []
+    for k in range(1, K + 1):
+        size = S // k
+        base = " ".join(f"zf{k}w{t}" for t in range(30))
+        for i in range(size):
+            # one member-specific trailing token: shingle sets share
+            # 28 of 29 3-grams => within-family jaccard 28/30 ~ 0.933,
+            # distinct sets => distinct signatures (the hard regime)
+            rows.append((k * 1_000_000 + i, f"{base} zf{k}m{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    caps = [int(c) for c in sys.argv[2:]] or [8, 32, 128]
+
+    from polars_text_spark.operators.dedup import (
+        lsh_band_stats,
+        minhash_lsh_pairs,
+    )
+    from polars_text_spark.session import get_spark
+
+    spark = get_spark(
+        "band-miss-probe",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "8g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    corpus = docs.unionByName(_families(spark)).localCheckpoint(eager=True)
+    n = corpus.count()
+    print(f"corpus: {n} docs (families: {sum(S // k for k in range(1, K + 1))})")
+
+    def pairset(cap):
+        t0 = time.time()
+        got = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                corpus, jaccard_threshold=THRESH, band_cap=cap
+            ).collect()
+        }
+        return got, round(time.time() - t0, 2)
+
+    truth, t_truth = pairset(None)
+    fam_truth = {p for p in truth if p[0] >= 1_000_000}
+    print(f"unguarded truth: {len(truth)} pairs "
+          f"({len(fam_truth)} family) in {t_truth} s")
+
+    out = {"sf_dir": sf_dir, "truth_pairs": len(truth),
+           "family_pairs": len(fam_truth), "rows": []}
+    for cap in caps:
+        got, t_g = pairset(cap)
+        missed = truth - got
+        assert not (got - truth), "guard INVENTED pairs — impossible"
+        stats = lsh_band_stats(corpus, band_cap=cap).collect()[0].asDict()
+        row = {
+            "band_cap": cap,
+            "guarded_pairs": len(got),
+            "actual_missed": len(missed),
+            "actual_miss_rate": round(len(missed) / max(len(truth), 1), 6),
+            "cross_sig_missed_bound": stats["cross_sig_missed_bound"],
+            "est_miss_prob": stats["est_miss_prob"],
+            "n_saturated_buckets": stats["n_saturated_buckets"],
+            "guarded_candidates": stats["guarded_candidates"],
+            "unguarded_candidates": stats["unguarded_candidates"],
+            "secs": t_g,
+        }
+        # the telemetry's contract: the bound NEVER understates
+        assert row["cross_sig_missed_bound"] is None or (
+            row["actual_missed"] <= row["cross_sig_missed_bound"]
+        ), row
+        out["rows"].append(row)
+        print(json.dumps(row))
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -118,10 +118,13 @@ from polars_text_spark.operators.dedup_store import (
     band_stats_from_store,
     incremental_pairs_from_store,
     pairs_from_store,
+    rebucket_minhash_store,
+    rebuild_minhash_store,
     write_minhash_store,
 )
 from polars_text_spark.operators.ann_store import (
     append_ann_shard,
+    rebucket_store,
     topk_against_shard,
     topk_from_store,
     write_ann_store,
@@ -281,6 +284,9 @@ __all__ = [
     "pack_sequences",
     "band_stats_from_store",
     "pairs_from_store",
+    "rebucket_minhash_store",
+    "rebucket_store",
+    "rebuild_minhash_store",
     "append_minhash_shard",
     "append_ann_shard",
     "topk_against_shard",

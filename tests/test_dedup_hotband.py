@@ -738,3 +738,52 @@ def test_collapse_left_rejects_streaming_left(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     with pytest.raises(ValueError, match="batch left frame"):
         _collapse_left_groups(stream, "text", "doc_id", 3)
+
+
+def test_band_miss_bound_holds_on_near_identical_families(spark):
+    """Round-14 telemetry validation (VERDICT r13 #6), the HARD
+    regime: near-identical families (distinct shingle sets, so
+    distinct signatures) flood every band with their own saturated
+    buckets. Contract pinned: (a) cross_sig_missed_bound is a true
+    upper bound on the pairs the guard loses vs the unguarded truth;
+    (b) est_miss_prob is only the single-shared-bucket factor and
+    UNDERSTATES the realized rate here (the documented caveat —
+    SCALING.md round-14); (c) bound/unguarded is the regime-robust
+    rate signal (within-family saturation puts it at the same order
+    as the actual rate)."""
+    from polars_text_spark.operators.dedup import lsh_band_stats
+
+    rows = []
+    for k, size in ((1, 40), (2, 20)):
+        base = " ".join(f"nf{k}w{t}" for t in range(30))
+        for i in range(size):
+            rows.append((k * 100_000 + i, f"{base} nf{k}m{i}"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(cap):
+        return {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                corpus, jaccard_threshold=0.9, band_cap=cap
+            ).collect()
+        }
+
+    truth = pairs(None)
+    assert len(truth) == 40 * 39 // 2 + 20 * 19 // 2  # recall ~1 here
+    got = pairs(4)
+    missed = truth - got
+    assert not (got - truth)
+    assert missed, "cap=4 on 40/20-member families must lose pairs"
+
+    stats = lsh_band_stats(corpus, band_cap=4).collect()[0].asDict()
+    bound = stats["cross_sig_missed_bound"]
+    assert bound is not None and len(missed) <= bound
+    actual_rate = len(missed) / len(truth)
+    # the documented caveat: the k=1 product factor understates
+    # correlated (family-flooding) saturation
+    assert stats["est_miss_prob"] < actual_rate
+    # the regime-robust signal: bound/unguarded lands at the same
+    # order as the realized rate (it tracked within ~0.15 absolute on
+    # the round-14 probe; assert the loose version)
+    ratio = bound / stats["unguarded_candidates"]
+    assert ratio > actual_rate / 2

@@ -540,28 +540,43 @@ def _guarded_self_pairs(
       caller's full-signature key — equal values mean
       collision-negligibly IDENTICAL signatures, i.e. near-certain
       duplicates), ``(group hub, member)`` for every member, hub =
-      min id of the group. Still at most ``m - 1`` edges per bucket
-      (the groups partition it), and every star edge connects two
+      min id of the group — every such edge connects two
       signature-identical docs, so it passes the caller's exact
-      verification BY CONSTRUCTION rather than against an arbitrary
-      bucket hub. With ``star_by=()`` the whole bucket is one group
-      (the degenerate single-hub star).
+      verification BY CONSTRUCTION. PLUS (round 14) one CHAIN edge
+      per additional group: ``(bucket hub, group hub)`` for every
+      group hub other than the bucket's global min — hub-to-hub only,
+      never member-to-foreign-hub, so the total stays EXACTLY
+      ``m - 1`` edges per bucket ((m - #groups) star + (#groups - 1)
+      chain). Chain edges are verification-GATED, not guaranteed:
+      when a bucket is saturated by a NEAR-identical family (distinct
+      shingle sets => singleton signature groups — the regime the
+      round-14 Zipf probe measured), every member IS its own group
+      hub, the chain is a full bucket star, and the verified
+      survivors hand downstream connected components the whole family
+      as ONE component; previously such buckets emitted ZERO edges
+      and the members were orphaned out of the dedup verdict
+      entirely. When a bucket is saturated by hash coincidence, the
+      chain candidates simply fail verification (precision
+      untouched). With ``star_by=()`` the whole bucket is one group
+      (the degenerate single-hub star, chain empty).
 
     Every emitted pair still passes the caller's exact verification, so
     precision is untouched. Recall accounting (the discipline of the
-    KMV hot-element prune in :func:`bottomk_sketch_pairs`): a true
-    pair is missed only when BOTH (a) every bucket the two docs share
-    is saturated AND (b) their signatures differ (different ``star_by``
-    groups). For MinHash at j >= threshold the two docs co-occur in
-    each OTHER band with probability ~j^rows_per_band, so (a) requires
-    every one of those collisions to be saturated too — the miss
-    probability is the product of both tails, measured negligible in
-    the hotband gates. Signature-identical families — the regime that
-    actually saturates buckets — are recovered EXACTLY: downstream
-    connected components (operators/components.py) rebuild the family
-    from the group stars. ``band_cap=None`` disables the guard (the
-    measured A/B path); :func:`lsh_band_stats` reports the candidate
-    counts both ways.
+    KMV hot-element prune in :func:`bottomk_sketch_pairs`): the PAIR
+    SET is complete for signature-identical families (group stars +
+    components rebuild them exactly) and inherently incomplete for
+    cross-signature pairs in saturated buckets (any linear guard must
+    decline most of a quadratic clique — `lsh_band_stats`'
+    ``cross_sig_missed_bound`` counts exactly these); the chain edges
+    guarantee the COMPONENT/dedup-verdict level instead: every member
+    of a verified-similar family reaches the family hub through at
+    most two verified edges. A true pair can escape candidates only
+    when every bucket it shares is saturated AND the two docs sit in
+    different groups — for MinHash at j >= threshold the docs co-occur
+    in each other band with probability ~j^rows_per_band, so every
+    one of those collisions must be saturated too. ``band_cap=None``
+    disables the guard (the measured A/B path); :func:`lsh_band_stats`
+    reports the candidate counts both ways.
 
     ``cache`` (default on): the annotated band frame feeds THREE
     consumers (both self-join sides + the star branch), and Spark
@@ -597,31 +612,53 @@ def _guarded_self_pairs(
     if band_cap < 1:
         raise ValueError(f"band_cap must be >= 1 or None, got {band_cap}")
     w = Window.partitionBy(*keys)
-    ann = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+    # bucket hub alongside the count: same window partitioning, so the
+    # chain construction below adds NO Exchange beyond the one the
+    # count already forced
+    ann = banded.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+        "__bhub", F.min(F.struct("id", *payload)).over(w)
+    )
     if cache:
         from pyspark.storagelevel import StorageLevel
 
         ann = track_persist(ann.persist(StorageLevel.MEMORY_AND_DISK))
-    small = ann.filter(F.col("__bn") <= band_cap).drop("__bn")
+    small = ann.filter(F.col("__bn") <= band_cap).drop("__bn", "__bhub")
     # hub per (bucket, star_by) group — computed AFTER the saturation
     # filter (saturation is a whole-bucket property, so groups stay
     # intact) over the same clustered distribution
     wg = Window.partitionBy(*keys, *star_by)
+    saturated = ann.filter(F.col("__bn") > band_cap).withColumn(
+        # struct min orders by id first: the hub row's id AND
+        # payload in one pass (payload columns ride only when
+        # present)
+        "__hub",
+        F.min(F.struct("id", *payload)).over(wg),
+    )
     star = (
-        ann.filter(F.col("__bn") > band_cap)
-        .withColumn(
-            # struct min orders by id first: the hub row's id AND
-            # payload in one pass (payload columns ride only when
-            # present)
-            "__hub",
-            F.min(F.struct("id", *payload)).over(wg),
-        )
-        .filter(F.col("id") != F.col("__hub.id"))
+        saturated.filter(F.col("id") != F.col("__hub.id"))
         .select(
             # hub = group min id, so id_a < id_b holds by construction
             F.col("__hub.id").alias("id_a"),
             F.col("id").alias("id_b"),
             *[F.col(f"__hub.{p}").alias(f"{p}_a") for p in payload],
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+        .select(*out_cols)
+    )
+    # CHAIN edges (round 14): one candidate per additional signature
+    # group, bucket hub -> group hub. Emitted from the group-hub rows
+    # only (id == group hub), so the edge count is #groups - 1 per
+    # bucket — linear, and hub-to-hub only.
+    chain = (
+        saturated.filter(
+            (F.col("id") == F.col("__hub.id"))
+            & (F.col("id") != F.col("__bhub.id"))
+        )
+        .select(
+            # bucket hub = bucket min id, so id_a < id_b by construction
+            F.col("__bhub.id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[F.col(f"__bhub.{p}").alias(f"{p}_a") for p in payload],
             *[F.col(p).alias(f"{p}_b") for p in payload],
         )
         .select(*out_cols)
@@ -632,7 +669,11 @@ def _guarded_self_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(*out_cols)
     )
-    return pairs.unionByName(star).dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.unionByName(star)
+        .unionByName(chain)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def _guarded_cross_candidates(

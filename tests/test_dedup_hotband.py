@@ -117,9 +117,10 @@ def test_band_cap_validation(corpus):
 
 
 def test_guarded_pairs_pin_signature_pipeline(corpus):
-    """The guard's three consumers (both join sides + star) must read
-    the PERSISTED band frame — without the pin the MinHash signature
-    aggregation plans (and runs) three times (SCALING.md round-12)."""
+    """The guard's four consumers (both join sides + the group stars
+    + the round-14 bucket-hub chain) must read the PERSISTED band
+    frame — without the pin the MinHash signature aggregation plans
+    (and runs) once per consumer (SCALING.md round-12)."""
     from polars_text_spark.persist import release_tracked, tracked_count
 
     release_tracked()
@@ -128,9 +129,9 @@ def test_guarded_pairs_pin_signature_pipeline(corpus):
     assert tracked_count() > before  # registered for deferred release
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # exactly the three consumers read the cache (the signature
+    # exactly the four consumers read the cache (the signature
     # aggregation lives once, inside the InMemoryRelation)
-    assert plan.count("InMemoryTableScan") == 3, plan[:2000]
+    assert plan.count("InMemoryTableScan") == 4, plan[:2000]
     release_tracked()
 
 
@@ -235,9 +236,10 @@ def test_store_incremental_guarded_hub_only(spark, corpus):
 
 def test_saturated_bucket_stars_per_signature_group(spark):
     """A bucket saturated by TWO distinct signature families (the
-    shared-boilerplate-band shape) must emit one star PER family —
-    never edges against an arbitrary bucket hub that exact
-    verification would reject."""
+    shared-boilerplate-band shape) emits one star PER family, plus
+    (round 14) ONE verification-gated CHAIN candidate from the bucket
+    hub to the other family's hub — hub-to-hub only, never a member
+    against a foreign hub, total exactly m - 1 candidates."""
     from polars_text_spark.operators.dedup import _guarded_self_pairs
 
     rows = [(i, 1, 100) for i in range(6)] + [
@@ -250,9 +252,52 @@ def test_saturated_bucket_stars_per_signature_group(spark):
             banded, ["bk"], 8, star_by=("__sig",)
         ).collect()
     }
-    assert got == {(0, i) for i in range(1, 6)} | {
-        (10, 10 + i) for i in range(1, 6)
+    assert got == (
+        {(0, i) for i in range(1, 6)}
+        | {(10, 10 + i) for i in range(1, 6)}
+        | {(0, 10)}  # the chain edge (verification-gated)
+    )
+    assert len(got) == len(rows) - 1  # exactly m - 1 candidates
+
+
+def test_saturated_singleton_groups_chain_to_bucket_hub(spark):
+    """The near-identical-family regime (round-14 Zipf probe): every
+    member is its own signature group, so group stars are empty — the
+    chain must hand the whole bucket to the hub as a star so that
+    verification + components can recover the family (previously the
+    bucket emitted ZERO candidates and orphaned every member)."""
+    from polars_text_spark.operators.dedup import _guarded_self_pairs
+
+    rows = [(i, 1, 1000 + i) for i in range(10)]
+    banded = spark.createDataFrame(rows, "id long, bk int, __sig long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in _guarded_self_pairs(
+            banded, ["bk"], 4, star_by=("__sig",)
+        ).collect()
     }
+    assert got == {(0, i) for i in range(1, 10)}
+
+
+def test_near_identical_family_recovered_as_one_component(spark):
+    """End to end: a 30-member near-identical family (distinct shingle
+    sets, saturating every band at cap 4) must come back from
+    minhash_lsh_pairs with every member connected to the family hub,
+    so duplicate_clusters sees ONE family — the dedup-verdict
+    guarantee the chain edges exist for."""
+    from polars_text_spark.operators.components import connected_components
+
+    base = " ".join(f"cfw{t}" for t in range(30))
+    fam = spark.createDataFrame(
+        [(100 + i, f"{base} cfm{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        fam, jaccard_threshold=0.9, band_cap=4
+    ).select("id_a", "id_b")
+    rows = connected_components(pairs, src="id_a", dst="id_b").collect()
+    assert {r["vertex"] for r in rows} == {100 + i for i in range(30)}
+    assert {r["component"] for r in rows} == {100}
 
 
 def test_cross_guard_keeps_capped_signature_representatives(spark):

@@ -71,7 +71,18 @@ def test_dup_span_coverage_gram_expression_not_duplicated(spark):
     this pins: (a) explode_outer keeps InferFiltersFromGenerate from
     cloning it into a pre-generate filter, and (b) the profile side
     computes n_grams arithmetically instead of size(<gram expr>) —
-    either regression pushes the count to 3+."""
+    either regression pushes the count up. Round 14: the production
+    default is the v2 token-hash-window family, so the marker is
+    xxhash64 (2 per pipeline instance: the token-hash transform + the
+    window hash) — 4 total for the two consumers; the sha oracle
+    family keeps the old 2x sha2 shape."""
     out = dup_ngram_coverage(_docs(spark), n=3, min_df=2)
     plan = explain_str(out)
-    assert plan.count("sha2") == 2
+    assert plan.count("xxhash64") == 4 and plan.count("sha2") == 0
+
+    from polars_text_spark.operators.dedup import sha_token_hash
+
+    sha_out = dup_ngram_coverage(
+        _docs(spark), n=3, min_df=2, gram_hash=sha_token_hash
+    )
+    assert explain_str(sha_out).count("sha2") == 2

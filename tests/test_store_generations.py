@@ -151,8 +151,12 @@ def test_append_racing_a_cutover_raises_loudly(spark, corpus, monkeypatch):
 def test_maintenance_crash_recovery_sweeps_orphans(spark, corpus):
     """A crash BEFORE the meta flip leaves orphan next-gen tables and
     an untouched store; the next maintenance run sweeps them."""
+    from polars_text_spark.sources.bucketing import clear_table
+
     write_minhash_store(corpus.limit(80), "mh_crash", buckets=4)
-    # fake the crash artifact: a half-built next generation
+    # fake the crash artifact: a half-built next generation (clear any
+    # stale dir a previous test SESSION left in the shared warehouse)
+    clear_table(spark, "mh_crash_bands_g1")
     spark.table("mh_crash_bands").write.format("parquet").saveAsTable(
         "mh_crash_bands_g1"
     )

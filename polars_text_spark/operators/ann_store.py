@@ -14,11 +14,15 @@ Persisting them ONCE as bucketed tables means
   (:func:`polars_text_spark.operators.similarity.sha_band_keys`), so
   store contents are reproducible and auditable across engines.
 
-Store layout (two catalog tables):
+Store layout (two bucketed catalog tables + the meta pointer):
 ``<name>_bands(id, band_key string)`` bucketed+sorted by ``band_key``;
 ``<name>_vectors(id, u array<double>)`` bucketed+sorted by ``id``.
 Signature parameters are embedded at write time; pass the same ones at
-query time.
+query time. Since round 14 the PHYSICAL table names are generational
+(``<name>_bands_g1`` after the first maintenance rewrite) and
+``<name>_meta`` is the atomic pointer — resolve through
+``sources.bucketing.phys_table``/``store_generation`` instead of
+hardcoding names (see :mod:`polars_text_spark.operators.dedup_store`).
 """
 
 from __future__ import annotations

@@ -18,11 +18,17 @@ the corpus does. This module persists them ONCE as bucketed tables
 - exact-Jaccard verification joins candidates against the shingle
   table bucketed by doc id — again shuffle-free on the corpus side.
 
-Store layout (two catalog tables):
-``<name>_bands(id, band int, bucket long)`` bucketed+sorted by
+Store layout (two bucketed catalog tables + the meta pointer):
+``<name>_bands(id, band int, bucket long[, sig])`` bucketed+sorted by
 ``(band, bucket)``; ``<name>_shingles(id, sh array<long>)``
 bucketed+sorted by ``id``. Signature parameters are embedded at write
-time; pass the same ones when pairing a new shard.
+time; pass the same ones when pairing a new shard. Since round 14 the
+PHYSICAL table names are generational (``<name>_bands_g1`` after the
+first maintenance rewrite) and ``<name>_meta`` is the atomic pointer:
+resolve through :func:`_phys` (or ``sources.bucketing.phys_table`` +
+``store_generation``) instead of hardcoding names — the unsuffixed
+names are only guaranteed for a store that has never had
+rebucket/purge run.
 """
 
 from __future__ import annotations

@@ -485,8 +485,11 @@ def topk_against_shard(
         "query_id",
     )
     __ts = _tombstones(spark, name)
+    # one generation resolution for BOTH store reads (a meta lookup is
+    # a small collect job; twice per query is pure overhead)
+    __gen = store_generation(spark, name)
     store_bands = _minus_tombstones(
-        _read_store(spark, name, "bands"), __ts
+        spark.table(phys_table(name, "bands", __gen)), __ts
     ).select(F.col("id").alias("neighbor_id"), "band_key")
     shard_bands = banded.select(
         F.col("id").alias("neighbor_id"), "band_key"
@@ -500,7 +503,7 @@ def topk_against_shard(
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     neighbors = (
-        _minus_tombstones(_read_store(spark, name, "vectors"), __ts)
+        _minus_tombstones(spark.table(phys_table(name, "vectors", __gen)), __ts)
         .unionByName(unit)
         .select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
     )
@@ -569,8 +572,9 @@ def topk_from_store(
         ).alias("band_key"),
     )
     __ts = _tombstones(spark, name)
+    __gen = store_generation(spark, name)  # one resolution, both reads
     store_bands = _minus_tombstones(
-        _read_store(spark, name, "bands"), __ts
+        spark.table(phys_table(name, "bands", __gen)), __ts
     ).select(F.col("id").alias("neighbor_id"), "band_key")
     cands = (
         store_bands.join(q, "band_key")
@@ -580,7 +584,7 @@ def topk_from_store(
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     unit = _minus_tombstones(
-        _read_store(spark, name, "vectors"), __ts
+        spark.table(phys_table(name, "vectors", __gen)), __ts
     ).select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
     scored = cands.join(unit, "neighbor_id").select(
         "query_id",

@@ -612,12 +612,15 @@ def _guarded_self_pairs(
     if band_cap < 1:
         raise ValueError(f"band_cap must be >= 1 or None, got {band_cap}")
     w = Window.partitionBy(*keys)
-    # bucket hub alongside the count: same window partitioning, so the
-    # chain construction below adds NO Exchange beyond the one the
-    # count already forced
-    ann = banded.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
-        "__bhub", F.min(F.struct("id", *payload)).over(w)
-    )
+    ann = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+    if star_by:
+        # bucket hub alongside the count: same window partitioning, so
+        # the chain construction below adds NO Exchange beyond the one
+        # the count already forced (with star_by=() the chain is empty
+        # by construction and the hub column is skipped)
+        ann = ann.withColumn(
+            "__bhub", F.min(F.struct("id", *payload)).over(w)
+        )
     if cache:
         from pyspark.storagelevel import StorageLevel
 
@@ -645,35 +648,38 @@ def _guarded_self_pairs(
         )
         .select(*out_cols)
     )
-    # CHAIN edges (round 14): one candidate per additional signature
-    # group, bucket hub -> group hub. Emitted from the group-hub rows
-    # only (id == group hub), so the edge count is #groups - 1 per
-    # bucket — linear, and hub-to-hub only.
-    chain = (
-        saturated.filter(
-            (F.col("id") == F.col("__hub.id"))
-            & (F.col("id") != F.col("__bhub.id"))
-        )
-        .select(
-            # bucket hub = bucket min id, so id_a < id_b by construction
-            F.col("__bhub.id").alias("id_a"),
-            F.col("id").alias("id_b"),
-            *[F.col(f"__bhub.{p}").alias(f"{p}_a") for p in payload],
-            *[F.col(p).alias(f"{p}_b") for p in payload],
-        )
-        .select(*out_cols)
-    )
     pairs = (
         _side(small, "a")
         .join(_side(small, "b"), keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(*out_cols)
     )
-    return (
-        pairs.unionByName(star)
-        .unionByName(chain)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    out = pairs.unionByName(star)
+    if star_by:
+        # CHAIN edges (round 14): one candidate per additional
+        # signature group, bucket hub -> group hub. Emitted from the
+        # group-hub rows only (id == group hub), so the edge count is
+        # #groups - 1 per bucket — linear, and hub-to-hub only. With
+        # star_by=() the whole bucket is one group (group hub ==
+        # bucket hub), the chain is empty by construction, so the
+        # branch — and its extra scan of the cached band frame — is
+        # skipped entirely.
+        chain = (
+            saturated.filter(
+                (F.col("id") == F.col("__hub.id"))
+                & (F.col("id") != F.col("__bhub.id"))
+            )
+            .select(
+                # bucket hub = bucket min id: id_a < id_b by construction
+                F.col("__bhub.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                *[F.col(f"__bhub.{p}").alias(f"{p}_a") for p in payload],
+                *[F.col(p).alias(f"{p}_b") for p in payload],
+            )
+            .select(*out_cols)
+        )
+        out = out.unionByName(chain)
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def _guarded_cross_candidates(

@@ -626,8 +626,10 @@ def pairs_from_store(
     bucketed band table. The hot-band guard's member-count window
     partitions on (band, bucket) — the table's own bucketing — so it
     adds no Exchange either (plan-asserted in tests)."""
+    __ts = _tombstones(spark, name)
+    __gen = store_generation(spark, name)  # one resolution, both reads
     banded = _minus_tombstones(
-        _read_store(spark, name, "bands"), _tombstones(spark, name)
+        spark.table(phys_table(name, "bands", __gen)), __ts
     )
     # cache=False: the band table IS the materialization — re-scanning
     # co-located buckets per consumer beats pinning the corpus.
@@ -637,7 +639,7 @@ def pairs_from_store(
         banded, ["band", "bucket"], band_cap, cache=False, star_by=star_by
     ).select("id_a", "id_b")
     sh = _minus_tombstones(
-        _read_store(spark, name, "shingles"), _tombstones(spark, name)
+        spark.table(phys_table(name, "shingles", __gen)), __ts
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -719,7 +721,10 @@ def incremental_pairs_from_store(
         F.col("bk.bucket").alias("bucket"),
     )
     __ts = _tombstones(spark, name)
-    standing = _minus_tombstones(_read_store(spark, name, "bands"), __ts)
+    __gen = store_generation(spark, name)  # one resolution, both reads
+    standing = _minus_tombstones(
+        spark.table(phys_table(name, "bands", __gen)), __ts
+    )
     star_by = ("sig",) if "sig" in standing.columns else ()
     _warn_if_legacy_sig_less(name, star_by, band_cap)
     standing = standing.select(
@@ -733,7 +738,9 @@ def incremental_pairs_from_store(
             F.col(id_col).alias("id_a"),
             token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
         )
-    sh = _minus_tombstones(_read_store(spark, name, "shingles"), __ts)
+    sh = _minus_tombstones(
+        spark.table(phys_table(name, "shingles", __gen)), __ts
+    )
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = _verify_jaccard(cand, a, b, jaccard_threshold)
     if members is not None:

@@ -505,7 +505,10 @@ def rebuild_minhash_store(
         hashv=SHINGLE_HASH_VERSION,
         gen=nxt,
     )  # THE atomic cutover — tombstones untouched
-    sweep_stale_generations(spark, name, _SUFFIXES, nxt)
+    from polars_text_spark.sources.bucketing import clear_table
+
+    for s in _SUFFIXES:  # old generation's names are known exactly
+        clear_table(spark, phys_table(name, s, gen))
 
 
 def delete_ids(ids: DataFrame, name: str, *, id_col: str = "doc_id") -> None:

@@ -475,7 +475,12 @@ def rewrite_generation(
         raise
 
     write_meta(nxt)  # THE atomic cutover
-    sweep_stale_generations(spark, name, suffixes, nxt)
+    # drop the old generation directly (its names are known exactly —
+    # a catalog-wide sweep here would be pure listTables overhead; the
+    # NEXT maintenance run's opening sweep still self-heals any stale
+    # tables a crash right here would leave)
+    for s in suffixes:
+        clear_table(spark, phys_table(name, s, gen))
     return nxt
 
 

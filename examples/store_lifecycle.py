@@ -11,9 +11,12 @@ state machine a 100 TB corpus store lives in:
                   ->  query (shuffle-free store side)
                   ->  delete_ids (tombstones, O(batch))
                   ->  query again (anti-joined reads)
-                  ->  purge_deleted (compaction folds tombstones)
-                  ->  compact (undo append fragmentation)
+                  ->  purge_deleted (ATOMIC generational cutover;
+                      the meta row is the pointer — round 14)
+                  ->  compact (undo append fragmentation; resolve the
+                      physical name through the generation pointer)
                   ->  audit + rebucket (grow the bucket count)
+                  ->  rebuild (hash-family migration, tombstone-safe)
 
 plus the CONTINUOUS shape: a foreachBatch stream drops document
 shards into the MinHash store as they land (at-least-once redelivery
@@ -31,7 +34,11 @@ from pyspark.sql import functions as F
 
 import polars_text_spark as pts
 from polars_text_spark.operators import ann_store, dedup_store
-from polars_text_spark.sources.bucketing import compact_table
+from polars_text_spark.sources.bucketing import (
+    compact_table,
+    phys_table,
+    store_generation,
+)
 
 
 def main() -> None:
@@ -60,6 +67,23 @@ def main() -> None:
     dedup_store.purge_deleted(spark, "demo_mh")
     print(f"pairs after purge (same): "
           f"{dedup_store.pairs_from_store(spark, 'demo_mh').count()}")
+    # round 14: maintenance is an atomic GENERATIONAL cutover — the
+    # physical tables are now versioned and the meta row is the
+    # pointer every read/append resolves through
+    print(f"store generation after purge: "
+          f"{store_generation(spark, 'demo_mh')} "
+          f"(bands table: {phys_table('demo_mh', 'bands', store_generation(spark, 'demo_mh'))})")
+    # hash-family migration (round 14): a store written under an older
+    # shingle family refuses appends loudly; rebuild_minhash_store
+    # re-derives it from the authority corpus under the CURRENT family
+    # — signature params + bucket count read from the meta, pending
+    # tombstones preserved, atomic cutover. The authority corpus here
+    # is everything still live (the purge made the deletions physical)
+    live = docs.join(doomed, "doc_id", "left_anti")
+    dedup_store.rebuild_minhash_store(spark, "demo_mh", live)
+    print(f"pairs after v-family rebuild (same): "
+          f"{dedup_store.pairs_from_store(spark, 'demo_mh').count()}; "
+          f"generation {store_generation(spark, 'demo_mh')}")
 
     print("== ANN store ==")
     vbase = vecs.filter(F.col("vec_id") % 4 != 0)
@@ -77,8 +101,13 @@ def main() -> None:
     print(f"top-k with tombstones: "
           f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
     ann_store.purge_deleted(spark, "demo_ann")
-    n_files = compact_table(spark, "demo_ann_bands")
-    print(f"post-purge compaction: {n_files} band files")
+    # resolve the PHYSICAL name through the generation pointer —
+    # after any maintenance op the unsuffixed name is gone (round 14)
+    bands_phys = phys_table(
+        "demo_ann", "bands", store_generation(spark, "demo_ann")
+    )
+    n_files = compact_table(spark, bands_phys)
+    print(f"post-purge compaction: {n_files} band files ({bands_phys})")
     print(f"top-k after purge+compact: "
           f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
     # the store grew past its write-time bucket count: audit, then

@@ -177,3 +177,89 @@ def test_v2_short_doc_and_boundary_conventions(spark):
     # "ab c" vs "a bc" 2-grams never collide; only the shared
     # "x y"/"y z" grams are duplicated
     assert cov == {1: 2, 2: 2}
+
+
+# ---- hypothesis properties of the v2 family itself ------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["aa", "bb", "cc", "a", "b", "ab"]  # incl. boundary-trap tokens
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_docs_strategy)
+def test_v2_windows_define_gram_identity(spark, docs):
+    """Property: two windows hash equal under v2 iff their TOKEN
+    sequences are equal (checked exhaustively over the sample — the
+    2^-64 collision stance means a violation here is a bug, not bad
+    luck), and the positional array length is exactly
+    max(n_tokens - n + 1, 0)."""
+    n = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        F.when(
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            >= n,
+            v2_gram_hashes(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"), n
+            ),
+        ).alias("g"),
+    ).collect()
+    by_id = {r.doc_id: r.g for r in out}
+    window_to_hash: dict[tuple, int] = {}
+    hash_to_window: dict[int, tuple] = {}
+    for i, toks in enumerate(docs):
+        # split('') on empty text yields [''] — mirror the raw-split
+        # convention this test feeds v2_gram_hashes with
+        eff = " ".join(toks).strip().lower().split(" ") if toks else [""]
+        g = by_id[i]
+        if len(eff) < n or (len(eff) == 1 and eff[0] == ""):
+            if g is not None:
+                assert len(g) == max(len(eff) - n + 1, 0)
+            continue
+        assert g is not None and len(g) == len(eff) - n + 1
+        for j, h in enumerate(g):
+            w = tuple(eff[j : j + n])
+            if w in window_to_hash:
+                assert window_to_hash[w] == h, (w, h)
+            window_to_hash[w] = h
+            if h in hash_to_window:
+                assert hash_to_window[h] == w, (w, h)
+            hash_to_window[h] = w
+
+
+@settings(max_examples=12, deadline=None)
+@given(_docs_strategy)
+def test_v2_distinct_equals_token_shingles_family(spark, docs):
+    """Property: array_distinct over the positional v2 gram hashes IS
+    token_shingles(hashed=True)'s set for docs with >= n tokens — the
+    'one family' claim (SHINGLE_HASH_VERSION covers both) pinned over
+    random corpora."""
+    from polars_text_spark.operators.dedup import token_shingles
+
+    n = 3
+    rows = [
+        (i, " ".join(toks))
+        for i, toks in enumerate(docs)
+        if len(toks) >= n
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    out = df.select(
+        F.array_sort(
+            F.array_distinct(v2_gram_hashes(toks, n))
+        ).alias("pos"),
+        F.array_sort(token_shingles("text", n, hashed=True)).alias("sh"),
+    ).collect()
+    for r in out:
+        assert r.pos == r.sh

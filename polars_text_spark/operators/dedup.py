@@ -711,9 +711,19 @@ def _guarded_cross_candidates(
     degenerates to its single min-id hub — the coarsest bound.
     Representatives BEYOND the cap (only possible when one bucket
     holds > band_cap distinct signature families, i.e. the band is
-    saturated by coincidence rather than duplication) are dropped and
-    their families are reachable only through the shard doc's other
-    bands — the tracked recall trade of capping.
+    saturated by coincidence OR by a NEAR-identical family whose
+    members all carry distinct signatures) are dropped and their
+    families are reachable only through the shard doc's other bands —
+    the tracked recall trade of capping. The round-14 self-face CHAIN
+    edges are deliberately NOT mirrored here: the cross face's unit of
+    recall is the LEFT doc's verdict (dup-against-the-store or not),
+    and one verified pair against any surviving representative settles
+    it — there is no component structure to rebuild, so a hub chain
+    would add candidates without adding verdicts. A near-identical
+    standing family truncated at the cap still exposes band_cap
+    representatives per bucket x 16 bands, so a genuinely matching
+    left doc collides with SOME representative with overwhelming
+    probability (the round-14 Zipf probe's cross face).
 
     LEFT-side exposure (ADVICE r12): the left side is deliberately
     never reduced — every shard doc must own its verdict AND its

@@ -832,3 +832,31 @@ def test_band_miss_bound_holds_on_near_identical_families(spark):
     # the round-14 probe; assert the loose version)
     ratio = bound / stats["unguarded_candidates"]
     assert ratio > actual_rate / 2
+
+
+def test_cross_face_verdict_recall_on_near_identical_families(spark):
+    """Round-14 probe addendum: the cross face has no chain edges by
+    design — a LEFT doc's verdict needs only one verified pair against
+    a surviving representative of the truncated standing family. Pin
+    the measured result: every shard doc near-identical to a
+    NEAR-identical (distinct-signature) standing family is flagged at
+    a tight cap."""
+    rows = []
+    for k, size in ((1, 40), (2, 25), (3, 18)):
+        base = " ".join(f"xq{k}w{t}" for t in range(30))
+        for i in range(size):
+            rows.append((k * 100_000 + i, f"{base} xq{k}m{i}"))
+    standing = spark.createDataFrame(rows, "doc_id long, text string")
+    shard = spark.createDataFrame(
+        [(k * 1_000_000 + 7,
+          " ".join(f"xq{k}w{t}" for t in range(30)) + f" xqnew{k}")
+         for k in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.id_a // 1_000_000
+        for r in minhash_lsh_cross_pairs(
+            shard, standing, jaccard_threshold=0.9, band_cap=4
+        ).select("id_a").distinct().collect()
+    }
+    assert flagged == {1, 2, 3}

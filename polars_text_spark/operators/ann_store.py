@@ -40,8 +40,8 @@ from polars_text_spark.sources.bucketing import (
     check_generation_unchanged as _check_generation_unchanged,
     clear_table,
     minus_tombstones as _minus_tombstones,
-    overwrite_meta,
     phys_table,
+    read_meta,
     probe_id_clash,
     read_tombstones as _tombstones,
     rewrite_generation,
@@ -49,6 +49,7 @@ from polars_text_spark.sources.bucketing import (
     sweep_stale_generations,
     tombstone_ids,
     write_bucketed,
+    write_meta_row,
 )
 
 __all__ = [
@@ -85,12 +86,15 @@ def _write_meta(
     bands: int,
     buckets: int,
     gen: int,
+    reset: bool = False,
 ) -> None:
     meta = spark.createDataFrame(
         [(int(dim), int(num_planes), int(bands), int(buckets), int(gen))],
         "dim int, num_planes int, bands int, buckets int, gen int",
     )
-    overwrite_meta(spark, meta, f"{name}_meta")
+    # reset=True starts a fresh meta log (generation 0); cutovers
+    # APPEND the next-gen row — the atomic flip (see write_meta_row)
+    write_meta_row(spark, meta, f"{name}_meta", reset=reset)
 
 
 def write_ann_store(
@@ -151,6 +155,7 @@ def write_ann_store(
         bands=bands,
         buckets=buckets,
         gen=0,
+        reset=True,  # a fresh store starts a new meta log
     )
 
 
@@ -207,7 +212,12 @@ def _assert_vec_dim(df: DataFrame, vec_col: str, dim: int) -> None:
 def _store_meta(
     spark: SparkSession, name: str, *, require_buckets: bool = True
 ) -> tuple[int, int, int, int | None]:
-    m = spark.table(f"{name}_meta").collect()[0]
+    m = read_meta(spark, name)
+    if m is None:
+        raise ValueError(
+            f"ann store '{name}' has no meta table; (re)create it "
+            "with write_ann_store"
+        )
     has_buckets = "buckets" in m.asDict()
     if require_buckets and not has_buckets:
         raise ValueError(
@@ -279,14 +289,22 @@ def rebucket_store(spark: SparkSession, name: str, new_buckets: int) -> None:
     generation check, instead of silently writing at a stale bucket
     count. See :func:`polars_text_spark.sources.bucketing.
     rewrite_generation` for the failure-mode table."""
-    dim, num_planes, bands, _ = _store_meta(
-        spark, name, require_buckets=False
+    m = read_meta(spark, name)
+    if m is None:
+        raise ValueError(
+            f"ann store '{name}' has no meta table; (re)create it "
+            "with write_ann_store"
+        )
+    d = m.asDict()
+    dim, num_planes, bands = (
+        int(d["dim"]), int(d["num_planes"]), int(d["bands"])
     )
     rewrite_generation(
         spark,
         name,
         _SUFFIXES,
         new_buckets=new_buckets,
+        gen=int(d["gen"]) if d.get("gen") is not None else 0,
         write_meta=lambda gen: _write_meta(
             spark,
             name,
@@ -329,12 +347,11 @@ def purge_deleted(spark: SparkSession, name: str) -> None:
     if ts is None:
         return
     ts = ts.localCheckpoint(eager=True)  # survives the table drops below
-    dim, num_planes, bands, buckets = _store_meta(
-        spark, name, require_buckets=False
-    )
-    if buckets is None:
-        # pre-bucket-meta store: no complete meta row to re-write —
-        # fall back to the in-place compaction swap (documented
+    m = read_meta(spark, name)
+    if m is None or m.asDict().get("buckets") is None:
+        # meta-less store (delete_ids never required meta — ADVICE
+        # r14) or pre-bucket-meta store: no complete meta row to flip
+        # — fall back to the in-place compaction swap (documented
         # non-atomic; such stores predate incremental ingest anyway)
         from polars_text_spark.sources.bucketing import compact_table
 
@@ -342,12 +359,18 @@ def purge_deleted(spark: SparkSession, name: str) -> None:
         compact_table(spark, f"{name}_vectors", anti=ts, anti_on="id")
         clear_table(spark, f"{name}_tombstones")
         return
+    d = m.asDict()
+    dim, num_planes, bands, buckets = (
+        int(d["dim"]), int(d["num_planes"]),
+        int(d["bands"]), int(d["buckets"]),
+    )
     rewrite_generation(
         spark,
         name,
         _SUFFIXES,
         anti=ts,
         anti_on="id",
+        gen=int(d["gen"]) if d.get("gen") is not None else 0,
         write_meta=lambda gen: _write_meta(
             spark,
             name,
@@ -546,7 +569,12 @@ def topk_from_store(
     :func:`band_stats_from_ann_store` (detect) plus a rebuild at wider
     ``num_planes`` (re-provision) or :func:`rebucket_store` for read
     parallelism — see SCALING.md round-13."""
-    m = spark.table(f"{name}_meta").collect()[0]
+    m = read_meta(spark, name)
+    if m is None:
+        raise ValueError(
+            f"ann store '{name}' has no meta table; (re)create it "
+            "with write_ann_store"
+        )
     if (m["dim"], m["num_planes"], m["bands"]) != (dim, num_planes, bands):
         raise ValueError(
             f"ann store '{name}' was written with dim={m['dim']}, "

@@ -50,11 +50,19 @@ def token_ngrams(text: Column, n: int, *, hashed: bool = False) -> Column:
     )
     if hashed:
         from polars_text_spark.operators.dedup import v2_gram_hashes
+        from polars_text_spark.plans.exprs import let
 
-        return (
-            F.when(F.size(toks) == 0, F.array().cast("array<long>"))
-            .when(F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks))))
-            .otherwise(F.array_distinct(v2_gram_hashes(toks, n)))
+        # let-bind the filtered token array: the when-chain's two size
+        # guards plus v2_gram_hashes' two references would otherwise
+        # inline the split+filter subtree ~4x per row — on exactly the
+        # corpus-side scan the hashed family exists to speed up
+        return let(
+            toks,
+            lambda t: F.when(
+                F.size(t) == 0, F.array().cast("array<long>")
+            )
+            .when(F.size(t) < n, F.array(F.xxhash64(F.concat_ws(" ", t))))
+            .otherwise(F.array_distinct(v2_gram_hashes(t, n))),
         )
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),

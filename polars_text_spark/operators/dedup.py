@@ -57,6 +57,7 @@ __all__ = [
     "near_dup_source_matrix",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "resolve_band_cap",
     "set_similarity_jaccard_pairs",
     "simhash",
     "simhash_pairs",
@@ -512,6 +513,96 @@ def _banded_signatures(
     )
 
 
+#: default hot-band guard cap, and the base of the ``"auto"`` ladder
+DEFAULT_BAND_CAP = 1000
+
+
+def resolve_band_cap(
+    banded: DataFrame,
+    keys: list[str],
+    band_cap,
+    *,
+    sig_col: str | None = None,
+    target_share: float = 0.02,
+    ladder: int = 4,
+) -> int | None:
+    """Resolve a ``band_cap`` SPEC to a concrete cap (VERDICT r14 #6
+    — the sizing guidance of the round-14 Zipf probe as a route,
+    mirroring ``rerank="auto"`` / ``collapse_left="auto"``):
+
+    - ``int`` / ``None``: passed through unchanged;
+    - ``"auto"``: auto-size starting from :data:`DEFAULT_BAND_CAP`;
+    - ``("auto", base)``: auto-size starting from ``base``.
+
+    Auto-sizing runs the counts-only band audit ONCE (one groupBy over
+    ``banded`` + a 1-row collect — the "run lsh_band_stats before you
+    pick a cap" discipline, automated) and picks the smallest cap on
+    the geometric ladder ``base * 4^i`` (``ladder`` rungs) whose
+    union-bound share of declined pairs —
+    ``cross_sig_missed_bound / unguarded_candidates``, the signal the
+    round-14 probe validated as tracking the realized family-regime
+    miss rate — is at most ``target_share``. The EASY regimes keep the
+    base cap for free: a signature-identical family loses nothing to
+    the guard (its bound is 0 at any cap), and an unsaturated corpus
+    has bound 0 outright. Only the hard regime — near-identical
+    families bigger than the base cap, whose distinct signatures make
+    every declined pair a real recall loss — walks up the ladder. If
+    even the top rung exceeds ``target_share`` it is returned anyway
+    (a bounded candidate blow-up beats an unbounded quadratic at
+    100 TB; the audit columns report the residual loss). Without
+    ``sig_col`` the lost-pair bound is ``(m choose 2) - (m - 1)`` per
+    saturated bucket (the single-hub star's accounting)."""
+    if band_cap is None or isinstance(band_cap, int):
+        return band_cap
+    if band_cap == "auto":
+        base = DEFAULT_BAND_CAP
+    elif (
+        isinstance(band_cap, tuple)
+        and len(band_cap) == 2
+        and band_cap[0] == "auto"
+    ):
+        base = int(band_cap[1])
+    else:
+        raise ValueError(
+            "band_cap must be an int, None, 'auto' or ('auto', base); "
+            f"got {band_cap!r}"
+        )
+    if base < 1:
+        raise ValueError(f"auto band_cap base must be >= 1, got {base}")
+    pairs = F.expr("m * (m - 1) div 2")
+    if sig_col is not None and sig_col in banded.columns:
+        per = (
+            banded.groupBy(*keys, sig_col)
+            .agg(F.count(F.lit(1)).alias("__g"))
+            .groupBy(*keys)
+            .agg(
+                F.sum("__g").alias("m"),
+                F.sum(F.expr("__g * (__g - 1) div 2")).alias("sig_pairs"),
+            )
+        )
+        kept = F.col("sig_pairs")
+    else:
+        per = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("m"))
+        kept = F.col("m") - 1
+    caps = [base * (4 ** i) for i in range(max(1, int(ladder)))]
+    zero = F.lit(0).cast("long")
+    row = per.agg(
+        F.sum(pairs).alias("__u"),
+        *[
+            F.sum(
+                F.when(F.col("m") > c, pairs - kept).otherwise(zero)
+            ).alias(f"__b{i}")
+            for i, c in enumerate(caps)
+        ],
+    ).collect()[0]
+    unguarded = row["__u"] or 0
+    for i, c in enumerate(caps):
+        lost = row[f"__b{i}"] or 0
+        if unguarded == 0 or lost / unguarded <= target_share:
+            return c
+    return caps[-1]
+
+
 def _guarded_self_pairs(
     banded: DataFrame,
     keys: list[str],
@@ -800,6 +891,7 @@ def band_bucket_stats(
     *,
     band_cap: int | None = 1000,
     sig_col: str | None = None,
+    id_col: str = "id",
 ) -> DataFrame:
     """Generic band-bucket cardinality audit over an ALREADY-banded
     frame (one row per (member, bucket), bucket identity =
@@ -809,7 +901,9 @@ def band_bucket_stats(
     same saturation + recall-telemetry report before a pair join.
     ``sig_col`` names the signature-group column the hot-band guard
     stars by; without it the cross-signature telemetry columns are
-    null (the guard would fall back to single-hub stars)."""
+    null (the guard would fall back to single-hub stars). ``id_col``
+    names the member column for the per-member no-escape accounting
+    (see :func:`_band_stats_agg`)."""
     if sig_col is not None:
         per = (
             banded.groupBy(*key_cols, sig_col)
@@ -822,10 +916,60 @@ def band_bucket_stats(
         )
     else:
         per = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("m"))
-    return _band_stats_agg(per, band_cap)
+    id_stats = None
+    if band_cap is not None and id_col not in banded.columns:
+        # unknown member identity -> the no-escape accounting is
+        # UNKNOWN (null), never silently zero (the null-without-sig
+        # stance of the cross-sig columns)
+        null = F.lit(None).cast("long")
+        id_stats = banded.sparkSession.range(1).select(
+            null.alias("__total_ids"),
+            null.alias("no_escape_ids"),
+            null.alias("saturated_member_ids"),
+        )
+    elif band_cap is not None:
+        # per-MEMBER escape-hatch accounting (VERDICT r14 #1): a true
+        # pair can only be missed if EVERY bucket the two docs share
+        # is saturated, so a member with even one unsaturated bucket
+        # still has an escape hatch. Members whose every band row
+        # lands in a saturated bucket have none — the no-escape rows
+        # are what a correlated (family-flooding) regime produces and
+        # what the single-shared-bucket product factor cannot see.
+        # One window over the bucket keys (the same clustering the
+        # audit's groupBy uses) + one groupBy on the member id.
+        if band_cap < 1:
+            raise ValueError(
+                f"band_cap must be >= 1 or None, got {band_cap}"
+            )
+        w = Window.partitionBy(*key_cols)
+        per_id = (
+            banded.withColumn(
+                "__sat",
+                (F.count(F.lit(1)).over(w) > band_cap).cast("long"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("__nb"),
+                F.sum("__sat").alias("__ns"),
+            )
+        )
+        id_stats = per_id.agg(
+            F.count(F.lit(1)).alias("__total_ids"),
+            F.sum(
+                (F.col("__ns") == F.col("__nb")).cast("long")
+            ).alias("no_escape_ids"),
+            F.sum((F.col("__ns") > 0).cast("long")).alias(
+                "saturated_member_ids"
+            ),
+        )
+    return _band_stats_agg(per, band_cap, id_stats=id_stats)
 
 
-def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
+def _band_stats_agg(
+    per_bucket: DataFrame,
+    band_cap: int | None,
+    id_stats: DataFrame | None = None,
+) -> DataFrame:
     """Shared final aggregate of the band audits (:func:`lsh_band_stats`
     and the store-side :func:`polars_text_spark.operators.dedup_store.
     band_stats_from_store`): ``per_bucket`` is one row per bucket with
@@ -871,6 +1015,44 @@ def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
       FAMILIES, size recall by the bound/unguarded ratio and raise
       ``band_cap`` (or collapse exact duplicates upstream —
       ``collapse_left``) instead of trusting the product factor.
+
+    Regime-aware columns (round 15, VERDICT r14 #1 — the number an
+    operator can actually size recall from at 100 TB, instead of the
+    docstring caveat above), from ``id_stats`` (one row:
+    ``__total_ids``, ``no_escape_ids``, ``saturated_member_ids`` —
+    per-member counts over the banded frame):
+
+    - ``saturated_member_ids``: distinct members with >= 1 band row
+      in a saturated bucket;
+    - ``no_escape_ids`` / ``no_escape_id_fraction``: distinct members
+      whose EVERY band row sits in a saturated bucket — no escape
+      hatch: any true cross-signature pair between two such members
+      is declined in every shared bucket. Random hash hot spots leave
+      this ~0 (other bands stay unsaturated); a near-identical family
+      flooding every band drives it to ~the family share — the exact
+      signal that separates the two regimes;
+    - ``est_family_miss_rate``: ``max(0, cross_sig_missed_bound -
+      escape_pairs) / unguarded_candidates`` where ``escape_pairs`` is
+      the cross-signature pair count co-located in UNSATURATED buckets
+      (Σ over them of ``(m choose 2) - sig_pairs``) — a declined pair
+      is only RESCUED when the two docs land together in some
+      unsaturated bucket, so the rescue mass is bounded by the
+      pairs those buckets actually hold (a member-level escape hatch
+      is not enough: the round-15 probe measured a member-fraction
+      discount understating by 25x in the moderate regime, because a
+      side bucket only saves the pairs inside it). The subtraction
+      makes the estimator ~the bound share in the family-flooding
+      regime (escape mass tiny), ~0 on isolated hash hot spots
+      (everything co-locates in unsaturated buckets elsewhere), and
+      exactly 0 on the signature-identical easy regime (the bound is
+      0). On the round-15 Zipf probe
+      (scripts/scale_probe_band_miss.py) it lands within 2x of the
+      realized miss rate at every cap. A heuristic ESTIMATOR, not a
+      bound (the union bound double-counts pairs sharing several
+      saturated buckets; the rescue term double-counts pairs sharing
+      several unsaturated ones) — size recall from it, prove recall
+      with ``cross_sig_missed_bound``. Null when the banding carries
+      no signature column.
     """
     has_sig = "sig_pairs" in per_bucket.columns
     unguarded = F.expr("m * (m - 1) div 2")
@@ -894,6 +1076,13 @@ def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
         if has_sig
         else F.lit(None).cast("long")
     )
+    escape = (
+        F.sum(
+            F.when(~saturated, unguarded - F.col("sig_pairs")).otherwise(zero)
+        )
+        if has_sig
+        else F.lit(None).cast("long")
+    )
     agg = per_bucket.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("m").alias("max_bucket_size"),
@@ -903,12 +1092,36 @@ def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
         sat_rows.alias("saturated_member_rows"),
         F.sum("m").alias("__total_rows"),
         cross.alias("cross_sig_missed_bound"),
+        escape.alias("__escape_pairs"),
         sat_pairs.alias("__saturated_pairs"),
     )
+    if id_stats is None:
+        zero = F.lit(0).cast("long")
+        id_stats = per_bucket.sparkSession.range(1).select(
+            zero.alias("__total_ids"),
+            zero.alias("no_escape_ids"),
+            zero.alias("saturated_member_ids"),
+        )
+    agg = agg.crossJoin(id_stats)  # 1 row x 1 row
     frac = F.col("saturated_member_rows") / F.col("__total_rows")
     share = F.when(
         F.col("__saturated_pairs") > 0,
         F.col("cross_sig_missed_bound") / F.col("__saturated_pairs"),
+    )
+    no_escape_frac = F.when(
+        F.col("__total_ids") > 0,
+        F.col("no_escape_ids") / F.col("__total_ids"),
+    ).when(F.col("__total_ids") == 0, F.lit(0.0))  # null stays null
+    family = F.when(
+        (F.col("unguarded_candidates") > 0)
+        # greatest() skips nulls, so guard explicitly: no sig column
+        # means the estimate is UNKNOWN (null), never silently 0
+        & F.col("cross_sig_missed_bound").isNotNull(),
+        F.greatest(
+            F.col("cross_sig_missed_bound") - F.col("__escape_pairs"),
+            F.lit(0).cast("long"),
+        )
+        / F.col("unguarded_candidates"),
     )
     return agg.select(
         "n_buckets",
@@ -921,6 +1134,10 @@ def _band_stats_agg(per_bucket: DataFrame, band_cap: int | None) -> DataFrame:
         "cross_sig_missed_bound",
         share.alias("cross_sig_share"),
         (frac * share).alias("est_miss_prob"),
+        "saturated_member_ids",
+        "no_escape_ids",
+        no_escape_frac.alias("no_escape_id_fraction"),
+        family.alias("est_family_miss_rate"),
     )
 
 
@@ -978,12 +1195,21 @@ def minhash_lsh_pairs(
     more than ``band_cap`` members emit hub-star candidates (linear in
     the bucket) instead of the m^2/2 within-bucket clique — the
     hot-band guard, see :func:`_guarded_self_pairs` for the exact
-    semantics and recall accounting; ``band_cap=None`` disables it.
+    semantics and recall accounting; ``band_cap=None`` disables it;
+    ``"auto"`` / ``("auto", base)`` sizes the cap from the counts-only
+    band audit (:func:`resolve_band_cap` — round 15).
     """
     banded = _banded_signatures(
         df, text_col, id_col, "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
+    if not (band_cap is None or isinstance(band_cap, int)):
+        # auto: the audit pass re-reads the band frame — pin it so the
+        # signature aggregation runs once for audit + pair path
+        banded = track_persist(banded.persist())
+        band_cap = resolve_band_cap(
+            banded, ["bk"], band_cap, sig_col="__sig"
+        )
     cand = _guarded_self_pairs(
         banded, ["bk"], band_cap, star_by=("__sig",)
     )
@@ -1143,7 +1369,9 @@ def minhash_lsh_cross_pairs(
     recall accounting and the left-side exposure of a shard-heavy
     workload); a pair whose EVERY shared bucket is saturated past
     ``band_cap`` distinct families can be missed, so quote the 1-4e-8
-    figure only for the unguarded bound.
+    figure only for the unguarded bound. ``band_cap="auto"`` /
+    ``("auto", base)`` sizes the cap from the standing side's
+    counts-only band audit (:func:`resolve_band_cap` — round 15).
 
     ``collapse_left`` (round 13; ``"auto"`` round 14): left docs with
     IDENTICAL shingle sets collapse to one representative through the
@@ -1195,6 +1423,11 @@ def minhash_lsh_cross_pairs(
         right, text_col, id_col, "id_b",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     )
+    if not (band_cap is None or isinstance(band_cap, int)):
+        # auto (round 15): audit the STANDING side — the guard reduces
+        # only it. Pin so its signature aggregation runs once.
+        br = track_persist(br.persist())
+        band_cap = resolve_band_cap(br, ["bk"], band_cap, sig_col="__sig")
     cand = _guarded_cross_candidates(
         bl, br, ["bk"], band_cap, star_by=("__sig",)
     )

@@ -46,15 +46,16 @@ from polars_text_spark.operators.dedup import (
 from polars_text_spark.sources.bucketing import (
     check_generation_unchanged as _check_generation_unchanged,
     minus_tombstones as _minus_tombstones,
-    overwrite_meta,
     phys_table,
     probe_id_clash,
+    read_meta,
     read_tombstones as _tombstones,
     rewrite_generation,
     store_generation,
     sweep_stale_generations,
     tombstone_ids,
     write_bucketed,
+    write_meta_row,
 )
 
 __all__ = [
@@ -94,6 +95,7 @@ def _write_meta(
     buckets: int,
     hashv: int,
     gen: int,
+    reset: bool = False,
 ) -> None:
     meta = spark.createDataFrame(
         [(
@@ -107,7 +109,9 @@ def _write_meta(
         "num_perm int, bands int, shingle_n int, buckets int, "
         "hashv int, gen int",
     )
-    overwrite_meta(spark, meta, f"{name}_meta")
+    # reset=True starts a fresh meta log (generation 0); cutovers
+    # APPEND the next-gen row — the atomic flip (see write_meta_row)
+    write_meta_row(spark, meta, f"{name}_meta", reset=reset)
 
 
 def write_minhash_store(
@@ -183,6 +187,7 @@ def write_minhash_store(
         buckets=buckets,
         hashv=SHINGLE_HASH_VERSION,
         gen=0,
+        reset=True,  # a fresh store starts a new meta log
     )
 
 
@@ -191,9 +196,9 @@ def _minhash_meta(
 ) -> tuple[int, int, int, int] | None:
     """(num_perm, bands, shingle_n, buckets) recorded at write time,
     or None for a store written before the meta table existed."""
-    if not spark.catalog.tableExists(f"{name}_meta"):
+    m = read_meta(spark, name)
+    if m is None:
         return None
-    m = spark.table(f"{name}_meta").collect()[0]
     return (
         int(m["num_perm"]),
         int(m["bands"]),
@@ -222,7 +227,8 @@ def _assert_hash_family(spark: SparkSession, name: str) -> None:
     caller's own read."""
     from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
 
-    if not spark.catalog.tableExists(f"{name}_meta"):
+    m = read_meta(spark, name)
+    if m is None:
         if spark.catalog.tableExists(f"{name}_bands"):
             raise ValueError(
                 f"minhash store '{name}' has band/shingle tables but "
@@ -235,7 +241,6 @@ def _assert_hash_family(spark: SparkSession, name: str) -> None:
                 "against it"
             )
         return
-    m = spark.table(f"{name}_meta").collect()[0]
     stored = int(m["hashv"]) if "hashv" in m.asDict() else 1
     if stored != SHINGLE_HASH_VERSION:
         raise ValueError(
@@ -378,25 +383,28 @@ def rebucket_minhash_store(
     rewrite loudly instead of silently corrupting co-location. See
     :func:`polars_text_spark.sources.bucketing.rewrite_generation`
     for the full failure-mode table."""
-    meta = _minhash_meta(spark, name)
-    if meta is None:
+    old = read_meta(spark, name)
+    if old is None:
         raise ValueError(
             f"minhash store '{name}' predates the meta table; rewrite "
             "it with write_minhash_store (which also records the "
             "bucket count) instead of re-bucketing in place"
         )
-    num_perm, bands, shingle_n, _ = meta
+    d = old.asDict()
+    num_perm, bands, shingle_n = (
+        int(d["num_perm"]), int(d["bands"]), int(d["shingle_n"])
+    )
     # preserve the recorded shingle hash FAMILY — re-bucketing moves
     # rows, it does not re-derive them, so stamping the current
     # version onto an older store would let appends corrupt it
-    old = spark.table(f"{name}_meta").collect()[0]
-    hashv = int(old["hashv"]) if "hashv" in old.asDict() else 1
+    hashv = int(d["hashv"]) if d.get("hashv") is not None else 1
 
     rewrite_generation(
         spark,
         name,
         _SUFFIXES,
         new_buckets=new_buckets,
+        gen=int(d["gen"]) if d.get("gen") is not None else 0,
         write_meta=lambda gen: _write_meta(
             spark,
             name,
@@ -433,8 +441,12 @@ def rebuild_minhash_store(
     the store was built and appended from; tombstoned rows may be
     included — reads keep anti-joining them). The cutover is the
     atomic generational protocol: both new tables are written beside
-    the live ones from the corpus, the meta row flips in one
-    overwrite (now recording the current
+    the live ones from the corpus, the live tables' file sets are
+    re-listed against a start-of-rebuild snapshot — an append that
+    completed during the (long) re-derivation window aborts the
+    rebuild loudly, since its rows are not in ``corpus_df`` and the
+    flip would silently drop them (ADVICE r14) — then the meta row
+    flips in one append (recording the current
     :data:`~polars_text_spark.operators.dedup.SHINGLE_HASH_VERSION`),
     then the old generation is dropped — readers never see a
     mixed-family store. After this, :func:`append_minhash_shard` and
@@ -443,19 +455,39 @@ def rebuild_minhash_store(
     :func:`write_minhash_store` of the same corpus (parity-tested;
     the ``minhash_store_migrate`` driver query pins the lifecycle)."""
     from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
+    from polars_text_spark.sources.bucketing import (
+        _list_files,
+        snapshot_files,
+    )
 
-    meta = _minhash_meta(spark, name)
-    if meta is None:
+    m = read_meta(spark, name)
+    if m is None:
         raise ValueError(
             f"minhash store '{name}' has no meta table; use "
             "write_minhash_store to (re)create it — rebuild preserves "
             "tombstones, which a pre-meta store cannot have recorded "
             "reliably"
         )
-    num_perm, bands, shingle_n, buckets = meta
-    gen = store_generation(spark, name)
+    d = m.asDict()
+    num_perm, bands, shingle_n, buckets = (
+        int(d["num_perm"]), int(d["bands"]),
+        int(d["shingle_n"]), int(d["buckets"]),
+    )
+    gen = int(d["gen"]) if d.get("gen") is not None else 0
     sweep_stale_generations(spark, name, _SUFFIXES, gen)
     nxt = gen + 1
+
+    # Point-in-time snapshot of the LIVE tables' file sets (ADVICE
+    # r14): the rebuild derives the next generation from corpus_df,
+    # not from these files, so an append completing during the long
+    # re-derivation window would land rows in the old tables that are
+    # NOT in corpus_df — silently dropped at the flip. The re-list
+    # before the flip turns that into the same loud abort
+    # rewrite_generation gives rebucket/purge.
+    snapshots = {
+        s: snapshot_files(spark, phys_table(name, s, gen))
+        for s in _SUFFIXES
+    }
 
     banded = _banded_signatures(
         corpus_df, text_col, id_col, "id",
@@ -489,6 +521,18 @@ def rebuild_minhash_store(
             buckets=buckets,
             sort_by="id",
         )
+        for s in _SUFFIXES:
+            loc, schema, before = snapshots[s]
+            if _list_files(spark, loc, schema) != before:
+                raise RuntimeError(
+                    f"store '{name}': table files changed under the "
+                    f"rebuild ({phys_table(name, s, gen)}) — an append "
+                    "raced the rebuild and its rows are not in the "
+                    "supplied corpus_df. The store is untouched (the "
+                    "appended rows are live); re-run the rebuild with "
+                    "a corpus that includes them, in a writer-free "
+                    "window"
+                )
     except BaseException:
         from polars_text_spark.sources.bucketing import clear_table
 
@@ -539,14 +583,10 @@ def purge_deleted(spark: SparkSession, name: str) -> None:
     ts = ts.localCheckpoint(eager=True)  # survives the table drops below
     from polars_text_spark.sources.bucketing import compact_table
 
-    meta = _minhash_meta(spark, name)
-    old_meta = (
-        spark.table(f"{name}_meta").collect()[0].asDict()
-        if meta is not None
-        else None
-    )
+    m = read_meta(spark, name)
+    old_meta = m.asDict() if m is not None else None
 
-    if meta is None:
+    if old_meta is None:
         # pre-meta store: no pointer to flip — fall back to the
         # in-place compaction swap (documented non-atomic; such
         # stores should be rebuilt anyway — see _assert_hash_family)
@@ -554,14 +594,22 @@ def purge_deleted(spark: SparkSession, name: str) -> None:
         compact_table(spark, f"{name}_shingles", anti=ts, anti_on="id")
         clear_table(spark, f"{name}_tombstones")
         return
-    num_perm, bands, shingle_n, buckets = meta
-    hashv = int(old_meta.get("hashv", 1))
+    num_perm, bands, shingle_n, buckets = (
+        int(old_meta["num_perm"]), int(old_meta["bands"]),
+        int(old_meta["shingle_n"]), int(old_meta["buckets"]),
+    )
+    hashv = (
+        int(old_meta["hashv"]) if old_meta.get("hashv") is not None else 1
+    )
     rewrite_generation(
         spark,
         name,
         _SUFFIXES,
         anti=ts,
         anti_on="id",
+        gen=(
+            int(old_meta["gen"]) if old_meta.get("gen") is not None else 0
+        ),
         write_meta=lambda gen: _write_meta(
             spark,
             name,
@@ -637,6 +685,15 @@ def pairs_from_store(
     # cache=False: the band table IS the materialization — re-scanning
     # co-located buckets per consumer beats pinning the corpus.
     star_by = ("sig",) if "sig" in banded.columns else ()
+    if not (band_cap is None or isinstance(band_cap, int)):
+        # auto (round 15): the audit re-scans the bucketed store — a
+        # co-located groupBy, no pin needed
+        from polars_text_spark.operators.dedup import resolve_band_cap
+
+        band_cap = resolve_band_cap(
+            banded, ["band", "bucket"], band_cap,
+            sig_col=star_by[0] if star_by else None,
+        )
     _warn_if_legacy_sig_less(name, star_by, band_cap)
     cand = _guarded_self_pairs(
         banded, ["band", "bucket"], band_cap, cache=False, star_by=star_by
@@ -729,6 +786,13 @@ def incremental_pairs_from_store(
         spark.table(phys_table(name, "bands", __gen)), __ts
     )
     star_by = ("sig",) if "sig" in standing.columns else ()
+    if not (band_cap is None or isinstance(band_cap, int)):
+        from polars_text_spark.operators.dedup import resolve_band_cap
+
+        band_cap = resolve_band_cap(
+            standing, ["band", "bucket"], band_cap,
+            sig_col=star_by[0] if star_by else None,
+        )
     _warn_if_legacy_sig_less(name, star_by, band_cap)
     standing = standing.select(
         F.col("id").alias("id_b"), "band", "bucket", *star_by

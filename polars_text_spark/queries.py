@@ -988,7 +988,13 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
     tightest value the synthetic sizes allow) so a regenerated
     testdata corpus with a modest natural duplicate family cannot trip
     the gate — the exact at-cap boundary is pinned in
-    tests/test_dedup_hotband.py instead."""
+    tests/test_dedup_hotband.py instead. Since round 15 the cap rides
+    the AUTO route (``band_cap=("auto", 64)``, VERDICT r14 #6): the
+    identical-text families are signature-identical, so the guard's
+    declined-pair bound is 0 and the resolver keeps the base cap —
+    the oracle is unchanged, and the green hash doubles as the
+    easy-regime proof that auto does not needlessly raise the cap
+    (the family-regime raise is pinned in tests/test_dedup_hotband.py)."""
     from polars_text_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir).filter(
@@ -1003,7 +1009,7 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth = g if synth is None else synth.union(g)
     pairs = minhash_lsh_pairs(
         docs.union(synth), "text", "doc_id",
-        jaccard_threshold=0.9, band_cap=64,
+        jaccard_threshold=0.9, band_cap=("auto", 64),
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
@@ -1026,6 +1032,17 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT band, bucket, sum(g) AS m,
              sum(g * (g - 1) // 2) AS sig_pairs
       FROM per_sig GROUP BY 1, 2),
+    per_id AS (
+      SELECT t.id, count(*) AS nb,
+             sum(CASE WHEN p.m > 20 THEN 1 ELSE 0 END) AS ns
+      FROM banded t JOIN per p ON p.band = t.band AND p.bucket = t.bucket
+      GROUP BY t.id),
+    idagg AS (
+      SELECT count(*) AS total_ids,
+             sum(CASE WHEN ns = nb THEN 1 ELSE 0 END) AS no_escape_ids,
+             sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END)
+               AS saturated_member_ids
+      FROM per_id),
     agg AS (
       SELECT count(*) AS n_buckets,
              max(m) AS max_bucket_size,
@@ -1040,6 +1057,9 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN m > 20
                       THEN m * (m - 1) // 2 - sig_pairs
                       ELSE 0 END) AS cross_sig_missed_bound,
+             sum(CASE WHEN m <= 20
+                      THEN m * (m - 1) // 2 - sig_pairs
+                      ELSE 0 END) AS escape_pairs,
              sum(CASE WHEN m > 20 THEN m * (m - 1) // 2 ELSE 0 END)
                AS sat_pairs
       FROM per)
@@ -1059,8 +1079,17 @@ def q_near_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN sat_pairs > 0
                 THEN round((saturated_member_rows * 1.0 / total_rows)
                            * (cross_sig_missed_bound * 1.0 / sat_pairs), 6)
-           END AS est_miss_prob
-    FROM agg
+           END AS est_miss_prob,
+           CAST(saturated_member_ids AS BIGINT) AS saturated_member_ids,
+           CAST(no_escape_ids AS BIGINT) AS no_escape_ids,
+           round(no_escape_ids * 1.0 / total_ids, 6)
+             AS no_escape_id_fraction,
+           CASE WHEN unguarded_candidates > 0
+                THEN round(
+                  greatest(cross_sig_missed_bound - escape_pairs, 0)
+                  * 1.0 / unguarded_candidates, 6)
+           END AS est_family_miss_rate
+    FROM agg, idagg
     """,
 )
 def q_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,9 +1102,13 @@ def q_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     97-bucket band; signature groups = doc_id % 21), so DuckDB replays
     every column exactly: per-(bucket, sig) group sizes, the
     (m choose 2) - sig_pairs missed bound, the share, and the k=1
-    miss-probability product. The minhash/simhash/store paths feed
-    this same aggregate (operators/dedup.py::_band_stats_agg); their
-    upstream banding is pinned by the hotband pair gates and pytest."""
+    miss-probability product — plus (round 15, VERDICT r14 #1) the
+    per-member no-escape accounting and the regime-aware
+    ``est_family_miss_rate`` (bound/unguarded discounted by the
+    no-escape share of saturation-touched members). The
+    minhash/simhash/store paths feed this same aggregate
+    (operators/dedup.py::_band_stats_agg); their upstream banding is
+    pinned by the hotband pair gates and pytest."""
     from polars_text_spark.operators.dedup import band_bucket_stats
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id")
@@ -1103,6 +1136,10 @@ def q_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross_sig_missed_bound",
         F.round("cross_sig_share", 6).alias("cross_sig_share"),
         F.round("est_miss_prob", 6).alias("est_miss_prob"),
+        "saturated_member_ids",
+        "no_escape_ids",
+        F.round("no_escape_id_fraction", 6).alias("no_escape_id_fraction"),
+        F.round("est_family_miss_rate", 6).alias("est_family_miss_rate"),
     )
 
 
@@ -1126,7 +1163,11 @@ def q_cross_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing side reduces to its hub, so the first shard doc emits ONE
     pair (vs 300 unguarded); the at-cap family keeps all 16 member
     pairs; the novel doc emits nothing. Pure-arithmetic oracle
-    (operators/dedup.py::_guarded_cross_candidates)."""
+    (operators/dedup.py::_guarded_cross_candidates). Since round 15
+    the cap rides the AUTO route (``band_cap=("auto", 16)``, VERDICT
+    r14 #6): the standing families are signature-identical, so the
+    resolver keeps the base cap and the oracle is unchanged — the
+    easy-regime proof on the cross face."""
     from polars_text_spark.operators.dedup import minhash_lsh_cross_pairs
 
     docs = _docs(spark, sf_dir).filter(
@@ -1149,7 +1190,7 @@ def q_cross_dedup_hotband(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_lsh_cross_pairs(
         shard, docs.union(synth), "text", "doc_id",
-        jaccard_threshold=0.9, band_cap=16,
+        jaccard_threshold=0.9, band_cap=("auto", 16),
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
@@ -7298,6 +7339,17 @@ def q_ann_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e WHERE (e.vec_id % 5) <> 0),
     per AS (
       SELECT band_key, count(*) AS m FROM bk GROUP BY band_key),
+    per_id AS (
+      SELECT t.vec_id, count(*) AS nb,
+             sum(CASE WHEN p.m > 40 THEN 1 ELSE 0 END) AS ns
+      FROM bk t JOIN per p ON p.band_key = t.band_key
+      GROUP BY t.vec_id),
+    idagg AS (
+      SELECT count(*) AS total_ids,
+             sum(CASE WHEN ns = nb THEN 1 ELSE 0 END) AS no_escape_ids,
+             sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END)
+               AS saturated_member_ids
+      FROM per_id),
     agg AS (
       SELECT count(*) AS n_buckets,
              max(m) AS max_bucket_size,
@@ -7317,8 +7369,12 @@ def q_ann_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(guarded_candidates AS BIGINT) AS guarded_candidates,
            CAST(saturated_member_rows AS BIGINT) AS saturated_member_rows,
            round(saturated_member_rows * 1.0 / total_rows, 6)
-             AS saturated_row_fraction
-    FROM agg
+             AS saturated_row_fraction,
+           CAST(saturated_member_ids AS BIGINT) AS saturated_member_ids,
+           CAST(no_escape_ids AS BIGINT) AS no_escape_ids,
+           round(no_escape_ids * 1.0 / total_ids, 6)
+             AS no_escape_id_fraction
+    FROM agg, idagg
     """.replace("{_lsh_keys}", _lsh_sha_keys_sql("e")),
 )
 def q_ann_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7359,6 +7415,9 @@ def q_ann_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "guarded_candidates",
         "saturated_member_rows",
         F.round("saturated_row_fraction", 6).alias("saturated_row_fraction"),
+        "saturated_member_ids",
+        "no_escape_ids",
+        F.round("no_escape_id_fraction", 6).alias("no_escape_id_fraction"),
     )
 
 
@@ -8467,28 +8526,62 @@ _SQL_PAIRWISE_09 = """
 """
 
 
+# identical-text families riding the store lifecycles (round 15): the
+# resized corpus slices (VERDICT r14 #2) can carry zero natural
+# near-dup pairs at small scale factors, which would leave the driver
+# hash with no entropy — the families guarantee rows AND make
+# tombstone preservation load-bearing in the hash (the tombstoned
+# member's pairs must be absent after the cutover).
+_MIG_FAM_TEXT = "mgstore alpha beta gamma delta epsilon zeta"
+_MIG_FAM_START = 3_400_000_000
+_RBK_FAM_TEXT = "rbstore alpha beta gamma delta epsilon zeta"
+_RBK_FAM_START = 3_300_000_000
+
+
+def _lifecycle_family(spark, start: int, text: str, n: int = 6):
+    return spark.range(n).select(
+        (F.lit(start) + F.col("id")).alias("doc_id"),
+        F.lit(text).alias("text"),
+    )
+
+
 @query(
     "minhash_store_migrate",
     f"""
     WITH sh AS ({{subset}})
     {_SQL_PAIRWISE_09}
+    UNION ALL  -- the family clique minus the tombstoned member 3:
+               -- members 0-3 rode the original store (3 deleted),
+               -- 4-5 the post-migration shard
+    SELECT {_MIG_FAM_START} + i AS id_a, {_MIG_FAM_START} + j AS id_b,
+           1.0 AS jaccard
+    FROM generate_series(0, 5) s(i) JOIN generate_series(0, 5) t(j)
+      ON i < j
+    WHERE i <> 3 AND j <> 3
     """.replace("{subset}", _sql_sh_subset(
-        "(doc_id % 2 = 0 OR doc_id % 4 = 1) AND doc_id % 10 <> 0"
+        "(doc_id % 8 = 0 AND doc_id % 40 <> 0) OR doc_id % 16 = 9"
     )),
 )
 def q_minhash_store_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The v1->v2 store migration lifecycle under the driver hash
-    (VERDICT r13 #4): write the standing store over the even half,
-    tombstone every 10th doc, stamp the meta back to shingle hash
+    (VERDICT r13 #4): write the standing store over a 1/8 slice,
+    tombstone every 5th store doc, stamp the meta back to shingle hash
     family v1 (the simulated legacy store), PROVE the loud append
     refusal, ``rebuild_minhash_store`` from the authority corpus
     (atomic generational cutover, tombstones preserved), append a new
-    odd shard, and answer ``pairs_from_store`` at j >= 0.9 over the
-    grown store. The oracle is the full-pairwise exact-Jaccard SQL
-    over (evens ∪ shard) minus the tombstoned docs — recall 1 - 4e-8
-    at 16x4 banding, so a migration that loses rows, drops tombstones,
-    re-shingles under the wrong parameters, or leaves mixed-family
-    tables fails the value hash."""
+    disjoint 1/16 shard, and answer ``pairs_from_store`` at j >= 0.9
+    over the grown store. The oracle is the full-pairwise
+    exact-Jaccard SQL over (store ∪ shard) minus the tombstoned docs
+    — recall 1 - 4e-8 at 16x4 banding, so a migration that loses
+    rows, drops tombstones, re-shingles under the wrong parameters,
+    or leaves mixed-family tables fails the value hash. Corpus
+    fractions shrunk from 1/2 + 1/4 in round 15 (VERDICT r14 #2):
+    the query proves lifecycle SEMANTICS, not throughput — the 10x
+    probes own throughput — so it carries the smallest corpus that
+    still exercises every step, plus a planted 6-member identical
+    family (4 in the store with one TOMBSTONED, 2 in the shard) so
+    the hash always carries rows and the migration's tombstone
+    preservation is load-bearing: member 3's pairs must be absent."""
     import os
 
     from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
@@ -8504,16 +8597,28 @@ def q_minhash_store_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir, wide=False).filter(
         F.col("text").isNotNull()
     ).select("doc_id", "text")
-    evens = docs.filter(F.col("doc_id") % 2 == 0)
-    shard = docs.filter(F.col("doc_id") % 4 == 1)
+    fam = _lifecycle_family(spark, _MIG_FAM_START, _MIG_FAM_TEXT)
+    evens = docs.filter(F.col("doc_id") % 8 == 0).unionByName(
+        fam.filter(F.col("doc_id") < _MIG_FAM_START + 4)
+    )
+    shard = docs.filter(F.col("doc_id") % 16 == 9).unionByName(
+        fam.filter(F.col("doc_id") >= _MIG_FAM_START + 4)
+    )
     name = f"mhmig_{os.getpid()}"
     _register_store_cleanup(spark, name)
     write_minhash_store(evens, name, buckets=4)
-    delete_ids(evens.filter(F.col("doc_id") % 10 == 0), name)
+    delete_ids(
+        evens.filter(
+            ((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < _MIG_FAM_START))
+            | (F.col("doc_id") == _MIG_FAM_START + 3)
+        ),
+        name,
+    )
     # simulate the legacy store: stamp the v1 family into the meta
+    # (reset: replace the fresh store's meta log, not append to it)
     _write_meta(
         spark, name, num_perm=64, bands=16, shingle_n=3, buckets=4,
-        hashv=1, gen=0,
+        hashv=1, gen=0, reset=True,
     )
     try:
         append_minhash_shard(shard, name)
@@ -8525,9 +8630,9 @@ def q_minhash_store_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "guard is broken"
         )
     rebuild_minhash_store(spark, name, evens)
-    assert int(
-        spark.table(f"{name}_meta").collect()[0]["hashv"]
-    ) == SHINGLE_HASH_VERSION
+    from polars_text_spark.sources.bucketing import read_meta
+
+    assert int(read_meta(spark, name)["hashv"]) == SHINGLE_HASH_VERSION
     append_minhash_shard(shard, name)
     pairs = pairs_from_store(spark, name, jaccard_threshold=0.9)
     return pairs.select(
@@ -8540,21 +8645,30 @@ def q_minhash_store_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS ({{subset}})
     {_SQL_PAIRWISE_09}
+    UNION ALL  -- the family clique minus the tombstoned member 5:
+               -- members 0-2 rode the write, 3-5 the append
+    SELECT {_RBK_FAM_START} + i AS id_a, {_RBK_FAM_START} + j AS id_b,
+           1.0 AS jaccard
+    FROM generate_series(0, 4) s(i) JOIN generate_series(0, 4) t(j)
+      ON i < j
     """.replace("{subset}", _sql_sh_subset(
-        "doc_id % 2 = 0 AND doc_id % 10 <> 0"
+        "doc_id % 8 = 2 AND doc_id % 10 <> 0"
     )),
 )
 def q_minhash_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash twin of ``ann_store_rebucket`` (round 14,
-    generational atomic cutover): write at 4 buckets on half the even
-    docs, append the other half, tombstone every 10th, rebucket to 8
-    (next generation + one meta flip + old generation dropped), and
-    answer ``pairs_from_store`` from the rewritten tables. Oracle =
-    full-pairwise exact Jaccard over the surviving docs; a rewrite
+    generational atomic cutover): write at 4 buckets on half of a 1/8
+    doc slice, append the other half, tombstone every 10th, rebucket
+    to 8 (next generation + one meta flip + old generation dropped),
+    and answer ``pairs_from_store`` from the rewritten tables. Oracle
+    = full-pairwise exact Jaccard over the surviving docs; a rewrite
     that drops/duplicates rows, loses tombstones, or breaks either
     table fails the value hash (bucket count, generation pointer, and
     the co-located plan are pinned in tests/test_store_generations.py
-    and test_dedup_store.py)."""
+    and test_dedup_store.py). Slice shrunk from 1/2 in round 15
+    (VERDICT r14 #2 — semantics, not throughput), with a planted
+    6-member identical family (3 written, 3 appended, 1 tombstoned)
+    so the hash always carries rows at every scale factor."""
     import os
 
     from polars_text_spark.operators.dedup_store import (
@@ -8568,12 +8682,29 @@ def q_minhash_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir, wide=False).filter(
         F.col("text").isNotNull()
     ).select("doc_id", "text")
-    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    fam = _lifecycle_family(spark, _RBK_FAM_START, _RBK_FAM_TEXT)
+    evens = docs.filter(F.col("doc_id") % 8 == 2)
     name = f"mhrbk_{os.getpid()}"
     _register_store_cleanup(spark, name)
-    write_minhash_store(evens.filter(F.col("doc_id") % 4 == 2), name, buckets=4)
-    append_minhash_shard(evens.filter(F.col("doc_id") % 4 == 0), name)
-    delete_ids(evens.filter(F.col("doc_id") % 10 == 0), name)
+    write_minhash_store(
+        evens.filter(F.col("doc_id") % 16 == 2).unionByName(
+            fam.filter(F.col("doc_id") < _RBK_FAM_START + 3)
+        ),
+        name,
+        buckets=4,
+    )
+    append_minhash_shard(
+        evens.filter(F.col("doc_id") % 16 == 10).unionByName(
+            fam.filter(F.col("doc_id") >= _RBK_FAM_START + 3)
+        ),
+        name,
+    )
+    delete_ids(
+        evens.filter(F.col("doc_id") % 10 == 0).unionByName(
+            fam.filter(F.col("doc_id") == _RBK_FAM_START + 5)
+        ),
+        name,
+    )
     rebucket_minhash_store(spark, name, 8)
     pairs = pairs_from_store(spark, name, jaccard_threshold=0.9)
     return pairs.select(
@@ -8586,8 +8717,8 @@ def q_minhash_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
       SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-      WHERE text IS NOT NULL AND (doc_id % 8 = 0 OR doc_id % 8 = 4)
-        AND doc_id % 16 <> 0)
+      WHERE text IS NOT NULL AND (doc_id % 16 = 0 OR doc_id % 16 = 8)
+        AND doc_id % 32 <> 0)
     SELECT CAST(64 AS INT) AS num_perm, CAST(16 AS INT) AS bands,
            CAST(3 AS INT) AS shingle_n, CAST(4 AS INT) AS buckets,
            CAST(2 AS INT) AS hashv, CAST(2 AS INT) AS gen,
@@ -8606,7 +8737,8 @@ def q_minhash_store_generations(
     every field arithmetically from ``documents`` — a purge that
     leaves tombstoned rows, a cutover that loses appends, a meta flip
     that misses a field, or a resolver reading a stale generation all
-    change the row."""
+    change the row. Slices shrunk 2x in round 15 (VERDICT r14 #2 —
+    semantics, not throughput)."""
     import os
 
     from polars_text_spark.operators.dedup_store import (
@@ -8623,12 +8755,16 @@ def q_minhash_store_generations(
     ).select("doc_id", "text")
     name = f"mhgen_{os.getpid()}"
     _register_store_cleanup(spark, name)
-    write_minhash_store(docs.filter(F.col("doc_id") % 8 == 0), name, buckets=2)
-    append_minhash_shard(docs.filter(F.col("doc_id") % 8 == 4), name)
-    delete_ids(docs.filter(F.col("doc_id") % 16 == 0), name)
+    write_minhash_store(
+        docs.filter(F.col("doc_id") % 16 == 0), name, buckets=2
+    )
+    append_minhash_shard(docs.filter(F.col("doc_id") % 16 == 8), name)
+    delete_ids(docs.filter(F.col("doc_id") % 32 == 0), name)
     purge_deleted(spark, name)
     rebucket_minhash_store(spark, name, 4)
-    m = spark.table(f"{name}_meta").collect()[0]
+    from polars_text_spark.sources.bucketing import read_meta
+
+    m = read_meta(spark, name)
     bands_rows = spark.table(_phys(spark, name, "bands")).count()
     shingle_rows = spark.table(_phys(spark, name, "shingles")).count()
     return spark.createDataFrame(
@@ -8756,15 +8892,174 @@ def q_incremental_store_collapse_auto(
 
 
 # ---------------------------------------------------------------------------
+# Round-15 queries: band_cap="auto" in the FAMILY regime (the raise
+# the easy-regime hotband gates cannot exercise) and the Bloom store's
+# generational rebuild lifecycle.
+# ---------------------------------------------------------------------------
+
+# near-identical family for the auto-cap gate: 60 shared nonsense
+# tokens + one unique trailing token per member -> 58 shared 3-gram
+# shingles of 59 per member, pairwise jaccard exactly 58/60 (>= 0.9),
+# DISTINCT MinHash signatures (the hard regime: the family saturates
+# every band at a small cap and every declined pair is real loss)
+_CAPAUTO_FAM_BASE = " ".join(f"qqcap{t}" for t in range(60))
+_CAPAUTO_FAM_N = 40
+_CAPAUTO_FAM_START = 3_200_000_000
+
+
+@query(
+    "near_dedup_capauto",
+    f"""
+    WITH sh AS ({{base}})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    UNION ALL  -- the near-identical family survives IN FULL: auto
+               -- walked the cap past the family size, so the clique
+               -- is emitted and every pair verifies at exactly 58/60
+    SELECT {_CAPAUTO_FAM_START} + i AS id_a,
+           {_CAPAUTO_FAM_START} + j AS id_b,
+           round(58 * 1.0 / 60, 6) AS jaccard
+    FROM generate_series(0, {_CAPAUTO_FAM_N - 1}) s(i)
+    JOIN generate_series(0, {_CAPAUTO_FAM_N - 1}) t(j) ON i < j
+    """.replace("{base}", _sql_sh_subset("doc_id % 8 = 3")),
+)
+def q_near_dedup_capauto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``band_cap=("auto", 4)`` in the FAMILY regime (VERDICT r14 #6
+    — the raise the easy-regime hotband gates cannot show): a
+    40-member NEAR-identical family (distinct signatures — every
+    member carries a unique trailing token) floods every band at caps
+    4 and 16, where the declined-pair bound share dominates (the
+    corpus rides as a 1/8 slice so the family regime, not the natural
+    tail, owns the denominator at every scale factor), so the
+    resolver walks the ladder to 64; at 64 the family is unsaturated,
+    the bound is 0, and the guard engages nowhere — the output is the
+    exact full-pairwise answer, which the oracle replays as the
+    slice's pairwise SQL plus the family clique at jaccard 58/60. A
+    resolver that stays at the base cap loses most of the clique (the
+    round-14 orphaning regime); one that over-raises changes nothing
+    here but is pinned by the easy-regime hotband gates keeping their
+    base caps."""
+    from polars_text_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 8 == 3)
+    ).select("doc_id", "text")
+    fam = spark.range(_CAPAUTO_FAM_N).select(
+        (F.lit(_CAPAUTO_FAM_START) + F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit(_CAPAUTO_FAM_BASE + " qqcapm"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        docs.unionByName(fam), "text", "doc_id",
+        jaccard_threshold=0.9, band_cap=("auto", 4),
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@query(
+    "bloom_store_rebuild",
+    """
+    SELECT d.doc_id,
+           d.text IN (SELECT text FROM documents
+                      WHERE text IS NOT NULL
+                        AND (doc_id % 16 = 9 OR doc_id % 8 = 5
+                             OR doc_id % 8 = 7))
+             AS in_reference
+    FROM documents d WHERE d.text IS NOT NULL
+    """,
+)
+def q_bloom_store_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom store's generational rebuild lifecycle (VERDICT r14
+    #5): write the store over the %8==1 texts, append the %8==5
+    shard, ``rebuild_bloom_store`` from an authority set that DROPS
+    the %16==1 half of the original slice (the deletion verb — a
+    Bloom cannot unset bits; the rebuild is the atomic-cutover
+    replacement for the silent-loss plain overwrite), append a
+    further %8==7 shard INTO THE NEW GENERATION, and gate every doc
+    bloom-first with the exact confirm join. A rebuild that loses the
+    kept keys, flips the meta pointer early, or strands the
+    post-rebuild append in a dropped generation produces false
+    negatives, which skip the confirm join and flip ``in_reference``
+    — the oracle's plain IN-subquery replay catches it."""
+    import os
+
+    from polars_text_spark.operators.bloom import (
+        append_bloom_shard,
+        bloom_might_contain,
+        bloom_params,
+        read_bloom_store,
+        rebuild_bloom_store,
+        write_bloom_store,
+    )
+    from polars_text_spark.sources.bucketing import store_generation
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    name = f"bloomrb_{os.getpid()}"
+    _register_store_cleanup(spark, name)
+    ref_pred = (
+        (F.col("doc_id") % 16 == 9)
+        | (F.col("doc_id") % 8 == 5)
+        | (F.col("doc_id") % 8 == 7)
+    )
+    m_bits, n_hashes = bloom_params(docs.filter(ref_pred).count(), 0.01)
+    write_bloom_store(
+        docs.filter(F.col("doc_id") % 8 == 1), "text", name,
+        m_bits=m_bits, n_hashes=n_hashes,
+    )
+    append_bloom_shard(docs.filter(F.col("doc_id") % 8 == 5), "text", name)
+    authority = docs.filter(
+        (F.col("doc_id") % 16 == 9) | (F.col("doc_id") % 8 == 5)
+    )
+    rebuild_bloom_store(spark, authority, "text", name)
+    assert store_generation(spark, name) == 1  # the cutover happened
+    append_bloom_shard(docs.filter(F.col("doc_id") % 8 == 7), "text", name)
+    bloom = read_bloom_store(spark, name)
+    probed = bloom_might_contain(docs, "text", bloom, out_col="__maybe")
+    ref_texts = (
+        docs.filter(ref_pred).select(F.col("text").alias("__rt")).distinct()
+    )
+    hits = (
+        probed.where(F.col("__maybe"))
+        .join(
+            F.broadcast(ref_texts),
+            probed["text"] == F.col("__rt"),
+            "left_semi",
+        )
+        .select("doc_id", F.lit(True).alias("__in"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("__in"), F.lit(False)).alias("in_reference")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-14 additions (driver has never seen these): the MinHash
-    # store's first driver-hashed lifecycles + collapse_left="auto"
+    # round-15 additions and re-signs (driver has never seen these
+    # outputs): band_cap="auto" in the family regime, the Bloom
+    # store's generational rebuild, the band audits extended with the
+    # no-escape / est_family_miss_rate columns (schema changed), the
+    # hotband gates on the auto route, and the three store lifecycles
+    # resized per VERDICT r14 #2 (oracle predicates changed)
+    "near_dedup_capauto",
+    "bloom_store_rebuild",
+    "band_audit",
+    "ann_band_audit",
+    "near_dedup_hotband",
+    "cross_dedup_hotband",
     "minhash_store_migrate",
     "minhash_store_rebucket",
     "minhash_store_generations",
-    "cross_dedup_collapse_auto",
-    "incremental_store_collapse_auto",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the
     # oracle-checked assemble stage for the topic pipeline; the exact
@@ -8783,43 +9078,49 @@ _DRIVER_PRIORITY = [
     "topic_assemble",
     "similarity_ann_recall",
     "similarity_topk",
-    # THEN: the 33 remaining r10-signed entries — the oldest driver
-    # signatures after rounds 12/13 re-signed the r8/r9 tails and the
-    # first 9 of the r10 tail. 5 + 12 + 33 = 50: the window is full
-    # and every pre-r11 signature is refreshed this round.
-    "c4_filter",
-    "char_quality_stats",
-    "collocations_pmi",
-    "corpus_snapshot_diff",
-    "dedup_keep_best",
-    "doc_novelty",
-    "domain_cap",
-    "dup_degree_hist",
-    "dup_span_coverage",
-    "gopher_filter",
-    "heaps_fit",
-    "heavy_hitters",
-    "kmeans_clusters",
-    "kwic_term_plot",
-    "length_outliers",
-    "near_dup_sources",
-    "ngram_trigrams",
-    "preference_pair_audit",
-    "quality_classifier",
-    "readability_scores",
-    "semantic_dedup_pairs",
-    "shard_manifest",
-    "source_cardinality",
-    "source_prefix_boilerplate",
-    "split_leakage_audit",
-    "strip_duplicate_spans",
-    "tfidf_keywords",
-    "token_dispersion",
-    "tokenize_cached",
-    "topic_chunks",
-    "train_val_split",
-    "trending_keys",
-    "trigram_surprisal",
+    # THEN: the r11-signed cohort — the oldest driver signatures after
+    # round 14 refreshed everything pre-r11. 9 + 12 + 38 = 59: the
+    # first ~50 registry rows are signed this round, so the last ~9
+    # of this cohort lead the r16 window (VERDICT r14 #4's "as many
+    # as fit; remainder leads r16").
+    "bloom_store_gate",
+    "classifier_pr_sweep",
+    "classifier_train",
+    "concordance_matches",
+    "concordance_neighbors",
+    "cross_corpus_dedup",
+    "curation_funnel",
+    "customer_segment_rank",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_sweep",
+    "doc_fingerprints",
+    "dup_source_matrix",
+    "embedding_dup_pairs",
+    "embedding_norms",
+    "events_hourly",
+    "language_confusion",
+    "language_id",
+    "near_dedup_blocked_jaccard",
+    "near_dedup_bottomk",
+    "near_dedup_minhash",
+    "near_dedup_setjoin",
+    "node_collocates",
+    "pricing_summary",
+    "quality_by_source",
+    "quality_cube",
+    "quantile_audit",
+    "revenue_by_nation",
+    "robots_gate",
+    "scalar_text_stats",
+    "sentence_segments",
+    "similarity_topk_int8",
+    "supplier_part_coverage",
+    "token_frequencies",
+    "token_frequency_stats",
+    "tokenize_offsets",
+    "top_customer_revenue",
+    "vocab_spelling",
 ]
 
 

@@ -431,7 +431,9 @@ def test_rebucket_store_preserves_answers_and_meta(spark, vectors):
         for r in topk_from_store(spark, "ann_rb", qs, k=10, dim=64).collect()
     }
     assert before and after == before
-    meta = spark.table("ann_rb_meta").collect()[0]
+    from polars_text_spark.sources.bucketing import read_meta
+
+    meta = read_meta(spark, "ann_rb")  # max-gen row of the meta log
     assert meta["buckets"] == 8
     from polars_text_spark.operators.ann_store import _phys
 

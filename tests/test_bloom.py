@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from polars_text_spark.operators.bloom import (
@@ -160,3 +161,128 @@ def test_bloom_store_lifecycle(spark):
     assert all(hits[f"seen-{i}"] for i in range(400))
     # sized generously (4096 bits / 401 keys): most absentees clear
     assert sum(hits[f"never-{i}"] for i in range(100)) < 20
+
+
+def test_bloom_rebuild_generational_lifecycle(spark):
+    """rebuild_bloom_store (round 15, VERDICT r14 #5): re-derive from
+    the authority set on the generational cutover — deleted keys'
+    bits are gone (they can only false-positive at the sized fpp, no
+    longer deterministically hit), kept keys keep the zero-false-
+    negative guarantee, the generation pointer advances, the old
+    physical table is dropped, and post-rebuild appends land in the
+    NEW generation."""
+    from polars_text_spark.operators.bloom import (
+        append_bloom_shard,
+        read_bloom_store,
+        rebuild_bloom_store,
+        write_bloom_store,
+    )
+    from polars_text_spark.sources.bucketing import store_generation
+
+    base = spark.createDataFrame([(f"rb-{i}",) for i in range(200)], ["k"])
+    write_bloom_store(base, "k", "bloomrb_t", m_bits=8192, n_hashes=5)
+    assert store_generation(spark, "bloomrb_t") == 0
+
+    # deletion verb: rebuild from the kept half
+    kept = spark.createDataFrame(
+        [(f"rb-{i}",) for i in range(0, 200, 2)], ["k"]
+    )
+    rebuild_bloom_store(spark, kept, "k", "bloomrb_t")
+    assert store_generation(spark, "bloomrb_t") == 1
+    assert spark.catalog.tableExists("bloomrb_t_words_g1")
+    assert not spark.catalog.tableExists("bloomrb_t_words")
+
+    # post-rebuild append goes into the new generation
+    shard = spark.createDataFrame(
+        [(f"rb-new-{i}",) for i in range(50)], ["k"]
+    )
+    append_bloom_shard(shard, "k", "bloomrb_t")
+
+    merged = read_bloom_store(spark, "bloomrb_t")
+    probe = spark.createDataFrame(
+        [(f"rb-{i}",) for i in range(0, 200, 2)]
+        + [(f"rb-new-{i}",) for i in range(50)],
+        ["v"],
+    )
+    hits = bloom_might_contain(probe, "v", merged).collect()
+    assert all(r["might_contain"] for r in hits)  # no false negatives
+    # the rebuilt filter is bit-identical to a fresh fit of kept keys
+    # plus the appended shard (the authority-set contract)
+    direct = bloom_fit(
+        kept.unionByName(shard.withColumnRenamed("k", "k")),
+        "k", m_bits=8192, n_hashes=5,
+    )
+    assert merged.first()[0] == direct.first()[0]
+
+
+def test_bloom_rebuild_resizes(spark):
+    """Passing new parameters resizes the filter during the rebuild —
+    the one legal moment (bits cannot carry across sizes)."""
+    from polars_text_spark.operators.bloom import (
+        _bloom_meta,
+        read_bloom_store,
+        rebuild_bloom_store,
+        write_bloom_store,
+    )
+
+    base = spark.createDataFrame([(f"rs-{i}",) for i in range(100)], ["k"])
+    write_bloom_store(base, "k", "bloomrs_t", m_bits=1024, n_hashes=3)
+    rebuild_bloom_store(spark, base, "k", "bloomrs_t", m_bits=16384)
+    m_bits, n_hashes, seed, gen = _bloom_meta(spark, "bloomrs_t")
+    assert (m_bits, n_hashes, gen) == (16384, 3, 1)
+    merged = read_bloom_store(spark, "bloomrs_t")
+    direct = bloom_fit(base, "k", m_bits=16384, n_hashes=3)
+    assert merged.first()[0] == direct.first()[0]
+
+
+def test_bloom_rebuild_aborts_on_racing_append(spark, monkeypatch):
+    """The exact race class round 14 closed for the MinHash/ANN
+    stores (VERDICT r14 #5): an append (or streaming trigger) that
+    ORs bits into the live word table DURING the rebuild window must
+    abort the rebuild loudly — its keys are not in the authority set
+    and the flip would silently lose them. The store stays on the old
+    generation WITH the appended keys; a retry whose authority
+    includes them succeeds."""
+    import polars_text_spark.operators.bloom as bloom_mod
+    from polars_text_spark.operators.bloom import (
+        append_bloom_shard,
+        read_bloom_store,
+        rebuild_bloom_store,
+        write_bloom_store,
+    )
+    from polars_text_spark.sources.bucketing import store_generation
+
+    base = spark.createDataFrame([(f"rc-{i}",) for i in range(100)], ["k"])
+    racer = spark.createDataFrame([("rc-racer",)], ["k"])
+    write_bloom_store(base, "k", "bloomrc_t", m_bits=4096, n_hashes=5)
+
+    real_word_frame = bloom_mod._word_frame
+    state = {"fired": False}
+
+    def racing_word_frame(df, col, m, k, seed):
+        # inject the append right as the rebuild derives its new word
+        # set — i.e. strictly inside the snapshot..re-list window
+        if not state["fired"]:
+            state["fired"] = True
+            append_bloom_shard(racer, "k", "bloomrc_t")
+        return real_word_frame(df, col, m, k, seed)
+
+    monkeypatch.setattr(bloom_mod, "_word_frame", racing_word_frame)
+    with pytest.raises(RuntimeError, match="changed under the rebuild"):
+        rebuild_bloom_store(spark, base, "k", "bloomrc_t")
+    monkeypatch.setattr(bloom_mod, "_word_frame", real_word_frame)
+
+    assert state["fired"]
+    # store untouched: old generation, racer's key live, orphan swept
+    assert store_generation(spark, "bloomrc_t") == 0
+    assert not spark.catalog.tableExists("bloomrc_t_words_g1")
+    merged = read_bloom_store(spark, "bloomrc_t")
+    row = bloom_might_contain(
+        spark.createDataFrame([("rc-racer",)], ["v"]), "v", merged
+    ).collect()[0]
+    assert row["might_contain"]  # no false negative for the racer
+    # retry with an authority that includes the racer succeeds
+    rebuild_bloom_store(
+        spark, base.unionByName(racer), "k", "bloomrc_t"
+    )
+    assert store_generation(spark, "bloomrc_t") == 1

@@ -506,6 +506,16 @@ def test_band_stats_recall_telemetry_hand_computed(spark):
     assert r.cross_sig_missed_bound == 6
     assert r.cross_sig_share == 6 / 10
     assert abs(r.est_miss_prob - (5 / 7) * (6 / 10)) < 1e-12
+    # round-15 no-escape accounting: every member has exactly one band
+    # row, so the 5 hot-bucket members have NO escape hatch and the 2
+    # cold ones never touch saturation
+    assert r.saturated_member_ids == 5
+    assert r.no_escape_ids == 5
+    assert abs(r.no_escape_id_fraction - 5 / 7) < 1e-12
+    # regime-aware estimator: the declined-pair bound minus the
+    # cross-sig pairs co-located in unsaturated buckets (the cold
+    # bucket is one sig group -> rescues nothing), over all pairs
+    assert abs(r.est_family_miss_rate - (6 - 0) / 11) < 1e-12
 
 
 def test_band_stats_telemetry_zero_when_unsaturated_or_uncapped(spark):
@@ -520,8 +530,14 @@ def test_band_stats_telemetry_zero_when_unsaturated_or_uncapped(spark):
     assert r.cross_sig_missed_bound == 0
     assert r.cross_sig_share is None  # no saturated pairs to share over
     assert r.est_miss_prob is None
+    assert r.saturated_member_ids == 0
+    assert r.no_escape_ids == 0
+    assert r.no_escape_id_fraction == 0.0
+    # nothing saturated -> the guard declines nothing: a KNOWN zero
+    assert r.est_family_miss_rate == 0.0
     r = band_bucket_stats(banded, ["bk"], band_cap=None, sig_col="sig").collect()[0]
     assert r.n_saturated_buckets == 0 and r.cross_sig_missed_bound == 0
+    assert r.no_escape_ids == 0 and r.est_family_miss_rate == 0.0
 
 
 def test_band_stats_telemetry_null_without_sig(spark):
@@ -538,6 +554,10 @@ def test_band_stats_telemetry_null_without_sig(spark):
     assert r.cross_sig_missed_bound is None
     assert r.cross_sig_share is None
     assert r.est_miss_prob is None
+    # the no-escape accounting needs only the member id, not the sig
+    assert r.saturated_member_ids == 5 and r.no_escape_ids == 5
+    assert r.no_escape_id_fraction == 1.0
+    assert r.est_family_miss_rate is None  # no sig -> bound unknown
 
 
 def test_lsh_band_stats_telemetry_on_corpus(corpus):
@@ -549,6 +569,10 @@ def test_lsh_band_stats_telemetry_on_corpus(corpus):
     assert r.cross_sig_missed_bound == 0
     assert r.cross_sig_share == 0.0
     assert r.est_miss_prob == 0.0
+    # the identical-text family has no escape hatch in ANY band, yet
+    # the regime-aware estimator stays 0: nothing cross-sig is lost
+    assert r.no_escape_ids >= HOT_N and r.saturated_member_ids >= HOT_N
+    assert r.est_family_miss_rate == 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -832,6 +856,87 @@ def test_band_miss_bound_holds_on_near_identical_families(spark):
     # the round-14 probe; assert the loose version)
     ratio = bound / stats["unguarded_candidates"]
     assert ratio > actual_rate / 2
+    # round 15 (VERDICT r14 #1): the regime-aware estimator — the
+    # bound share discounted by the no-escape member fraction — is a
+    # number an operator can SIZE from: within 2x of the realized
+    # rate in exactly the regime est_miss_prob understates
+    fam = stats["est_family_miss_rate"]
+    assert fam is not None
+    assert actual_rate / 2 <= fam <= actual_rate * 2, (fam, actual_rate)
+    assert fam > stats["est_miss_prob"]  # fixes the understatement
+
+
+def test_resolve_band_cap_routes(spark):
+    """band_cap='auto' (VERDICT r14 #6): passthrough for int/None;
+    EASY regime (signature-identical family — the guard loses
+    nothing) keeps the base cap; FAMILY regime (near-identical,
+    distinct signatures) walks the ladder past the family size;
+    invalid specs raise."""
+    import pytest as _pytest
+
+    from polars_text_spark.operators.dedup import (
+        _banded_signatures,
+        resolve_band_cap,
+    )
+
+    def banded_of(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return _banded_signatures(
+            df, "text", "doc_id", "id", num_perm=64, bands=16, shingle_n=3
+        )
+
+    # passthrough
+    some = banded_of([(1, "a b c d")])
+    assert resolve_band_cap(some, ["bk"], 7, sig_col="__sig") == 7
+    assert resolve_band_cap(some, ["bk"], None, sig_col="__sig") is None
+    with _pytest.raises(ValueError, match="auto"):
+        resolve_band_cap(some, ["bk"], "always", sig_col="__sig")
+    with _pytest.raises(ValueError, match=">= 1"):
+        resolve_band_cap(some, ["bk"], ("auto", 0), sig_col="__sig")
+
+    # EASY regime: 30 identical docs saturate cap 4 in every band but
+    # are one signature group -> declined-pair bound 0 -> base kept
+    easy = banded_of(
+        [(i, "ez alpha beta gamma delta epsilon") for i in range(30)]
+    )
+    assert resolve_band_cap(easy, ["bk"], ("auto", 4), sig_col="__sig") == 4
+
+    # FAMILY regime: 30 near-identical docs (unique trailing token ->
+    # distinct signatures); caps 4 and 16 decline nearly every pair,
+    # 64 is the first rung clearing the family
+    base = " ".join(f"fw{t}" for t in range(30))
+    fam = banded_of([(i, f"{base} fm{i}") for i in range(30)])
+    assert resolve_band_cap(fam, ["bk"], ("auto", 4), sig_col="__sig") == 64
+
+    # unsaturated corpus: base kept at any rung
+    cold = banded_of([(i, f"c{i} d{i} e{i} f{i}") for i in range(10)])
+    assert resolve_band_cap(cold, ["bk"], ("auto", 4), sig_col="__sig") == 4
+
+
+def test_auto_band_cap_family_output_exact(spark):
+    """End to end: minhash_lsh_pairs(band_cap=('auto', 4)) on a
+    near-identical 30-member family returns the EXACT unguarded
+    answer (auto cleared the family), while the same corpus at the
+    fixed base cap loses most of the clique — the round-14 orphaning
+    regime the route exists to prevent."""
+    base = " ".join(f"aw{t}" for t in range(60))
+    corpus = spark.createDataFrame(
+        [(i, f"{base} am{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+
+    def pairs(cap):
+        return {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                corpus, jaccard_threshold=0.9, band_cap=cap
+            ).collect()
+        }
+
+    truth = pairs(None)
+    assert len(truth) == 30 * 29 // 2
+    assert pairs(("auto", 4)) == truth
+    assert len(pairs(4)) < len(truth)  # the fixed cap loses pairs
 
 
 def test_cross_face_verdict_recall_on_near_identical_families(spark):

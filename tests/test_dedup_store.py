@@ -290,7 +290,9 @@ def test_rebucket_minhash_store_preserves_pairs(spark, corpus):
         for r in pairs_from_store(spark, "mh_rb", jaccard_threshold=0.7).collect()
     }
     assert before and after == before
-    meta = spark.table("mh_rb_meta").collect()[0]
+    from polars_text_spark.sources.bucketing import read_meta
+
+    meta = read_meta(spark, "mh_rb")  # max-gen row of the meta log
     assert meta["buckets"] == 8
     from polars_text_spark.operators.dedup_store import _phys
 
@@ -331,9 +333,14 @@ def test_store_band_stats_reads_buckets_in_place(
     """The audit's first groupBy keys on (band, bucket, sig) — a
     SUPERSET of the table's bucketing, which Spark's clustered-
     distribution check satisfies from HashPartitioning(band, bucket) —
-    so the ONLY Exchange in the whole audit is the final 1-row
-    SinglePartition collect. A second Exchange means the store scan
-    got re-partitioned."""
+    and the round-15 no-escape window partitions on (band, bucket)
+    itself, so the STORE SCAN is never re-partitioned on its own
+    keys: no Exchange on (band, bucket) anywhere. The remaining
+    Exchanges are the 1-row SinglePartition collects and the
+    per-member accounting's one legitimate shuffle of tiny
+    (id, n_bands, n_saturated) rows."""
+    import re
+
     from polars_text_spark.operators.dedup_store import (
         band_stats_from_store,
     )
@@ -343,8 +350,9 @@ def test_store_band_stats_reads_buckets_in_place(
     plan = explain_str(
         band_stats_from_store(spark, "mh_audit_plan", band_cap=8), "simple"
     )
-    assert plan.count("Exchange") == 1, plan
-    assert "SinglePartition" in plan
+    assert "hashpartitioning(band" not in plan, plan
+    for e in re.findall(r"Exchange [^\n]*", plan):
+        assert "SinglePartition" in e or "hashpartitioning(id" in e, e
 
 
 def test_store_rejects_mismatched_shingle_hash_family(spark, corpus):

@@ -210,7 +210,9 @@ def test_rebuild_minhash_store_migrates_v1_family(spark, corpus):
         append_minhash_shard(shard, "mh_mig")
 
     rebuild_minhash_store(spark, "mh_mig", base)
-    meta = spark.table("mh_mig_meta").collect()[0]
+    from polars_text_spark.sources.bucketing import read_meta
+
+    meta = read_meta(spark, "mh_mig")  # max-gen row of the meta log
     from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
 
     assert meta["hashv"] == SHINGLE_HASH_VERSION
@@ -272,3 +274,86 @@ def test_sweep_stale_generations_scope(spark, corpus):
     assert spark.catalog.tableExists("mh_sw_other_bands")
     assert phys_table("mh_sw", "bands", 0) == "mh_sw_bands"
     assert phys_table("mh_sw", "bands", 3) == "mh_sw_bands_g3"
+
+
+def test_append_racing_a_rebuild_aborts_loudly(spark, corpus, monkeypatch):
+    """ADVICE r14: rebuild_minhash_store derives the next generation
+    from corpus_df, NOT from the live files — an append completing
+    during the (long) re-derivation window is in the old tables but
+    not in the corpus, so a silent flip would drop it. The round-15
+    file-snapshot re-list turns that into the same loud abort
+    rewrite_generation gives rebucket/purge: store untouched, appended
+    rows live, retry with a corpus that includes them succeeds."""
+    import polars_text_spark.operators.dedup_store as ds
+
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    shard = corpus.filter(F.col("doc_id") % 4 == 0).limit(10)
+    write_minhash_store(base, "mh_rbr", buckets=4)
+
+    real_write = ds.write_bucketed
+    state = {"injected": False}
+
+    def racing_write(df, table, **kw):
+        real_write(df, table, **kw)
+        # right after the rebuild finishes its FIRST next-gen table,
+        # land an append into the live (old-gen) store
+        if table.endswith("_g1") and not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(ds, "write_bucketed", real_write)
+            append_minhash_shard(shard, "mh_rbr")
+            monkeypatch.setattr(ds, "write_bucketed", racing_write)
+
+    monkeypatch.setattr(ds, "write_bucketed", racing_write)
+    with pytest.raises(RuntimeError, match="changed under the rebuild"):
+        rebuild_minhash_store(spark, "mh_rbr", base)
+    monkeypatch.setattr(ds, "write_bucketed", real_write)
+
+    assert state["injected"]
+    # store untouched: generation 0, half-built next gen swept
+    assert store_generation(spark, "mh_rbr") == 0
+    assert not spark.catalog.tableExists("mh_rbr_bands_g1")
+    assert not spark.catalog.tableExists("mh_rbr_shingles_g1")
+    # the append survived
+    grown = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            base.unionByName(shard), jaccard_threshold=0.7
+        ).collect()
+    }
+    assert _pairs(spark, "mh_rbr") == grown
+    # retry with the grown corpus succeeds and preserves the answer
+    rebuild_minhash_store(spark, "mh_rbr", base.unionByName(shard))
+    assert store_generation(spark, "mh_rbr") == 1
+    assert _pairs(spark, "mh_rbr") == grown
+
+
+def test_meta_log_append_only_flip(spark, corpus):
+    """Round 15 (ADVICE r14): the meta table is an APPEND-ONLY log —
+    a cutover appends the next-gen row (one file-manifest commit, the
+    table exists at every instant; the old saveAsTable-overwrite flip
+    was a DROP+CREATE that could crash into a missing-meta state) and
+    readers resolve the highest-gen row. A fresh write resets the
+    log so stale high-gen rows cannot outrank the new store."""
+    from polars_text_spark.sources.bucketing import read_meta
+
+    write_minhash_store(corpus.limit(40), "mh_log", buckets=2)
+    assert spark.table("mh_log_meta").count() == 1
+    before = _pairs(spark, "mh_log")
+
+    rebucket_minhash_store(spark, "mh_log", 4)
+    # the flip APPENDED: both generations' rows in the log, max wins
+    assert spark.table("mh_log_meta").count() == 2
+    m = read_meta(spark, "mh_log")
+    assert m["gen"] == 1 and m["buckets"] == 4
+    assert _pairs(spark, "mh_log") == before
+
+    rebucket_minhash_store(spark, "mh_log", 2)
+    assert spark.table("mh_log_meta").count() == 3
+    assert store_generation(spark, "mh_log") == 2
+    assert _pairs(spark, "mh_log") == before
+
+    # fresh write: log reset to one gen-0 row
+    write_minhash_store(corpus.limit(40), "mh_log", buckets=2)
+    assert spark.table("mh_log_meta").count() == 1
+    assert store_generation(spark, "mh_log") == 0
+    assert _pairs(spark, "mh_log") == before

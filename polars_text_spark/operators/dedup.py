@@ -443,6 +443,7 @@ def minhash_signatures(
     *,
     num_perm: int = 64,
     shingle_n: int = 3,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """``(id, minhash: array<long>)`` — one min per seeded xxhash64.
 
@@ -452,16 +453,28 @@ def minhash_signatures(
     the 64 seeded permutation hashes runs over a fixed-width long
     instead of a rebuilt shingle string — part of the round-13
     shingle-family speedup (:func:`token_shingles`,
-    :data:`SHINGLE_HASH_VERSION`)."""
+    :data:`SHINGLE_HASH_VERSION`).
+
+    ``shingles_col`` names an ALREADY-derived hashed-shingle array
+    column (round 15): the store paths materialize the shingle table
+    anyway, so deriving signatures from it — instead of re-tokenizing
+    the text — turns the store write into ONE pass over the text plus
+    a columnar re-read of longs; on the id-bucketed shingle table the
+    groupBy(id) aggregation is also exchange-free. Values are
+    identical either way (the column IS ``token_shingles(hashed=
+    True)``)."""
     # explode_outer + null filter: plain explode makes the optimizer
     # infer `size(token_shingles(..)) > 0` and pushdown inlines the
     # whole shingle expression into the filter, computing it twice
     # per row (InferFiltersFromGenerate trap — SCALING.md).
+    src = (
+        F.col(shingles_col)
+        if shingles_col is not None
+        else token_shingles(text_col, shingle_n, hashed=True)
+    )
     exploded = df.select(
         F.col(id_col),
-        F.explode_outer(
-            token_shingles(text_col, shingle_n, hashed=True)
-        ).alias("shingle"),
+        F.explode_outer(src).alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
@@ -482,6 +495,7 @@ def _banded_signatures(
     num_perm: int,
     bands: int,
     shingle_n: int,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """``(out_id, bk: struct<band, bucket>, __sig)`` — one row per LSH
     band. ``__sig`` is an xxhash64 over the FULL signature: docs with
@@ -491,7 +505,8 @@ def _banded_signatures(
     construction instead of against an arbitrary bucket hub."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
-        df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
+        df, text_col, id_col,
+        num_perm=num_perm, shingle_n=shingle_n, shingles_col=shingles_col,
     )
     band_structs = F.array(
         *[

@@ -125,11 +125,16 @@ def write_minhash_store(
     shingle_n: int = 3,
     buckets: int = 8,
 ) -> None:
-    """Materialize ``<name>_bands`` and ``<name>_shingles`` bucketed
-    tables for ``df`` (one pass over the text each). A fresh write is
-    generation 0 (unsuffixed physical names); any physical tables a
-    previous store of the same name left behind — including suffixed
-    maintenance generations — are swept first."""
+    """Materialize ``<name>_shingles`` and ``<name>_bands`` bucketed
+    tables for ``df``. ONE pass over the text (round 15): the shingle
+    table is written first, then the band signatures are derived from
+    READING IT BACK — a columnar scan of hashed-shingle longs instead
+    of a second tokenize pass over the corpus, and since the table is
+    bucketed by id, the minhash groupBy(id) aggregation runs with no
+    Exchange. A fresh write is generation 0 (unsuffixed physical
+    names); any physical tables a previous store of the same name left
+    behind — including suffixed maintenance generations — are swept
+    first."""
     spark = df.sparkSession
     from polars_text_spark.sources.bucketing import clear_table
 
@@ -137,9 +142,21 @@ def write_minhash_store(
     # the old one (current_gen=-1 matches no table, so all are
     # dropped), then write fresh at generation 0
     sweep_stale_generations(spark, name, _SUFFIXES, -1)
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+    )
+    write_bucketed(
+        shingles,
+        f"{name}_shingles",
+        bucket_by="id",
+        buckets=buckets,
+        sort_by="id",
+    )
     banded = _banded_signatures(
-        df, text_col, id_col, "id",
+        spark.table(f"{name}_shingles"), text_col, "id", "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        shingles_col="sh",
     ).select(
         "id",
         F.col("bk.band").alias("band"),
@@ -154,17 +171,6 @@ def write_minhash_store(
         bucket_by=["band", "bucket"],
         buckets=buckets,
         sort_by=["band", "bucket"],
-    )
-    shingles = df.select(
-        F.col(id_col).alias("id"),
-        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
-    )
-    write_bucketed(
-        shingles,
-        f"{name}_shingles",
-        bucket_by="id",
-        buckets=buckets,
-        sort_by="id",
     )
     # a rebuild starts a NEW store generation: tombstones from the
     # previous generation would silently delete rows from the fresh
@@ -207,7 +213,7 @@ def _minhash_meta(
     )
 
 
-def _assert_hash_family(spark: SparkSession, name: str) -> None:
+def _assert_hash_family(spark: SparkSession, name: str, meta_row=None) -> None:
     """Refuse to band NEW text against a store written under a
     different shingle hash FAMILY: the new rows' band keys could
     never collide with the standing rows — the silent-recall-0
@@ -224,10 +230,11 @@ def _assert_hash_family(spark: SparkSession, name: str) -> None:
     exact silent-recall-0 failure this guard exists to prevent. Only
     when NEITHER table exists (the store genuinely doesn't exist yet)
     is the check a no-op, leaving the missing-store error to the
-    caller's own read."""
+    caller's own read. ``meta_row`` lets a caller that already read
+    the meta row skip the re-read (one collect per append saved)."""
     from polars_text_spark.operators.dedup import SHINGLE_HASH_VERSION
 
-    m = read_meta(spark, name)
+    m = meta_row if meta_row is not None else read_meta(spark, name)
     if m is None:
         if spark.catalog.tableExists(f"{name}_bands"):
             raise ValueError(
@@ -278,16 +285,20 @@ def append_minhash_shard(
     a tombstoned id would be silently swallowed by the read-time
     anti-join until purge."""
     spark = shard.sparkSession
-    meta = _minhash_meta(spark, name)
-    if meta is None:
+    m = read_meta(spark, name)  # ONE meta read: params + hashv + gen
+    if m is None:
         raise ValueError(
             f"minhash store '{name}' predates incremental ingest (no "
             "meta table); rewrite it with write_minhash_store before "
             "appending shards"
         )
-    num_perm, bands, shingle_n, buckets = meta
-    _assert_hash_family(spark, name)
-    gen_at_start = store_generation(spark, name)
+    d = m.asDict()
+    num_perm, bands, shingle_n, buckets = (
+        int(d["num_perm"]), int(d["bands"]),
+        int(d["shingle_n"]), int(d["buckets"]),
+    )
+    _assert_hash_family(spark, name, meta_row=m)
+    gen_at_start = int(d["gen"]) if d.get("gen") is not None else 0
     bands_tbl = phys_table(name, "bands", gen_at_start)
     shingles_tbl = phys_table(name, "shingles", gen_at_start)
     clash = probe_id_clash(
@@ -303,13 +314,30 @@ def append_minhash_shard(
             "appending would duplicate its rows and corrupt later "
             "pair results"
         )
+    # ONE tokenize pass over the shard (round 15): the staged
+    # (id, shingles) frame is pinned and feeds BOTH table appends —
+    # shards are the small side by contract, so the pin is bounded.
+    # Write order stays BANDS FIRST (the crash-recovery contract: a
+    # bands-only orphan re-appends cleanly because the id-clash probe
+    # reads the shingles table and candidate pairs dedup; flipping the
+    # order would make a crashed append refuse retry with shingle rows
+    # whose band keys never landed — silent recall loss).
+    from polars_text_spark.persist import track_persist
+
+    staged = track_persist(
+        shard.select(
+            F.col(id_col).alias("id"),
+            token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
+        ).persist()
+    )
     shard_cols = ["id", F.col("bk.band").alias("band"),
                   F.col("bk.bucket").alias("bucket")]
     if "sig" in spark.table(bands_tbl).columns:
         shard_cols.append(F.col("__sig").alias("sig"))
     banded = _banded_signatures(
-        shard, text_col, id_col, "id",
+        staged, text_col, "id", "id",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        shingles_col="sh",
     ).select(*shard_cols)
     write_bucketed(
         banded,
@@ -319,18 +347,15 @@ def append_minhash_shard(
         sort_by=["band", "bucket"],
         mode="append",
     )
-    shingles = shard.select(
-        F.col(id_col).alias("id"),
-        token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
-    )
     write_bucketed(
-        shingles,
+        staged,
         shingles_tbl,
         bucket_by="id",
         buckets=buckets,
         sort_by="id",
         mode="append",
     )
+    staged.unpersist()
     _check_generation_unchanged(spark, name, gen_at_start)
 
 
@@ -489,37 +514,44 @@ def rebuild_minhash_store(
         for s in _SUFFIXES
     }
 
-    banded = _banded_signatures(
-        corpus_df, text_col, id_col, "id",
-        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
-    ).select(
-        "id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bucket").alias("bucket"),
-        F.col("__sig").alias("sig"),
-    )
     shingles = corpus_df.select(
         F.col(id_col).alias("id"),
         token_shingles(text_col, shingle_n, hashed=True).alias("sh"),
     )
     new_tables = [
-        phys_table(name, "bands", nxt),
         phys_table(name, "shingles", nxt),
+        phys_table(name, "bands", nxt),
     ]
     try:
-        write_bucketed(
-            banded,
-            new_tables[0],
-            bucket_by=["band", "bucket"],
-            buckets=buckets,
-            sort_by=["band", "bucket"],
-        )
+        # ONE tokenize pass over the corpus (round 15): the next-gen
+        # shingle table is written first and the band signatures are
+        # derived from reading it back — columnar longs, and the
+        # id-bucketed scan makes the minhash groupBy(id) exchange-free.
+        # Write order inside a NEXT generation is crash-irrelevant
+        # (orphans are swept; the store flips only at the meta append).
         write_bucketed(
             shingles,
-            new_tables[1],
+            new_tables[0],
             bucket_by="id",
             buckets=buckets,
             sort_by="id",
+        )
+        banded = _banded_signatures(
+            spark.table(new_tables[0]), text_col, "id", "id",
+            num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+            shingles_col="sh",
+        ).select(
+            "id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+            F.col("__sig").alias("sig"),
+        )
+        write_bucketed(
+            banded,
+            new_tables[1],
+            bucket_by=["band", "bucket"],
+            buckets=buckets,
+            sort_by=["band", "bucket"],
         )
         for s in _SUFFIXES:
             loc, schema, before = snapshots[s]
@@ -749,19 +781,21 @@ def incremental_pairs_from_store(
             f"collapse_left must be False, True or 'auto', got "
             f"{collapse_left!r}"
         )
-    meta = _minhash_meta(spark, name)
-    if meta is not None and (num_perm, bands, shingle_n) != meta[:3]:
-        raise ValueError(
-            f"minhash store '{name}' was written with num_perm="
-            f"{meta[0]}, bands={meta[1]}, shingle_n={meta[2]}; the "
-            f"passed parameters (num_perm={num_perm}, bands={bands}, "
-            f"shingle_n={shingle_n}) would produce band keys that can "
-            "never collide with the store"
-        )
-    _assert_hash_family(spark, name)
+    m = read_meta(spark, name)  # ONE meta read: params + hashv + gen
+    if m is not None:
+        md = m.asDict()
+        meta3 = (int(md["num_perm"]), int(md["bands"]), int(md["shingle_n"]))
+        if (num_perm, bands, shingle_n) != meta3:
+            raise ValueError(
+                f"minhash store '{name}' was written with num_perm="
+                f"{meta3[0]}, bands={meta3[1]}, shingle_n={meta3[2]}; "
+                f"the passed parameters (num_perm={num_perm}, bands="
+                f"{bands}, shingle_n={shingle_n}) would produce band "
+                "keys that can never collide with the store"
+            )
+    _assert_hash_family(spark, name, meta_row=m)
     a = None
     members = None
-    id_left = id_col
     if collapse_left:
         collapsed = _collapse_left_groups(
             new_df, text_col, id_col, shingle_n,
@@ -769,19 +803,33 @@ def incremental_pairs_from_store(
         )
         if collapsed is not None:  # None: probe found nothing to collapse
             reps, members = collapsed
-            new_df = reps.select("id_a", F.col("__text").alias(text_col))
             a = reps.select("id_a", F.col("sh_a"))
-            id_left = "id_a"
+    if a is None:
+        # ONE tokenize pass over the shard (round 15): the staged
+        # (id_a, sh_a) frame feeds both the banding and the exact
+        # verification join below
+        a = new_df.select(
+            F.col(id_col).alias("id_a"),
+            token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
+        )
+    from polars_text_spark.persist import track_persist
+
+    a = track_persist(a.persist())
     new_bands = _banded_signatures(
-        new_df, text_col, id_left, "id_a",
+        a, text_col, "id_a", "id_a",
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        shingles_col="sh_a",
     ).select(
         "id_a",
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
     )
     __ts = _tombstones(spark, name)
-    __gen = store_generation(spark, name)  # one resolution, both reads
+    __gen = (
+        int(m["gen"])
+        if m is not None and m.asDict().get("gen") is not None
+        else 0
+    )
     standing = _minus_tombstones(
         spark.table(phys_table(name, "bands", __gen)), __ts
     )
@@ -800,11 +848,6 @@ def incremental_pairs_from_store(
     cand = _guarded_cross_candidates(
         new_bands, standing, ["band", "bucket"], band_cap, star_by=star_by
     )
-    if a is None:
-        a = new_df.select(
-            F.col(id_col).alias("id_a"),
-            token_shingles(text_col, shingle_n, hashed=True).alias("sh_a"),
-        )
     sh = _minus_tombstones(
         spark.table(phys_table(name, "shingles", __gen)), __ts
     )

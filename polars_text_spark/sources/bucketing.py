@@ -368,16 +368,17 @@ def sweep_stale_generations(
     import re
 
     dropped: list[str] = []
-    current = {phys_table(name, s, current_gen) for s in suffixes}
+    current = {phys_table(name, s, current_gen).lower() for s in suffixes}
+    # ONE catalog listing for all suffixes — listTables enumerates the
+    # whole database and maintenance calls this at every op
+    tables = [t.name for t in spark.catalog.listTables()]
     for s in suffixes:
         base = f"{name}_{s}".lower()
         pat = re.compile(re.escape(base) + r"(_g\d+)?$")
-        for t in spark.catalog.listTables():
-            if pat.fullmatch(t.name) and t.name not in {
-                c.lower() for c in current
-            }:
-                clear_table(spark, t.name)
-                dropped.append(t.name)
+        for t in tables:
+            if pat.fullmatch(t) and t not in current:
+                clear_table(spark, t)
+                dropped.append(t)
     return dropped
 
 

@@ -657,6 +657,13 @@ def bloom_ingest_batch(
     structural here, stronger than the id-keyed stores' dedup logic:
     re-delivering a batch re-ORs exactly the same bits, so no clash
     probe is needed at all.
+
+    A ``rebuild_bloom_store`` cutover racing a trigger is detected on
+    BOTH sides (round 15): the rebuild's file-snapshot re-list aborts
+    it when a trigger OR'd bits in during the window, and the
+    trigger's own post-write generation check raises conservatively —
+    the stream's at-least-once restart then re-ORs the batch into the
+    surviving generation (idempotent in both worlds).
     """
     from polars_text_spark.operators.bloom import (
         append_bloom_shard,

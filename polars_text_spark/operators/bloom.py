@@ -322,7 +322,10 @@ def write_bloom_store(
 
     spark = df.sparkSession
     # a fresh write starts a NEW store: drop EVERY physical generation
-    # a previous store of this name left behind (gen -1 matches none)
+    # a previous store of this name left behind (gen -1 matches none);
+    # clear_table additionally removes a stale warehouse DIRECTORY a
+    # previous SESSION's drop left behind, which the catalog sweep
+    # cannot see and which would block the saveAsTable
     sweep_stale_generations(spark, name, ("words",), -1)
     words = _word_frame(df, col, m_bits, n_hashes, seed)
     clear_table(spark, f"{name}_words")
@@ -440,6 +443,10 @@ def rebuild_bloom_store(
     live = _words_table(name, gen)
     loc, schema, before = snapshot_files(spark, live)
     dst = _words_table(name, nxt)
+    # clear_table also removes a stale warehouse DIRECTORY a previous
+    # session left behind (invisible to the catalog sweep), which
+    # would otherwise block the saveAsTable with LOCATION_ALREADY_EXISTS
+    clear_table(spark, dst)
     try:
         _word_frame(authority, col, m_bits, n_hashes, seed).write.format(
             "parquet"

@@ -120,6 +120,34 @@ def main() -> None:
     print(f"top-k after rebucket to 8 (same): "
           f"{ann_store.topk_from_store(spark, 'demo_ann', qs, k=5, dim=64).count()}")
 
+    print("== Bloom store (seen-keys ledger) ==")
+    from polars_text_spark.operators import bloom
+
+    keys = docs.select("doc_id", "text")
+    bloom.write_bloom_store(
+        keys.filter(F.col("doc_id") % 2 == 0), "text", "demo_bloom",
+        m_bits=1 << 16, n_hashes=5,
+    )
+    bloom.append_bloom_shard(
+        keys.filter(F.col("doc_id") % 2 == 1), "text", "demo_bloom"
+    )
+    # deletion verb (round 15): a Bloom cannot unset bits, so deletion
+    # is a REBUILD from the authority key set — now on the same atomic
+    # generational cutover as the MinHash/ANN stores (a streaming
+    # trigger racing the rebuild aborts it loudly instead of losing
+    # its keys at the flip)
+    bloom.rebuild_bloom_store(
+        spark, keys.filter(F.col("doc_id") % 4 != 2), "text", "demo_bloom"
+    )
+    print(f"bloom store generation after rebuild: "
+          f"{store_generation(spark, 'demo_bloom')}")
+    filt = bloom.read_bloom_store(spark, "demo_bloom")
+    hits = bloom.bloom_might_contain(keys, "text", filt).where(
+        F.col("might_contain")
+    )
+    print(f"bloom-positive docs after rebuild-with-deletions: "
+          f"{hits.count()} of {keys.count()}")
+
     print("== continuous ingest (streaming) ==")
     import tempfile
 

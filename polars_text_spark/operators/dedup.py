@@ -1538,7 +1538,11 @@ def simhash_pairs(
     size the 4x16 pigeonhole itself is out of capacity and the scheme
     wants more/wider chunks (or MinHash banding, whose 64-bit buckets
     only saturate on true families). ``band_cap=None`` disables the
-    guard."""
+    guard; ``"auto"`` / ``("auto", base)`` sizes it from the
+    counts-only block audit (:func:`resolve_band_cap` — round 15; the
+    signature group here is the full simhash, so near-identical
+    families with distinct hashes are exactly the regime that raises
+    the cap)."""
     hashed = df.select(
         F.col(id_col).alias("id"),
         simhash(text_col, token_hash=token_hash).alias("sh"),
@@ -1559,6 +1563,9 @@ def simhash_pairs(
     # star only with signature-identical docs (hamming 0 — verified by
     # construction), never against an arbitrary block hub that the
     # <= max_hamming verify would reject
+    if not (band_cap is None or isinstance(band_cap, int)):
+        blocked = track_persist(blocked.persist())
+        band_cap = resolve_band_cap(blocked, ["ck"], band_cap, sig_col="sh")
     pairs = _guarded_self_pairs(
         blocked, ["ck"], band_cap, payload=("sh",), star_by=("sh",)
     )

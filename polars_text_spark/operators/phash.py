@@ -231,7 +231,17 @@ def chunk_hamming_pairs(
     )
     blocked = sigs.select("id", "sig", F.explode(chunk_structs).alias("ck"))
     # star_by the full signature: saturated-block stars connect only
-    # signature-identical media (hamming 0, verified by construction)
+    # signature-identical media (hamming 0, verified by construction).
+    # band_cap="auto"/("auto", base) sizes the cap from the
+    # counts-only block audit (dedup.resolve_band_cap, round 15)
+    if not (band_cap is None or isinstance(band_cap, int)):
+        from polars_text_spark.operators.dedup import resolve_band_cap
+        from polars_text_spark.persist import track_persist
+
+        blocked = track_persist(blocked.persist())
+        band_cap = resolve_band_cap(
+            blocked, ["ck"], band_cap, sig_col="sig"
+        )
     pairs = _guarded_self_pairs(
         blocked, ["ck"], band_cap, payload=("sig",), star_by=("sig",)
     )

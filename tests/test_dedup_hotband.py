@@ -965,3 +965,38 @@ def test_cross_face_verdict_recall_on_near_identical_families(spark):
         ).select("id_a").distinct().collect()
     }
     assert flagged == {1, 2, 3}
+
+
+def test_resolve_band_cap_ladder_exhaustion_returns_top_rung(spark):
+    """A family bigger than every rung: the resolver returns the TOP
+    rung anyway — a bounded candidate blow-up beats an unbounded
+    quadratic at scale; the residual loss stays visible in the audit
+    columns."""
+    from polars_text_spark.operators.dedup import (
+        _banded_signatures,
+        resolve_band_cap,
+    )
+
+    base = " ".join(f"xw{t}" for t in range(30))
+    fam = spark.createDataFrame(
+        [(i, f"{base} xm{i}") for i in range(80)],
+        "doc_id long, text string",
+    )
+    banded = _banded_signatures(
+        fam, "text", "doc_id", "id", num_perm=64, bands=16, shingle_n=3
+    )
+    # rungs 1, 4, 16, 64 — the 80-member near-identical family
+    # saturates (and declines nearly everything) at every one
+    assert resolve_band_cap(
+        banded, ["bk"], ("auto", 1), sig_col="__sig"
+    ) == 64
+
+
+def test_auto_band_cap_on_simhash_easy_regime(corpus):
+    """simhash_pairs on the auto route: the identical-text hot family
+    is one signature group, so the resolver keeps the base cap and the
+    output is the same guarded star + small clique."""
+    got = simhash_pairs(corpus, max_hamming=3, band_cap=("auto", 8))
+    assert {(r.id_a, r.id_b) for r in got.collect()} == (
+        _star() | _small_clique()
+    )

@@ -421,3 +421,36 @@ def test_meta_less_store_refuses_incremental_banding(spark, corpus):
     # a store that does not exist at all stays a no-op (the caller's
     # own read raises the missing-table error)
     _assert_hash_family(spark, "mh_never_written")
+
+
+def test_store_write_signature_derivation_is_exchange_free(spark, corpus):
+    """Round 15: the store writes derive band signatures from the
+    id-bucketed shingle table instead of re-tokenizing the text — and
+    because the table is bucketed by id, the minhash groupBy(id)
+    aggregation needs NO Exchange at all (the one shuffle left in the
+    band write is the (band, bucket) repartition the bucketed write
+    itself requires)."""
+    from polars_text_spark.operators.dedup import _banded_signatures
+    from polars_text_spark.plans import explain_str
+
+    write_minhash_store(corpus.limit(50), "mh_1pass", buckets=4)
+    sigs = _banded_signatures(
+        spark.table("mh_1pass_shingles"), "text", "id", "id",
+        num_perm=64, bands=16, shingle_n=3, shingles_col="sh",
+    )
+    plan = explain_str(sigs, "simple")
+    assert "Exchange" not in plan, plan
+    # and the derived signatures match the text-derived ones exactly
+    direct = _banded_signatures(
+        corpus.limit(50), "text", "doc_id", "id",
+        num_perm=64, bands=16, shingle_n=3,
+    )
+    got = {
+        (r["id"], r["bk"]["band"], r["bk"]["bucket"], r["__sig"])
+        for r in sigs.collect()
+    }
+    want = {
+        (r["id"], r["bk"]["band"], r["bk"]["bucket"], r["__sig"])
+        for r in direct.collect()
+    }
+    assert got == want

@@ -63,6 +63,7 @@ from polars_text_spark.operators.bloom import (
     bloom_might_contain,
     bloom_params,
     bloom_semi_join,
+    rebuild_bloom_store,
 )
 from polars_text_spark.operators.components import (
     connected_components,
@@ -73,6 +74,7 @@ from polars_text_spark.operators.decontam import (
     ngram_contamination,
 )
 from polars_text_spark.operators.dedup import (
+    band_bucket_stats,
     containment_pairs,
     dedup_threshold_sweep,
     bottomk_sketch,
@@ -83,6 +85,7 @@ from polars_text_spark.operators.dedup import (
     minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    resolve_band_cap,
     set_similarity_jaccard_pairs,
     sha_token_hash,
     simhash,
@@ -241,6 +244,7 @@ __all__ = [
     "bm25_scores",
     "bigram_surprisal",
     "bottomk_sketch",
+    "band_bucket_stats",
     "bottomk_sketch_pairs",
     "doc_bigrams",
     "dup_source_matrix",
@@ -287,6 +291,8 @@ __all__ = [
     "rebucket_minhash_store",
     "rebucket_store",
     "rebuild_minhash_store",
+    "rebuild_bloom_store",
+    "resolve_band_cap",
     "append_minhash_shard",
     "append_ann_shard",
     "topk_against_shard",

@@ -566,7 +566,16 @@ def resolve_band_cap(
     (a bounded candidate blow-up beats an unbounded quadratic at
     100 TB; the audit columns report the residual loss). Without
     ``sig_col`` the lost-pair bound is ``(m choose 2) - (m - 1)`` per
-    saturated bucket (the single-hub star's accounting)."""
+    saturated bucket (the single-hub star's accounting).
+
+    Cross-face note: when the audited frame is the STANDING side of a
+    cross join, the declined mass is really representative truncation
+    (:func:`_guarded_cross_candidates`), not self-pair loss — the
+    self-pair accounting used here is a conservative PROXY driven by
+    the same saturated cross-signature mass (a bucket that would
+    decline many self pairs is exactly one that holds more distinct
+    families than the cap keeps representatives for), so the ladder
+    walks up in the same regimes."""
     if band_cap is None or isinstance(band_cap, int):
         return band_cap
     if band_cap == "auto":

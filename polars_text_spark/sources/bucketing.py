@@ -564,6 +564,13 @@ def write_meta_row(
     A legacy meta whose schema predates this build's row shape cannot
     be appended to; its first cutover rewrites the log in place (the
     same one-off non-atomic upgrade any schema migration needs).
+
+    Log growth: one tiny row (and one parquet file) per cutover —
+    bounded by maintenance frequency, not data size; ``read_meta``
+    collects the whole log, so even a store purged hourly for a year
+    reads back ~10^4 scalar rows, driver-side noise. A store that ever
+    wants the history gone gets it for free at the next fresh write
+    (reset).
     """
     exists = spark.catalog.tableExists(table)
     if reset or not exists:

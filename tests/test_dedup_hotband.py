@@ -1000,3 +1000,25 @@ def test_auto_band_cap_on_simhash_easy_regime(corpus):
     assert {(r.id_a, r.id_b) for r in got.collect()} == (
         _star() | _small_clique()
     )
+
+
+def test_auto_band_cap_on_store_paths(spark, corpus):
+    """Both store pair paths accept the auto spec: the identical-text
+    hot family is one signature group (easy regime), so the resolver
+    keeps the base cap and the outputs equal the fixed-cap ones."""
+    write_minhash_store(corpus, "mh_capauto", buckets=4)
+    fixed = pairs_from_store(
+        spark, "mh_capauto", jaccard_threshold=0.9, band_cap=8
+    )
+    auto = pairs_from_store(
+        spark, "mh_capauto", jaccard_threshold=0.9, band_cap=("auto", 8)
+    )
+    assert _pair_set(auto) == _pair_set(fixed) == _star() | _small_clique()
+    shard = spark.createDataFrame(
+        [(9100, HOT_TEXT)], "doc_id long, text string"
+    )
+    inc = incremental_pairs_from_store(
+        spark, "mh_capauto", shard,
+        jaccard_threshold=0.9, band_cap=("auto", 8),
+    )
+    assert {(r.id_a, r.id_b) for r in inc.collect()} == {(9100, 1000)}

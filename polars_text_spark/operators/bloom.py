@@ -371,7 +371,16 @@ def append_bloom_shard(df: DataFrame, col: str, name: str) -> None:
     cutover racing the append (the appended bits would ride the
     dropped generation): the append re-reads the generation after its
     write and raises conservatively, and re-running it is always safe
-    (re-ORing bits is idempotent in both worlds)."""
+    (re-ORing bits is idempotent in both worlds).
+
+    Remaining race (documented, not closed — same contract as
+    :func:`rewrite_generation`): an append that starts AND completes
+    entirely inside the sub-second gap between the rebuild's final
+    file re-list and its meta flip passes both this check and the
+    rebuild's snapshot check, and its keys ride the dropped
+    generation. The two-sided checks shrink the window; they do not
+    eliminate it — run rebuilds in a writer-free window for strict
+    guarantees."""
     from polars_text_spark.sources.bucketing import (
         check_generation_unchanged,
     )
@@ -387,8 +396,10 @@ def append_bloom_shard(df: DataFrame, col: str, name: str) -> None:
 
 def read_bloom_store(spark, name: str) -> DataFrame:
     """The dense 1-row filter frame (compatible with
-    :func:`bloom_might_contain`), OR-merging every generation +
-    appended shard at read time."""
+    :func:`bloom_might_contain`), OR-merging the current generation's
+    base write plus every shard appended to it at read time (old
+    generations are dropped at rebuild cutover, so the current
+    words table is the whole store)."""
     m_bits, n_hashes, seed, gen = _bloom_meta(spark, name)
     merged = (
         spark.table(_words_table(name, gen))
@@ -419,6 +430,17 @@ def rebuild_bloom_store(
     losing those keys at the flip — then the meta row flips in one
     append and the old generation is dropped. Readers see the old
     filter or the new one, never a missing or half-written word set.
+
+    Remaining race (documented, not closed — same contract as
+    :func:`rewrite_generation`): an append that starts and completes
+    entirely between this function's final file re-list and its meta
+    flip is visible to neither side's check — the snapshot re-list
+    ran before the append's files landed, and the append's post-write
+    generation check ran before the flip — so its keys silently ride
+    the dropped generation. The checks shrink the undetected window
+    to that sub-second gap; strict guarantees require running the
+    rebuild in a window free of writers (pause streaming triggers
+    and shard appends for the duration).
 
     Parameters default to the store's recorded ones; pass new values
     to resize while rebuilding (the one chance to grow ``m_bits``,

@@ -593,7 +593,13 @@ def resolve_band_cap(
         )
     if base < 1:
         raise ValueError(f"auto band_cap base must be >= 1, got {base}")
-    pairs = F.expr("m * (m - 1) div 2")
+    # Pair counts in DOUBLE, not long (ADVICE r15): m*(m-1)/2 on longs
+    # overflows at m ~ 4.3e9 rows in one bucket — inside the 100 TB
+    # envelope — and a wrapped sum silently corrupts the share
+    # comparison below. The comparison needs a ratio, not exact
+    # integers: doubles are exact to 2^53 pairs and carry the right
+    # magnitude beyond, so the ladder walk stays correct at any m.
+    pairs = F.expr("double(m) * (double(m) - 1) / 2")
     if sig_col is not None and sig_col in banded.columns:
         per = (
             banded.groupBy(*keys, sig_col)
@@ -601,15 +607,17 @@ def resolve_band_cap(
             .groupBy(*keys)
             .agg(
                 F.sum("__g").alias("m"),
-                F.sum(F.expr("__g * (__g - 1) div 2")).alias("sig_pairs"),
+                F.sum(
+                    F.expr("double(__g) * (double(__g) - 1) / 2")
+                ).alias("sig_pairs"),
             )
         )
         kept = F.col("sig_pairs")
     else:
         per = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("m"))
-        kept = F.col("m") - 1
+        kept = (F.col("m") - 1).cast("double")
     caps = [base * (4 ** i) for i in range(max(1, int(ladder)))]
-    zero = F.lit(0).cast("long")
+    zero = F.lit(0.0)
     row = per.agg(
         F.sum(pairs).alias("__u"),
         *[

@@ -212,7 +212,20 @@ def chunk_hamming_pairs(
     members emit hub-star candidates instead of the within-block
     clique (the hot-band guard — a meme image recrawled 10^5 times is
     the media twin of boilerplate text; see
-    :func:`polars_text_spark.operators.dedup._guarded_self_pairs`)."""
+    :func:`polars_text_spark.operators.dedup._guarded_self_pairs`).
+
+    Sizing/telemetry: the guard's recall cost is measurable BEFORE
+    committing to a cap —
+    :func:`polars_text_spark.operators.dedup.band_bucket_stats` over
+    the ``(chunk_idx, chunk_value)``-blocked frame (pass the
+    signature as ``sig_col``) reports the saturated-block mass, the
+    per-member no-escape columns, and the regime-aware
+    ``est_family_miss_rate`` estimator (round 15, validated within 2x
+    of realized miss on the Zipf probe). Signature-identical blocks —
+    the common case for recrawled media — cost nothing at any cap
+    (their members reconnect through the star); the estimator only
+    rises when DISTINCT signatures share a chunk block beyond the
+    cap. ``band_cap="auto"`` below automates exactly this audit."""
     from polars_text_spark.operators.dedup import _guarded_self_pairs
 
     if not 0 <= max_hamming <= 3:

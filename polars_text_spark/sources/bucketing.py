@@ -571,6 +571,19 @@ def write_meta_row(
     reads back ~10^4 scalar rows, driver-side noise. A store that ever
     wants the history gone gets it for free at the next fresh write
     (reset).
+
+    Concurrent MAINTENANCE ops are detected here (ADVICE r15): two
+    racing cutovers (say a purge and a rebucket) would each append a
+    row at the same target ``gen`` with different buckets/params;
+    max-gen resolution would then pick an arbitrary winner whose
+    next-gen tables the loser's cleanup may have swept. Before the
+    append, the log is checked for a pre-existing row at the new
+    row's ``gen``: a DIFFERENT row there aborts loudly (the store
+    pointer is untouched — the earlier cutover won); an IDENTICAL row
+    is a crash-retry of the same cutover and appends harmlessly
+    (identical rows tie). Maintenance ops therefore never need an
+    external lock to be safe against each other — the loser of the
+    race gets an exception instead of a corrupted pointer.
     """
     exists = spark.catalog.tableExists(table)
     if reset or not exists:
@@ -580,6 +593,23 @@ def write_meta_row(
     if set(spark.table(table).columns) != set(df.columns):
         df.write.format("parquet").mode("overwrite").saveAsTable(table)
         return
+    if "gen" in df.columns:
+        new_rows = df.collect()  # 1 tiny local row per cutover
+        gens = sorted({int(r["gen"]) for r in new_rows if r["gen"] is not None})
+        if gens:
+            cols = sorted(df.columns)
+            clash = spark.table(table).where(F.col("gen").isin(gens)).collect()
+            new_set = {tuple(r[c] for c in cols) for r in new_rows}
+            diff = [r for r in clash if tuple(r[c] for c in cols) not in new_set]
+            if diff:
+                raise RuntimeError(
+                    f"meta log '{table}': a different row already exists at "
+                    f"generation {gens} — a concurrent maintenance op won the "
+                    "cutover race. This op's next-gen tables may have been "
+                    "swept; the store pointer is untouched. Re-run this "
+                    "maintenance op alone (maintenance ops are mutually "
+                    "exclusive per store)"
+                )
     df.write.format("parquet").mode("append").saveAsTable(table)
 
 

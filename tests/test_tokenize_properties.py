@@ -9,9 +9,8 @@ SparkSession, so hypothesis can run hundreds of cases cheaply.
 
 from __future__ import annotations
 
-import unicodedata
-
-from hypothesis import given, settings
+import regex as _regex
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from polars_text_spark.functions.tokenize import (
@@ -19,20 +18,31 @@ from polars_text_spark.functions.tokenize import (
     plain_word_records,
 )
 
+# Character CLASSIFICATION comes from the same Unicode table family the
+# engine uses (the third-party `regex` module, Unicode >= 15). CPython's
+# `unicodedata` lags (3.11 ships Unicode 14.0), and the two disagree on
+# codepoints assigned in between — e.g. U+11F43 KAWI DANDA is \p{P} in
+# regex but Cn (unassigned → treated as a word char) in unicodedata 14.
+# The engine's split matches modern HF BertPreTokenizer, so the regex
+# tables are normative; only the SCANNING LOGIC below stays independent
+# of the implementation under test.
+_PUNCT_CHAR = _regex.compile(r"\p{P}")
+_WS_CHAR = _regex.compile(r"\s")
+
 
 def _is_bert_punct(ch: str) -> bool:
     # HF BertPreTokenizer punctuation: ASCII punctuation OR Unicode P*.
     if ch in r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""":
         return True
-    return unicodedata.category(ch).startswith("P")
+    return _PUNCT_CHAR.fullmatch(ch) is not None
 
 
 def _is_ws(ch: str) -> bool:
-    # Unicode White_Space — what Rust char::is_whitespace and regex \s
-    # use. Python str.isspace() is broader: it also counts \x1c-\x1f
-    # (bidi separators, NOT White_Space), which would diverge from the
-    # reference's splitting. Found by hypothesis.
-    return ch.isspace() and ch not in "\x1c\x1d\x1e\x1f"
+    # regex \s (Unicode White_Space) — what Rust char::is_whitespace
+    # uses too. Python str.isspace() is broader: it also counts
+    # \x1c-\x1f (bidi separators, NOT White_Space), which would diverge
+    # from the reference's splitting. Found by hypothesis.
+    return _WS_CHAR.fullmatch(ch) is not None
 
 
 def naive_records(text: str, remove_punct: bool) -> list[tuple[str, int, int]]:
@@ -67,6 +77,11 @@ texts = st.text(
 
 @settings(max_examples=300, deadline=None)
 @given(text=texts, remove_punct=st.booleans())
+# U+11F43 KAWI DANDA: punct in Unicode >= 15 (regex module, HF), Cn in
+# CPython 3.11's unicodedata (14.0). Pinned after the skew was found —
+# the oracle must classify from the regex tables for this to pass.
+@example(text="0\U00011f43", remove_punct=False)
+@example(text="0\U00011f43", remove_punct=True)
 def test_matches_naive_oracle(text: str, remove_punct: bool):
     assert plain_word_records(text, remove_punct) == naive_records(
         text, remove_punct
@@ -75,6 +90,7 @@ def test_matches_naive_oracle(text: str, remove_punct: bool):
 
 @settings(max_examples=300, deadline=None)
 @given(text=texts, remove_punct=st.booleans())
+@example(text="0\U00011f43", remove_punct=False)
 def test_offset_invariants(text: str, remove_punct: bool):
     prev_end = 0
     for token, start, end in plain_word_records(text, remove_punct):
@@ -87,6 +103,7 @@ def test_offset_invariants(text: str, remove_punct: bool):
 
 @settings(max_examples=200, deadline=None)
 @given(text=texts)
+@example(text="0\U00011f43")
 def test_remove_punct_is_a_filter(text: str):
     """remove_punct=True output is exactly the punct-kept output minus
     no-alnum tokens — never different tokens or offsets."""

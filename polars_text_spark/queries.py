@@ -7078,7 +7078,7 @@ def q_similarity_topk_lsh_sha_arrow(
     f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 8 = 0),
     unit AS (
       SELECT vec_id,
         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
@@ -7092,7 +7092,7 @@ def q_similarity_topk_lsh_sha_arrow(
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
       FROM bk q JOIN bk n ON q.band_key = n.band_key
-      WHERE q.vec_id < 6 AND n.vec_id <> q.vec_id),
+      WHERE q.vec_id < 80 AND n.vec_id <> q.vec_id),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
              list_reduce(list_transform(generate_series(1, len(uq.u)),
@@ -7116,7 +7116,13 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (bands, OR-construction candidates, exact-cosine re-rank).
     A broken append (missed bucket files, re-banded planes, clobbered
     standing rows) shifts candidates or cosines and fails the value
-    hash, not just a pytest invariant."""
+    hash, not just a pytest invariant.
+
+    An EIGHTH of the corpus (VERDICT r15 #3, the minhash-lifecycle
+    treatment): the query proves append SEMANTICS, not throughput —
+    the lifecycle's cost is fixed table/catalog orchestration, so the
+    slice mostly trims the oracle's quadratic replay while 10 queries
+    x top-10 cosines keep the hash entropy."""
     import os
 
     from polars_text_spark.operators.ann_store import (
@@ -7126,7 +7132,7 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _tbl(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 8 == 0)
     )
     # pid-unique name: a concurrent bench/driver run must not overwrite
     # this invocation's store between the append and the collect.
@@ -7140,11 +7146,11 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"annincr_{os.getpid()}"
     _register_store_cleanup(spark, name)
     write_ann_store(
-        vecs.filter(F.col("vec_id") % 4 != 0), name, dim=64, buckets=8
+        vecs.filter(F.col("vec_id") % 32 != 0), name, dim=64, buckets=8
     )
-    append_ann_shard(vecs.filter(F.col("vec_id") % 4 == 0), name)
+    append_ann_shard(vecs.filter(F.col("vec_id") % 32 == 0), name)
     out = topk_from_store(
-        spark, name, vecs.filter(F.col("vec_id") < 6), k=10, dim=64
+        spark, name, vecs.filter(F.col("vec_id") < 80), k=10, dim=64
     )
     return out.select(
         "query_id", "neighbor_id",
@@ -7157,7 +7163,7 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 8 = 1),
     unit AS (
       SELECT vec_id,
         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
@@ -7171,7 +7177,7 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
       FROM bk q JOIN bk n ON q.band_key = n.band_key
-      WHERE q.vec_id < 6 AND n.vec_id <> q.vec_id
+      WHERE q.vec_id < 80 AND n.vec_id <> q.vec_id
         AND (n.vec_id % 5) <> 0),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
@@ -7201,7 +7207,14 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the oracle's sha-LSH replay over the corpus with the
     deleted neighbors filtered out — a leaky anti-join, a purge that
     drops the wrong rows, or a compaction that breaks the band tables
-    shifts candidates or cosines and fails the value hash."""
+    shifts candidates or cosines and fails the value hash.
+
+    An EIGHTH of the corpus (VERDICT r15 #3), a DIFFERENT eighth
+    (``vec_id % 8 = 1``) than `ann_store_incremental`'s so the two
+    stores never share id spaces in a concurrent bench; 10 queries x
+    2 stages keep the hash entropy, and every fifth slice member is
+    tombstoned so the anti-join and the purge both stay
+    load-bearing."""
     import atexit
     import os
     import shutil
@@ -7214,7 +7227,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _tbl(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 8 == 1)
     )
     # pid-unique name + deferred cleanup: same lifecycle as
     # q_ann_store_incremental
@@ -7222,7 +7235,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_store_cleanup(spark, name)
     write_ann_store(vecs, name, dim=64, buckets=8)
     delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
-    qs = vecs.filter(F.col("vec_id") < 6)
+    qs = vecs.filter(F.col("vec_id") < 80)
 
     def answer(stage: str) -> DataFrame:
         return topk_from_store(spark, name, qs, k=10, dim=64).select(
@@ -7248,7 +7261,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 3 = 0),
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 16 = 2),
     unit AS (
       SELECT vec_id,
         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
@@ -7262,7 +7275,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
       FROM bk q JOIN bk n ON q.band_key = n.band_key
-      WHERE q.vec_id < 18 AND n.vec_id <> q.vec_id
+      WHERE q.vec_id < 130 AND n.vec_id <> q.vec_id
         AND (n.vec_id % 5) <> 0),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
@@ -7302,25 +7315,27 @@ def q_ann_store_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ann_store,
     )
 
-    # a THIRD of the corpus (VERDICT r13 #7): this query proves the
-    # rebucket lifecycle SEMANTICS — write/append/delete/rebucket/
-    # answer — not throughput (the 10x probe in SCALING.md owns that),
-    # so it doesn't need to pay a full-corpus store write per bench run
+    # a SIXTEENTH of the corpus (VERDICT r13 #7, deepened r15 #3):
+    # this query proves the rebucket lifecycle SEMANTICS — write/
+    # append/delete/rebucket/answer — not throughput (the 10x probe
+    # in SCALING.md owns that), so it doesn't need to pay a large
+    # store write + quadratic oracle replay per bench run; 8 queries
+    # x top-10 keep the hash entropy
     vecs = _tbl(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.col("vec_id") % 3 == 0)
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 16 == 2)
     )
     # pid-unique name + deferred cleanup: same lifecycle as
     # q_ann_store_incremental
     name = f"annrbk_{os.getpid()}"
     _register_store_cleanup(spark, name)
     write_ann_store(
-        vecs.filter(F.col("vec_id") % 4 != 0), name, dim=64, buckets=4
+        vecs.filter(F.col("vec_id") % 64 != 2), name, dim=64, buckets=4
     )
-    append_ann_shard(vecs.filter(F.col("vec_id") % 4 == 0), name)
+    append_ann_shard(vecs.filter(F.col("vec_id") % 64 == 2), name)
     delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
     rebucket_store(spark, name, 8)
     out = topk_from_store(
-        spark, name, vecs.filter(F.col("vec_id") < 18), k=10, dim=64
+        spark, name, vecs.filter(F.col("vec_id") < 130), k=10, dim=64
     )
     return out.select(
         "query_id", "neighbor_id",
@@ -9045,21 +9060,12 @@ def q_bloom_store_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-15 additions and re-signs (driver has never seen these
-    # outputs): band_cap="auto" in the family regime, the Bloom
-    # store's generational rebuild, the band audits extended with the
-    # no-escape / est_family_miss_rate columns (schema changed), the
-    # hotband gates on the auto route, and the three store lifecycles
-    # resized per VERDICT r14 #2 (oracle predicates changed)
-    "near_dedup_capauto",
-    "bloom_store_rebuild",
-    "band_audit",
-    "ann_band_audit",
-    "near_dedup_hotband",
-    "cross_dedup_hotband",
-    "minhash_store_migrate",
-    "minhash_store_rebucket",
-    "minhash_store_generations",
+    # round-16 re-signs (outputs changed): the ANN store-lifecycle
+    # trio resized per VERDICT r15 #3 — slice predicates changed, so
+    # the driver must re-sign their rows this round
+    "ann_store_incremental",
+    "ann_store_delete",
+    "ann_store_rebucket",
     # EVERY no-oracle/rows-only query sits ADJACENT to the
     # hash-replayed query that vouches for it (sha twins; the
     # oracle-checked assemble stage for the topic pipeline; the exact
@@ -9078,40 +9084,9 @@ _DRIVER_PRIORITY = [
     "topic_assemble",
     "similarity_ann_recall",
     "similarity_topk",
-    # THEN: the r11-signed cohort — the oldest driver signatures after
-    # round 14 refreshed everything pre-r11. 9 + 12 + 38 = 59: the
-    # first ~50 registry rows are signed this round, so the last ~9
-    # of this cohort lead the r16 window (VERDICT r14 #4's "as many
-    # as fit; remainder leads r16").
-    "bloom_store_gate",
-    "classifier_pr_sweep",
-    "classifier_train",
-    "concordance_matches",
-    "concordance_neighbors",
-    "cross_corpus_dedup",
-    "curation_funnel",
-    "customer_segment_rank",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_sweep",
-    "doc_fingerprints",
-    "dup_source_matrix",
-    "embedding_dup_pairs",
-    "embedding_norms",
-    "events_hourly",
-    "language_confusion",
-    "language_id",
-    "near_dedup_blocked_jaccard",
-    "near_dedup_bottomk",
-    "near_dedup_minhash",
-    "near_dedup_setjoin",
-    "node_collocates",
-    "pricing_summary",
-    "quality_by_source",
-    "quality_cube",
-    "quantile_audit",
-    "revenue_by_nation",
-    "robots_gate",
+    # THEN: the oldest driver signatures, oldest first (VERDICT r15
+    # #2). The r11-signed stragglers — the tail of the old cohort the
+    # r15 window could not fit:
     "scalar_text_stats",
     "sentence_segments",
     "similarity_topk_int8",
@@ -9121,6 +9096,44 @@ _DRIVER_PRIORITY = [
     "tokenize_offsets",
     "top_customer_revenue",
     "vocab_spelling",
+    # ... then the r12-signed cohort (alphabetical; the first 26 fill
+    # this round's ~50-row window — 3 + 12 + 9 + 26; the last 9 rows
+    # below land just outside it and lead the r17 window)
+    "bigram_surprisal",
+    "bloom_decontam",
+    "bm25_search",
+    "containment_dups",
+    "corpus_pooling_union",
+    "decontaminate_ngrams",
+    "decontaminate_semantic",
+    "dehyphenate_repair",
+    "embedding_cached",
+    "event_sessions",
+    "events_asof_clicks",
+    "events_first_hour",
+    "events_gapfill",
+    "events_props_json",
+    "fim_psm",
+    "gopher_line_stats",
+    "lang_consistency",
+    "length_quantiles",
+    "link_stats",
+    "mojibake_scan",
+    "normalize_and_stopwords",
+    "pack_sequences",
+    "pii_redact",
+    "quality_weighted_sample",
+    "repetition_signals",
+    "sequence_manifest",
+    "similarity_topk_lsh_sha_arrow",
+    "source_divergence",
+    "stratified_sample",
+    "surprisal_buckets",
+    "topic_ctfidf",
+    "topic_projector",
+    "topic_rollup",
+    "unigram_surprisal",
+    "vocab_oov",
 ]
 
 

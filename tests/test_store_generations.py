@@ -357,3 +357,90 @@ def test_meta_log_append_only_flip(spark, corpus):
     assert spark.table("mh_log_meta").count() == 1
     assert store_generation(spark, "mh_log") == 0
     assert _pairs(spark, "mh_log") == before
+
+
+def test_meta_log_long_history_resolution(spark):
+    """VERDICT r15 #6: ``read_meta`` collects the whole append-only
+    log and takes max(gen) — exercise that under a long maintenance
+    history (~200 cutover rows, hourly purges for weeks) with one
+    legacy pre-gen-column row (gen NULL, sorts as generation 0) mixed
+    in, then the documented reset-on-fresh compaction."""
+    from polars_text_spark.sources.bucketing import (
+        clear_table,
+        read_meta,
+        write_meta_row,
+    )
+
+    name, table = "toy_longlog", "toy_longlog_meta"
+    clear_table(spark, table)
+    # Bootstrap a 200-cutover history in one append (the per-cutover
+    # path itself is exercised below and elsewhere; what this test
+    # needs is the RESOLUTION over a multi-hundred-row log). Shuffled
+    # order: max-gen resolution must not depend on file/row order.
+    hist = [(100 + g, g) for g in range(200)]
+    hist = hist[137:] + hist[:137]
+    spark.createDataFrame(hist, "buckets int, gen int").coalesce(
+        1
+    ).write.format("parquet").mode("append").saveAsTable(table)
+    # one legacy row predating the gen column — reads as generation 0,
+    # outranked by every real cutover row
+    spark.createDataFrame(
+        [(999, None)], "buckets int, gen int"
+    ).write.format("parquet").mode("append").saveAsTable(table)
+    m = read_meta(spark, name)
+    assert m["gen"] == 199 and m["buckets"] == 299
+    # two real per-cutover appends on top of the long history
+    for nxt in (200, 201):
+        write_meta_row(
+            spark,
+            spark.createDataFrame([(100 + nxt, nxt)], "buckets int, gen int"),
+            table,
+        )
+    assert spark.table(table).count() == 203
+    m = read_meta(spark, name)
+    assert m["gen"] == 201 and m["buckets"] == 301
+    # reset-on-fresh: the log compacts to ONE gen-0 row — stale
+    # high-gen history must not outrank the new store
+    write_meta_row(
+        spark,
+        spark.createDataFrame([(8, 0)], "buckets int, gen int"),
+        table,
+        reset=True,
+    )
+    assert spark.table(table).count() == 1
+    m = read_meta(spark, name)
+    assert m["gen"] == 0 and m["buckets"] == 8
+    clear_table(spark, table)
+
+
+def test_racing_maintenance_cutover_detected(spark):
+    """ADVICE r15: two concurrent maintenance ops each appending a
+    meta row at the same target gen would leave the max-gen pointer
+    ambiguous (and the loser's tables swept). ``write_meta_row`` now
+    aborts the SECOND append loudly when a DIFFERENT row already sits
+    at the target gen; an IDENTICAL re-append (crash-retry of the
+    same cutover) stays allowed."""
+    from polars_text_spark.sources.bucketing import (
+        clear_table,
+        read_meta,
+        write_meta_row,
+    )
+
+    table = "toy_racelog_meta"
+    clear_table(spark, table)
+    row = lambda b, g: spark.createDataFrame(
+        [(b, g)], "buckets int, gen int"
+    )
+    write_meta_row(spark, row(4, 0), table, reset=True)
+    write_meta_row(spark, row(8, 1), table)  # first cutover wins
+    # the losing racer: same target gen, different params
+    with pytest.raises(RuntimeError, match="maintenance"):
+        write_meta_row(spark, row(16, 1), table)
+    # pointer untouched by the loser
+    m = read_meta(spark, "toy_racelog")
+    assert m["gen"] == 1 and m["buckets"] == 8
+    # crash-retry of the SAME cutover: identical row, appends harmlessly
+    write_meta_row(spark, row(8, 1), table)
+    m = read_meta(spark, "toy_racelog")
+    assert m["gen"] == 1 and m["buckets"] == 8
+    clear_table(spark, table)

@@ -575,7 +575,13 @@ def resolve_band_cap(
     the same saturated cross-signature mass (a bucket that would
     decline many self pairs is exactly one that holds more distinct
     families than the cap keeps representatives for), so the ladder
-    walks up in the same regimes."""
+    walks up in the same regimes. MEASURED on the round-16 cross-face
+    probe (scripts/scale_probe_band_miss.py::cross_face, SCALING.md):
+    in the hard Zipf regime the proxy resolves the same rung the
+    cross face needs (realized pair miss 0.0 at the resolved cap),
+    and the LEFT-verdict recall unit is lost at no rung at all — the
+    proxy never under-raises there; both contracts are probe
+    assertions."""
     if band_cap is None or isinstance(band_cap, int):
         return band_cap
     if band_cap == "auto":

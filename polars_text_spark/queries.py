@@ -7146,7 +7146,7 @@ def q_ann_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"annincr_{os.getpid()}"
     _register_store_cleanup(spark, name)
     write_ann_store(
-        vecs.filter(F.col("vec_id") % 32 != 0), name, dim=64, buckets=8
+        vecs.filter(F.col("vec_id") % 32 != 0), name, dim=64, buckets=4
     )
     append_ann_shard(vecs.filter(F.col("vec_id") % 32 == 0), name)
     out = topk_from_store(
@@ -7233,7 +7233,7 @@ def q_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_ann_store_incremental
     name = f"anndel_{os.getpid()}"
     _register_store_cleanup(spark, name)
-    write_ann_store(vecs, name, dim=64, buckets=8)
+    write_ann_store(vecs, name, dim=64, buckets=4)
     delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
     qs = vecs.filter(F.col("vec_id") < 80)
 
@@ -7419,7 +7419,7 @@ def q_ann_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"annaud_{os.getpid()}"
     _register_store_cleanup(spark, name)
-    write_ann_store(vecs, name, dim=64, buckets=8)
+    write_ann_store(vecs, name, dim=64, buckets=4)
     delete_ids(vecs.filter(F.col("vec_id") % 5 == 0), name)
     out = band_stats_from_ann_store(spark, name, band_cap=40)
     return out.select(

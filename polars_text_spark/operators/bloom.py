@@ -373,14 +373,16 @@ def append_bloom_shard(df: DataFrame, col: str, name: str) -> None:
     write and raises conservatively, and re-running it is always safe
     (re-ORing bits is idempotent in both worlds).
 
-    Remaining race (documented, not closed — same contract as
-    :func:`rewrite_generation`): an append that starts AND completes
+    Race coverage (round 16): an append that starts AND completes
     entirely inside the sub-second gap between the rebuild's final
     file re-list and its meta flip passes both this check and the
-    rebuild's snapshot check, and its keys ride the dropped
-    generation. The two-sided checks shrink the window; they do not
-    eliminate it — run rebuilds in a writer-free window for strict
-    guarantees."""
+    rebuild's snapshot check — the rebuild's POST-flip audit
+    (:func:`polars_text_spark.sources.bucketing.postflip_append_audit`)
+    then sees its files under the old generation and raises with the
+    old generation preserved, so every interleaving is loud on at
+    least one side. Re-running a raced append is always safe
+    (re-ORing bits is idempotent in both worlds); a writer-free
+    rebuild window stays the operationally clean choice."""
     from polars_text_spark.sources.bucketing import (
         check_generation_unchanged,
     )
@@ -431,16 +433,19 @@ def rebuild_bloom_store(
     append and the old generation is dropped. Readers see the old
     filter or the new one, never a missing or half-written word set.
 
-    Remaining race (documented, not closed — same contract as
-    :func:`rewrite_generation`): an append that starts and completes
+    Race coverage (round 16 — the formerly-documented residual window
+    is CLOSED by detection): an append that starts and completes
     entirely between this function's final file re-list and its meta
-    flip is visible to neither side's check — the snapshot re-list
-    ran before the append's files landed, and the append's post-write
-    generation check ran before the flip — so its keys silently ride
-    the dropped generation. The checks shrink the undetected window
-    to that sub-second gap; strict guarantees require running the
-    rebuild in a window free of writers (pause streaming triggers
-    and shard appends for the duration).
+    flip is visible to neither of the checks above — so a POST-flip
+    audit re-lists the old generation's files once more after the
+    cutover commits and raises if any appeared, with the old
+    generation preserved for recovery
+    (:func:`polars_text_spark.sources.bucketing.postflip_append_audit`).
+    Every interleaving now raises on at least one side; the post-flip
+    raise means the new generation is live WITHOUT the raced keys, so
+    re-run those appends (idempotent re-OR). Pausing streaming
+    triggers and shard appends for the rebuild remains the
+    operationally clean choice.
 
     Parameters default to the store's recorded ones; pass new values
     to resize while rebuilding (the one chance to grow ``m_bits``,
@@ -490,4 +495,11 @@ def rebuild_bloom_store(
         "m_bits bigint, n_hashes int, seed bigint, gen int",
     )
     write_meta_row(spark, meta, f"{name}_meta")  # THE atomic cutover
+    # post-flip audit (round 16): an append/trigger that OR'd bits in
+    # entirely between the re-list above and the meta flip evaded
+    # both checks — catch it here, preserving the old generation
+    # (see bucketing.postflip_append_audit for the recovery contract)
+    from polars_text_spark.sources.bucketing import postflip_append_audit
+
+    postflip_append_audit(spark, name, [(live, loc, schema, before)], nxt)
     clear_table(spark, live)

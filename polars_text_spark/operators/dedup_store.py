@@ -581,8 +581,21 @@ def rebuild_minhash_store(
         hashv=SHINGLE_HASH_VERSION,
         gen=nxt,
     )  # THE atomic cutover — tombstones untouched
-    from polars_text_spark.sources.bucketing import clear_table
+    from polars_text_spark.sources.bucketing import (
+        clear_table,
+        postflip_append_audit,
+    )
 
+    # post-flip audit (round 16): an append that landed entirely in
+    # the re-list -> flip gap is invisible to both checks above —
+    # catch it here, preserving the old generation (see
+    # postflip_append_audit for the recovery contract)
+    postflip_append_audit(
+        spark,
+        name,
+        [(phys_table(name, s, gen), *snapshots[s]) for s in _SUFFIXES],
+        nxt,
+    )
     for s in _SUFFIXES:  # old generation's names are known exactly
         clear_table(spark, phys_table(name, s, gen))
 

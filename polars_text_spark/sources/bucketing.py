@@ -382,6 +382,49 @@ def sweep_stale_generations(
     return dropped
 
 
+def postflip_append_audit(spark, name, entries, new_gen) -> None:
+    """The third and final race check of a generational cutover
+    (round 16 — closes the window ADVICE r15 documented): re-list the
+    OLD generation's files AFTER the meta flip, BEFORE dropping it.
+    ``entries`` is ``[(src_table, location, schema, before_files)]``.
+
+    The three checks together cover every append/cutover interleaving:
+
+    - append's files land before the pre-flip re-list → the cutover
+      aborts loudly, store untouched (step 4);
+    - append's own post-write generation check runs after the flip →
+      the APPEND raises conservatively (check_generation_unchanged);
+    - append lands entirely between the pre-flip re-list and the flip,
+      and its check also beats the flip → THIS audit sees its files
+      under the old generation and raises.
+
+    A raise here is POST-HOC: the cutover has already committed (the
+    store is live at ``new_gen``, correct for every key except the
+    racing append's). The old generation is deliberately left in
+    place for recovery — the next maintenance op's opening sweep will
+    reclaim it — and the contract is to RE-RUN the racing appends
+    against the new generation, which is always safe (id-keyed
+    appends re-probe the clash check; Bloom appends re-OR
+    idempotently). The loss is therefore never silent: at least one
+    side raises in every interleaving."""
+    raced = [
+        t for t, loc, schema, before in entries
+        if _list_files(spark, loc, schema) != before
+    ]
+    if raced:
+        raise RuntimeError(
+            f"store '{name}': appends landed in the old generation "
+            f"during the cutover's flip gap ({', '.join(raced)}). The "
+            f"cutover COMMITTED — the store is live at generation "
+            f"{new_gen} — but those appends' rows are NOT in it. The "
+            "old generation is preserved (until the next maintenance "
+            "sweep) for recovery; re-run the racing appends against "
+            "the new generation (re-running is safe: id appends "
+            "re-probe the clash check, Bloom appends re-OR "
+            "idempotently)"
+        )
+
+
 def rewrite_generation(
     spark: SparkSession,
     name: str,
@@ -429,15 +472,21 @@ def rewrite_generation(
     bucket count (the rebucket path). ``gen`` lets a caller that
     already read the meta row skip the re-resolution.
 
-    Remaining race (documented, not closed): an append that resolves
-    the OLD generation from meta and finishes between steps 4 and 6
-    lands in tables about to be dropped. Appends re-read the meta
-    generation after their writes and raise on a change, shrinking
-    the undetected window to the sub-second gap between their check
-    and the flip — run maintenance in a window free of writers for
-    strict guarantees (same guidance as before; the difference is a
-    violation is now detected or harmless instead of silently
-    corrupting co-location).
+    Race coverage (round 16 — the formerly-documented residual window
+    is CLOSED by detection): an append that resolves the OLD
+    generation from meta and finishes during the cutover is caught in
+    every interleaving by one of THREE checks — the step-4 pre-flip
+    re-list (cutover aborts, store untouched), the append's own
+    post-write generation check (the append raises conservatively),
+    or the step-5.5 post-flip audit (:func:`postflip_append_audit`:
+    the old generation's files re-listed once more AFTER the flip,
+    catching an append that landed entirely inside the re-list→flip
+    gap). The post-flip raise is post-hoc — the cutover has committed
+    and the racing append's rows must be re-run against the new
+    generation (always safe; the old generation is preserved until
+    the next sweep) — so a writer-free maintenance window remains the
+    OPERATIONALLY clean choice, but a violation is now always loud,
+    never a silent loss.
     """
     if write_meta is None:
         raise ValueError("rewrite_generation requires write_meta")
@@ -528,6 +577,17 @@ def rewrite_generation(
         raise
 
     write_meta(nxt)  # THE atomic cutover
+    # the post-flip audit (round 16): catches an append that landed
+    # entirely inside the re-list -> flip gap — the one interleaving
+    # the two checks above cannot see. Raises WITHOUT dropping the
+    # old generation (see postflip_append_audit for the recovery
+    # contract); one extra listing per table, no job.
+    postflip_append_audit(
+        spark,
+        name,
+        [(phys_table(name, s, gen), *snapshots[s]) for s in suffixes],
+        nxt,
+    )
     # drop the old generation directly (its names are known exactly —
     # a catalog-wide sweep here would be pure listTables overhead; the
     # NEXT maintenance run's opening sweep still self-heals any stale

@@ -658,17 +658,17 @@ def bloom_ingest_batch(
     re-delivering a batch re-ORs exactly the same bits, so no clash
     probe is needed at all.
 
-    A ``rebuild_bloom_store`` cutover racing a trigger is checked
-    from both sides (round 15): the rebuild's file-snapshot re-list
-    aborts it when a trigger OR'd bits in during the window, and the
-    trigger's own post-write generation check raises conservatively —
-    the stream's at-least-once restart then re-ORs the batch into the
-    surviving generation (idempotent in both worlds). The checks
-    shrink but do not close the race: a trigger that starts and
-    completes entirely between the rebuild's final re-list and its
-    meta flip evades both (see the "Remaining race" note on
-    :func:`rebuild_bloom_store`) — pause the stream across rebuilds
-    for strict guarantees.
+    A ``rebuild_bloom_store`` cutover racing a trigger is detected in
+    EVERY interleaving (rounds 15-16, three checks): the rebuild's
+    pre-flip file re-list aborts it when a trigger OR'd bits in
+    during the window; the trigger's own post-write generation check
+    raises conservatively when it completes after the flip; and a
+    trigger that lands entirely inside the re-list→flip gap is caught
+    by the rebuild's POST-flip audit (old generation preserved — see
+    :func:`rebuild_bloom_store`). In all three cases the stream's
+    at-least-once restart re-ORs the batch into the surviving
+    generation (idempotent in both worlds); pausing the stream across
+    rebuilds remains the operationally clean choice.
     """
     from polars_text_spark.operators.bloom import (
         append_bloom_shard,

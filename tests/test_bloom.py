@@ -286,3 +286,55 @@ def test_bloom_rebuild_aborts_on_racing_append(spark, monkeypatch):
         spark, base.unionByName(racer), "k", "bloomrc_t"
     )
     assert store_generation(spark, "bloomrc_t") == 1
+
+
+def test_bloom_rebuild_postflip_audit_catches_gap_append(spark, monkeypatch):
+    """Round 16: an append that lands ENTIRELY between the rebuild's
+    final file re-list and its meta flip evades both the re-list and
+    the append's own generation check (the ADVICE r15 residual
+    window) — the POST-flip audit must catch it: raise loudly, leave
+    the cutover committed at the new generation, and PRESERVE the old
+    generation; re-running the raced append is then safe and the key
+    is back."""
+    import polars_text_spark.sources.bucketing as bucketing
+    from polars_text_spark.operators.bloom import (
+        append_bloom_shard,
+        read_bloom_store,
+        rebuild_bloom_store,
+        write_bloom_store,
+    )
+    from polars_text_spark.sources.bucketing import store_generation
+
+    base = spark.createDataFrame([(f"pf-{i}",) for i in range(100)], ["k"])
+    racer = spark.createDataFrame([("pf-racer",)], ["k"])
+    write_bloom_store(base, "k", "bloompf_t", m_bits=4096, n_hashes=5)
+
+    real_write_meta_row = bucketing.write_meta_row
+    state = {"fired": False}
+
+    def gap_append_then_flip(spark_, df, table, **kw):
+        # the racing append fires AFTER the rebuild's final re-list
+        # (this callback IS the flip) and completes before it — its
+        # own post-write generation check still sees the old gen
+        if table == "bloompf_t_meta" and not state["fired"]:
+            state["fired"] = True
+            append_bloom_shard(racer, "k", "bloompf_t")
+        return real_write_meta_row(spark_, df, table, **kw)
+
+    monkeypatch.setattr(bucketing, "write_meta_row", gap_append_then_flip)
+    with pytest.raises(RuntimeError, match="COMMITTED"):
+        rebuild_bloom_store(spark, base, "k", "bloompf_t")
+    monkeypatch.setattr(bucketing, "write_meta_row", real_write_meta_row)
+
+    assert state["fired"]
+    # the cutover COMMITTED: store is live at gen 1, old gen preserved
+    assert store_generation(spark, "bloompf_t") == 1
+    assert spark.catalog.tableExists("bloompf_t_words")  # gen 0 kept
+    # the raced key is NOT in the live store yet (that's the loss the
+    # audit made loud) ... re-running the append restores it
+    append_bloom_shard(racer, "k", "bloompf_t")
+    merged = read_bloom_store(spark, "bloompf_t")
+    row = bloom_might_contain(
+        spark.createDataFrame([("pf-racer",)], ["v"]), "v", merged
+    ).collect()[0]
+    assert row["might_contain"]

@@ -444,3 +444,58 @@ def test_racing_maintenance_cutover_detected(spark):
     m = read_meta(spark, "toy_racelog")
     assert m["gen"] == 1 and m["buckets"] == 8
     clear_table(spark, table)
+
+
+def test_postflip_audit_catches_gap_append(spark, corpus, monkeypatch):
+    """Round 16: an append landing ENTIRELY between the rewrite's
+    pre-flip file re-list and the meta flip evades both that re-list
+    and its own post-write generation check — the POST-flip audit
+    must catch it: raise loudly, leave the cutover committed at the
+    new generation, PRESERVE the old generation, and allow the raced
+    append to be safely re-run against the new generation."""
+    import polars_text_spark.operators.dedup_store as ds
+
+    base = corpus.filter(F.col("doc_id") % 4 != 0)
+    shard = corpus.filter(F.col("doc_id") % 4 == 0).limit(15)
+    write_minhash_store(base, "mh_gap", buckets=4)
+    before = _pairs(spark, "mh_gap")
+
+    real_write_meta_row = ds.write_meta_row
+    state = {"fired": False}
+
+    def gap_append_then_flip(spark_, df, table, **kw):
+        # fires as the rewrite's write_meta callback runs — i.e.
+        # AFTER the pre-flip re-list passed; the append completes
+        # before the flip, so its own generation check passes too
+        if table == "mh_gap_meta" and not state["fired"]:
+            state["fired"] = True
+            append_minhash_shard(shard, "mh_gap")
+        return real_write_meta_row(spark_, df, table, **kw)
+
+    monkeypatch.setattr(ds, "write_meta_row", gap_append_then_flip)
+    with pytest.raises(RuntimeError, match="COMMITTED"):
+        rebucket_minhash_store(spark, "mh_gap", 8)
+    monkeypatch.setattr(ds, "write_meta_row", real_write_meta_row)
+
+    assert state["fired"]
+    # the cutover COMMITTED: live at gen 1 / 8 buckets; old gen kept
+    assert store_generation(spark, "mh_gap") == 1
+    from polars_text_spark.sources.bucketing import read_meta
+
+    assert read_meta(spark, "mh_gap")["buckets"] == 8
+    assert spark.catalog.tableExists("mh_gap_bands")  # gen 0 preserved
+    assert spark.catalog.tableExists("mh_gap_shingles")
+    # the raced shard is NOT in the live generation (the loss the
+    # audit made loud): the store answers only over base
+    assert _pairs(spark, "mh_gap") == before
+    # re-running the raced append against the new generation is safe
+    # (the shard's rows are genuinely absent, so the clash probe
+    # passes) and restores the full answer
+    append_minhash_shard(shard, "mh_gap")
+    direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            base.unionByName(shard), jaccard_threshold=0.7
+        ).collect()
+    }
+    assert _pairs(spark, "mh_gap") == direct

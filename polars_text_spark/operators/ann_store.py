@@ -211,14 +211,19 @@ def _assert_vec_dim(df: DataFrame, vec_col: str, dim: int) -> None:
 
 def _store_meta(
     spark: SparkSession, name: str, *, require_buckets: bool = True
-) -> tuple[int, int, int, int | None]:
+) -> tuple[int, int, int, int | None, int]:
+    """(dim, num_planes, bands, buckets, gen) from ONE meta read —
+    callers that also need the generation must not pay a second
+    meta-log collect (round 16: it was one extra driver job per store
+    read/append)."""
     m = read_meta(spark, name)
     if m is None:
         raise ValueError(
             f"ann store '{name}' has no meta table; (re)create it "
             "with write_ann_store"
         )
-    has_buckets = "buckets" in m.asDict()
+    d = m.asDict()
+    has_buckets = "buckets" in d
     if require_buckets and not has_buckets:
         raise ValueError(
             f"ann store '{name}' predates incremental ingest (its meta "
@@ -230,6 +235,7 @@ def _store_meta(
         int(m["num_planes"]),
         int(m["bands"]),
         int(m["buckets"]) if has_buckets else None,
+        int(d["gen"]) if d.get("gen") is not None else 0,
     )
 
 
@@ -413,9 +419,8 @@ def append_ann_shard(
     with duplicate candidates on every later query.
     """
     spark = shard.sparkSession
-    dim, num_planes, bands, buckets = _store_meta(spark, name)
+    dim, num_planes, bands, buckets, gen_at_start = _store_meta(spark, name)
     _assert_vec_dim(shard, vec_col, dim)
-    gen_at_start = store_generation(spark, name)
     bands_tbl = phys_table(name, "bands", gen_at_start)
     vectors_tbl = phys_table(name, "vectors", gen_at_start)
     clash = probe_id_clash(
@@ -488,7 +493,9 @@ def topk_against_shard(
     answers over the grown store directly.
     """
     # read-only: works on pre-bucket-meta stores too
-    dim, num_planes, bands, _ = _store_meta(spark, name, require_buckets=False)
+    dim, num_planes, bands, _, __gen = _store_meta(
+        spark, name, require_buckets=False
+    )
     # same loud-failure guard as the write path: a wrong-dim query
     # shard null-pads through sha_band_keys into degenerate band keys
     # and returns silently-wrong/empty neighbors
@@ -508,9 +515,8 @@ def topk_against_shard(
         "query_id",
     )
     __ts = _tombstones(spark, name)
-    # one generation resolution for BOTH store reads (a meta lookup is
-    # a small collect job; twice per query is pure overhead)
-    __gen = store_generation(spark, name)
+    # __gen came from the same meta read as the signature params —
+    # one collect resolves everything (round 16)
     store_bands = _minus_tombstones(
         spark.table(phys_table(name, "bands", __gen)), __ts
     ).select(F.col("id").alias("neighbor_id"), "band_key")
@@ -583,6 +589,9 @@ def topk_from_store(
             f"bands={bands}) would produce band keys that can never "
             "collide with the store"
         )
+    # generation from the SAME meta row — no second meta-log collect
+    __d = m.asDict()
+    __gen = int(__d["gen"]) if __d.get("gen") is not None else 0
     _assert_vec_dim(queries, vec_col, dim)
     q = with_l2_normalized(
         queries.where(F.col(vec_col).isNotNull()).select(
@@ -600,7 +609,6 @@ def topk_from_store(
         ).alias("band_key"),
     )
     __ts = _tombstones(spark, name)
-    __gen = store_generation(spark, name)  # one resolution, both reads
     store_bands = _minus_tombstones(
         spark.table(phys_table(name, "bands", __gen)), __ts
     ).select(F.col("id").alias("neighbor_id"), "band_key")

@@ -14,27 +14,35 @@ Scale design (the part that must survive 100 TB):
 
 - **hash-min label propagation + path halving**: every vertex starts
   labeled with its own id; each round, a vertex adopts the min label
-  among itself and its neighbors (one groupBy shuffle + one join over
-  the EDGE list), then labels are compressed one pointer-jump —
-  ``l(v) <- l(l(v))`` via a self-join of the label frame — so mins
-  shortcut across already-merged chains instead of crawling them one
-  hop per round. Never a cross join, never a driver collect, no
-  ``collect_list`` hot keys on high-degree nodes. Measured on the
-  sf0.1 low-threshold pair graph (4.2k edges, chain-heavy): 16 rounds
-  without halving, 9 with; a second halving per round deepens the
-  pre-checkpoint plan enough to cost more than it saves.
+  among itself and its neighbors — neighbor messages from ONE
+  equi-join of the edge list against the labels, unioned with the
+  labels as self-messages, then one groupBy min (round 16: this
+  message-passing form replaces the former join + labels-side LEFT
+  join, one less shuffle per round) — then labels are compressed one
+  pointer-jump — ``l(v) <- l(l(v))`` via a self-join of the label
+  frame — so mins shortcut across already-merged chains instead of
+  crawling them one hop per round. Never a cross join, never a driver
+  collect, no ``collect_list`` hot keys on high-degree nodes.
+  Measured on the sf0.1 low-threshold pair graph (4.2k edges,
+  chain-heavy): 16 rounds without halving, 9 with; a second halving
+  per round deepens the pre-checkpoint plan enough to cost more than
+  it saves.
 - ``max_iterations`` guards pathological chains and raises rather
   than silently emitting half-merged components.
 - **Lineage truncation**: each round's labels are
-  ``localCheckpoint``-ed. Without it, round k's plan nests k joins
-  deep and Catalyst re-optimizes an exponentially growing tree; with
-  it, every round starts from materialized blocks. (On a real cluster
-  prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
-  for executor-loss resilience; localCheckpoint is the single-JVM
+  ``localCheckpoint``-ed (lazily — the convergence probe is the
+  action that materializes them, so truncation costs no extra job).
+  Without it, round k's plan nests k joins deep and Catalyst
+  re-optimizes an exponentially growing tree; with it, every round
+  starts from materialized blocks. (On a real cluster prefer
+  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+  executor-loss resilience; localCheckpoint is the single-JVM
   variant.)
-- Convergence is detected with a per-round ``changed`` count — an
-  aggregation on the already-checkpointed frame, not an extra scan of
-  the input.
+- Convergence is detected by the per-round label SUM (exact
+  decimal(38,0)): labels move monotonically down, so the sum is
+  constant exactly at the fixpoint — one aggregate job per round that
+  doubles as the checkpoint materialization, instead of the former
+  separate changed-count job.
 
 The O(log² n)-round alternating large-star/small-star algorithm
 (Kiveris et al., "Connected Components in MapReduce and Beyond") is
@@ -94,25 +102,40 @@ def connected_components(
         .distinct()
     )
     labels = verts.withColumn("component", F.col("vertex"))
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    # lazy checkpoints: materialization folds into the first action
+    # that consumes them (the label-sum probe / round-1 join) instead
+    # of paying a standalone job each (round-16 job diet)
+    labels = labels.localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=False)
 
+    def _label_sum(frame: DataFrame):
+        # Convergence probe: labels only ever move DOWN (both steps
+        # take a min), and the vertex set is fixed, so the label sum
+        # strictly decreases while anything changes and is constant
+        # exactly at convergence. Decimal(38,0) keeps the sum exact
+        # for any realistic graph (10^12 rows of 2^63-bound ids
+        # < 10^31). ONE aggregate job per round — it doubles as the
+        # action that materializes the round's lazy checkpoint,
+        # replacing the former separate count + eager-checkpoint jobs.
+        row = frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()
+        return row[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
-        # min label among neighbors: one shuffle on u after the
-        # label lookup join on v.
-        nbr_min = (
-            sym.join(labels, sym["v"] == labels["vertex"])
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_component"))
+        # min label among self + neighbors: ONE equi-join of the edge
+        # list against the labels (the neighbor messages) unioned with
+        # the labels themselves (the self messages), then one groupBy —
+        # the former labels-side left join carried the same information
+        # and cost an extra shuffle per round.
+        msgs = sym.join(labels, sym["v"] == labels["vertex"]).select(
+            F.col("u").alias("vertex"), "component"
         )
-        merged = labels.join(
-            nbr_min, labels["vertex"] == nbr_min["u"], "left"
-        ).select(
-            "vertex",
-            F.col("component").alias("__old"),
-            F.least(
-                "component", F.coalesce("nbr_component", "component")
-            ).alias("__m"),
+        merged = (
+            msgs.union(labels.select("vertex", "component"))
+            .groupBy("vertex")
+            .agg(F.min("component").alias("__m"))
         )
         # Path halving: l(v) <- l(l(v)). Every label is a member of
         # the same component (invariant of both steps), so composing
@@ -124,14 +147,13 @@ def connected_components(
             roots, merged["__m"] == roots["__rv"], "left"
         ).select(
             "vertex",
-            "__old",
             F.least("__m", F.coalesce("__rc", "__m")).alias("component"),
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("component") < F.col("__old")).count()
-        labels = updated.drop("__old")
-        if changed == 0:
+        labels = updated.localCheckpoint(eager=False)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "iterations; a component's diameter exceeds the cap — raise "

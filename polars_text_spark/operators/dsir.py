@@ -55,6 +55,7 @@ from polars_text_spark.operators.sampling import key_uniform
 
 __all__ = [
     "dsir_fit",
+    "dsir_fit_weights",
     "dsir_log_weights",
     "dsir_sample",
     "dsir_topk",
@@ -212,6 +213,104 @@ def dsir_log_weights(
             F.sum("log_ratio").alias("log_weight"),
         )
     )
+
+
+def dsir_fit_weights(
+    df: DataFrame,
+    target_flag: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = 10_000,
+    max_n: int = 2,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Fused fit + score for the common case where the target corpus
+    is a SUBSET of the raw corpus selected by a boolean expression
+    (``lang == 'en'``, a quality flag, ...): ONE feature-hash pass
+    over the corpus feeds the raw fit, the target fit AND the
+    per-document weights. The layered ``dsir_fit(raw, target)`` +
+    ``dsir_log_weights(raw, ratio)`` recipe tokenizes+hashes the
+    corpus THREE times (raw counts, target counts, scoring stream) —
+    and, with the count frames unpersisted, each fit total re-derived
+    its aggregate once more: FIVE corpus scans in the physical plan
+    (plans/r16/dsir_weights_before.txt). At 100 TB the feature pass
+    (explode + sha2 per n-gram occurrence) IS the cost of DSIR; this
+    runs it once (guide §1.2: fix the pass count before the
+    per-task work).
+
+    Shape: the single pass aggregates to a per-``(doc, bucket)``
+    count frame (partial map-side combine — a document's features
+    collapse locally), which is persisted and is at most
+    |docs| x |buckets| but in practice ~distinct-buckets-per-doc
+    rows; every fit aggregate and the per-doc weight derive from it
+    without touching the corpus again.
+
+    Value-identical to the layered form modulo float-summation order
+    (``log_weight`` sums ``n * log_ratio`` per distinct (doc, bucket)
+    instead of re-adding ``log_ratio`` per occurrence; consumers
+    round to 6 dp before comparison, same as the cross-engine oracle
+    contract — hash-verified against the unchanged DuckDB oracles).
+    Returns ``(ratio_table, weights)`` with exactly the
+    :func:`dsir_fit` / :func:`dsir_log_weights` schemas."""
+    spark = df.sparkSession
+    from polars_text_spark.persist import track_persist
+
+    feats = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(target_flag, F.lit(1)).otherwise(F.lit(0)).alias("__is_t"),
+        F.explode(_feature_grams(F.col(text_col), max_n)).alias("__ngram"),
+    )
+    per_doc = track_persist(
+        feats.select(
+            id_col, "__is_t", hashed_ngram_bucket(F.col("__ngram"), buckets, salt)
+        )
+        .groupBy(id_col, "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
+    )
+    bucket_counts = track_persist(
+        per_doc.groupBy("bucket")
+        .agg(
+            F.sum("__n").alias("__r_cnt"),
+            F.sum(
+                F.when(F.col("__is_t") == 1, F.col("__n")).otherwise(F.lit(0))
+            ).alias("__t_cnt"),
+        )
+        .persist()
+    )
+    totals = bucket_counts.agg(
+        F.sum("__r_cnt").alias("__r_total"),
+        F.sum("__t_cnt").alias("__t_total"),
+    )
+    base = spark.range(buckets).select(F.col("id").alias("bucket"))
+    b = float(buckets)
+    ratio = (
+        base.join(F.broadcast(bucket_counts), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("__t_cnt", F.lit(0)) + 1.0)
+                    / (F.coalesce("__t_total", F.lit(0)) + b)
+                )
+                - F.log(
+                    (F.coalesce("__r_cnt", F.lit(0)) + 1.0)
+                    / (F.coalesce("__r_total", F.lit(0)) + b)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    weights = (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_features"),
+            F.sum(F.col("__n") * F.col("log_ratio")).alias("log_weight"),
+        )
+    )
+    return ratio, weights
 
 
 def dsir_sample(

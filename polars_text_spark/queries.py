@@ -118,10 +118,11 @@ def _docs(spark: SparkSession, sf_dir: str, *, wide: bool = True) -> DataFrame:
     # cost exceeds any parallelism win there, and the opt-out is
     # harmless at 100x scale where the scan is already wide and
     # spread_scan would be the identity anyway.
-    from polars_text_spark.sources.catalog import spread_scan
+    from polars_text_spark.sources.catalog import scan_parquet, spread_scan
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return spread_scan(df) if wide else df
+    path = f"{sf_dir}/documents.parquet"
+    df = scan_parquet(spark, path)
+    return spread_scan(df, memo_key=path) if wide else df
 
 
 def _tbl(
@@ -130,12 +131,13 @@ def _tbl(
     """Read a testdata table with the scan widened (see _docs).
     Broadcast-destined dims stay as-is — widening a 5-row frame only
     adds an exchange in front of the broadcast collect."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from polars_text_spark.sources.catalog import scan_parquet, spread_scan
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = scan_parquet(spark, path)
     if name in ("region", "nation") or not wide:
         return df
-    from polars_text_spark.sources.catalog import spread_scan
-
-    return spread_scan(df)
+    return spread_scan(df, memo_key=path)
 
 
 # ---------------------------------------------------------------------------
@@ -4257,12 +4259,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket log-ratio. The oracle re-derives the hash, the smoothing,
     and every per-doc sum — the full fit+score chain is value-checked,
     not just row counts."""
-    from polars_text_spark.operators.dsir import dsir_fit, dsir_log_weights
+    from polars_text_spark.operators.dsir import dsir_fit_weights
 
     docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    ratio = dsir_fit(docs, target, buckets=_DSIR_B)
-    out = dsir_log_weights(docs, ratio, buckets=_DSIR_B)
+    # fused fit+score: ONE feature-hash pass (the layered
+    # dsir_fit + dsir_log_weights recipe scanned the corpus 5x —
+    # see plans/r16/dsir_weights_before.txt and OPTIMIZATION_r16.md)
+    _, out = dsir_fit_weights(docs, F.col("lang") == "en", buckets=_DSIR_B)
     return out.select(
         "doc_id", "n_features", F.round("log_weight", 6).alias("log_weight")
     )
@@ -4290,18 +4293,14 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, keep-probability, AND draw, so the kept row SET must match
     exactly. Weights are rounded to 6 dp on both engines before the
     exponent so summation-order ulps can't flip a boundary draw."""
-    from polars_text_spark.operators.dsir import (
-        dsir_fit,
-        dsir_log_weights,
-        dsir_sample,
-    )
+    from polars_text_spark.operators.dsir import dsir_fit_weights, dsir_sample
 
     docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    ratio = dsir_fit(docs, target, buckets=_DSIR_B)
-    weights = dsir_log_weights(docs, ratio, buckets=_DSIR_B).withColumn(
-        "log_weight", F.round("log_weight", 6)
+    # fused fit+score: one feature-hash pass (see dsir_weights)
+    _, weights = dsir_fit_weights(
+        docs, F.col("lang") == "en", buckets=_DSIR_B
     )
+    weights = weights.withColumn("log_weight", F.round("log_weight", 6))
     kept = dsir_sample(docs, weights, beta=4.0, salt="ds")
     return kept.select("doc_id", "lang")
 
@@ -4332,18 +4331,14 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. The oracle replays weights, Gumbel keys, and the
     ranked cut. Weights are rounded to 6 dp on both engines before
     the key so summation-order ulps can't reorder a boundary rank."""
-    from polars_text_spark.operators.dsir import (
-        dsir_fit,
-        dsir_log_weights,
-        dsir_topk,
-    )
+    from polars_text_spark.operators.dsir import dsir_fit_weights, dsir_topk
 
     docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    ratio = dsir_fit(docs, target, buckets=_DSIR_B)
-    weights = dsir_log_weights(docs, ratio, buckets=_DSIR_B).withColumn(
-        "log_weight", F.round("log_weight", 6)
+    # fused fit+score: one feature-hash pass (see dsir_weights)
+    _, weights = dsir_fit_weights(
+        docs, F.col("lang") == "en", buckets=_DSIR_B
     )
+    weights = weights.withColumn("log_weight", F.round("log_weight", 6))
     kept = dsir_topk(docs, weights, 100, beta=2.0, salt="gk")
     return kept.select("doc_id", "lang")
 

@@ -51,10 +51,25 @@ def write_bucketed(
 
     ``buckets`` should match across every table that will be joined on
     ``bucket_by`` — mismatched counts force one side to re-shuffle.
-    """
+
+    The input is hash-repartitioned on the bucket columns into exactly
+    ``buckets`` partitions first (round 16; the Iceberg
+    ``write.distribution-mode=hash`` stance, guide §6): Spark's
+    bucketed write otherwise writes one file per (input partition x
+    non-empty bucket), so a 32-partition frame at 4 buckets committed
+    256 files per table — measured 1.6-3.8 s vs 0.6-0.8 s
+    repartitioned, and every later read/list/snapshot of the store
+    pays the fragment count again. repartition's hash is bucketing's
+    hash, so each bucket lands in ONE task and file; the one write-side
+    shuffle is the standard price for non-fragmented bucketed output
+    (appends land as one fragment per bucket instead of one per input
+    partition). Skew note: a hot bucket serializes into one task — at
+    production scale pick ``buckets`` >> cores so hash spreading, not
+    this repartition, bounds task size."""
     keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     if mode == "overwrite":
         clear_table(df.sparkSession, table)
+    df = df.repartition(buckets, *[F.col(k) for k in keys])
     writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
     if sort_by is not None:
         sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
@@ -164,7 +179,8 @@ def compact_table(
         if not keys:
             raise ValueError("anti requires anti_on join keys")
         df = df.join(F.broadcast(anti.select(keys)), keys, "left_anti")
-    df = df.repartition(buckets, *[F.col(c) for c in bucket_cols])
+    # write_bucketed repartitions on the bucket columns itself
+    # (round 16), so each bucket still lands in one file
     write_bucketed(
         df,
         tmp,
@@ -369,9 +385,14 @@ def sweep_stale_generations(
 
     dropped: list[str] = []
     current = {phys_table(name, s, current_gen).lower() for s in suffixes}
-    # ONE catalog listing for all suffixes — listTables enumerates the
-    # whole database and maintenance calls this at every op
-    tables = [t.name for t in spark.catalog.listTables()]
+    # ONE catalog listing for all suffixes. SHOW TABLES, not
+    # catalog.listTables: listTables resolves per-table metadata
+    # objects (~1.3 s against a 41-table session catalog, measured
+    # round 16) where the SQL command returns bare names in one
+    # collect (~0.08 s) — maintenance calls this at every op
+    tables = [
+        r["tableName"] for r in spark.sql("SHOW TABLES").collect()
+    ]
     for s in suffixes:
         base = f"{name}_{s}".lower()
         pat = re.compile(re.escape(base) + r"(_g\d+)?$")
@@ -550,7 +571,7 @@ def rewrite_generation(
                 df = df.join(
                     F.broadcast(anti.select(anti_on)), anti_on, "left_anti"
                 )
-            df = df.repartition(buckets, *[F.col(c) for c in bucket_cols])
+            # write_bucketed repartitions on the bucket columns itself
             write_bucketed(
                 df,
                 dst,

@@ -78,3 +78,62 @@ def test_compact_refuses_cached_table(spark, sf_dir):
     # uncached: compaction proceeds
     n = compact_table(spark, "b_cached")
     assert n >= 1
+
+
+def test_write_bucketed_one_file_per_bucket(spark, sf_dir):
+    """Round-16 write defrag: write_bucketed hash-repartitions onto
+    the bucket columns, so a many-partition input commits ONE data
+    file per non-empty bucket instead of one per (input partition x
+    bucket) — 256 files at 32x4 before the change."""
+    import glob
+    import os
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .repartition(16)
+    )
+    write_bucketed(docs, "b_defrag", bucket_by="doc_id", buckets=4)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = [
+        f
+        for f in glob.glob(os.path.join(wh, "b_defrag", "*"))
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+    assert len(files) <= 4, files
+    # contents and co-location intact: the bucketed self-join still
+    # resolves every row
+    assert spark.table("b_defrag").count() == docs.count()
+
+
+def test_write_bucketed_append_one_fragment_per_bucket(spark, sf_dir):
+    """Appends land as at most one new fragment per bucket, so
+    incremental ingest cannot fragment a store into
+    per-input-partition shards."""
+    import glob
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    write_bucketed(docs, "b_appfrag", bucket_by="doc_id", buckets=4)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def nfiles():
+        return len(
+            [
+                f
+                for f in glob.glob(os.path.join(wh, "b_appfrag", "*"))
+                if not os.path.basename(f).startswith(("_", "."))
+            ]
+        )
+
+    before = nfiles()
+    write_bucketed(
+        docs.limit(50).repartition(8),
+        "b_appfrag",
+        bucket_by="doc_id",
+        buckets=4,
+        mode="append",
+    )
+    assert nfiles() - before <= 4

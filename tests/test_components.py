@@ -102,3 +102,24 @@ def test_empty_pairs(spark):
     out = duplicate_clusters(docs, pairs).collect()
     assert out[0].component == 1 and out[0].cluster_size == 1
     assert out[0].is_canonical
+
+
+def test_huge_ids_sum_convergence_exact(spark):
+    """Round-16 convergence probe regression guard: the per-round
+    label sum is accumulated as decimal(38,0), so 2^62-magnitude
+    vertex ids (sha-derived id spaces) cannot overflow a long sum
+    into a false 'converged' (or never-converged) verdict."""
+    big = 1 << 62
+    pairs = _pairs(
+        spark,
+        [(big, big + 1), (big + 1, big + 2), (7, big + 3), (big + 3, 9)],
+    )
+    got = _comp_map(connected_components(pairs))
+    assert got == {
+        big: big,
+        big + 1: big,
+        big + 2: big,
+        7: 7,
+        big + 3: 7,
+        9: 7,
+    }

@@ -217,3 +217,48 @@ def test_gumbel_topk_matches_python_reference(spark, frames):
         for r in dsir_topk(raw, weights, 4, beta=2.0).collect()
     ]
     assert sorted(got) == sorted(exp)
+
+
+def test_fit_weights_fused_matches_layered(spark):
+    """Round-16 fused path: dsir_fit_weights(df, flag) must reproduce
+    the layered dsir_fit(raw, target) + dsir_log_weights(raw, ratio)
+    outputs — ratio table bit-identical, weights equal to 1e-9 (the
+    fused form sums n*log_ratio per distinct (doc, bucket); summation
+    order is the only difference, absorbed by the repo-wide 6-dp
+    rounding contract)."""
+    from polars_text_spark.operators.dsir import dsir_fit_weights
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "de", "dogs bark loudly at night"),
+        (2, "en", "the encyclopedia describes the history of rome"),
+        (3, None, "buy cheap pills now now now"),
+        (4, "en", "rome fell after centuries of decline"),
+        (5, "en", None),
+        (6, "fr", "the   cat\tsat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    target = df.filter(F.col("lang") == "en")
+    ratio_layered = {
+        r["bucket"]: r["log_ratio"]
+        for r in dsir_fit(df, target, buckets=BUCKETS).collect()
+    }
+    w_layered = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_log_weights(
+            df, dsir_fit(df, target, buckets=BUCKETS), buckets=BUCKETS
+        ).collect()
+    }
+    ratio_f, weights_f = dsir_fit_weights(
+        df, F.col("lang") == "en", buckets=BUCKETS
+    )
+    ratio_fused = {r["bucket"]: r["log_ratio"] for r in ratio_f.collect()}
+    w_fused = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in weights_f.collect()
+    }
+    assert ratio_fused == ratio_layered
+    assert set(w_fused) == set(w_layered)
+    for d, (n, w) in w_layered.items():
+        assert w_fused[d][0] == n
+        assert abs(w_fused[d][1] - w) < 1e-9

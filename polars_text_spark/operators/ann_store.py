@@ -185,30 +185,6 @@ def _shard_projections(
     return banded, unit
 
 
-def _assert_vec_dim(df: DataFrame, vec_col: str, dim: int) -> None:
-    """Fail loudly on a dimensionality mismatch BEFORE it corrupts the
-    store: a short vector null-pads through ``zip_with`` in
-    ``sha_band_keys``, every plane dot goes null, and ALL its band
-    keys collapse to the degenerate all-zero-bits keys — the silent
-    recall-0 failure the meta table exists to prevent. One bounded
-    action (limit-1 over the mismatch filter) per store mutation."""
-    bad = (
-        df.where(
-            F.col(vec_col).isNotNull() & (F.size(vec_col) != F.lit(int(dim)))
-        )
-        .select(F.size(vec_col).alias("n"))
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"vector column '{vec_col}' has a row with {bad[0]['n']} "
-            f"components but the store signature is dim={dim}; a "
-            "mismatched shard would band to degenerate keys and "
-            "silently destroy recall"
-        )
-
-
 def _store_meta(
     spark: SparkSession, name: str, *, require_buckets: bool = True
 ) -> tuple[int, int, int, int | None, int]:
@@ -420,7 +396,8 @@ def append_ann_shard(
     """
     spark = shard.sparkSession
     dim, num_planes, bands, buckets, gen_at_start = _store_meta(spark, name)
-    _assert_vec_dim(shard, vec_col, dim)
+    # dimensionality is guarded IN-PLAN by sha_band_keys (round 16):
+    # the former pre-flight scan was a full extra pass over the shard
     bands_tbl = phys_table(name, "bands", gen_at_start)
     vectors_tbl = phys_table(name, "vectors", gen_at_start)
     clash = probe_id_clash(
@@ -496,10 +473,8 @@ def topk_against_shard(
     dim, num_planes, bands, _, __gen = _store_meta(
         spark, name, require_buckets=False
     )
-    # same loud-failure guard as the write path: a wrong-dim query
-    # shard null-pads through sha_band_keys into degenerate band keys
-    # and returns silently-wrong/empty neighbors
-    _assert_vec_dim(shard, vec_col, dim)
+    # wrong-dim shards fail loudly inside sha_band_keys (in-plan
+    # guard, round 16) when the banding projection first runs
     banded, unit = _shard_projections(
         shard,
         id_col=id_col,
@@ -592,7 +567,8 @@ def topk_from_store(
     # generation from the SAME meta row — no second meta-log collect
     __d = m.asDict()
     __gen = int(__d["gen"]) if __d.get("gen") is not None else 0
-    _assert_vec_dim(queries, vec_col, dim)
+    # wrong-dim queries fail loudly inside sha_band_keys (in-plan
+    # guard, round 16) when the banding projection first runs
     q = with_l2_normalized(
         queries.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), vec_col

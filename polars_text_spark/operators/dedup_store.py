@@ -199,17 +199,21 @@ def write_minhash_store(
 
 def _minhash_meta(
     spark: SparkSession, name: str
-) -> tuple[int, int, int, int] | None:
-    """(num_perm, bands, shingle_n, buckets) recorded at write time,
-    or None for a store written before the meta table existed."""
+) -> tuple[int, int, int, int, int] | None:
+    """(num_perm, bands, shingle_n, buckets, gen) recorded at write
+    time, or None for a store written before the meta table existed.
+    One meta-log collect resolves params AND the generation (round 16
+    — the streaming ingest paid a second collect per trigger)."""
     m = read_meta(spark, name)
     if m is None:
         return None
+    d = m.asDict()
     return (
         int(m["num_perm"]),
         int(m["bands"]),
         int(m["shingle_n"]),
         int(m["buckets"]),
+        int(d["gen"]) if d.get("gen") is not None else 0,
     )
 
 

@@ -1501,6 +1501,26 @@ def sha_band_keys(vec_col, *, dim: int, num_planes: int = 16, bands: int = 4):
     if num_planes % bands != 0:
         raise ValueError("num_planes must be divisible by bands")
     v = vec_col.cast("array<double>")
+    # In-plan dimensionality guard (round 16): a short vector
+    # null-pads through zip_with, every plane dot goes null, and ALL
+    # its band keys collapse to the degenerate all-zero-bits keys —
+    # silent recall 0. Guarding HERE costs one size comparison fused
+    # into the banding projection, where the former pre-flight
+    # _assert_vec_dim scan was a full extra pass over every appended
+    # shard (and one extra driver job per store read). Null vectors
+    # pass through unchanged — callers filter them by contract.
+    dim_ok = v.isNull() | (F.size(v) == F.lit(int(dim)))
+    dim_err = F.raise_error(
+        F.concat(
+            F.lit("sha_band_keys: vector has "),
+            F.size(v).cast("string"),
+            F.lit(
+                f" components but the signature is dim={dim}; a "
+                "mismatched vector bands to degenerate keys and "
+                "silently destroys recall"
+            ),
+        )
+    )
     bits = []
     for j in range(num_planes):
         signs = F.array(*[F.lit(_sha_sign(j, p)) for p in range(dim)])
@@ -1519,7 +1539,9 @@ def sha_band_keys(vec_col, *, dim: int, num_planes: int = 16, bands: int = 4):
                 "", F.lit(str(b)), F.lit(":"), *[c.cast("string") for c in chunk]
             )
         )
-    return F.array(*keys)
+    return F.when(dim_ok, F.array(*keys)).otherwise(
+        dim_err.cast("array<string>")
+    )
 
 
 def cosine_topk_lsh_sha(

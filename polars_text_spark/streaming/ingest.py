@@ -78,7 +78,6 @@ def minhash_ingest_batch(
         check_generation_unchanged,
         phys_table,
         read_tombstones,
-        store_generation,
         write_bucketed,
     )
 
@@ -110,11 +109,10 @@ def minhash_ingest_batch(
                 buckets=buckets,
             )
             return
-        m_perm, m_bands, m_shingle, m_buckets = meta
-        # resolve the CURRENT physical generation once per trigger;
-        # a maintenance cutover racing this batch is detected by the
-        # post-write generation check below (round 14)
-        gen_at_start = store_generation(spark, name)
+        # params AND the current generation come from the ONE meta
+        # read above (round 16); a maintenance cutover racing this
+        # batch is detected by the post-write generation check below
+        m_perm, m_bands, m_shingle, m_buckets, gen_at_start = meta
         bands_tbl = phys_table(name, "bands", gen_at_start)
         shingles_tbl = phys_table(name, "shingles", gen_at_start)
         # novelty: the shard probes the id-bucketed shingles table
@@ -241,7 +239,6 @@ def ann_ingest_batch(
     wrong-dim drop would null-pad into degenerate band keys: silent
     recall 0)."""
     from polars_text_spark.operators.ann_store import (
-        _assert_vec_dim,
         _shard_projections,
         _store_meta,
         write_ann_store,
@@ -250,7 +247,6 @@ def ann_ingest_batch(
         check_generation_unchanged,
         phys_table,
         read_tombstones,
-        store_generation,
         write_bucketed,
     )
 
@@ -272,12 +268,14 @@ def ann_ingest_batch(
                 buckets=buckets,
             )
             return
-        m_dim, m_planes, m_bands, m_buckets = _store_meta(spark, name)
-        _assert_vec_dim(batch, vec_col, m_dim)
-        # resolve the CURRENT physical generation once per trigger
-        # (round 14); the post-write check below catches a racing
-        # maintenance cutover
-        gen_at_start = store_generation(spark, name)
+        # ONE meta read resolves params AND the current generation
+        # (round 16); the post-write check below catches a racing
+        # maintenance cutover. Dimensionality is guarded in-plan by
+        # sha_band_keys — a wrong-dim batch aborts its own write job
+        # instead of paying a pre-flight scan per trigger.
+        m_dim, m_planes, m_bands, m_buckets, gen_at_start = _store_meta(
+            spark, name
+        )
         bands_tbl = phys_table(name, "bands", gen_at_start)
         vectors_tbl = phys_table(name, "vectors", gen_at_start)
         standing = spark.table(vectors_tbl).select("id")

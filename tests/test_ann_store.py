@@ -250,7 +250,11 @@ def test_compact_rejects_unbucketed_table(spark):
 
 def test_append_rejects_dim_mismatch(spark, vectors):
     """A shard whose vectors have the wrong dimensionality must fail
-    loudly: null-padded band keys would silently destroy recall."""
+    loudly: null-padded band keys would silently destroy recall.
+    Round 16: the guard is IN-PLAN (sha_band_keys raises inside the
+    banding projection — free, where the former pre-flight scan was a
+    full extra pass over the shard), so the append's own write job
+    aborts before any table commits; the store stays intact."""
     from pyspark.sql import Row
 
     base = vectors.filter(F.col("vec_id") % 4 != 0)
@@ -259,15 +263,21 @@ def test_append_rejects_dim_mismatch(spark, vectors):
         [Row(vec_id=777777, embedding=[0.5] * 32, label=None)],
         vectors.schema,
     )
-    with pytest.raises(ValueError, match="32 components.*dim=64"):
+    with pytest.raises(Exception, match="32 components.*dim=64"):
         append_ann_shard(short, "ann_store_d")
+    # the aborted append committed nothing: the store answers as before
+    assert spark.table("ann_store_d_vectors").filter(
+        F.col("id") == 777777
+    ).count() == 0
 
 
 def test_query_paths_reject_dim_mismatch(spark, vectors):
     """Wrong-dim QUERY shards must fail loudly too: they null-pad
     through sha_band_keys into degenerate band keys and return
     silently-wrong/empty neighbors (the read-path twin of the
-    append-path guard)."""
+    append-path guard). Round 16: the guard is in-plan, so the raise
+    surfaces when the lazy result is ACTED on — no pre-flight job per
+    read."""
     from pyspark.sql import Row
 
     base = vectors.filter(F.col("vec_id") % 4 != 0)
@@ -276,10 +286,12 @@ def test_query_paths_reject_dim_mismatch(spark, vectors):
         [Row(vec_id=777778, embedding=[0.5] * 32, label=None)],
         vectors.schema,
     )
-    with pytest.raises(ValueError, match="32 components.*dim=64"):
-        topk_against_shard(spark, "ann_store_qd", short, k=3)
-    with pytest.raises(ValueError, match="32 components.*dim=64"):
-        topk_from_store(spark, "ann_store_qd", short, k=3, dim=64)
+    with pytest.raises(Exception, match="32 components.*dim=64"):
+        topk_against_shard(spark, "ann_store_qd", short, k=3).collect()
+    with pytest.raises(Exception, match="32 components.*dim=64"):
+        topk_from_store(
+            spark, "ann_store_qd", short, k=3, dim=64
+        ).collect()
 
 
 def test_append_rejects_overlapping_ids(spark, vectors):

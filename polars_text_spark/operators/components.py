@@ -42,7 +42,11 @@ Scale design (the part that must survive 100 TB):
   decimal(38,0)): labels move monotonically down, so the sum is
   constant exactly at the fixpoint — one aggregate job per round that
   doubles as the checkpoint materialization, instead of the former
-  separate changed-count job.
+  separate changed-count job. The sum probe is gated on the vertex id
+  being an integral/decimal type (round 17, ADVICE r16): string ids
+  would cast to null (ANSI-off) or raise (ANSI-on), and numeric
+  strings order lexicographically, so non-numeric ids use the exact
+  changed-count probe instead.
 
 The O(log² n)-round alternating large-star/small-star algorithm
 (Kiveris et al., "Connected Components in MapReduce and Beyond") is
@@ -108,6 +112,20 @@ def connected_components(
     labels = labels.localCheckpoint(eager=False)
     sym = sym.localCheckpoint(eager=False)
 
+    # The cheap sum probe is only SOUND for integral/decimal vertex
+    # ids (ADVICE r16): casting string ids to decimal yields nulls
+    # under ANSI-off (the all-null sums then compare equal and the
+    # loop exits half-merged) or raises under ANSI-on, and for
+    # numeric STRINGS min() is lexicographic, so the sum is not
+    # monotone. Non-numeric ids fall back to the exact changed-count
+    # probe (one extra self-join per round — the pre-round-16 shape).
+    from pyspark.sql import types as T
+
+    _vt = labels.schema["vertex"].dataType
+    _sum_probe = isinstance(
+        _vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
+    )
+
     def _label_sum(frame: DataFrame):
         # Convergence probe: labels only ever move DOWN (both steps
         # take a min), and the vertex set is fixed, so the label sum
@@ -118,11 +136,39 @@ def connected_components(
         # action that materializes the round's lazy checkpoint,
         # replacing the former separate count + eager-checkpoint jobs.
         row = frame.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()
-        return row[0]["s"]
+        s, n = row[0]["s"], row[0]["n"]
+        if s is None and n > 0:
+            # belt-and-braces: a null sum over a nonempty integral
+            # label frame means null ids leaked in — never compare
+            # None == None as "converged"
+            raise ValueError(
+                "connected_components: label sum is null over a "
+                "nonempty frame (null vertex ids in the pair input?)"
+            )
+        return s
 
-    prev_sum = _label_sum(labels)
+    def _changed_count(new: DataFrame, old: DataFrame) -> int:
+        # Exact fallback probe for non-numeric ids: count vertices
+        # whose label moved this round (also the action that
+        # materializes the round's lazy checkpoint).
+        return (
+            new.join(
+                old.select(
+                    "vertex", F.col("component").alias("__prev")
+                ),
+                "vertex",
+            )
+            .filter(F.col("component") != F.col("__prev"))
+            .count()
+        )
+
+    if _sum_probe:
+        prev_sum = _label_sum(labels)
+    else:
+        labels.count()  # materialize the initial lazy checkpoint
     for _ in range(max_iterations):
         # min label among self + neighbors: ONE equi-join of the edge
         # list against the labels (the neighbor messages) unioned with
@@ -149,11 +195,16 @@ def connected_components(
             "vertex",
             F.least("__m", F.coalesce("__rc", "__m")).alias("component"),
         )
-        labels = updated.localCheckpoint(eager=False)
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        new_labels = updated.localCheckpoint(eager=False)
+        if _sum_probe:
+            cur_sum = _label_sum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = _changed_count(new_labels, labels) == 0
+        labels = new_labels
+        if converged:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "iterations; a component's diameter exceeds the cap — raise "

@@ -123,3 +123,27 @@ def test_huge_ids_sum_convergence_exact(spark):
         big + 3: 7,
         9: 7,
     }
+
+
+def test_string_ids_changed_count_probe(spark):
+    """Round-17 (ADVICE r16): string vertex ids must NOT use the
+    decimal label-sum probe (the cast nulls out under ANSI-off and the
+    all-null sums would compare equal after ONE round, returning
+    half-merged components). A 4-chain needs >1 hash-min round, so a
+    premature exit would mislabel 'd'."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "id_a string, id_b string"
+    )
+    got = _comp_map(connected_components(pairs))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_numeric_string_ids_lexicographic_min(spark):
+    """Numeric STRINGS order lexicographically ('10' < '9'); the
+    changed-count probe must converge to the lexicographic min — the
+    sum probe would be unsound here (non-monotone under string min)."""
+    pairs = spark.createDataFrame(
+        [("9", "10"), ("10", "111")], "id_a string, id_b string"
+    )
+    got = _comp_map(connected_components(pairs))
+    assert got == {"9": "10", "10": "10", "111": "10"}

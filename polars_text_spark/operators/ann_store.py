@@ -483,11 +483,9 @@ def topk_against_shard(
         num_planes=num_planes,
         bands=bands,
     )
-    q = banded.select(
-        F.col("id").alias("query_id"), "band_key"
-    ).join(
-        unit.select(F.col("id").alias("query_id"), F.col("u").alias("__qvec")),
-        "query_id",
+    q_bands = banded.select(F.col("id").alias("query_id"), "band_key")
+    qunit = unit.select(
+        F.col("id").alias("query_id"), F.col("u").alias("__qvec")
     )
     __ts = _tombstones(spark, name)
     # __gen came from the same meta read as the signature params —
@@ -498,11 +496,18 @@ def topk_against_shard(
     shard_bands = banded.select(
         F.col("id").alias("neighbor_id"), "band_key"
     )
+    # Slim candidate stream + neighbor-keyed dedup (round 17) — same
+    # restructure as topk_from_store: no vector payload rides the
+    # candidate exchanges, the dedup keying doubles as the re-rank
+    # join keying, and the query vectors re-attach after the dedup
+    # (this also deletes the former upfront banded-x-unit join that
+    # carried __qvec into the candidate generation).
     cands = (
-        store_bands.join(q, "band_key")
-        .unionByName(q.join(F.broadcast(shard_bands), "band_key"))
+        store_bands.join(q_bands, "band_key")
+        .unionByName(q_bands.join(F.broadcast(shard_bands), "band_key"))
+        .select("query_id", "neighbor_id")
+        .repartition(F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", "__qvec")
     )
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -511,10 +516,14 @@ def topk_against_shard(
         .unionByName(unit)
         .select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
     )
-    scored = cands.join(neighbors, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    scored = (
+        cands.join(neighbors, "neighbor_id")
+        .join(qunit, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+        )
     )
     return rank_topk(scored, k)
 
@@ -569,15 +578,14 @@ def topk_from_store(
     __gen = int(__d["gen"]) if __d.get("gen") is not None else 0
     # wrong-dim queries fail loudly inside sha_band_keys (in-plan
     # guard, round 16) when the banding projection first runs
-    q = with_l2_normalized(
-        queries.where(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("query_id"), vec_col
-        ),
-        vec_col,
-        "__qvec",
-    ).select(
+    base = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), vec_col
+    )
+    qunit = with_l2_normalized(base, vec_col, "__qvec").select(
+        "query_id", "__qvec"
+    )
+    q_bands = base.select(
         "query_id",
-        "__qvec",
         F.explode(
             sha_band_keys(
                 F.col(vec_col), dim=dim, num_planes=num_planes, bands=bands
@@ -588,19 +596,38 @@ def topk_from_store(
     store_bands = _minus_tombstones(
         spark.table(phys_table(name, "bands", __gen)), __ts
     ).select(F.col("id").alias("neighbor_id"), "band_key")
-    cands = (
-        store_bands.join(q, "band_key")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", "__qvec")
+    # Candidate dedup folded into the re-rank keying (round 17,
+    # VERDICT r16 #6 + guide §2.3/§2.4): the candidate stream carries
+    # ONLY (query_id, neighbor_id) — the query vector no longer rides
+    # every band collision through the dedup exchange — and the dedup
+    # is hash-partitioned on neighbor_id (a subset of the dedup keys,
+    # so the clustering requirement still holds) at the store's bucket
+    # count, which is exactly the re-rank join's requirement: dedup
+    # and re-rank share ONE exchange instead of exchanging on
+    # (query_id, neighbor_id) and re-exchanging on neighbor_id. The
+    # query vectors re-attach AFTER the dedup via the (small by
+    # contract) query-side join.
+    cands = store_bands.join(q_bands, "band_key").select(
+        "query_id", "neighbor_id"
     )
+    __buckets = __d.get("buckets")
+    if __buckets:
+        cands = cands.repartition(int(__buckets), F.col("neighbor_id"))
+    else:
+        cands = cands.repartition(F.col("neighbor_id"))
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     unit = _minus_tombstones(
         spark.table(phys_table(name, "vectors", __gen)), __ts
     ).select(F.col("id").alias("neighbor_id"), F.col("u").alias("__vvec"))
-    scored = cands.join(unit, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+    scored = (
+        cands.join(unit, "neighbor_id")
+        .join(qunit, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("__qvec"), F.col("__vvec")).alias("cosine"),
+        )
     )
     return rank_topk(scored, k)

@@ -18,3 +18,28 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round 17, VERDICT r16 #2): the heavy lifecycle/
+    property/parity tests listed in tests/slow_tests.txt are marked
+    ``slow`` and deselected by the default ``addopts = -m "not slow"``
+    so the default invocation (the driver's verify window) finishes in
+    ~12 min while still exercising every operator (every test file
+    keeps at least one fast test). Run the FULL suite with:
+
+        python -m pytest tests/ -m "slow or not slow"
+    """
+    import os
+
+    manifest = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(manifest):
+        return
+    with open(manifest) as fh:
+        slow = {line.strip() for line in fh if line.strip()}
+    for item in items:
+        nodeid = item.nodeid
+        if nodeid.startswith("tests/"):
+            nodeid = nodeid[len("tests/"):]
+        if nodeid in slow:
+            item.add_marker(pytest.mark.slow)

@@ -125,19 +125,38 @@ def write_ann_store(
             )
         ).alias("band_key"),
     )
-    write_bucketed(
-        banded,
-        f"{name}_bands",
-        bucket_by="band_key",
-        buckets=buckets,
-        sort_by="band_key",
-    )
     unit = with_l2_normalized(
         base.select(F.col(id_col).alias("id"), vec_col), vec_col, "u"
     ).select("id", "u")
-    write_bucketed(
-        unit, f"{name}_vectors", bucket_by="id", buckets=buckets, sort_by="id"
-    )
+    # The two table writes are independent projections of the same
+    # input — overlap them from a small thread pool (guide §2.6) so
+    # the second write's tasks back-fill the first's job tail. A fresh
+    # write is generation 0 and nothing reads the store mid-write, so
+    # commit order between the two tables carries no crash contract
+    # (unlike append, which stays bands-first).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_bands() -> None:
+        write_bucketed(
+            banded,
+            f"{name}_bands",
+            bucket_by="band_key",
+            buckets=buckets,
+            sort_by="band_key",
+        )
+
+    def _write_vectors() -> None:
+        write_bucketed(
+            unit,
+            f"{name}_vectors",
+            bucket_by="id",
+            buckets=buckets,
+            sort_by="id",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_write_bands), pool.submit(_write_vectors)]:
+            fut.result()
     # a rebuild starts a NEW store generation: tombstones from the
     # previous generation would silently delete rows from the fresh
     # store at read time and block re-appending their ids

@@ -548,38 +548,51 @@ def rewrite_generation(
             _spec_cols(info, "Sort Columns"),
         )
 
-    new_tables: list[str] = []
-    try:
-        for s in suffixes:
-            src = phys_table(name, s, gen)
-            dst = phys_table(name, s, nxt)
-            _, schema, files = snapshots[s]
-            buckets, bucket_cols, sort_cols = specs[s]
-            if new_buckets is not None:
-                if new_buckets < 1:
-                    raise ValueError(
-                        f"new_buckets must be >= 1, got {new_buckets}"
-                    )
-                buckets = int(new_buckets)
-            if files:
-                df = spark.read.schema(schema).parquet(*sorted(files))
-            else:
-                df = spark.table(src).limit(0)
-            if anti is not None:
-                if not anti_on:
-                    raise ValueError("anti requires anti_on join keys")
-                df = df.join(
-                    F.broadcast(anti.select(anti_on)), anti_on, "left_anti"
-                )
-            # write_bucketed repartitions on the bucket columns itself
-            write_bucketed(
-                df,
-                dst,
-                bucket_by=bucket_cols,
-                buckets=buckets,
-                sort_by=sort_cols or None,
+    if new_buckets is not None and new_buckets < 1:
+        raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
+    if anti is not None and not anti_on:
+        raise ValueError("anti requires anti_on join keys")
+
+    def _rewrite_one(s: str) -> str:
+        src = phys_table(name, s, gen)
+        dst = phys_table(name, s, nxt)
+        _, schema, files = snapshots[s]
+        buckets, bucket_cols, sort_cols = specs[s]
+        if new_buckets is not None:
+            buckets = int(new_buckets)
+        if files:
+            df = spark.read.schema(schema).parquet(*sorted(files))
+        else:
+            df = spark.table(src).limit(0)
+        if anti is not None:
+            df = df.join(
+                F.broadcast(anti.select(anti_on)), anti_on, "left_anti"
             )
-            new_tables.append(dst)
+        # write_bucketed repartitions on the bucket columns itself
+        write_bucketed(
+            df,
+            dst,
+            bucket_by=bucket_cols,
+            buckets=buckets,
+            sort_by=sort_cols or None,
+        )
+        return dst
+
+    try:
+        # The per-suffix rewrites are INDEPENDENT jobs (each reads its
+        # own snapshot file set and writes its own next-gen table), so
+        # submit them from a small thread pool (guide §2.6): the second
+        # table's tasks back-fill executors freed by the first's tail
+        # instead of paying two sequential job tails + commits. Spark's
+        # scheduler runs concurrent driver-thread jobs FIFO, which is
+        # exactly the back-fill behaviour wanted here.
+        from concurrent.futures import ThreadPoolExecutor
+
+        suffixes = list(suffixes)
+        with ThreadPoolExecutor(
+            max_workers=min(4, max(1, len(suffixes)))
+        ) as pool:
+            list(pool.map(_rewrite_one, suffixes))
 
         for s in suffixes:
             loc, schema, before = snapshots[s]
@@ -593,8 +606,10 @@ def rewrite_generation(
                     "the maintenance op in a writer-free window"
                 )
     except BaseException:
-        for t in new_tables:
-            clear_table(spark, t)
+        # a failed/raced rewrite may leave any subset of the next-gen
+        # tables (including a half-written one) — clear them all
+        for s in suffixes:
+            clear_table(spark, phys_table(name, s, nxt))
         raise
 
     write_meta(nxt)  # THE atomic cutover
